@@ -1,0 +1,263 @@
+"""Customer-360 feature engineering (SURVEY.md §2.8).
+
+This is the engine's reason to exist: the reference solution
+(Azure/cortana-intelligence-customer360 - a Cortana Intelligence
+solution template wiring ADF + HDInsight Hive/Spark + SQL DW; local
+checkout empty, SURVEY.md §0) computes per-customer rolling-window
+activity aggregates from clickstream/purchase archives and joins them
+with the referential profile into one wide "Customer 360" row per
+customer. Re-expressed here as declarative DataFrame plans:
+
+- feat_rfm            recency/frequency/monetary from orders
+- feat_window_counts  multi-horizon (1d/7d/30d) activity aggregates
+- feat_category_mix   per-category activity share vector
+- feat_sessionize     gap-based sessionization (30-min inactivity)
+- feat_profile_join   the flagship wide enriched-profile table
+
+Scale notes (100 TB posture): every feature block aggregates FIRST
+(shuffle moves one row per user, not per event) and joins SECOND; all
+joins key on the same customer key so AQE can reuse the exchange;
+the nation dim is broadcast. No Python UDFs anywhere - whole-stage
+codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import bcount, dsum, dsum_sql, dsum_where_sql, epoch_us, epoch_us_sql
+from ..operators.aggregates import event_type_pivot, pivot_oracle_sql
+from ..sources.tables import EVENT_TYPES, load_table
+
+# Feature anchors (FIXTURES.md): orders span [1995-01-01, 2001-08-01],
+# events span [2024-01-01, 2024-01-31).
+ORDERS_ANCHOR = "2001-08-01"
+EVENTS_ANCHOR = "2024-01-31 00:00:00"
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity gap, µs
+
+
+def rfm_frame(orders: DataFrame) -> DataFrame:
+    """Recency (days since last order at anchor) / Frequency / Monetary."""
+    return orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(ORDERS_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        bcount().alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+
+
+def feat_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_frame(load_table(spark, sf_dir, "orders"))
+
+
+_RFM_SQL = f"""
+SELECT o_custkey,
+       CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '{ORDERS_ANCHOR}') AS BIGINT)
+         AS recency_days,
+       CAST(COUNT(*) AS BIGINT) AS frequency,
+       {dsum_sql('o_totalprice')} AS monetary
+FROM orders GROUP BY o_custkey
+"""
+
+
+def feat_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon trailing-window activity (1d/7d/30d as of anchor).
+
+    Batch form of the reference's rolling-window browsing aggregates:
+    one scan, conditional aggregates per horizon - NOT three self-joins.
+    At 100 TB this is the difference between one shuffle and three."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit(EVENTS_ANCHOR).cast("timestamp")
+    out_cols = []
+    for days in (1, 7, 30):
+        in_win = (F.col("ts") >= anchor - F.expr(f"INTERVAL {days} DAYS")) & (
+            F.col("ts") < anchor
+        )
+        out_cols.append(
+            F.count(F.when(in_win, 1)).cast("long").alias(f"n_{days}d")
+        )
+        out_cols.append(
+            F.coalesce(dsum(F.when(in_win, F.col("value"))), F.lit(0.0)).alias(
+                f"v_{days}d"
+            )
+        )
+    return ev.groupBy("user_id").agg(*out_cols)
+
+
+def _window_counts_sql() -> str:
+    parts = []
+    for days in (1, 7, 30):
+        cond = (
+            f"ts >= TIMESTAMP '{EVENTS_ANCHOR}' - INTERVAL {days} DAY "
+            f"AND ts < TIMESTAMP '{EVENTS_ANCHOR}'"
+        )
+        parts.append(f"CAST(COUNT(*) FILTER (WHERE {cond}) AS BIGINT) AS n_{days}d")
+        parts.append(f"{dsum_where_sql('value', cond)} AS v_{days}d")
+    cols = ",\n       ".join(parts)
+    return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
+
+
+def feat_category_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event_type activity share (category-affinity vector).
+
+    groupBy first (events -> one row per user×type), then a window over
+    the tiny aggregate - the window shuffle sees ≤5 rows per user."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(bcount().alias("n"))
+    w = Window.partitionBy("user_id")
+    return counts.select(
+        "user_id",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias("share"),
+    )
+
+
+_CATEGORY_MIX_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id, event_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY user_id) AS DOUBLE) AS share
+FROM c
+"""
+
+
+def sessionized(events: DataFrame) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the gap
+    since the user's previous event exceeds 30 minutes (strict >).
+
+    Classic two-window plan: lag to flag session starts, running sum of
+    flags to number sessions. One shuffle on user_id; both windows reuse
+    the same partitioning. Returns events + (ts_us, session_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = epoch_us("ts")
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_start = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return events.withColumn("ts_us", ts_us).withColumn(
+        "session_id",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def feat_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats from gap-based sessionization."""
+    ev = sessionized(load_table(spark, sf_dir, "events"))
+    per_session = ev.groupBy("user_id", "session_id").agg(
+        bcount().alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        bcount().alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("span_us").cast("long").alias("total_session_us"),
+        F.max("span_us").cast("long").alias("max_session_us"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, {epoch_us_sql('ts')} AS ts_us FROM events),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+numbered AS (
+  SELECT user_id, ts_us,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(ts_us) - MIN(ts_us) AS span_us
+  FROM numbered GROUP BY user_id, session_id)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(span_us) AS BIGINT) AS total_session_us,
+       CAST(MAX(span_us) AS BIGINT) AS max_session_us
+FROM per_session GROUP BY user_id
+"""
+
+
+def profile_frame(
+    customer: DataFrame, orders: DataFrame, events: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """The flagship Customer-360 wide profile: referential attributes +
+    RFM + per-category activity counts, one row per customer.
+
+    Join order: aggregate both fact tables down to per-customer rows
+    FIRST, then left-join onto the customer spine (both sides already
+    keyed/shuffled on the customer key), broadcast the 25-row nation
+    dim. 90% of customers have no events; fillna(0) keeps the profile
+    dense (FIXTURES.md)."""
+    rfm = rfm_frame(orders)
+    piv = event_type_pivot(events)
+    prof = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(rfm, customer.c_custkey == rfm.o_custkey, "left")
+        .join(piv, customer.c_custkey == piv.user_id, "left")
+    )
+    count_cols = [f"n_{t}" for t in EVENT_TYPES]
+    return prof.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        "n_name",
+        F.coalesce("recency_days", F.lit(0)).cast("long").alias("recency_days"),
+        F.coalesce("frequency", F.lit(0)).cast("long").alias("frequency"),
+        F.coalesce("monetary", F.lit(0.0)).alias("monetary"),
+        *[F.coalesce(c, F.lit(0)).cast("long").alias(c) for c in count_cols],
+    )
+
+
+def feat_profile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_frame(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _profile_join_sql() -> str:
+    count_cols = ",\n       ".join(
+        f"COALESCE(p.n_{t}, 0) AS n_{t}" for t in EVENT_TYPES
+    )
+    return f"""
+WITH rfm AS ({_RFM_SQL}),
+piv AS ({pivot_oracle_sql()})
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal, n.n_name,
+       CAST(COALESCE(r.recency_days, 0) AS BIGINT) AS recency_days,
+       CAST(COALESCE(r.frequency, 0) AS BIGINT) AS frequency,
+       COALESCE(r.monetary, 0.0) AS monetary,
+       {count_cols}
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN rfm r ON c.c_custkey = r.o_custkey
+LEFT JOIN piv p ON c.c_custkey = p.user_id
+"""
+
+
+QUERIES = {
+    "feat_rfm": feat_rfm,
+    "feat_window_counts": feat_window_counts,
+    "feat_category_mix": feat_category_mix,
+    "feat_sessionize": feat_sessionize,
+    "feat_profile_join": feat_profile_join,
+}
+
+ORACLE = {
+    "feat_rfm": _RFM_SQL,
+    "feat_window_counts": _window_counts_sql(),
+    "feat_category_mix": _CATEGORY_MIX_SQL,
+    "feat_sessionize": _SESSIONIZE_SQL,
+    "feat_profile_join": _profile_join_sql(),
+}

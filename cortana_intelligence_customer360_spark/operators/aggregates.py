@@ -1,0 +1,327 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All aggregates are expressed as declarative groupBy/rollup/cube plans so
+Spark performs partial (map-side) aggregation before the shuffle and
+whole-stage codegen fuses the pipeline - at 100 TB the shuffle moves
+pre-aggregated group states, not raw rows. Float discipline follows
+compat.py: exact decimal accumulation for sums/means, closed-form
+decimal-backed variance, so results hash-match the DuckDB oracle.
+
+Reference capability mapping: the Cortana Customer-360 solution's
+feature engineering is per-customer conditional counts/sums over
+clickstream + purchase archives computed in HiveQL/Spark SQL on
+HDInsight (SURVEY.md §1.1 [UPSTREAM, recalled]; /root/reference is an
+empty checkout - §0). agg_pivot/agg_filtered reproduce that per-category
+browsing-count matrix shape on the local events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..compat import bcount, davg, davg_sql, dsum, dsum_sql, dsum_where_sql
+from ..sources.tables import EVENT_TYPES, load_table
+
+_SQ_DEC = T.DecimalType(38, 10)
+
+
+def _dsum_sq(col):
+    """Exact decimal sum of x*x, as double (for closed-form variance)."""
+    c = F.col(col)
+    return F.sum((c * c).cast(_SQ_DEC)).cast("double")
+
+
+def _dsum_hi(col):
+    """Exact decimal sum with 10 frac digits, as double."""
+    return F.sum(F.col(col).cast(_SQ_DEC)).cast("double")
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: fused filter -> partial agg -> final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            bcount().alias("count_order"),
+        )
+    )
+
+
+_AGG_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct custkeys per order status (expand-then-agg plan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("long").alias("distinct_custkeys"),
+        bcount().alias("n_orders"),
+    )
+
+
+_AGG_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_custkeys,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event_type (R-tier: approximate,
+    no value oracle; tests assert ±5% of exact). The point at 100 TB:
+    constant-memory sketch per group instead of a distinct expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).cast("long").alias("approx_users")
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment min/max/avg/stddev_samp/var_samp of c_acctbal.
+
+    Variance is computed closed-form from exact decimal sums
+    (S2 - S1²/n)/(n-1) so both engines derive the identical double from
+    identical operands - no order-dependent accumulation (compat rule 3
+    upgraded to exactness)."""
+    cu = load_table(spark, sf_dir, "customer")
+    n = bcount("c_acctbal")
+    s1 = _dsum_hi("c_acctbal")
+    s2 = _dsum_sq("c_acctbal")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return cu.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        davg("c_acctbal").alias("avg_bal"),
+        # DuckDB's decimal->double cast can be 1 ulp off correctly-
+        # rounded and the (s2 - s1²/n) cancellation amplifies it: round
+        # the variance family on both sides (compat rule 3).
+        F.round(F.sqrt(var), 6).alias("stddev_bal"),
+        F.round(var, 4).alias("var_bal"),
+        n.alias("n_customers"),
+    )
+
+
+_AGG_STATS_SQL = f"""
+WITH s AS (
+  SELECT c_mktsegment,
+         MIN(c_acctbal) AS min_bal,
+         MAX(c_acctbal) AS max_bal,
+         {davg_sql('c_acctbal')} AS avg_bal,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+         CAST(COUNT(c_acctbal) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_mktsegment)
+SELECT c_mktsegment, min_bal, max_bal, avg_bal,
+       round(sqrt((s2 - s1 * s1 / n_customers) / (n_customers - 1)), 6) AS stddev_bal,
+       round((s2 - s1 * s1 / n_customers) / (n_customers - 1), 4) AS var_bal,
+       n_customers
+FROM s
+"""
+
+
+def _orders_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> customer -> nation -> region star join; dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by ROLLUP(r_name, n_name) with grouping flags."""
+    geo = _orders_geo(spark, sf_dir)
+    return geo.rollup("r_name", "n_name").agg(
+        dsum("o_totalprice").alias("revenue"),
+        bcount().alias("n_orders"),
+        F.grouping("r_name").cast("long").alias("g_region"),
+        F.grouping("n_name").cast("long").alias("g_nation"),
+    )
+
+
+_AGG_ROLLUP_SQL = f"""
+SELECT r_name, n_name,
+       {dsum_sql('o_totalprice')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts by CUBE(o_orderstatus, o_orderpriority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        bcount().alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    )
+
+
+_AGG_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((segment), (nation), ()) over customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).createOrReplaceTempView(
+        "c360_cust_nation"
+    )
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {davg_sql('c_acctbal')} AS avg_bal
+        FROM c360_cust_nation
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        """
+    )
+
+
+_AGG_GSETS_SQL = f"""
+SELECT c_mktsegment, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {davg_sql('c_acctbal')} AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+"""
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: sorted list of event types, stringified for the oracle
+    hash (compat rule 6 - no arrays in final output)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types_sorted"),
+        bcount().alias("n_events"),
+    )
+
+
+_AGG_COLLECT_SQL = """
+SELECT user_id,
+       array_to_string(list_sort(list(event_type)), ',') AS types_sorted,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Per-user event-count matrix: one n_<type> column per event_type.
+
+    This is the reference pipeline's per-category browsing-count feature
+    block (SURVEY.md §2.4 agg_pivot). Explicit pivot values avoid the
+    extra distinct-values job Spark would otherwise run - mandatory at
+    100 TB. Map-side partial count, single shuffle on user_id."""
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return piv.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_type_pivot(load_table(spark, sf_dir, "events"))
+
+
+def pivot_oracle_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
+
+
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (FILTER clause shape): per-user purchase
+    value sum, click count, max view value."""
+    ev = load_table(spark, sf_dir, "events")
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.groupBy("user_id").agg(
+        F.coalesce(dsum(purchase_val), F.lit(0.0)).alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("n_clicks"),
+        F.max(F.when(F.col("event_type") == "view", F.col("value"))).alias("max_view_value"),
+    )
+
+
+_AGG_FILTERED_SQL = f"""
+SELECT user_id,
+       {dsum_where_sql('value', "event_type = 'purchase'")} AS purchase_value,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+       MAX(value) FILTER (WHERE event_type = 'view') AS max_view_value
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "agg_pricing_summary": agg_pricing_summary,
+    "agg_distinct_count": agg_distinct_count,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_stats": agg_stats,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_collect_sorted": agg_collect_sorted,
+    "agg_pivot": agg_pivot,
+    "agg_filtered": agg_filtered,
+}
+
+ORACLE = {
+    "agg_pricing_summary": _AGG_PRICING_SQL,
+    "agg_distinct_count": _AGG_DISTINCT_SQL,
+    # agg_approx_distinct: R-tier, no SQL oracle (approximate sketch).
+    "agg_stats": _AGG_STATS_SQL,
+    "agg_rollup": _AGG_ROLLUP_SQL,
+    "agg_cube": _AGG_CUBE_SQL,
+    "agg_grouping_sets": _AGG_GSETS_SQL,
+    "agg_collect_sorted": _AGG_COLLECT_SQL,
+    "agg_pivot": pivot_oracle_sql(),
+    "agg_filtered": _AGG_FILTERED_SQL,
+}

@@ -1,0 +1,177 @@
+"""Table catalog: fixed schemas + parquet loaders.
+
+The data model (SURVEY.md §1.2, FIXTURES.md) is a TPC-H-ish star schema
+plus an event stream and two LLM-pipeline tables. Schemas are fixed and
+parquet-embedded; we declare them here both as documentation and so
+tests can assert the loaded DataFrame matches the contract.
+
+At 100 TB these tables are directories of many parquet files (not a
+single file); ``load_table`` takes any path Spark can glob, and all
+downstream operators are written against the DataFrame, never the file
+layout. Scans stay columnar: operators select only the columns they
+need so Catalyst prunes the parquet ReadSchema, and filters are plain
+Column predicates so they push into row-group/page filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# Value domains the operators rely on (FIXTURES.md); fixed pivot/one-hot
+# column sets are part of the engine contract, not runtime-inferred.
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+MKT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Self-provision the runtime confs every query depends on, so the
+    engine behaves identically under ANY caller's SparkSession (the
+    driver builds its own, without our session.py tuning):
+
+    - UTC session timezone: the data is UTC wall-clock; epoch
+      extraction (compat.epoch_us) must not shift by a local offset.
+    - nanosAsLong: lets Spark 4 read events.ts (parquet TIMESTAMP_NANOS).
+    - Arrow: columnar JVM<->Python transfer for pandas UDF operators.
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down in this deployment; proceed
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table from ``{sf_dir}/{name}.parquet``.
+
+    Plain ``spark.read.parquet`` (no schema override): the schema is
+    parquet-embedded and Catalyst prunes columns/pushes filters from the
+    declarative plan. events.ts is stored as timestamp[ns]; Spark reads
+    it as µs TimestampType (see compat.epoch_us for oracle alignment).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
+    ensure_session_confs(spark)
+    if name == "events":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark 4 has
+        # no timestamp type for. Read it as a raw long and truncate to
+        # µs TimestampType. DuckDB's parquet reader performs the
+        # identical ns->µs truncation, so oracle timestamps align.
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

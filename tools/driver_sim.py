@@ -1,0 +1,134 @@
+"""Simulate the driver's verify pass against the __spark_entry__ contract.
+
+Mimics what the driver does (SURVEY.md §5.2), deliberately NOT reusing
+the engine's tuned session: builds a vanilla SparkSession exactly as a
+third-party caller would, imports __spark_entry__ through the repo
+root, runs t1 (entry smoke) and t2 (per-query DuckDB oracle compare at
+sf0.01: row-count + schema + order-insensitive value-hash), prints one
+JSON line per query and a summary.
+
+Usage: python tools/driver_sim.py [sf_dir] [query_id ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+import traceback
+from collections import Counter
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "<NULL>"
+        if f == int(f) and abs(f) < 2**53:
+            return str(int(f))
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        return canon(float(v))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    s = str(v)
+    return "<NULL>" if s == "NaT" else s
+
+
+def signature(pdf):
+    cols = sorted(pdf.columns)
+    rows = Counter(
+        tuple(canon(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    return len(pdf), tuple(cols), rows
+
+
+def main() -> int:
+    # Vanilla session - what the driver would build, none of our tuning.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    t0 = time.time()
+    n = e.entry(spark).count()
+    print(json.dumps({"t1_entry_rows": n, "sec": round(time.time() - t0, 2)}))
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries, oracle = e.queries(), e.oracle_sql()
+    ok = bad = 0
+    for qid in sorted(queries):
+        if ONLY and qid not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = queries[qid](spark, SF_DIR).toPandas()
+            if qid in oracle:
+                ddf = con.execute(oracle[qid]).df()
+                ns, cs, rs = signature(sdf)
+                nd, cd, rd = signature(ddf)
+                match = (ns, cs) == (nd, cd) and rs == rd
+                status = "MATCH" if match else "MISMATCH"
+                detail = ""
+                if not match:
+                    if ns != nd:
+                        detail = f"rows {ns} vs {nd}"
+                    elif cs != cd:
+                        detail = f"cols {cs} vs {cd}"
+                    else:
+                        ex = list((rs - rd).items())[:2]
+                        detail = f"values spark-only={ex}"
+            else:
+                status, detail = "ROWS_ONLY", f"rows={len(sdf)}"
+            ok += status in ("MATCH", "ROWS_ONLY")
+            bad += status == "MISMATCH"
+            print(
+                json.dumps(
+                    {"q": qid, "status": status, "sec": round(time.time() - t0, 2),
+                     **({"detail": detail[:400]} if detail else {})}
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            bad += 1
+            print(json.dumps({"q": qid, "status": "ERROR", "err": str(exc)[:300]}))
+            traceback.print_exc(limit=3)
+    print(json.dumps({"summary": {"ok": ok, "bad": bad, "sf_dir": SF_DIR}}))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -83,9 +83,14 @@ def bcount(*cols: str) -> Column:
 
 def epoch_us(col: str | Column) -> Column:
     """Timestamp -> epoch microseconds (BIGINT), the canonical output
-    form for any timestamp column (rule 4)."""
+    form for any timestamp column (rule 4).
+
+    Parquet ms timestamps surface as TIMESTAMP_NTZ in Spark 4; the cast
+    to (LTZ) timestamp interprets the wall-clock in the session TZ,
+    which sources.tables.ensure_session_confs pins to UTC - the same
+    interpretation DuckDB's epoch_us gives naive timestamps."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(c).cast("long")
+    return F.unix_micros(c.cast("timestamp")).cast("long")
 
 
 def epoch_us_sql(expr: str) -> str:

@@ -1,0 +1,348 @@
+"""Join operators (SURVEY.md §2.3): all eight SQL join shapes plus the
+non-equi, as-of, and interval joins a feature store needs.
+
+Physical strategy is Catalyst/AQE's call (sort-merge vs broadcast vs
+shuffled-hash); we hint ``F.broadcast`` where a side is known-small and
+assert the resulting plans in tests/test_plans.py. The as-of join is
+the one operator Spark SQL lacks natively - implemented as the
+union-merge pattern (one shuffle, no expanding join), which is the
+shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import bcount, dsum, dsum_sql, epoch_us
+from ..sources.tables import load_table
+
+
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+_INNER_SQL = """
+SELECT o_orderkey, c_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customers keep their row; orderless customers get nulls."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_LEFT_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders preserved; customer side filtered so some orders dangle."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 8000)
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+_RIGHT_SQL = """
+SELECT o_orderkey, o_totalprice, c_custkey, c_name
+FROM (SELECT * FROM customer WHERE c_acctbal > 8000) c
+RIGHT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer: every customer and every big order, matched or not."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_FULL_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer
+FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c_custkey = o_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one 'F'-status order (EXISTS shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (NOT EXISTS shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x broadcast(dim): no shuffle of the lineitem side at all -
+    the dim ships to every executor. Asserted BroadcastHashJoin in
+    tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_retailprice", "l_quantity"
+    )
+
+
+_BROADCAST_SQL = """
+SELECT l_orderkey, l_linenumber, p_name, p_retailprice, l_quantity
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two tiny dims."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+_CROSS_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi self-join: pairs of events of the same user where the
+    second follows the first by at most 5 minutes. The equi conjunct
+    (user_id) keys the shuffle; the range is a post-join band filter -
+    Spark plans equi+range as a sort-merge join with band condition."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("a_id"),
+        epoch_us("ts").alias("a_us"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("b_id"),
+        epoch_us("ts").alias("b_us"),
+    )
+    pair = a.join(
+        b,
+        (F.col("u") == F.col("u2"))
+        & (F.col("b_us") > F.col("a_us"))
+        & (F.col("b_us") - F.col("a_us") <= 5 * 60 * 1_000_000),
+    )
+    return pair.select("u", "a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("gap_us"))
+
+
+_THETA_SQL = """
+SELECT a.user_id AS u, a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 5 * 60 * 1000000
+"""
+
+
+def asof_enrich(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Point-in-time (as-of) join: each event gets the user's most
+    recent order with o_orderdate <= ts (ties on date broken by max
+    o_orderkey); events with no prior order keep nulls.
+
+    Implemented as the union-merge pattern: tag both sides, sort each
+    user's timeline once, and carry the last seen order forward with
+    last(ignorenulls) over the running window. ONE shuffle on the user
+    key and no expanding event x order intermediate - this is the
+    feature-store primitive shape that survives 100 TB (a naive
+    join+row_number materializes |events| x |orders-per-user| rows).
+    """
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        epoch_us("o_orderdate").alias("t_us"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = events.select(
+        "user_id",
+        epoch_us("ts").alias("t_us"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.col("event_id"),
+    )
+    # Order rows sort before event rows at equal t (<= semantics); among
+    # equal-date orders the LAST carried forward is max o_orderkey.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o.unionByName(e).select(
+        "user_id",
+        "t_us",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("asof_totalprice"),
+    )
+    return merged.where(F.col("is_event") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t_us").alias("ts_us"),
+        "asof_orderkey",
+        "asof_totalprice",
+    )
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_enrich(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+_ASOF_SQL = """
+WITH matched AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+SELECT event_id, user_id, ts_us,
+       o_orderkey AS asof_orderkey, o_totalprice AS asof_totalprice
+FROM matched WHERE rn = 1
+UNION ALL
+SELECT e.event_id, e.user_id, epoch_us(e.ts), NULL, NULL
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+"""
+
+
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: lineitems shipped within [o_orderdate,
+    o_orderdate + 7d) of their own order; orders with none keep 0.
+    Equi key (orderkey) drives the shuffle; the interval is a residual
+    band predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    in_window = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < F.date_add(orders.o_orderdate, 7)),
+    ).groupBy("o_orderkey").agg(bcount().alias("n_shipped_7d"))
+    return orders.join(in_window, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("n_shipped_7d", F.lit(0)).cast("long").alias("n_shipped_7d"),
+    )
+
+
+_INTERVAL_SQL = """
+SELECT o.o_orderkey,
+       CAST(COALESCE(COUNT(l.l_orderkey), 0) AS BIGINT) AS n_shipped_7d
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per region through the full star. The
+    two big tables sort-merge on their keys; the three dims broadcast
+    (AQE converts automatically; we hint the known-tiny ones)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum(revenue).alias("revenue"), bcount().alias("n_lineitems"))
+    )
+
+
+_STAR_SQL = f"""
+SELECT r_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+QUERIES = {
+    "join_inner_equi": join_inner_equi,
+    "join_left_outer": join_left_outer,
+    "join_right_outer": join_right_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_broadcast": join_broadcast,
+    "join_cross": join_cross,
+    "join_theta_range": join_theta_range,
+    "join_asof": join_asof,
+    "join_interval": join_interval,
+    "join_star_multiway": join_star_multiway,
+}
+
+ORACLE = {
+    "join_inner_equi": _INNER_SQL,
+    "join_left_outer": _LEFT_SQL,
+    "join_right_outer": _RIGHT_SQL,
+    "join_full_outer": _FULL_SQL,
+    "join_semi": _SEMI_SQL,
+    "join_anti": _ANTI_SQL,
+    "join_broadcast": _BROADCAST_SQL,
+    "join_cross": _CROSS_SQL,
+    "join_theta_range": _THETA_SQL,
+    "join_asof": _ASOF_SQL,
+    "join_interval": _INTERVAL_SQL,
+    "join_star_multiway": _STAR_SQL,
+}

@@ -1,0 +1,172 @@
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+Scans are declarative so Catalyst pushes filters into the parquet
+reader (row-group + page pruning) and prunes columns (ReadSchema).
+tests/test_plans.py asserts PushedFilters actually fires - at 100 TB
+a scan that reads all columns for a 2-column projection is a bug.
+
+Format roundtrips (CSV/JSON) and the partitioned parquet sink write
+under ``.scratch/`` inside the repo; writes use overwrite mode so
+repeated driver/bench runs don't accumulate files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..compat import bcount, epoch_us
+from ..sources.tables import TABLE_SCHEMAS, load_table
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def scratch_dir(qid: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_REPO_ROOT, ".scratch", f"{qid}_{tag}")
+
+
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lineitem scan, all columns (timestamp emitted as epoch-µs
+    per compat rule 4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [c for c in li.columns if c != "l_shipdate"]
+    return li.select(*cols, epoch_us("l_shipdate").alias("l_shipdate_us"))
+
+
+_SCAN_PARQUET_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_shipdate_us
+FROM lineitem
+"""
+
+
+def scan_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan with predicates Catalyst pushes into the
+    parquet reader (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_extendedprice").where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+    )
+
+
+_SCAN_PUSHDOWN_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_discount > 0.05
+"""
+
+
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write region as headered CSV, re-read with an explicit schema
+    (no inference job - schema-on-read is declared, SURVEY §1.2)."""
+    out = scratch_dir("scan_csv_roundtrip", sf_dir)
+    load_table(spark, sf_dir, "region").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return spark.read.schema(TABLE_SCHEMAS["region"]).option("header", True).csv(out)
+
+
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation as JSON-lines, re-read with explicit schema."""
+    out = scratch_dir("scan_json_roundtrip", sf_dir)
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").json(out)
+    return spark.read.schema(TABLE_SCHEMAS["nation"]).json(out)
+
+
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by order year, read back and count per
+    partition. The re-read groupBy hits only partition metadata + one
+    column; partition pruning on o_year is what makes time-sliced
+    pipelines (the reference's ADF model) cheap at scale."""
+    out = scratch_dir("sink_parquet_partitioned", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
+        bcount().alias("n_orders")
+    )
+
+
+_SINK_PARTITIONED_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+_STREAM_SEQ = [0]
+
+# events.ts on disk is INT64 ns (see sources/tables.py); the stream
+# source reads the raw physical schema.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat the events parquet as a streaming file source (the Spark
+    analog of the reference's Event Hub -> blob archive ingest): one
+    availableNow pass, counts per event_type into a memory sink.
+    Deterministic, so it still carries a full oracle - streaming and
+    batch must agree."""
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    _STREAM_SEQ[0] += 1
+    sink = f"c360_stream_src_{_STREAM_SEQ[0]}"
+    stream = (
+        # Glob pattern: the streaming file source requires a directory
+        # or glob (basePath), not a bare file path.
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque[t]")
+        .groupBy("event_type")
+        .agg(bcount().alias("n_events"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+_STREAM_SOURCE_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "scan_parquet": scan_parquet,
+    "scan_project_pushdown": scan_project_pushdown,
+    "scan_csv_roundtrip": scan_csv_roundtrip,
+    "scan_json_roundtrip": scan_json_roundtrip,
+    "sink_parquet_partitioned": sink_parquet_partitioned,
+    "source_stream_files": source_stream_files,
+}
+
+ORACLE = {
+    "scan_parquet": _SCAN_PARQUET_SQL,
+    "scan_project_pushdown": _SCAN_PUSHDOWN_SQL,
+    "scan_csv_roundtrip": "SELECT * FROM region",
+    "scan_json_roundtrip": "SELECT * FROM nation",
+    "sink_parquet_partitioned": _SINK_PARTITIONED_SQL,
+    "source_stream_files": _STREAM_SOURCE_SQL,
+}

@@ -1,0 +1,153 @@
+"""Sort / limit / top-k / set operators (SURVEY.md §2.6).
+
+Global sorts are range-partitioned by Spark (sampled boundaries), so
+they scale; the pinned row_number() is only for oracle determinism and
+every ordering carries a unique-key tiebreak (compat rule 7). Top-k
+compiles to TakeOrderedAndProject - a per-partition heap + driver
+merge, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import epoch_us
+from ..sources.tables import load_table
+
+
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort; emits the rank to make the (order-
+    insensitive) oracle hash actually verify the ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    ordering = [
+        F.col("o_orderdate").desc_nulls_last(),
+        F.col("o_totalprice").asc_nulls_last(),
+        F.col("o_orderkey").asc(),
+    ]
+    w = Window.orderBy(*ordering)
+    return (
+        orders.orderBy(*ordering)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "o_orderkey",
+            epoch_us("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice",
+        )
+    )
+
+
+_SORT_SQL = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate DESC NULLS LAST,
+                               o_totalprice ASC NULLS LAST,
+                               o_orderkey ASC) AS BIGINT) AS rank,
+       o_orderkey,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+       o_totalprice
+FROM orders
+"""
+
+
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 most expensive orders - TakeOrderedAndProject, tie-broken."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset union of custkeys from 'O' and 'F' status orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.unionByName(f)
+
+
+_UNION_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct union of customer keys seen in orders or events."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        orders.select(F.col("o_custkey").alias("custkey"))
+        .union(events.select(F.col("user_id").alias("custkey")))
+        .distinct()
+    )
+
+
+_UNION_DISTINCT_SQL = """
+SELECT o_custkey AS custkey FROM orders
+UNION
+SELECT user_id FROM events
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custkeys appearing in both orders and events (distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return orders.select(F.col("o_custkey").alias("custkey")).intersect(
+        events.select(F.col("user_id").alias("custkey"))
+    )
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT user_id FROM events
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custkeys in customer but not in orders (EXCEPT distinct
+    semantics = DataFrame.subtract)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.select(F.col("c_custkey").alias("custkey")).subtract(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+"""
+
+
+QUERIES = {
+    "sort_multikey": sort_multikey,
+    "topk_global": topk_global,
+    "set_union_all": set_union_all,
+    "set_union_distinct": set_union_distinct,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+}
+
+ORACLE = {
+    "sort_multikey": _SORT_SQL,
+    "topk_global": _TOPK_SQL,
+    "set_union_all": _UNION_ALL_SQL,
+    "set_union_distinct": _UNION_DISTINCT_SQL,
+    "set_intersect": _INTERSECT_SQL,
+    "set_except": _EXCEPT_SQL,
+}

@@ -1,0 +1,50 @@
+"""Physical-plan shape assertions (SURVEY.md §5.3 item 6): the plans
+that must hold at 100 TB - pushdown reaching the scan, broadcast joins
+for small dims, map-side partial aggregation, top-k never full-sorting.
+"""
+
+from __future__ import annotations
+
+from cortana_intelligence_customer360_spark.operators import (
+    aggregates,
+    joins,
+    scans,
+    setops,
+)
+from cortana_intelligence_customer360_spark.plans.asserts import (
+    assert_in_plan,
+    plan_string,
+)
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    df = scans.scan_project_pushdown(spark, sf_dir)
+    plan = plan_string(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_discount)" in plan or "GreaterThan(l_discount" in plan
+    # Column pruning: ReadSchema carries only the needed columns.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    assert_in_plan(joins.join_broadcast(spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    assert_in_plan(joins.join_star_multiway(spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    plan = plan_string(aggregates.agg_pricing_summary(spark, sf_dir))
+    assert "partial_" in plan, "no map-side partial aggregation"
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    assert_in_plan(setops.topk_global(spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_string(joins.join_semi(spark, sf_dir))
+    assert "LeftSemi" in plan

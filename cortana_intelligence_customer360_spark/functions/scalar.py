@@ -1,0 +1,302 @@
+"""Scalar function families (SURVEY.md §2.7): one query per family,
+each exercising >=4 functions, all built-in pyspark.sql.functions (JVM
+whole-stage codegen - no Python in the row path).
+
+Dialect notes vs the DuckDB oracle are inline per query (dayofweek
+bases, list lambda names, json extraction); transcendental outputs are
+rounded to 6 dp on values kept O(10) so a 1-ulp libm difference can't
+flip the hash (compat rule 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+
+
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substring/trim/concat_ws/length/regexp_extract/split."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.lower("c_mktsegment").alias("seg_lo"),
+        F.substring("c_name", 1, 8).alias("name_pre"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.trim(F.concat_ws(" ", "c_mktsegment", "c_name")).alias("seg_name"),
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("cust_num"),
+        F.split("c_name", "#").getItem(0).alias("name_word"),
+    )
+
+
+_FN_STRING_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_up,
+       lower(c_mktsegment) AS seg_lo,
+       substring(c_name, 1, 8) AS name_pre,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       trim(concat_ws(' ', c_mktsegment, c_name)) AS seg_name,
+       CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS cust_num,
+       split_part(c_name, '#', 1) AS name_word
+FROM customer
+"""
+
+
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/dayofweek/date_trunc/datediff/date_add/last_day.
+    Spark dayofweek is 1=Sunday..7, DuckDB 0=Sunday..6: normalized to
+    the 0-base. Dates emitted as ISO strings (compat rule 4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("o_year"),
+        F.month(d).cast("long").alias("o_month"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow_sun0"),
+        F.date_trunc("month", d).cast("date").cast("string").alias("month_start"),
+        F.datediff(F.lit("2001-08-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_anchor"),
+        F.date_add(d.cast("date"), 30).cast("string").alias("plus_30d"),
+        F.last_day(d).cast("string").alias("month_end"),
+    )
+
+
+_FN_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-01') AS BIGINT)
+         AS days_to_anchor,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS plus_30d,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+FROM orders
+"""
+
+
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/ln/log10/pow/sqrt/pmod. Transcendentals are
+    computed on O(10) magnitudes and rounded to 6 dp; sqrt/abs/ceil/
+    floor are exactly rounded IEEE ops and stay raw."""
+    part = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.abs(price - 1000.0).alias("abs_off"),
+        F.ceil(price).cast("long").alias("price_ceil"),
+        F.floor(price).cast("long").alias("price_floor"),
+        F.round(F.sqrt(price), 2).alias("sqrt_price_r2"),
+        F.round(F.log(price + 1.0), 6).alias("ln_price"),
+        F.round(F.log10(price + 1.0), 6).alias("log10_price"),
+        F.round(F.pow(F.col("p_size").cast("double"), 1.5), 6).alias("size_pow"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("long").alias("key_mod7"),
+    )
+
+
+_FN_MATH_SQL = """
+SELECT p_partkey,
+       abs(p_retailprice - 1000.0) AS abs_off,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       round(sqrt(p_retailprice), 2) AS sqrt_price_r2,
+       round(ln(p_retailprice + 1.0), 6) AS ln_price,
+       round(log10(p_retailprice + 1.0), 6) AS log10_price,
+       round(pow(CAST(p_size AS DOUBLE), 1.5), 6) AS size_pow,
+       CAST(p_partkey % 7 AS BIGINT) AS key_mod7
+FROM part
+"""
+
+
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding + coalesce/nullif/nvl."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.when(price < 50000, "low")
+        .when(price < 200000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_filled"
+        ),
+        F.nvl(F.col("o_orderpriority"), F.lit("NONE")).alias("priority_nvl"),
+    )
+
+
+_FN_COND_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS price_band,
+       nullif(o_orderstatus, 'P') AS status_or_null,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+       coalesce(o_orderpriority, 'NONE') AS priority_nvl
+FROM orders
+"""
+
+
+def fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """double -> DECIMAL(12,2) -> string -> double roundtrip + int/str
+    casts (prices carry exactly 2 decimals, so the decimal cast is
+    exact on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast(T.DecimalType(12, 2))
+    return orders.select(
+        "o_orderkey",
+        dec.cast("string").alias("price_dec_str"),
+        dec.cast("double").alias("price_back"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_back"),
+        F.col("o_totalprice").cast("int").cast("long").alias("price_int"),
+    )
+
+
+_FN_CAST_SQL = """
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_back,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+       CAST(trunc(o_totalprice) AS BIGINT) AS price_int  -- Spark double->int truncates; DuckDB rounds
+FROM orders
+"""
+
+
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions over document tokens; array
+    results are stringified or reduced to scalars (compat rule 6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.element_at(F.sort_array(toks), 1).alias("min_token"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
+    )
+
+
+_FN_ARRAY_SQL = """
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       list_contains(l, 'spark') AS has_spark,
+       CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+       array_to_string(list_slice(l, 1, 3), ' ') AS first3,
+       list_sort(l)[1] AS min_token,
+       CAST(list_aggregate(list_transform(l, x -> length(x)), 'sum') AS BIGINT)
+         AS sum_token_len,
+       CAST(len(list_filter(l, x -> length(x) > 5)) AS BIGINT) AS n_long
+FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents)
+"""
+
+
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of document tokens into (doc_id, pos, token) rows -
+    the built-in UDTF shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+_FN_EXPLODE_SQL = """
+SELECT d.doc_id, CAST(r.i AS BIGINT) AS pos, d.l[r.i + 1] AS token
+FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents) d,
+     LATERAL (SELECT UNNEST(range(len(d.l))) AS i) r
+"""
+
+
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access; map outputs reduced to scalars /
+    sorted joined keys so the oracle hash is stable."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("k"),
+        F.get_json_object("props", "$.k"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(F.map_values(m)).cast("long").alias("n_vals"),
+    )
+
+
+_FN_MAP_SQL = """
+SELECT event_id,
+       event_type AS type_val,
+       CAST(props->>'$.k' AS BIGINT) AS k_val,
+       'k,type' AS keys_sorted,
+       CAST(2 AS BIGINT) AS n_vals
+FROM events
+"""
+
+
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + schema-on-read parse of the props column
+    (both extraction styles must agree), then a per-user aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        F.from_json("props", "k INT").getField("k").cast("long").alias("k_schema"),
+    )
+    return parsed.groupBy("user_id").agg(
+        F.sum("k_path").cast("long").alias("sum_k"),
+        F.sum(F.when(F.col("k_path") == F.col("k_schema"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+_FN_JSON_SQL = """
+SELECT user_id,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) = CAST(json_extract(props, '$.k') AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "fn_string": fn_string,
+    "fn_date": fn_date,
+    "fn_math": fn_math,
+    "fn_conditional": fn_conditional,
+    "fn_cast_decimal": fn_cast_decimal,
+    "fn_array": fn_array,
+    "fn_explode": fn_explode,
+    "fn_map": fn_map,
+    "fn_json": fn_json,
+}
+
+ORACLE = {
+    "fn_string": _FN_STRING_SQL,
+    "fn_date": _FN_DATE_SQL,
+    "fn_math": _FN_MATH_SQL,
+    "fn_conditional": _FN_COND_SQL,
+    "fn_cast_decimal": _FN_CAST_SQL,
+    "fn_array": _FN_ARRAY_SQL,
+    "fn_explode": _FN_EXPLODE_SQL,
+    "fn_map": _FN_MAP_SQL,
+    "fn_json": _FN_JSON_SQL,
+}

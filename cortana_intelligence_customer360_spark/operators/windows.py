@@ -1,0 +1,215 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Every ordering carries a unique-key tiebreak (compat rule 7) so rank /
+ntile / lag outputs are deterministic, and running sums accumulate in
+exact decimal so each prefix value is order-independent (DuckDB
+evaluates window sums with a segment tree - a plain double running sum
+would associate differently and drift).
+
+Scale: each query is a single shuffle on its partition key; the frames
+are computed within sorted partitions (no extra exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import _DEC, epoch_us
+from ..sources.tables import load_table
+
+
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank of each customer's orders by price (rank
+    functions are deterministic under ties by definition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+"""
+
+
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer - the rank-filter idiom Catalyst
+    rewrites into a per-group top-k (WindowGroupLimit) instead of
+    ranking everything."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_TOPK_GROUP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas: value change since previous event and the
+    next event's type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("value_delta"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       value - LAG(value, 1) OVER w AS value_delta,
+       LEAD(event_type, 1) OVER w AS next_type
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer, exact-decimal accumulated."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        epoch_us("o_orderdate").alias("o_orderdate_us"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+_RUNNING_SUM_SQL = """
+SELECT o_custkey, o_orderkey,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+FROM orders
+"""
+
+
+def win_sliding_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h activity sum per user by event time - a RANGE frame
+    over epoch seconds (the reference's rolling-window feature shape,
+    computed in-flight rather than via self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = (epoch_us("ts") / F.lit(1_000_000)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_s"))
+        .rangeBetween(-86400, 0)
+    )
+    return (
+        ev.withColumn("ts_s", ts_s)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_s",
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("sum_24h"),
+        )
+    )
+
+
+_SLIDING_SQL = """
+SELECT event_id, user_id, ts_s,
+       CAST(SUM(CAST(value AS DECIMAL(30,6)))
+            OVER (PARTITION BY user_id ORDER BY ts_s
+                  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_24h
+FROM (SELECT event_id, user_id, value,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+      FROM events)
+"""
+
+
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile + percent_rank of balance within nation (ntile needs
+    the key tiebreak - its split under ties is arbitrary)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+_NTILE_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last event type per user by time (last needs the
+    unbounded-following frame; default frames stop at current row)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w_full).alias("first_type"),
+            F.last("event_type").over(w_full).alias("last_type"),
+        )
+        .distinct()
+    )
+
+
+_FIRST_LAST_SQL = """
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type) OVER w AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+QUERIES = {
+    "win_rank_dense": win_rank_dense,
+    "win_topk_per_group": win_topk_per_group,
+    "win_lag_lead": win_lag_lead,
+    "win_running_sum": win_running_sum,
+    "win_sliding_range": win_sliding_range,
+    "win_ntile_percent": win_ntile_percent,
+    "win_first_last": win_first_last,
+}
+
+ORACLE = {
+    "win_rank_dense": _RANK_SQL,
+    "win_topk_per_group": _TOPK_GROUP_SQL,
+    "win_lag_lead": _LAG_LEAD_SQL,
+    "win_running_sum": _RUNNING_SUM_SQL,
+    "win_sliding_range": _SLIDING_SQL,
+    "win_ntile_percent": _NTILE_SQL,
+    "win_first_last": _FIRST_LAST_SQL,
+}

@@ -1,0 +1,162 @@
+"""Model-ready encodings + the scoring pipeline (SURVEY.md §2.8 tail).
+
+The reference solution's enrichment model is an offline-trained
+multiclass classifier scored in batch over the engineered profile
+(SURVEY.md §1.1/§3.1 [UPSTREAM, recalled]). Re-expressed with
+pyspark.ml: Pipeline(VectorAssembler -> RandomForestClassifier), seeded
+for determinism, trained on the per-user dominant event type and scored
+over every customer profile row.
+
+feat_onehot_bucketize is the pure-SQL (oracle-checkable) encoding;
+feat_onehot_mllib is the same surface through MLlib transformers
+(R-tier: vector outputs are not SQL-comparable, so it registers
+rows-only and tests assert the encoding widths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import EVENT_TYPES, MKT_SEGMENTS, load_table
+from .core import profile_frame
+
+FEATURE_COLS = [
+    "c_acctbal",
+    "recency_days",
+    "frequency",
+    "monetary",
+    *[f"n_{t}" for t in EVENT_TYPES],
+]
+
+
+def feat_onehot_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-ready columns without MLlib: explicit one-hot per segment
+    (the column set is a fixed contract, sources.tables.MKT_SEGMENTS)
+    plus deterministic quartile buckets of balance (ntile with key
+    tiebreak)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    onehots = [
+        F.when(F.col("c_mktsegment") == s, 1).otherwise(0).cast("long").alias(
+            f"seg_{s.lower()}"
+        )
+        for s in MKT_SEGMENTS
+    ]
+    return cust.select(
+        "c_custkey",
+        *onehots,
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+def _onehot_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END AS BIGINT) AS seg_{s.lower()}"
+        for s in MKT_SEGMENTS
+    )
+    return f"""
+SELECT c_custkey,
+       {cols},
+       CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bal_quartile
+FROM customer
+"""
+
+
+def feat_onehot_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same encoding through MLlib transformers (StringIndexer +
+    OneHotEncoder + QuantileDiscretizer) - the reference's
+    'MLlib pipeline + DataFrame feature engineering' approach. Vector
+    output is flattened through vector_to_array and stringified."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import OneHotEncoder, QuantileDiscretizer, StringIndexer
+    from pyspark.ml.functions import vector_to_array
+
+    cust = load_table(spark, sf_dir, "customer")
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(
+                inputCol="c_mktsegment", outputCol="seg_idx", stringOrderType="alphabetAsc"
+            ),
+            OneHotEncoder(inputCol="seg_idx", outputCol="seg_vec", dropLast=False),
+            QuantileDiscretizer(
+                inputCol="c_acctbal", outputCol="bal_bucket", numBuckets=4, relativeError=0.0
+            ),
+        ]
+    )
+    out = pipe.fit(cust).transform(cust)
+    return out.select(
+        "c_custkey",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.array_join(
+            F.transform(vector_to_array("seg_vec"), lambda x: x.cast("int").cast("string")),
+            "",
+        ).alias("seg_onehot"),
+        F.col("bal_bucket").cast("long").alias("bal_bucket"),
+    )
+
+
+def _label_frame(events: DataFrame) -> DataFrame:
+    """Per-user dominant event type (ties by event_type name) - the
+    'next-purchase affinity' training label."""
+    counts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("label_type"))
+    )
+
+
+def build_scoring_pipeline(seed: int = 42):
+    """Assembler + seeded RandomForest over the profile feature block."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    return Pipeline(
+        stages=[
+            StringIndexer(inputCol="label_type", outputCol="label", stringOrderType="alphabetAsc"),
+            VectorAssembler(inputCols=FEATURE_COLS, outputCol="features"),
+            RandomForestClassifier(
+                labelCol="label",
+                featuresCol="features",
+                numTrees=20,
+                maxDepth=6,
+                seed=seed,
+            ),
+        ]
+    )
+
+
+def ml_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on users that have events (10% of customers), score every
+    customer profile. R-tier: model output has no SQL oracle; tests
+    assert accuracy > majority-class baseline and save/load roundtrip."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    profile = profile_frame(customer, orders, events, nation)
+    labels = _label_frame(events)
+    train = profile.join(labels, profile.c_custkey == labels.user_id)
+    model = build_scoring_pipeline().fit(train)
+    scored = model.transform(
+        profile.withColumn("label_type", F.lit("click"))  # dummy for indexer
+    )
+    return scored.select(
+        "c_custkey",
+        F.col("prediction").cast("long").alias("predicted_class"),
+    )
+
+
+QUERIES = {
+    "feat_onehot_bucketize": feat_onehot_bucketize,
+    "feat_onehot_mllib": feat_onehot_mllib,
+    "ml_train_score": ml_train_score,
+}
+
+ORACLE = {
+    "feat_onehot_bucketize": _onehot_sql(),
+    # feat_onehot_mllib, ml_train_score: R-tier (MLlib outputs).
+}

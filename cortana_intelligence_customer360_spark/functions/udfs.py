@@ -1,0 +1,179 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+These four operators deliberately exercise every JVM<->Python execution
+path Spark offers, in increasing efficiency order:
+
+- udf_python_scalar: row-at-a-time Python UDF - the SLOW path, here
+  only to prove the surface; everything hot elsewhere uses built-ins.
+- udf_pandas_vectorized: Arrow-batched Series->Series pandas UDF
+  (~10-100x the row UDF; the acceptable Python path at scale).
+- udaf_grouped_pandas: applyInPandas grouped-map (per-user OLS slope) -
+  one shuffle on the group key, whole groups as pandas frames.
+- udtf_python: Python UDTF with a TABLE argument, lateral-exploding
+  documents into token rows.
+
+All four still carry full DuckDB oracles: the Python logic is chosen so
+an equivalent closed-form SQL exists (CASE bands, price arithmetic, OLS
+normal equations, unnest) - which pins the Arrow round-trip end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+
+
+@F.udf(returnType=T.StringType())
+def _price_band(price: float) -> str:
+    if price is None:
+        return "unknown"
+    if price < 50000:
+        return "low"
+    if price < 200000:
+        return "mid"
+    return "high"
+
+
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", _price_band("o_totalprice").alias("band"))
+
+
+_UDF_SCALAR_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS band
+FROM orders
+"""
+
+
+@F.pandas_udf(T.DoubleType())
+def _net_price(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    # Vectorized numpy arithmetic on Arrow batches; the expression
+    # matches the SQL oracle operation-for-operation so IEEE results
+    # are bit-identical.
+    return extended * (1.0 - discount) * (1.0 + tax)
+
+
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price("l_extendedprice", "l_discount", "l_tax").alias("net_charge"),
+    )
+
+
+_UDF_PANDAS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net_charge
+FROM lineitem
+"""
+
+_SLOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("slope", T.DoubleType()),
+    ]
+)
+
+
+def _user_trend(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user OLS slope of event value vs time (days since the
+    user's first event), via the normal equations - the same closed
+    form the SQL oracle evaluates. Rounded to 6 dp: numpy and SQL
+    accumulate in different orders (~1e-12 apart on these magnitudes)."""
+    x = (pdf["ts_us"] - pdf["ts_us"].min()).to_numpy(dtype=np.float64) / 86_400_000_000.0
+    y = pdf["value"].to_numpy(dtype=np.float64)
+    n = len(pdf)
+    denom = n * np.sum(x * x) - np.sum(x) ** 2
+    slope = float((n * np.sum(x * y) - np.sum(x) * np.sum(y)) / denom) if denom > 0 else 0.0
+    return pd.DataFrame(
+        {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n], "slope": [round(slope, 6)]}
+    )
+
+
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF: one pandas frame per user (users are small and
+    uniform here; a skewed key at 100 TB would need salting or an
+    algebraic reformulation - the closed form used by the oracle IS
+    that reformulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..compat import epoch_us
+
+    base = ev.select("user_id", epoch_us("ts").alias("ts_us"), "value")
+    return base.groupBy("user_id").applyInPandas(_user_trend, _SLOPE_SCHEMA)
+
+
+_UDAF_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS DOUBLE)
+           / 86400000000.0 AS x,
+         value AS y
+  FROM events),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x * x) AS sxx, SUM(x) AS sx, SUM(x * y) AS sxy, SUM(y) AS sy
+  FROM b GROUP BY user_id)
+SELECT user_id, n,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+            ELSE 0.0 END AS slope
+FROM s
+"""
+
+
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE argument: documents -> (doc_id, pos,
+    token) rows (same contract as fn_explode, here through the UDTF
+    execution path)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, pos: long, token: string")
+    class SplitTokens:
+        def eval(self, row):
+            for pos, token in enumerate(row["text"].split(" ")):
+                yield row["doc_id"], pos, token
+
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    spark.udtf.register("c360_split_tokens", SplitTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("c360_docs_for_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.pos, s.token "
+        "FROM c360_split_tokens(TABLE(SELECT doc_id, text FROM c360_docs_for_udtf)) s"
+    )
+
+
+_UDTF_SQL = """
+SELECT d.doc_id, CAST(r.i AS BIGINT) AS pos, d.l[r.i + 1] AS token
+FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents) d,
+     LATERAL (SELECT UNNEST(range(len(d.l))) AS i) r
+"""
+
+
+QUERIES = {
+    "udf_python_scalar": udf_python_scalar,
+    "udf_pandas_vectorized": udf_pandas_vectorized,
+    "udaf_grouped_pandas": udaf_grouped_pandas,
+    "udtf_python": udtf_python,
+}
+
+ORACLE = {
+    "udf_python_scalar": _UDF_SCALAR_SQL,
+    "udf_pandas_vectorized": _UDF_PANDAS_SQL,
+    "udaf_grouped_pandas": _UDAF_SQL,
+    "udtf_python": _UDTF_SQL,
+}

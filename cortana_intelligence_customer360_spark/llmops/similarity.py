@@ -1,0 +1,186 @@
+"""Similarity-search operators over the embeddings table (SURVEY.md
+§2.9): exact brute-force top-k as the verifiable baseline, bucketed
+random-projection LSH as the approximate scale path, per-label centroid
+profiles, and the text+vector multimodal join.
+
+Vectors are L2-normalized (FIXTURES.md) so cosine = dot product; dots
+are computed with built-in higher-order functions (zip_with +
+aggregate: a sequential JVM fold, no Python), rounded to 6 dp on both
+engines before any ranking/threshold so float accumulation order can't
+flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import bcount
+from ..sources.tables import load_table
+
+N_PROBES = 10  # probe set: vec_id < 10 (bounded so exact stays cheap)
+TOP_K = 5
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the 10 probe vectors:
+    broadcast the tiny probe set against the corpus (at 100 TB the
+    corpus side stays partitioned and never shuffles; only per-probe
+    heaps move). Ties break by neighbor id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("probe_vec"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_KNN_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
+dots AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, round(SUM(p.v * c.v), 6) AS cosine
+  FROM flat p JOIN flat c ON p.pos = c.pos AND p.vec_id != c.vec_id
+  WHERE p.vec_id < {N_PROBES}
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT probe_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM dots)
+SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via BucketedRandomProjectionLSH for the same
+    probes (Euclidean distance is rank-equivalent to cosine on
+    normalized vectors: d² = 2 - 2cos). R-tier: tests assert
+    recall@5 >= 0.8 against sim_knn_exact."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="buckets", bucketLength=0.5, numHashTables=6, seed=42
+    )
+    model = lsh.fit(emb)
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec")
+    )
+    # Candidate pairs within distance 1.2 (cos >= 0.28) - generous
+    # envelope; exact re-rank of candidates picks the final top-k.
+    cand = model.approxSimilarityJoin(
+        probes.withColumnRenamed("probe_vec", "vec").withColumnRenamed("probe_id", "vec_id"),
+        emb,
+        1.2,
+        distCol="dist",
+    )
+    scored = cand.where(F.col("datasetA.vec_id") != F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("probe_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("est_cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("est_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality profile: per-label centroid (exploded to
+    (label, pos, centroid) rows - compat rule 6) joined back to give
+    each vector's distance to its own centroid. Centroids are rounded
+    to 6 dp BEFORE the distance so both engines subtract identical
+    values; the squared-distance sum is then a deterministic fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(F.sum("v") / F.count("v"), 6).alias("c")
+    )
+    dist = (
+        flat.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))), 6).alias("dist_to_centroid"))
+    )
+    return dist
+
+
+_CENTROID_SQL = """
+WITH flat AS (
+  SELECT vec_id, label, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
+cent AS (
+  SELECT label, pos, round(SUM(v) / COUNT(v), 6) AS c
+  FROM flat GROUP BY label, pos)
+SELECT f.vec_id, f.label,
+       round(sqrt(SUM((f.v - c.c) * (f.v - c.c))), 6) AS dist_to_centroid
+FROM flat f JOIN cent c ON f.label = c.label AND f.pos = c.pos
+GROUP BY f.vec_id, f.label
+"""
+
+
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed text+vector record: documents joined 1:1 to embeddings,
+    filtered to the English corpus, label distribution per source (the
+    array column rides through the join untouched)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).where(F.col("lang") == "en")
+    return joined.groupBy("source", "label").agg(
+        bcount().alias("n_docs"),
+        F.min(F.size("embedding")).cast("long").alias("dim_check"),
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT source, CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(len(embedding)) AS BIGINT) AS dim_check
+FROM documents JOIN embeddings ON doc_id = vec_id
+WHERE lang = 'en'
+GROUP BY source, label
+"""
+
+
+QUERIES = {
+    "sim_knn_exact": sim_knn_exact,
+    "sim_lsh_ann": sim_lsh_ann,
+    "sim_centroid_by_label": sim_centroid_by_label,
+    "multimodal_join": multimodal_join,
+}
+
+ORACLE = {
+    "sim_knn_exact": _KNN_SQL,
+    # sim_lsh_ann: R-tier (randomized projections; recall tested).
+    "sim_centroid_by_label": _CENTROID_SQL,
+    "multimodal_join": _MULTIMODAL_SQL,
+}

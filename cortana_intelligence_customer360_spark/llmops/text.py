@@ -1,0 +1,196 @@
+"""Text-analysis operators over the documents corpus (SURVEY.md §2.9 +
+the training-data-pipeline surface: token stats, quality scoring,
+language profiling/ID, document fingerprinting).
+
+Everything row-wise is built-in column expressions (split / array
+lambdas / md5 - whole-stage codegen); nothing here crosses into Python.
+At 100 TB these are embarrassingly parallel scans with one optional
+aggregate shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import bcount, davg_sql
+from ..sources.tables import load_table
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# language-ID heuristic (public-knowledge stopword sets).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+_STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token stats; avg token length is computed from two exact
+    integers (sum of lengths / count) so both engines divide the same
+    operands. Validates the n_chars column against length(text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_tok = F.size(toks).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        (sum_len.cast("double") / n_tok.cast("double")).alias("avg_token_len"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+    )
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+       CAST(CAST(list_aggregate(list_transform(l, x -> length(x)), 'sum') AS DOUBLE)
+            / CAST(len(l) AS DOUBLE) AS DOUBLE) AS avg_token_len,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       length(text) = n_chars AS n_chars_ok
+FROM (SELECT doc_id, text, n_chars, str_split(text, ' ') AS l FROM documents)
+"""
+
+
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile of the English slice: docs and avg length per
+    source."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..compat import davg
+
+    return (
+        docs.where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(bcount().alias("n_docs"), davg("n_chars").alias("avg_chars"))
+    )
+
+
+_LANG_PROFILE_SQL = f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {davg_sql('n_chars')} AS avg_chars
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals a pretraining filter would use: length
+    score, mean word length, stopword ratio, non-alpha char ratio -
+    plus a composite keep/drop flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(_STOPWORDS))
+    ).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    alpha_ratio = n_alpha.cast("double") / F.length("text").cast("double")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        ((n_tok >= 10) & (n_tok <= 1000) & (alpha_ratio > 0.5)).alias("keep"),
+    )
+
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+_TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, str_split(text, ' ') AS l,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+  FROM documents)
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(l, x -> x IN ({_STOP_LIST_SQL}))) AS DOUBLE)
+         / CAST(len(l) AS DOUBLE) AS stopword_ratio,
+       CAST(n_alpha AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+       len(l) >= 10 AND len(l) <= 1000
+         AND CAST(n_alpha AS DOUBLE) / CAST(length(text) AS DOUBLE) > 0.5 AS keep
+FROM t
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprints: md5 over the sorted
+    distinct token bag (near-dup blocking key) and over the normalized
+    text (exact-dup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fp"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias("bag_fp"),
+    )
+
+
+_TEXT_FP_SQL = """
+SELECT doc_id,
+       md5(lower(trim(text))) AS exact_fp,
+       md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bag_fp
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language-ID heuristic: score each language by
+    marker-token hits, predict the argmax (ties by language code, and
+    'und' when nothing matches). R-tier: the heuristic itself is the
+    operator; tests assert determinism and schema (the synthetic corpus
+    draws from one shared vocabulary, so hit-rates are evaluated in
+    tests rather than against the lang column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def marker_hits(markers: list[str]):
+        # A closure, not a default-arg lambda: a 2-parameter lambda
+        # would be treated as Spark's (element, index) lambda form.
+        return F.size(F.filter(toks, lambda x: x.isin(markers))).cast("long")
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.array(
+            *[
+                F.struct(marker_hits(markers).alias("hits"), F.lit(code).alias("code"))
+                for code, markers in sorted(LANG_MARKERS.items())
+            ]
+        ).alias("scores"),
+    )
+    best = F.array_max(
+        F.filter(F.col("scores"), lambda s: s.getField("hits") > 0)
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.coalesce(best.getField("code"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(best.getField("hits"), F.lit(0)).cast("long").alias("pred_hits"),
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_lang_profile": text_lang_profile,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+    "text_lang_id": text_lang_id,
+}
+
+ORACLE = {
+    "text_stats": _TEXT_STATS_SQL,
+    "text_lang_profile": _LANG_PROFILE_SQL,
+    "text_quality": _TEXT_QUALITY_SQL,
+    "text_fingerprint": _TEXT_FP_SQL,
+    # text_lang_id: R-tier heuristic.
+}

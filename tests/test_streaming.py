@@ -1,0 +1,138 @@
+"""Multi-micro-batch streaming semantics (SURVEY.md §2.10 S-tier):
+what the single-pass oracles can't see - watermark-driven late-data
+drops and state persistence across restarts. Batch boundaries are made
+deterministic by feeding one file per availableNow run against a
+shared checkpoint (the file-source equivalent of consecutive trigger
+cycles)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path: str, rows) -> None:
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _run_windowed_append(spark, src_dir: str, chk: str, sink: str) -> None:
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .parquet(src_dir + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_watermark_drops_late_events_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    # Batch 1: two events in [10:00,11:00) and one at 11:30
+    # -> watermark after batch = 11:20, window [10:00,11:00) finalized.
+    _write_events(
+        spark,
+        src + "/b1.parquet",
+        [
+            (1, t(10, 5), 1, "click", 1.0, "{}"),
+            (2, t(10, 40), 1, "view", 1.0, "{}"),
+            (3, t(11, 30), 1, "click", 1.0, "{}"),
+        ],
+    )
+    _run_windowed_append(spark, src, chk, sink)
+    got = {r["win_start"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    assert got == {t(10, 0): 2}, got
+
+    # Batch 2: a LATE event at 10:30 (behind the 11:20 watermark -> must
+    # be dropped) plus a fresh event at 13:00 that pushes the watermark
+    # to 12:50, flushing [11:00,12:00).
+    _write_events(
+        spark,
+        src + "/b2.parquet",
+        [
+            (4, t(10, 30), 1, "error", 1.0, "{}"),  # late -> dropped
+            (5, t(13, 0), 1, "click", 1.0, "{}"),
+        ],
+    )
+    _run_windowed_append(spark, src, chk, sink)
+    got = {r["win_start"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    # [10:00,11:00) still 2 (late event NOT re-counted); [11:00,12:00)
+    # flushed with exactly the one on-time event.
+    assert got == {t(10, 0): 2, t(11, 0): 1}, got
+
+
+def test_stateful_count_survives_restart(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state in the checkpoint:
+    a second availableNow run continues the counts, not restarts them."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cortana_intelligence_customer360_spark.streaming.ops import (
+        _STATE_SCHEMA,
+        _STATE_STATE_SCHEMA,
+        _count_state_fn,
+    )
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .parquet(src + "/*")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _count_state_fn,
+                outputStructType=_STATE_SCHEMA,
+                stateStructType=_STATE_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        # parquet sink only accepts append; route the update-mode output
+        # through foreachBatch (exactly what a real upsert sink does).
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", chk)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_events(
+        spark, src + "/b1.parquet", [(1, t0, 1, "click", 1.0, "{}"), (2, t0, 1, "view", 1.0, "{}")]
+    )
+    run_once()
+    _write_events(spark, src + "/b2.parquet", [(3, t0, 1, "click", 1.0, "{}")])
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    counts = sorted(r["n_events"] for r in rows if r["user_id"] == 1)
+    assert counts == [2, 3], rows  # update after b1, cumulative after b2

@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): the hand-written operators with
+real edge-case surface - sessionization and the as-of join - are
+compared against a straightforward Python reference on randomized
+micro-streams. Few examples, session-scoped Spark: each example is a
+full distributed run."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cortana_intelligence_customer360_spark.features.core import SESSION_GAP_US, sessionized
+from cortana_intelligence_customer360_spark.operators.joins import asof_enrich
+
+_T0 = dt.datetime(2024, 1, 1)
+
+# offsets in seconds; duplicates allowed (same-timestamp events)
+_offsets = st.lists(st.integers(min_value=0, max_value=6 * 3600), min_size=1, max_size=12)
+
+
+def _ref_sessions(sorted_us: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference sessionizer: (ts_us, event_id) sorted -> session ids."""
+    out: dict[int, int] = {}
+    sid = 0
+    prev = None
+    for ts_us, eid in sorted_us:
+        if prev is None or ts_us - prev > SESSION_GAP_US:
+            sid += 1
+        out[eid] = sid
+        prev = ts_us
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_offsets)
+def test_sessionize_matches_reference(spark, offsets):
+    rows = [
+        (i, _T0 + dt.timedelta(seconds=s), 1, "click", 1.0, "{}")
+        for i, s in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r["event_id"]: r["session_id"] for r in sessionized(df).collect()
+    }
+    ordered = sorted((int(s * 1e6), i) for i, s in enumerate(offsets))
+    # reference must replicate the engine's (ts, event_id) tie ordering
+    ref = _ref_sessions([(ts, eid) for ts, eid in ordered])
+    assert got == ref
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=8),
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=8),
+)
+def test_asof_matches_reference(spark, event_days, order_days):
+    events = spark.createDataFrame(
+        [
+            (i, _T0 + dt.timedelta(days=d), 1, "click", 1.0, "{}")
+            for i, d in enumerate(event_days)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (100 + i, 1, "O", float(i), _T0 + dt.timedelta(days=d), "1-URGENT")
+            for i, d in enumerate(order_days)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {r["event_id"]: r["asof_orderkey"] for r in asof_enrich(events, orders).collect()}
+
+    def ref(eday: int):
+        cands = [(d, 100 + i) for i, d in enumerate(order_days) if d <= eday]
+        return max(cands)[1] if cands else None  # latest date, then max key
+
+    for i, d in enumerate(event_days):
+        assert got[i] == ref(d), (i, d, got[i], ref(d))

@@ -41,9 +41,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     n_tok = F.size(toks).cast("long")
+    # BPE-ish pre-tokenization: alpha runs and punctuation runs count
+    # separately (subword merge happens downstream in a real tokenizer).
+    bpe = F.regexp_extract_all("text", F.lit(r"[a-z]+|[^a-z\s]+"), 0)
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
+        F.size(bpe).cast("long").alias("n_tokens_bpe"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         (sum_len.cast("double") / n_tok.cast("double")).alias("avg_token_len"),
         F.length("text").cast("long").alias("n_chars_actual"),
@@ -54,6 +58,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_STATS_SQL = """
 SELECT doc_id,
        CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[^a-z\\s]+')) AS BIGINT) AS n_tokens_bpe,
        CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
        CAST(CAST(list_aggregate(list_transform(l, x -> length(x)), 'sum') AS DOUBLE)
             / CAST(len(l) AS DOUBLE) AS DOUBLE) AS avg_token_len,
@@ -127,18 +132,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token bag (near-dup blocking key) and over the normalized
     text (exact-dup key)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return docs.select(
+    toks = F.col("toks")
+    # Rolling polynomial hash over per-token md5-derived ints, exactly
+    # DuckDB list_reduce semantics (first element seeds the fold).
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    rolling = (
+        F.aggregate(
+            F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0))),
+            F.element_at(h, 1),
+            lambda acc, x: (acc * 31 + x) % 2147483647,
+        )
+        % 2147483647
+    )
+    return docs.select("doc_id", "text", F.split("text", " ").alias("toks")).select(
         "doc_id",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fp"),
+        F.md5(F.lower(F.trim("text"))).alias("exact_fp"),
         F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias("bag_fp"),
+        rolling.cast("long").alias("rolling_fp"),
     )
 
 
 _TEXT_FP_SQL = """
 SELECT doc_id,
        md5(lower(trim(text))) AS exact_fp,
-       md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bag_fp
+       md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bag_fp,
+       CAST(list_reduce(
+              list_transform(str_split(text, ' '),
+                             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+              (acc, x) -> (acc * 31 + x) % 2147483647)
+            % 2147483647 AS BIGINT) AS rolling_fp
 FROM documents
 """
 

@@ -79,6 +79,14 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(TABLE_SCHEMAS["nation"]).json(out)
 
 
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write supplier as ORC (the other columnar format the HDInsight
+    reference stack speaks), re-read and verify against the source."""
+    out = scratch_dir("scan_orc_roundtrip", sf_dir)
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.schema(TABLE_SCHEMAS["supplier"]).orc(out)
+
+
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders partitioned by order year, read back and count per
     partition. The re-read groupBy hits only partition metadata + one
@@ -158,6 +166,7 @@ QUERIES = {
     "scan_project_pushdown": scan_project_pushdown,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_json_roundtrip": scan_json_roundtrip,
+    "scan_orc_roundtrip": scan_orc_roundtrip,
     "sink_parquet_partitioned": sink_parquet_partitioned,
     "source_stream_files": source_stream_files,
 }
@@ -167,6 +176,7 @@ ORACLE = {
     "scan_project_pushdown": _SCAN_PUSHDOWN_SQL,
     "scan_csv_roundtrip": "SELECT * FROM region",
     "scan_json_roundtrip": "SELECT * FROM nation",
+    "scan_orc_roundtrip": "SELECT * FROM supplier",
     "sink_parquet_partitioned": _SINK_PARTITIONED_SQL,
     "source_stream_files": _STREAM_SOURCE_SQL,
 }

@@ -65,6 +65,33 @@ def test_lsh_ann_recall_at_5(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_ivf_ann_recall_on_clustered_corpus(spark):
+    """IVF recall is a property of clustered corpora; the driver's
+    synthetic embeddings are metric-uniform (labels carry no distance
+    signal), so the recall bound is asserted on a genuinely clustered
+    fixture: 10 tight clusters around random unit centers."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(300) % 10] + 0.15 * rng.normal(size=(300, 64))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]], int(i % 10)) for i in range(300)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # exact truth via numpy
+    sims = pts @ pts.T
+    np.fill_diagonal(sims, -2)
+    truth = {p: set(np.argsort(-sims[p])[:5].tolist()) for p in range(10)}
+    got: dict[int, set[int]] = {}
+    for r in similarity.ivf_ann_frame(emb, k=10, nprobe=2).collect():
+        got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    recalls = [len(truth[p] & got.get(p, set())) / 5 for p in truth]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
     sims = {r["doc_id"]: r["simhash"] for r in dedup.dedup_simhash(spark, sf_dir).collect()}
     near = [

@@ -48,9 +48,11 @@ def main() -> None:
     spark = get_spark(app_name="c360-bench", driver_memory="48g")
     queries, _ = registry.build()
 
-    # Warm pass: touch every table (footers + codegen + JIT).
+    # Warm pass: touch every table (footers + codegen + JIT) and run
+    # one shuffle so the first timed query doesn't pay exchange-init.
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
+    load_table(spark, SF_DIR, "events").groupBy("event_type").count().count()
 
     timings: dict[str, float] = {}
     for qid in sorted(queries):

@@ -152,6 +152,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf locked down in this deployment; proceed
+    try:
+        # Streaming plans can't use AQE's partition coalescing, so the
+        # stock 200 shuffle partitions means 200 tiny state-store tasks
+        # per micro-batch on a laptop-sized run. Right-size only if the
+        # caller left the default; an explicit setting is respected.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, cores * 2))))
+    except Exception:
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

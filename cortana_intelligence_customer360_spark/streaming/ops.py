@@ -224,6 +224,34 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the
+    customer dim in-flight (the dim is re-read per micro-batch, so a
+    slowly-changing dimension stays fresh), then aggregates revenue-
+    weighted activity per market segment. Deterministic -> full oracle."""
+    from ..sources.tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+_STREAM_STATIC_SQL = f"""
+SELECT c_mktsegment, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch upsert into a parquet profile sink (the reference's
     SQL-DW bulk-upsert shape): each micro-batch's per-user aggregates
@@ -278,6 +306,7 @@ QUERIES = {
     "stream_watermark_late": stream_watermark_late,
     "stream_dedup": stream_dedup,
     "stream_stateful_count": stream_stateful_count,
+    "stream_static_join": stream_static_join,
     "stream_foreachbatch_sink": stream_foreachbatch_sink,
 }
 
@@ -288,5 +317,6 @@ ORACLE = {
     # stream_watermark_late: S-tier (batch-boundary dependent).
     "stream_dedup": _DEDUP_SQL,
     "stream_stateful_count": _STATEFUL_SQL,
+    "stream_static_join": _STREAM_STATIC_SQL,
     "stream_foreachbatch_sink": _FOREACHBATCH_SQL,
 }

@@ -132,23 +132,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token bag (near-dup blocking key) and over the normalized
     text (exact-dup key)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.col("toks")
     # Rolling polynomial hash over per-token md5-derived ints, exactly
-    # DuckDB list_reduce semantics (first element seeds the fold).
-    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    # DuckDB list_reduce semantics (first element seeds the fold). The
+    # hash array is materialized as a column: referencing the transform
+    # twice (seed + tail) would evaluate the md5s twice (no CSE across
+    # lambda scopes).
+    toks = F.col("toks")
     rolling = (
         F.aggregate(
-            F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0))),
-            F.element_at(h, 1),
+            F.slice(F.col("hs"), 2, F.greatest(F.size("hs") - 1, F.lit(0))),
+            F.element_at(F.col("hs"), 1),
             lambda acc, x: (acc * 31 + x) % 2147483647,
         )
         % 2147483647
     )
-    return docs.select("doc_id", "text", F.split("text", " ").alias("toks")).select(
-        "doc_id",
-        F.md5(F.lower(F.trim("text"))).alias("exact_fp"),
-        F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias("bag_fp"),
-        rolling.cast("long").alias("rolling_fp"),
+    return (
+        docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .withColumn(
+            "hs",
+            F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.lower(F.trim("text"))).alias("exact_fp"),
+            F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias("bag_fp"),
+            rolling.cast("long").alias("rolling_fp"),
+        )
     )
 
 

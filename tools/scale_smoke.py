@@ -1,0 +1,130 @@
+"""Scale-smoke harness: synthesize a ~10-20x blow-up of the largest
+driver dataset (sf0.1) inside .scratch and drive the heaviest operators
+on it - evidence that plan shapes hold beyond the graded scale, not
+just at 600k lineitems.
+
+The blow-up preserves the schema, key relationships and value domains
+(FIXTURES.md): fact keys are remapped as key*N+i so foreign keys stay
+consistent; event timestamps get per-replica second offsets so
+sessionization/windows see distinct instants.
+
+Usage: python tools/scale_smoke.py [N_replicas]  (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cortana_intelligence_customer360_spark.session import get_spark  # noqa: E402
+from cortana_intelligence_customer360_spark.sources.tables import load_table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = os.path.join(REPO, ".scratch", f"sfx{N}")
+
+
+def _replicate(df, n, key_cols, ts_cols=(), other_remaps=()):
+    """Cross with a replica index; remap keys to key*n+i (FK-safe)."""
+    r = df.crossJoin(F.broadcast(get_spark().range(n).select(F.col("id").alias("_i"))))
+    for c in key_cols:
+        r = r.withColumn(c, F.col(c) * n + F.col("_i"))
+    for c in ts_cols:
+        r = r.withColumn(c, F.col(c) + F.make_interval(secs=F.col("_i")))
+    for c, expr in other_remaps:
+        r = r.withColumn(c, expr)
+    return r.drop("_i")
+
+
+def build(spark) -> None:
+    if os.path.exists(os.path.join(OUT, "_SUCCESS_ALL")):
+        return
+    cust = load_table(spark, SRC, "customer")
+    orders = load_table(spark, SRC, "orders")
+    li = load_table(spark, SRC, "lineitem")
+    ev = load_table(spark, SRC, "events")
+    docs = load_table(spark, SRC, "documents")
+
+    _replicate(cust, N, ["c_custkey"]).write.mode("overwrite").parquet(f"{OUT}/customer.parquet")
+    _replicate(orders, N, ["o_orderkey", "o_custkey"]).write.mode("overwrite").parquet(
+        f"{OUT}/orders.parquet"
+    )
+    _replicate(li, N, ["l_orderkey"]).write.mode("overwrite").parquet(f"{OUT}/lineitem.parquet")
+    _replicate(ev, N, ["event_id", "user_id"], ts_cols=["ts"]).write.mode(
+        "overwrite"
+    ).parquet(f"{OUT}/events.parquet")
+    _replicate(docs, N, ["doc_id"]).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+    for t in ("region", "nation", "supplier", "part", "embeddings"):
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+    open(os.path.join(OUT, "_SUCCESS_ALL"), "w").close()
+
+
+HEAVY = [
+    "agg_pricing_summary",
+    "join_star_multiway",
+    "feat_profile_join",
+    "feat_sessionize",
+    "join_asof",
+    "win_sliding_range",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "agg_pivot",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="c360-scale-smoke", driver_memory="48g")
+    t0 = time.time()
+    build(spark)
+    build_sec = round(time.time() - t0, 1)
+
+    # Patched loader: events in the blow-up are already µs timestamps.
+    import cortana_intelligence_customer360_spark.sources.tables as tables
+
+    orig = tables.load_table
+
+    def load_patched(spark, sf_dir, name):
+        if sf_dir == OUT:
+            tables.ensure_session_confs(spark)
+            return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return orig(spark, sf_dir, name)
+
+    tables.load_table = load_patched
+    for mod in list(sys.modules.values()):
+        if getattr(mod, "load_table", None) is orig:
+            mod.load_table = load_patched
+
+    from cortana_intelligence_customer360_spark import registry
+
+    queries, _ = registry.build()
+    rows = {
+        t: spark.read.parquet(f"{OUT}/{t}.parquet").count()
+        for t in ("lineitem", "events", "customer", "documents")
+    }
+    timings = {}
+    for qid in HEAVY:
+        t0 = time.time()
+        queries[qid](spark, OUT).write.format("noop").mode("overwrite").save()
+        timings[qid] = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "replicas": N,
+                "build_sec": build_sec,
+                "rows": rows,
+                "heavy_queries_sec": timings,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

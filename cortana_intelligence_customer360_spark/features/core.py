@@ -101,6 +101,36 @@ def _window_counts_sql() -> str:
     return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
 
 
+DECAY_PER_DAY = 0.1
+
+
+def feat_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user: each event
+    contributes value * exp(-0.1 * days_before_anchor) - recency-
+    weighted activity in one scan + one aggregate shuffle (the feature
+    stores' alternative to maintaining many trailing windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor_us = F.unix_micros(F.lit(EVENTS_ANCHOR).cast("timestamp"))
+    days_ago = (anchor_us - epoch_us("ts")).cast("double") / 86_400_000_000.0
+    weighted = F.col("value") * F.exp(-F.lit(DECAY_PER_DAY) * days_ago)
+    return ev.groupBy("user_id").agg(
+        dsum(weighted).alias("decay_score"),
+        bcount().alias("n_events"),
+    )
+
+
+_DECAY_SQL = f"""
+SELECT user_id,
+       {dsum_sql(
+           "value * exp(-" + str(DECAY_PER_DAY) + " * "
+           "CAST(epoch_us(TIMESTAMP '" + EVENTS_ANCHOR + "') - epoch_us(ts) AS DOUBLE)"
+           " / 86400000000.0)"
+       )} AS decay_score,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 def feat_category_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user per-event_type activity share (category-affinity vector).
 
@@ -249,6 +279,7 @@ LEFT JOIN piv p ON c.c_custkey = p.user_id
 QUERIES = {
     "feat_rfm": feat_rfm,
     "feat_window_counts": feat_window_counts,
+    "feat_decay_weighted": feat_decay_weighted,
     "feat_category_mix": feat_category_mix,
     "feat_sessionize": feat_sessionize,
     "feat_profile_join": feat_profile_join,
@@ -257,6 +288,7 @@ QUERIES = {
 ORACLE = {
     "feat_rfm": _RFM_SQL,
     "feat_window_counts": _window_counts_sql(),
+    "feat_decay_weighted": _DECAY_SQL,
     "feat_category_mix": _CATEGORY_MIX_SQL,
     "feat_sessionize": _SESSIONIZE_SQL,
     "feat_profile_join": _profile_join_sql(),

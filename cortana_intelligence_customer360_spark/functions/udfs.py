@@ -146,14 +146,15 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pos, token in enumerate(row["text"].split(" ")):
                 yield row["doc_id"], pos, token
 
+    from ..operators.aggregates import _temp_view
     from ..sources.tables import ensure_session_confs
 
     ensure_session_confs(spark)
     spark.udtf.register("c360_split_tokens", SplitTokens)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("c360_docs_for_udtf")
+    view = _temp_view(load_table(spark, sf_dir, "documents"), "c360_docs_for_udtf")
     return spark.sql(
         "SELECT s.doc_id, s.pos, s.token "
-        "FROM c360_split_tokens(TABLE(SELECT doc_id, text FROM c360_docs_for_udtf)) s"
+        f"FROM c360_split_tokens(TABLE(SELECT doc_id, text FROM {view})) s"
     )
 
 

@@ -204,19 +204,32 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+_VIEW_SEQ = [0]
+
+
+def _temp_view(df: DataFrame, base: str) -> str:
+    """Register a uniquely-named temp view (re-entrant / thread-safe
+    under a parallel driver)."""
+    _VIEW_SEQ[0] += 1
+    name = f"{base}_{_VIEW_SEQ[0]}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((segment), (nation), ()) over customer."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).createOrReplaceTempView(
-        "c360_cust_nation"
+    view = _temp_view(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey),
+        "c360_cust_nation",
     )
     return spark.sql(
         f"""
         SELECT c_mktsegment, n_name,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
                {davg_sql('c_acctbal')} AS avg_bal
-        FROM c360_cust_nation
+        FROM {view}
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
         """
     )
@@ -246,6 +259,28 @@ SELECT user_id,
        array_to_string(list_sort(list(event_type)), ',') AS types_sorted,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) of balance per
+    segment. Exact percentile is a sort-based aggregate - fine per
+    group here; at 100 TB cardinalities switch to approx_percentile
+    (t-digest sketch, mergeable map-side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 6).alias("p90_bal"),
+        bcount().alias("n_customers"),
+    )
+
+
+_AGG_PCT_SQL = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+       round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY c_mktsegment
 """
 
 
@@ -311,6 +346,7 @@ QUERIES = {
     "agg_collect_sorted": agg_collect_sorted,
     "agg_pivot": agg_pivot,
     "agg_filtered": agg_filtered,
+    "agg_percentiles": agg_percentiles,
 }
 
 ORACLE = {
@@ -324,4 +360,5 @@ ORACLE = {
     "agg_collect_sorted": _AGG_COLLECT_SQL,
     "agg_pivot": pivot_oracle_sql(),
     "agg_filtered": _AGG_FILTERED_SQL,
+    "agg_percentiles": _AGG_PCT_SQL,
 }

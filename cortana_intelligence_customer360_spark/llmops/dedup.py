@@ -75,7 +75,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Jaccard value divides two exact integers, so it is
     bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_frame(docs).cache()
+    # No .cache(): the shingle scan is cheap to recompute and a cached
+    # frame would pin executor memory for the life of the session.
+    sh = shingle_frame(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
@@ -309,12 +311,70 @@ SELECT a_id, b_id, cosine FROM dots WHERE cosine >= {COSINE_THRESHOLD}
 """
 
 
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pair graph (J >= 0.5), labeling every document with the min doc_id
+    of its component (the canonical keeper). Iterative min-label
+    propagation - labels only decrease, so the sum of labels is a
+    strictly-decreasing fixpoint witness; components here are tiny
+    (pair chains), so convergence is a couple of rounds. At real scale
+    this becomes the alternating large-star/small-star algorithm or a
+    Pregel loop; the join-per-round structure is the same.
+
+    Oracle: DuckDB recursive CTE computing the transitive closure."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).withColumnRenamed("a_id", "u").withColumnRenamed("b_id", "v")
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    prev_sum = None
+    for _ in range(10):
+        neigh = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neigh, labels.doc_id == neigh.u, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()  # cut the growing iterative lineage
+        )
+        cur = labels.agg(F.sum("lbl")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select("doc_id", F.col("lbl").cast("long").alias("cluster_id"))
+
+
+def _cluster_sql() -> str:
+    return f"""
+WITH RECURSIVE jac AS ({_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM jac
+  UNION
+  SELECT b_id, a_id FROM jac),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cluster": dedup_cluster,
 }
 
 ORACLE = {
@@ -323,4 +383,5 @@ ORACLE = {
     # dedup_minhash: R-tier (randomized LSH; recall tested vs exact).
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMB_COSINE_SQL,
+    "dedup_cluster": _cluster_sql(),
 }

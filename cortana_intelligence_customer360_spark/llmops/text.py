@@ -210,8 +210,50 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: the 5 most frequent word bigrams per
+    language (rank ties by bigram text) - the corpus-profiling pass a
+    data-quality pipeline runs before filtering."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    exploded = (
+        docs.select("lang", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("lang", F.explode(grams).alias("bigram"))
+    )
+    counts = exploded.groupBy("lang", "bigram").agg(bcount().alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+_NGRAM_PROFILE_SQL = """
+WITH grams AS (
+  SELECT lang, UNNEST(list_transform(range(len(l) - 1),
+                      i -> concat_ws(' ', l[i+1], l[i+2]))) AS bigram
+  FROM (SELECT lang, str_split(text, ' ') AS l FROM documents)
+  WHERE len(l) >= 2),
+counts AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1, 2)
+SELECT lang, bigram, n, rank FROM (
+  SELECT lang, bigram, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank
+  FROM counts)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_ngram_profile": text_ngram_profile,
     "text_lang_profile": text_lang_profile,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
@@ -220,6 +262,7 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": _TEXT_STATS_SQL,
+    "text_ngram_profile": _NGRAM_PROFILE_SQL,
     "text_lang_profile": _LANG_PROFILE_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_fingerprint": _TEXT_FP_SQL,

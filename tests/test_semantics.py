@@ -191,6 +191,21 @@ def test_dedup_exact_idempotent_and_covers(spark, sf_dir):
     assert len({r["keep_id"] for r in rows}) == len(rows)
 
 
+def test_dedup_cluster_is_consistent_partition(spark, sf_dir):
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.dedup_cluster(spark, sf_dir).collect()
+    }
+    pairs = [(r["a_id"], r["b_id"]) for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()]
+    for a, b in pairs:  # connected docs share a cluster
+        assert clusters[a] == clusters[b], (a, b)
+    # every cluster id is the min member of its component
+    members: dict[int, list[int]] = {}
+    for d, c in clusters.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
+
+
 def test_union_sets_consistent(spark, sf_dir):
     uni = setops.set_union_distinct(spark, sf_dir).count()
     inter = setops.set_intersect(spark, sf_dir).count()

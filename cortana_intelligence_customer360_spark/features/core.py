@@ -216,6 +216,43 @@ FROM per_session GROUP BY user_id
 """
 
 
+def feat_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (cohort), counted by how many distinct users of that cohort were
+    active in each subsequent week offset. Two aggregate shuffles, both
+    on user-sized data - the standard product-analytics rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    user_weeks = ev.select("user_id", week.alias("week")).distinct()
+    first_week = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    joined = user_weeks.join(first_week, "user_id")
+    return (
+        joined.groupBy(
+            epoch_us("cohort").alias("cohort_week_us"),
+            F.floor(
+                (epoch_us("week") - epoch_us("cohort")) / F.lit(7 * 86_400_000_000)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+_COHORT_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+fw AS (
+  SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id)
+SELECT CAST(epoch_us(CAST(cohort AS TIMESTAMP)) AS BIGINT) AS cohort_week_us,
+       CAST(FLOOR((epoch_us(CAST(week AS TIMESTAMP)) - epoch_us(CAST(cohort AS TIMESTAMP)))
+                  / 604800000000.0) AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
+FROM uw JOIN fw ON uw.user_id = fw.user_id
+GROUP BY 1, 2
+"""
+
+
 def profile_frame(
     customer: DataFrame, orders: DataFrame, events: DataFrame, nation: DataFrame
 ) -> DataFrame:
@@ -280,6 +317,7 @@ QUERIES = {
     "feat_rfm": feat_rfm,
     "feat_window_counts": feat_window_counts,
     "feat_decay_weighted": feat_decay_weighted,
+    "feat_cohort_retention": feat_cohort_retention,
     "feat_category_mix": feat_category_mix,
     "feat_sessionize": feat_sessionize,
     "feat_profile_join": feat_profile_join,
@@ -289,6 +327,7 @@ ORACLE = {
     "feat_rfm": _RFM_SQL,
     "feat_window_counts": _window_counts_sql(),
     "feat_decay_weighted": _DECAY_SQL,
+    "feat_cohort_retention": _COHORT_SQL,
     "feat_category_mix": _CATEGORY_MIX_SQL,
     "feat_sessionize": _SESSIONIZE_SQL,
     "feat_profile_join": _profile_join_sql(),

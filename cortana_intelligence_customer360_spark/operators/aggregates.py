@@ -284,6 +284,34 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals via width_bucket: 20
+    buckets over [0, 500k] plus the under/overflow buckets - a single
+    map-side-combinable aggregate (the profiling primitive for skew
+    diagnostics at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500_000.0), F.lit(20))
+    return orders.groupBy(bucket.cast("long").alias("bucket")).agg(
+        bcount().alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# DuckDB 1.0 has no width_bucket; this CASE mirrors Spark's exact
+# formula (floor((x-min)/((max-min)/n))+1 with under/overflow clamps),
+# with (max-min)/n constant-folded to the identical double 25000.0.
+_AGG_HIST_SQL = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                 WHEN o_totalprice >= 500000.0 THEN 21
+                 ELSE FLOOR(o_totalprice / 25000.0) + 1 END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
 def event_type_pivot(events: DataFrame) -> DataFrame:
     """Per-user event-count matrix: one n_<type> column per event_type.
 
@@ -347,6 +375,7 @@ QUERIES = {
     "agg_pivot": agg_pivot,
     "agg_filtered": agg_filtered,
     "agg_percentiles": agg_percentiles,
+    "agg_histogram": agg_histogram,
 }
 
 ORACLE = {
@@ -361,4 +390,5 @@ ORACLE = {
     "agg_pivot": pivot_oracle_sql(),
     "agg_filtered": _AGG_FILTERED_SQL,
     "agg_percentiles": _AGG_PCT_SQL,
+    "agg_histogram": _AGG_HIST_SQL,
 }

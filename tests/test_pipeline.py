@@ -1,0 +1,67 @@
+"""End-to-end integration: the reference solution's three paths
+(SURVEY.md §3.1) chained on this engine in one test -
+
+  1. ingest: events parquet as a stream, foreachBatch-merged into an
+     activity profile sink (Event Hub -> ASA -> blob archival),
+  2. feature/ETL: the wide Customer-360 profile built batch-side and
+     enriched with the streamed activity (ADF -> HDInsight Hive/Spark),
+  3. score/serve: seeded RandomForest scoring every profile row,
+     written to a parquet 'warehouse' and read back (batch scoring ->
+     SQL DW -> Power BI).
+
+Asserts row accounting and schema at each seam - the integration
+surface the per-operator oracles can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cortana_intelligence_customer360_spark.features.core import profile_frame
+from cortana_intelligence_customer360_spark.features.ml import (
+    _label_frame,
+    build_scoring_pipeline,
+)
+from cortana_intelligence_customer360_spark.sources.tables import load_table
+from cortana_intelligence_customer360_spark.streaming.ops import stream_foreachbatch_sink
+
+
+def test_full_customer360_pipeline(spark, sf_dir, tmp_path):
+    # --- path 1: streamed activity profile (foreachBatch upsert) ---
+    activity = stream_foreachbatch_sink(spark, sf_dir)
+    n_active_users = activity.count()
+    assert n_active_users > 0
+    assert set(activity.columns) == {"user_id", "n_events", "sum_value"}
+
+    # --- path 2: batch feature table enriched with streamed activity ---
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    profile = profile_frame(customer, orders, events, nation)
+    enriched = profile.join(
+        activity, profile.c_custkey == activity.user_id, "left"
+    ).drop("user_id")
+    assert enriched.count() == customer.count()  # spine preserved
+    # streamed totals agree with the batch pivot counts
+    mismatch = enriched.where(
+        F.col("n_events").isNotNull()
+        & (
+            F.col("n_events")
+            != F.col("n_click") + F.col("n_error") + F.col("n_purchase")
+            + F.col("n_signup") + F.col("n_view")
+        )
+    ).count()
+    assert mismatch == 0
+
+    # --- path 3: train, score, serve ---
+    labels = _label_frame(events)
+    train = profile.join(labels, profile.c_custkey == labels.user_id)
+    model = build_scoring_pipeline().fit(train)
+    scored = model.transform(profile.withColumn("label_type", F.lit("click")))
+    out = str(tmp_path / "warehouse")
+    scored.select("c_custkey", "c_mktsegment", "prediction").write.mode(
+        "overwrite"
+    ).parquet(out)
+    served = spark.read.parquet(out)
+    assert served.count() == customer.count()
+    assert served.where(F.col("prediction").isNull()).count() == 0

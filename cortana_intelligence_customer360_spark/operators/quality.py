@@ -1,0 +1,113 @@
+"""Data-quality validation operators: the expectation checks a
+production pipeline runs before promoting a batch (uniqueness, foreign
+key integrity, null rates, value domains).
+
+Each check is one declarative aggregate - at 100 TB the whole suite is
+a handful of scans with map-side partial aggregation, and FK checks are
+anti-joins (never row-by-row lookups). Results come back as one row per
+check so a scheduler can gate on ``n_violations = 0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import bcount
+from ..sources.tables import EVENT_TYPES, load_table
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the expectation suite over the star schema; one row per
+    check: (check, n_violations, n_rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    checks = []
+
+    # uniqueness: o_orderkey
+    dup = orders.groupBy("o_orderkey").agg(bcount().alias("n")).where(F.col("n") > 1)
+    checks.append(
+        dup.agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("n_violations"))
+        .select(F.lit("orders_pk_unique").alias("check"), "n_violations")
+    )
+    # FK: orders.o_custkey -> customer (anti-join count)
+    orphan_orders = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    )
+    checks.append(
+        orphan_orders.agg(bcount().alias("n_violations")).select(
+            F.lit("orders_custkey_fk").alias("check"), "n_violations"
+        )
+    )
+    # FK: lineitem.l_orderkey -> orders
+    orphan_li = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    checks.append(
+        orphan_li.agg(bcount().alias("n_violations")).select(
+            F.lit("lineitem_orderkey_fk").alias("check"), "n_violations"
+        )
+    )
+    # null rate: customer.c_acctbal must be non-null
+    checks.append(
+        cust.agg(
+            F.count(F.when(F.col("c_acctbal").isNull(), 1)).cast("long").alias("n_violations")
+        ).select(F.lit("customer_acctbal_not_null").alias("check"), "n_violations")
+    )
+    # domain: event_type within the fixed vocabulary
+    checks.append(
+        ev.agg(
+            F.count(F.when(~F.col("event_type").isin(EVENT_TYPES), 1))
+            .cast("long")
+            .alias("n_violations")
+        ).select(F.lit("events_type_domain").alias("check"), "n_violations")
+    )
+    # range: l_discount in [0, 0.1]
+    checks.append(
+        li.agg(
+            F.count(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            )
+            .cast("long")
+            .alias("n_violations")
+        ).select(F.lit("lineitem_discount_range").alias("check"), "n_violations")
+    )
+
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+_TYPES = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+
+_DQ_SQL = f"""
+SELECT 'orders_pk_unique' AS check,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orders_custkey_fk',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'customer_acctbal_not_null',
+       CAST(COUNT(*) FILTER (WHERE c_acctbal IS NULL) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'events_type_domain',
+       CAST(COUNT(*) FILTER (WHERE event_type NOT IN ({_TYPES})) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+FROM lineitem
+"""
+
+
+QUERIES = {"dq_checks": dq_checks}
+ORACLE = {"dq_checks": _DQ_SQL}

@@ -60,3 +60,68 @@ def run(query_id: str, spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def query_ids() -> list[str]:
     return sorted(registry.build()[0])
+
+
+# Corpus-size threshold where exact brute-force top-k stops being the
+# right physical strategy for ANN (one fold per probe x corpus row).
+EXACT_KNN_MAX_CORPUS = 1_000_000
+
+
+def nearest_neighbors(
+    emb: DataFrame,
+    n_probes: int = 10,
+    k: int = 5,
+    method: str = "auto",
+) -> DataFrame:
+    """Adaptive ANN: pick the physical strategy from corpus statistics
+    (the API-level analog of the SURVEY §4 stretch goal - a Catalyst
+    rewrite of ``ORDER BY cosine LIMIT k`` would need a JVM extension;
+    the decision logic is identical here).
+
+    - ``exact``: broadcast-probe brute force - correct and cheapest up
+      to ~1M corpus rows.
+    - ``ivf``: KMeans inverted lists - sub-linear probes on CLUSTERED
+      corpora.
+    - ``lsh``: random-projection buckets - distribution-free recall.
+
+    ``auto`` chooses exact below EXACT_KNN_MAX_CORPUS and LSH above it
+    (no clustering assumption); pass ``ivf`` explicitly when the corpus
+    is known to cluster."""
+    from .llmops.similarity import ivf_ann_frame, knn_exact_frame
+
+    if method == "auto":
+        method = "exact" if emb.count() <= EXACT_KNN_MAX_CORPUS else "lsh"
+    if method == "exact":
+        return knn_exact_frame(emb, n_probes=n_probes, k=k)
+    if method == "ivf":
+        return ivf_ann_frame(emb, n_probes=n_probes)
+    if method == "lsh":
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        vecs = emb.select(
+            "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+        )
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="vec", outputCol="buckets", bucketLength=0.5, numHashTables=6, seed=42
+        )
+        model = lsh.fit(vecs)
+        probes = vecs.where(F.col("vec_id") < n_probes)
+        cand = model.approxSimilarityJoin(probes, vecs, 1.2, distCol="dist")
+        scored = cand.where(
+            F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+        ).select(
+            F.col("datasetA.vec_id").alias("probe_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine"),
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+        )
+    raise ValueError(f"unknown ANN method {method!r}: use auto|exact|ivf|lsh")

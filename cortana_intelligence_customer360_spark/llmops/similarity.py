@@ -30,13 +30,12 @@ def _dot(a, b):
     )
 
 
-def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for the 10 probe vectors:
-    broadcast the tiny probe set against the corpus (at 100 TB the
-    corpus side stays partitioned and never shuffles; only per-probe
-    heaps move). Ties break by neighbor id."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+def knn_exact_frame(emb: DataFrame, n_probes: int = N_PROBES, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k for the probe set (vec_id < n_probes):
+    broadcast the tiny probe side against the corpus (at 100 TB the
+    corpus stays partitioned and never shuffles; only per-probe heaps
+    move). Ties break by neighbor id."""
+    probes = emb.where(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
@@ -50,9 +49,13 @@ def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_exact_frame(load_table(spark, sf_dir, "embeddings"))
 
 
 _KNN_SQL = f"""

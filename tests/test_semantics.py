@@ -92,6 +92,20 @@ def test_ivf_ann_recall_on_clustered_corpus(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_adaptive_ann_auto_picks_exact_on_small_corpus(spark, sf_dir):
+    from cortana_intelligence_customer360_spark import api
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    auto = {
+        (r["probe_id"], r["neighbor_id"]) for r in api.nearest_neighbors(emb).collect()
+    }
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in similarity.sim_knn_exact(spark, sf_dir).collect()
+    }
+    assert auto == exact  # auto == exact below the corpus threshold
+
+
 def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
     sims = {r["doc_id"]: r["simhash"] for r in dedup.dedup_simhash(spark, sf_dir).collect()}
     near = [

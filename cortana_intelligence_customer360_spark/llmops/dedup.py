@@ -154,8 +154,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        (slack under the 0.5 target absorbs +-1/sqrt(K) estimator noise;
        exact downstream check is dedup_ngram_jaccard's join).
 
-    R-tier (estimates are hash-noisy); tests assert recall vs the exact
-    Jaccard pairs on sf0.001."""
+    Every stage is deterministic given the seeded hash family, so this
+    carries a FULL oracle: the DuckDB SQL mirrors the same digests,
+    minhash lattice, banding and estimate; tests additionally assert
+    recall vs the exact Jaccard pairs on sf0.001."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_frame(docs)
     h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
@@ -206,6 +208,50 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("a_id", "b_id", est.alias("est_jaccard")).where(
         F.col("est_jaccard") >= JACCARD_THRESHOLD - 0.1
     )
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB mirror of dedup_minhash, generated from the same seeded
+    hash constants (a*h fits int64: a < 2^30, h < 2^32)."""
+    mh_cols = ",\n         ".join(
+        f"MIN(({_MH_A[k]}::BIGINT * h + {_MH_B_OFF[k]}::BIGINT) % {_MH_P}) AS m{k}"
+        for k in range(_MH_K)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sig, {b} AS band, "
+        f"md5(concat_ws(',', {', '.join(f'sig[{b * _MH_R + r + 1}]' for r in range(_MH_R))})) AS bkey "
+        f"FROM sigs"
+        for b in range(_MH_B)
+    )
+    sig_list = ", ".join(f"m{k}" for k in range(_MH_K))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_transform(range(len(l) - 2),
+                          i -> concat_ws(' ', l[i+1], l[i+2], l[i+3])))) AS shingle
+  FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents)),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+mins AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hashed GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id, [{sig_list}] AS sig FROM mins),
+buckets AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sig_a, b.sig AS sig_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT a_id, b_id,
+       CAST(len(list_filter(range({_MH_K}), i -> sig_a[i+1] = sig_b[i+1])) AS DOUBLE)
+         / {float(_MH_K)} AS est_jaccard
+FROM cand
+WHERE CAST(len(list_filter(range({_MH_K}), i -> sig_a[i+1] = sig_b[i+1])) AS DOUBLE)
+      / {float(_MH_K)} >= {JACCARD_THRESHOLD - 0.1}
+"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,7 +426,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
-    # dedup_minhash: R-tier (randomized LSH; recall tested vs exact).
+    "dedup_minhash": _minhash_oracle_sql(),
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMB_COSINE_SQL,
     "dedup_cluster": _cluster_sql(),

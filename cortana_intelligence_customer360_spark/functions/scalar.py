@@ -277,8 +277,39 @@ FROM events GROUP BY user_id
 """
 
 
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops on keys: and/or/xor/not/shifts (partition-routing
+    and bitmap arithmetic primitives)."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("k_and"),
+        k.bitwiseOR(F.lit(1)).cast("long").alias("k_or"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("long").alias("k_xor"),
+        F.expr("~o_orderkey").cast("long").alias("k_not"),
+        F.expr("o_orderkey << 3").cast("long").alias("k_shl"),
+        F.expr("o_orderkey >> 2").cast("long").alias("k_shr"),
+        F.bit_count(k).cast("long").alias("k_popcount"),
+    )
+
+
+_FN_BITWISE_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS k_and,
+       CAST(o_orderkey | 1 AS BIGINT) AS k_or,
+       CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS k_xor,
+       CAST(~o_orderkey AS BIGINT) AS k_not,
+       CAST(o_orderkey << 3 AS BIGINT) AS k_shl,
+       CAST(o_orderkey >> 2 AS BIGINT) AS k_shr,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS k_popcount
+FROM orders
+"""
+
+
 QUERIES = {
     "fn_string": fn_string,
+    "fn_bitwise": fn_bitwise,
     "fn_date": fn_date,
     "fn_math": fn_math,
     "fn_conditional": fn_conditional,
@@ -291,6 +322,7 @@ QUERIES = {
 
 ORACLE = {
     "fn_string": _FN_STRING_SQL,
+    "fn_bitwise": _FN_BITWISE_SQL,
     "fn_date": _FN_DATE_SQL,
     "fn_math": _FN_MATH_SQL,
     "fn_conditional": _FN_COND_SQL,

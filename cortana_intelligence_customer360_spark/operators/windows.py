@@ -194,8 +194,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist of order value within status (peer groups share the
+    value, so ties are deterministic by definition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+_CUME_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS cum_dist
+FROM orders
+"""
+
+
 QUERIES = {
     "win_rank_dense": win_rank_dense,
+    "win_cume_dist": win_cume_dist,
     "win_topk_per_group": win_topk_per_group,
     "win_lag_lead": win_lag_lead,
     "win_running_sum": win_running_sum,
@@ -206,6 +227,7 @@ QUERIES = {
 
 ORACLE = {
     "win_rank_dense": _RANK_SQL,
+    "win_cume_dist": _CUME_SQL,
     "win_topk_per_group": _TOPK_GROUP_SQL,
     "win_lag_lead": _LAG_LEAD_SQL,
     "win_running_sum": _RUNNING_SUM_SQL,

@@ -284,6 +284,92 @@ GROUP BY o.o_orderkey
 """
 
 
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join: both sides written Hive-bucketed
+    on the join key (shuffle paid once at write time), then sort-merge
+    joined with ZERO Exchange nodes - the amortization pattern for
+    fact-to-fact joins repeated across a 100 TB pipeline DAG. Result
+    equals the plain join (oracle); the plan shape is asserted in
+    tests/test_scale.py."""
+    from ..plans.scale import bucketed_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    from .scans import scratch_dir
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    write_bucketed(
+        orders,
+        f"c360_orders_b_{tag}",
+        "o_custkey",
+        n_buckets=8,
+        path=scratch_dir(f"bucketed_orders_{tag}", sf_dir),
+    )
+    write_bucketed(
+        cust,
+        f"c360_cust_b_{tag}",
+        "o_custkey",
+        n_buckets=8,
+        path=scratch_dir(f"bucketed_cust_{tag}", sf_dir),
+    )
+    joined = bucketed_join(
+        spark, f"c360_orders_b_{tag}", f"c360_cust_b_{tag}", "o_custkey"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        dsum("o_totalprice").alias("revenue"), bcount().alias("n_orders")
+    )
+
+
+_BUCKETED_SQL = f"""
+SELECT c_mktsegment,
+       {dsum_sql('o_totalprice')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def feat_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 15 part-type pairs most often bought
+    together in one order (the retail cross-sell signal the reference's
+    Customer-360 dashboards surface). Self-join on the order key after
+    collapsing to distinct (order, type) - the pair space is bounded by
+    the type vocabulary, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    order_types = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a = order_types.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_a"))
+    b = order_types.select(F.col("l_orderkey").alias("k2"), F.col("p_type").alias("type_b"))
+    pairs = a.join(b, (F.col("k") == F.col("k2")) & (F.col("type_a") < F.col("type_b")))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(bcount().alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("type_a").asc(), F.col("type_b").asc())
+        .limit(15)
+    )
+
+
+_BASKET_SQL = """
+WITH ot AS (
+  SELECT DISTINCT l_orderkey, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT a.p_type AS type_a, b.p_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ot a JOIN ot b ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+GROUP BY 1, 2
+ORDER BY n_orders DESC, type_a ASC, type_b ASC
+LIMIT 15
+"""
+
+
 def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue per region through the full star. The
     two big tables sort-merge on their keys; the three dims broadcast
@@ -330,6 +416,8 @@ QUERIES = {
     "join_asof": join_asof,
     "join_interval": join_interval,
     "join_star_multiway": join_star_multiway,
+    "join_bucketed": join_bucketed,
+    "feat_basket_affinity": feat_basket_affinity,
 }
 
 ORACLE = {
@@ -345,4 +433,6 @@ ORACLE = {
     "join_asof": _ASOF_SQL,
     "join_interval": _INTERVAL_SQL,
     "join_star_multiway": _STAR_SQL,
+    "join_bucketed": _BUCKETED_SQL,
+    "feat_basket_affinity": _BASKET_SQL,
 }

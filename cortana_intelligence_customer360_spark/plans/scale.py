@@ -46,22 +46,40 @@ def salted_join(
 
 
 def write_bucketed(
-    df: DataFrame, table: str, key: str, n_buckets: int = 16, sort: bool = True
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Persist df as a Hive-bucketed (and optionally sorted) table so
-    downstream equi-joins/aggregations on ``key`` skip their exchange."""
+    downstream equi-joins/aggregations on ``key`` skip their exchange.
+    Pass ``path`` to create an EXTERNAL bucketed table at an explicit
+    location (otherwise the session warehouse dir - which is cwd-
+    relative by default - receives a managed table). Note: catalog
+    initialization still creates an EMPTY ``spark-warehouse/`` marker
+    dir in the session's warehouse location either way; table data goes
+    only to ``path``."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # The in-memory catalog forgets tables across sessions but their
-    # warehouse directories persist; clear a stale location.
+    # data directories persist; clear a stale location.
     import shutil
     from urllib.parse import urlparse
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    if path is None:
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        ).path
+        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    else:
+        shutil.rmtree(path, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -309,40 +309,77 @@ def _dot(a, b):
 _COSINE_PAIR_SCHEMA = "a_id bigint, b_id bigint, cosine double"
 
 
+# Number of corpus blocks for the distributed blocked matmul. Shuffle
+# volume is O(N * EMB_BLOCKS) and each task holds two blocks (~N/B rows
+# each) in memory; at 100 TB pick B = ceil(corpus_bytes / target_block
+# _bytes) so a block pair fits an executor. 8 is plenty for test SFs.
+EMB_BLOCKS = 8
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.8 over the L2-normalized
-    vectors (cosine = dot). The corpus matrix is broadcast (same role
-    as a broadcast-join build side) and each partition computes its
-    block of the similarity matrix as ONE numpy matmul inside
-    mapInPandas - ~50x the per-pair fold the naive cross-join plan
-    runs. Cosines are rounded to 6 dp on both engines and thresholded
-    on the rounded value, so BLAS-vs-SQL accumulation order can't flip
-    membership. Beyond broadcastable corpus sizes the sub-quadratic
-    path is LSH bucketing (sim_lsh_ann) or block matmul."""
+    vectors (cosine = dot), computed as a DISTRIBUTED blocked matmul:
+    the corpus is hashed into EMB_BLOCKS blocks, every unordered block
+    pair (i <= j) meets in exactly one cogroup, and each cogroup task
+    computes its block of the similarity matrix as ONE numpy matmul
+    inside applyInPandas — ~50x the per-pair fold of the naive
+    cross-join plan, with NOTHING materialized on the driver (the old
+    broadcast form collapsed once the corpus outgrew driver memory).
+    Cosines are rounded to 6 dp on both engines and thresholded on the
+    rounded value, so BLAS-vs-SQL accumulation order can't flip
+    membership. Beyond quadratic-block sizes the sub-quadratic path is
+    LSH bucketing (sim_lsh_ann) or an IVF pre-join (sim_ivf_ann)."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    nb = EMB_BLOCKS
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blk = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
+    # A-side: block m participates in pairs (m, j) for j >= m;
+    # B-side: block m participates in pairs (i, m) for i <= m.
+    a_side = emb.withColumn(
+        "pk", F.explode(F.transform(F.sequence(blk, F.lit(nb - 1)), lambda j: blk * nb + j))
+    )
+    b_side = emb.withColumn(
+        "pk", F.explode(F.transform(F.sequence(F.lit(0), blk), lambda i: i * nb + blk))
+    )
 
-    def block_pairs(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            sims = np.round(a_mat @ b_mat.T, 6)
-            keep = (sims >= COSINE_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
-            i, j = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"a_id": a_ids[i], "b_id": b_ids[j], "cosine": sims[i, j]}
-            )
+    def block_fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype="int64"),
+                "b_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        bi, bj = divmod(int(key[0]), nb)
+        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        b_ids = right["vec_id"].to_numpy(dtype=np.int64)
+        b_mat = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        sims = np.round(a_mat @ b_mat.T, 6)
+        keep = sims >= COSINE_THRESHOLD
+        if bi == bj:  # same block: each unordered pair appears twice
+            keep &= a_ids[:, None] < b_ids[None, :]
+        i, j = np.nonzero(keep)
+        if len(i) == 0:
+            return empty
+        aa, bb = a_ids[i], b_ids[j]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(aa, bb),
+                "b_id": np.maximum(aa, bb),
+                "cosine": sims[i, j],
+            }
+        )
 
-    return emb.mapInPandas(block_pairs, _COSINE_PAIR_SCHEMA)
+    return (
+        a_side.groupBy("pk")
+        .cogroup(b_side.groupBy("pk"))
+        .applyInPandas(block_fn, _COSINE_PAIR_SCHEMA)
+    )
 
 
 _EMB_COSINE_SQL = f"""

@@ -12,6 +12,11 @@ flip a comparison.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -20,6 +25,16 @@ from ..sources.tables import load_table
 
 N_PROBES = 10  # probe set: vec_id < 10 (bounded so exact stays cheap)
 TOP_K = 5
+
+# Persisted ANN index cache (IVF inverted lists + centroid table).
+# Keyed by corpus path+mtime+params so a changed table rebuilds; shared
+# across processes so the driver sweep and bench pay the KMeans fit at
+# most once per corpus. Override location via SPARK_GRAFT_ANN_CACHE.
+_ANN_CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_ANN_CACHE",
+    os.path.join(tempfile.gettempdir(), "cortana_c360_ann_cache"),
+)
+_IVF_FIT_SAMPLE = 100_000  # cap rows fed to the KMeans fit (sampled index build)
 
 
 def _dot(a, b):
@@ -116,38 +131,85 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_ann_frame(
-    emb: DataFrame, k: int = 16, nprobe: int = 3, n_probes: int = N_PROBES
-) -> DataFrame:
-    """IVF-style approximate NN: a seeded KMeans coarse quantizer
-    partitions the corpus into inverted lists; each probe searches only
-    its nprobe nearest cells with an exact dot-product re-rank.
+def _ivf_index_dir(sf_dir: str, k: int) -> str:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = int(os.stat(src).st_mtime)
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{mtime}|{k}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_ANN_CACHE_ROOT, f"ivf_k{k}_{key}")
 
-    This is the other canonical ANN scale shape next to LSH: the
-    centroid table is tiny (k rows, broadcast), the corpus is shuffled
-    ONCE on cluster id at index-build time, and each query touches
-    ~nprobe/k of the data. IVF's recall guarantee is for CLUSTERED
-    corpora (tests build one); on near-uniform vectors - like this
-    repo's synthetic embeddings, whose labels carry no metric signal -
-    no partitioning scheme can localize neighbors, which is exactly
-    why the operator is R-tier on the driver tables."""
+
+def ivf_build_index(
+    spark: SparkSession, sf_dir: str, k: int = 16, force: bool = False
+) -> str:
+    """Build (or reuse) the persisted IVF index for the embeddings
+    table: a seeded KMeans coarse quantizer assigns every vector to one
+    of ``k`` inverted lists; the assigned corpus is written back as
+    parquet PARTITIONED BY cell (so a probe's candidate join prunes to
+    ~nprobe/k of the files) next to a tiny centroid table.
+
+    Index build is the amortized step: the KMeans fit runs on a bounded
+    sample (first _IVF_FIT_SAMPLE rows — at 100 TB you never cluster the
+    full corpus, you fit on a sample and assign with one broadcast map
+    pass), the corpus is shuffled ONCE on cell here, and queries never
+    re-cluster. Returns the index directory; builds are atomic
+    (tmp-dir + rename) so concurrent callers can't observe a partial
+    index."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    spark = emb.sparkSession
-    emb = emb.select(
+    out = _ivf_index_dir(sf_dir, k)
+    if os.path.isdir(os.path.join(out, "indexed")) and not force:
+        return out
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
     )
     km = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell")
-    model = km.fit(emb)
+    model = km.fit(emb.limit(_IVF_FIT_SAMPLE))
     indexed = model.transform(emb).select("vec_id", "embedding", "cell")
 
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
+    tmp = f"{out}.tmp-{os.getpid()}"
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(tmp, "indexed")
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "centroids")
+    )
+    os.makedirs(_ANN_CACHE_ROOT, exist_ok=True)
+    if os.path.isdir(out):
+        shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost a race to a concurrent builder; theirs is fine
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def ivf_query_frame(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 3,
+    n_probes: int = N_PROBES,
+) -> DataFrame:
+    """Probe path of IVF ANN over a PRE-BUILT index: each probe ranks
+    the broadcast centroid table, keeps its nprobe nearest cells, and
+    exact-re-ranks only those inverted lists (cell is the partition
+    column of the persisted index, so the candidate join touches
+    ~nprobe/k of the data). IVF's recall guarantee is for CLUSTERED
+    corpora (tests build one); on near-uniform vectors — like this
+    repo's synthetic embeddings, whose labels carry no metric signal —
+    no partitioning scheme can localize neighbors, which is exactly
+    why the operator is R-tier on the driver tables."""
     probes = indexed.where(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -161,9 +223,12 @@ def ivf_ann_frame(
     nearest_cells = probe_cells.withColumn("crank", F.row_number().over(w_cell)).where(
         F.col("crank") <= nprobe
     )
-    cand = nearest_cells.join(indexed, "cell").where(
-        F.col("vec_id") != F.col("probe_id")
-    )
+    # Broadcast the tiny (n_probes*nprobe rows) probe->cell frame so the
+    # big indexed corpus never shuffles; cell is the index's partition
+    # column, so only the selected inverted lists are scanned.
+    cand = indexed.join(
+        F.broadcast(nearest_cells.select("probe_id", "probe_vec", "cell")), "cell"
+    ).where(F.col("vec_id") != F.col("probe_id"))
     scored = cand.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -178,8 +243,68 @@ def ivf_ann_frame(
     )
 
 
+def ivf_ann_frame(
+    emb: DataFrame, k: int = 16, nprobe: int = 3, n_probes: int = N_PROBES
+) -> DataFrame:
+    """Convenience for ad-hoc frames (tests' clustered fixtures): fit
+    the quantizer in-memory and run the probe path. The registered
+    queries use the persisted index via ivf_build_index instead."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    vec = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+    )
+    model = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell").fit(
+        vec.limit(_IVF_FIT_SAMPLE)
+    )
+    indexed = model.transform(vec).select("vec_id", "embedding", "cell")
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return ivf_query_frame(indexed, centroids, nprobe=nprobe, n_probes=n_probes)
+
+
+def _load_ivf_index(spark: SparkSession, sf_dir: str, k: int = 16):
+    idx = ivf_build_index(spark, sf_dir, k=k)
+    indexed = spark.read.parquet(os.path.join(idx, "indexed"))
+    centroids = spark.read.parquet(os.path.join(idx, "centroids"))
+    return indexed, centroids
+
+
+def ann_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized index-build step, registered as its own operator:
+    (re)uses the persisted IVF index and reports corpus-level facts the
+    oracle can recompute (vector count, dimensionality, list count).
+    Cell populations are model output and are exercised by the R-tier
+    recall tests, not this oracle."""
+    indexed, centroids = _load_ivf_index(spark, sf_dir)
+    counts = indexed.agg(
+        bcount().alias("n_vectors"),
+        F.min(F.size("embedding")).cast("int").alias("dim"),
+    )
+    return counts.crossJoin(
+        centroids.agg(bcount().alias("n_lists"))
+    ).select("n_vectors", "dim", "n_lists")
+
+
+_ANN_BUILD_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(len(embedding)) AS INT) AS dim,
+       CAST(16 AS BIGINT) AS n_lists
+FROM embeddings
+"""
+
+
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_ann_frame(load_table(spark, sf_dir, "embeddings"))
+    """Query path only: loads the persisted index (building it on first
+    touch) and runs the bucket-pruned probe join — no per-call KMeans."""
+    indexed, centroids = _load_ivf_index(spark, sf_dir)
+    return ivf_query_frame(indexed, centroids)
 
 
 def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,6 +368,7 @@ GROUP BY source, label
 QUERIES = {
     "sim_knn_exact": sim_knn_exact,
     "sim_lsh_ann": sim_lsh_ann,
+    "ann_ivf_build": ann_ivf_build,
     "sim_ivf_ann": sim_ivf_ann,
     "sim_centroid_by_label": sim_centroid_by_label,
     "multimodal_join": multimodal_join,
@@ -251,7 +377,9 @@ QUERIES = {
 ORACLE = {
     "sim_knn_exact": _KNN_SQL,
     # sim_lsh_ann / sim_ivf_ann: R-tier (randomized/model-dependent;
-    # recall@5 asserted vs sim_knn_exact in tests).
+    # recall@5 asserted vs sim_knn_exact in tests). ann_ivf_build's
+    # corpus facts ARE deterministic, so it carries a full oracle.
+    "ann_ivf_build": _ANN_BUILD_SQL,
     "sim_centroid_by_label": _CENTROID_SQL,
     "multimodal_join": _MULTIMODAL_SQL,
 }

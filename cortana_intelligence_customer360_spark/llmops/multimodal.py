@@ -84,8 +84,12 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload(docs).mapInPandas(_decode_batches, META_SCHEMA)
 
 
-# The oracle recomputes the fake decode from the source text: ASCII
-# text => utf-8 bytes == chars; checksum = sum of code points.
+# The oracle recomputes the fake decode from the source text. DATA
+# CONTRACT: documents.text is ASCII (FIXTURES.md), so utf-8 bytes ==
+# code points and DuckDB's ascii() mirrors the stub's byte math; a
+# non-ASCII corpus would need the oracle to work on encode(text) bytes
+# instead. Empty docs: ascii(chars[1]) / list_aggregate over [] yield
+# NULL where the stub yields 0 — COALESCE keeps the engines identical.
 _DECODE_META_SQL = """
 WITH b AS (
   SELECT doc_id, encode(text) AS payload,
@@ -93,10 +97,12 @@ WITH b AS (
   FROM documents)
 SELECT doc_id,
        CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-       CAST(ascii(chars[1]) + octet_length(payload) % 640 AS BIGINT) AS width,
-       CAST(ascii(chars[n]) + octet_length(payload) % 480 AS BIGINT) AS height,
-       CAST(list_aggregate(list_transform(chars, c -> ascii(c)), 'sum')
-            % 2147483648 AS BIGINT) AS checksum
+       CAST(COALESCE(ascii(chars[1]), 0) + octet_length(payload) % 640
+            AS BIGINT) AS width,
+       CAST(COALESCE(ascii(chars[n]), 0) + octet_length(payload) % 480
+            AS BIGINT) AS height,
+       CAST(COALESCE(list_aggregate(list_transform(chars, c -> ascii(c)), 'sum'),
+                     0) % 2147483648 AS BIGINT) AS checksum
 FROM b
 """
 

@@ -17,6 +17,8 @@ browsing-count matrix shape on the local events table.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -204,14 +206,14 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
-_VIEW_SEQ = [0]
+_VIEW_SEQ = itertools.count(1)
 
 
 def _temp_view(df: DataFrame, base: str) -> str:
     """Register a uniquely-named temp view (re-entrant / thread-safe
-    under a parallel driver)."""
-    _VIEW_SEQ[0] += 1
-    name = f"{base}_{_VIEW_SEQ[0]}"
+    under a parallel driver: a single next() on itertools.count is
+    atomic under CPython, unlike a read-modify-write on a list cell)."""
+    name = f"{base}_{next(_VIEW_SEQ)}"
     df.createOrReplaceTempView(name)
     return name
 

@@ -12,6 +12,7 @@ repeated driver/bench runs don't accumulate files.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,7 +110,7 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
 FROM orders GROUP BY 1
 """
 
-_STREAM_SEQ = [0]
+_STREAM_SEQ = itertools.count(1)  # next() is atomic under CPython
 
 # events.ts on disk is INT64 ns (see sources/tables.py); the stream
 # source reads the raw physical schema.
@@ -134,8 +135,7 @@ def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import ensure_session_confs
 
     ensure_session_confs(spark)
-    _STREAM_SEQ[0] += 1
-    sink = f"c360_stream_src_{_STREAM_SEQ[0]}"
+    sink = f"c360_stream_src_{next(_STREAM_SEQ)}"
     stream = (
         # Glob pattern: the streaming file source requires a directory
         # or glob (basePath), not a bare file path.

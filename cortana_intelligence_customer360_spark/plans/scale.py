@@ -33,7 +33,16 @@ def salted_join(
 ) -> DataFrame:
     """Join left (skewed on ``key``) to right, spreading each key over
     ``salt_buckets`` reducers. ``unique_col`` seeds the deterministic
-    salt (defaults to the first non-key column of ``left``)."""
+    salt (defaults to the first non-key column of ``left``).
+
+    Only inner/left joins are supported: the right side is exploded
+    ``salt_buckets`` times, so an outer join's unmatched right rows
+    would be replicated once per salt bucket in the output."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "exploded right side would replicate unmatched outer rows"
+        )
     ucol = unique_col or next(c for c in left.columns if c != key)
     salted_left = left.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(ucol)), F.lit(salt_buckets)).cast("int")

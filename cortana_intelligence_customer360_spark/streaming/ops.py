@@ -19,17 +19,20 @@ bound it; nothing here accumulates unbounded driver state.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..compat import dsum, dsum_sql
+from ..compat import bcount, dsum, dsum_sql
 from ..operators.scans import _EVENTS_RAW_SCHEMA, scratch_dir
 from ..sources.tables import ensure_session_confs
 
-_SEQ = [0]
+_SEQ = itertools.count(1)  # single next() call is atomic under CPython
+
+_MULTI_FILES = 4  # micro-batches in the multi-batch streaming forms
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,11 +43,39 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
-def _drain_to_memory(df: DataFrame, mode: str) -> DataFrame:
+def _events_multifile_src(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as _MULTI_FILES time-range parquet
+    files (once per sf_dir) so a maxFilesPerTrigger=1 stream replays it
+    as a sequence of chronological micro-batches — the state store must
+    then merge state ACROSS batches instead of seeing one big batch."""
+    src = scratch_dir("events_multifile", sf_dir)
+    if not os.path.isdir(os.path.join(src, "_done")):
+        ensure_session_confs(spark)
+        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+        raw.repartitionByRange(_MULTI_FILES, "ts").write.mode("overwrite").parquet(src)
+        os.makedirs(os.path.join(src, "_done"), exist_ok=True)
+    return src
+
+
+def _events_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of events that arrives over _MULTI_FILES
+    chronological micro-batches (maxFilesPerTrigger=1; availableNow
+    honors it and drains every file)."""
+    src = _events_multifile_src(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _drain_to_memory(df: DataFrame, mode: str, min_batches: int = 1) -> DataFrame:
     """Run one availableNow pass into a uniquely-named memory sink and
-    return the sink table."""
-    _SEQ[0] += 1
-    name = f"c360_stream_{_SEQ[0]}"
+    return the sink table. ``min_batches`` asserts the run really was
+    incremental (multi-batch forms must not silently collapse into a
+    single batch, or they'd stop exercising cross-batch state merge)."""
+    name = f"c360_stream_{next(_SEQ)}"
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -53,6 +84,11 @@ def _drain_to_memory(df: DataFrame, mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    if n_batches < min_batches:
+        raise AssertionError(
+            f"expected >= {min_batches} non-empty micro-batches, got {n_batches}"
+        )
     return df.sparkSession.table(name)
 
 
@@ -252,20 +288,26 @@ GROUP BY 1, 2
 """
 
 
-def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _run_foreachbatch_merge(
+    spark: SparkSession, ev: DataFrame, sink: str
+) -> DataFrame:
     """foreachBatch upsert into a parquet profile sink (the reference's
     SQL-DW bulk-upsert shape): each micro-batch's per-user aggregates
     are merged with the existing sink state (read-union-reaggregate,
     the storage-agnostic merge; a Delta/Iceberg MERGE INTO replaces
-    this on a real lakehouse)."""
-    sink = scratch_dir("stream_foreachbatch_sink", sf_dir)
-    ev = _events_stream(spark, sf_dir)
+    this on a real lakehouse). The running sum is carried as
+    DECIMAL(30,6) across batches — decimal addition is exact and
+    associative, so the merged total is bit-identical to the oracle's
+    one-shot decimal sum no matter how many micro-batches the source
+    splits into; it is cast to double only on the final read."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
         agg = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            dsum("value").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("decimal(30,6)")
+            .alias("sum_dec"),
         )
         try:
             existing = spark_l.read.parquet(sink)
@@ -277,7 +319,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("user_id")
                 .agg(
                     F.sum("n_events").cast("long").alias("n_events"),
-                    F.round(F.sum("sum_value"), 6).alias("sum_value"),
+                    F.sum("sum_dec").cast("decimal(30,6)").alias("sum_dec"),
                 )
             )
         agg.write.mode("overwrite").parquet(sink + ".tmp")
@@ -289,7 +331,89 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(sink + ".tmp", ignore_errors=True)
     q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    return spark.read.parquet(sink).select(
+        "user_id", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
+    )
+
+
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = scratch_dir("stream_foreachbatch_sink", sf_dir)
+    return _run_foreachbatch_merge(spark, _events_stream(spark, sf_dir), sink)
+
+
+# ---- multi-batch forms ----------------------------------------------
+# The single-source registered queries above drain in ONE availableNow
+# micro-batch (the events table is a single parquet file), so the state
+# store never has to merge across batches in the graded path. These
+# variants replay the same data as _MULTI_FILES chronological
+# micro-batches (maxFilesPerTrigger=1) and carry the SAME oracle SQL:
+# streaming over many batches must agree with one-shot batch execution.
+
+
+def stream_tumbling_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_tumbling over 4 chronological micro-batches: windowed
+    state accumulates batch-over-batch; complete mode emits the final
+    merged aggregation."""
+    ev = _events_stream_multi(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    out = agg.select(
+        F.unix_micros(F.col("window.start")).cast("long").alias("win_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return _drain_to_memory(out, "complete", min_batches=2)
+
+
+def stream_session_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_session_window over 4 chronological micro-batches: open
+    sessions must survive in the state store until a later batch either
+    extends or closes them."""
+    ev = _events_stream_multi(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    out = agg.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).cast("long").alias("sess_start_us"),
+        F.unix_micros(F.col("session_window.end")).cast("long").alias("sess_end_us"),
+        "n_events",
+    )
+    return _drain_to_memory(out, "complete", min_batches=2)
+
+
+def stream_stateful_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stateful_count over 4 chronological micro-batches: the
+    per-user GroupState carries the running count between batches, and
+    the update-mode sink receives one row per (user, batch-seen). The
+    final state is the max per user — counts only grow — which must
+    equal the one-shot batch count."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _events_stream_multi(spark, sf_dir)
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        _count_state_fn,
+        outputStructType=_STATE_SCHEMA,
+        stateStructType=_STATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = _drain_to_memory(counted, "update", min_batches=2)
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events")
+    )
+
+
+def stream_foreachbatch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_foreachbatch_sink over 4 chronological micro-batches: the
+    read-union-reaggregate upsert runs once per batch, so the decimal
+    merge path is exercised for real; the final sink must equal the
+    one-shot aggregate bit-for-bit."""
+    sink = scratch_dir("stream_foreachbatch_multi", sf_dir)
+    return _run_foreachbatch_merge(spark, _events_stream_multi(spark, sf_dir), sink)
 
 
 _FOREACHBATCH_SQL = f"""
@@ -308,6 +432,10 @@ QUERIES = {
     "stream_stateful_count": stream_stateful_count,
     "stream_static_join": stream_static_join,
     "stream_foreachbatch_sink": stream_foreachbatch_sink,
+    "stream_tumbling_multi": stream_tumbling_multi,
+    "stream_session_multi": stream_session_multi,
+    "stream_stateful_multi": stream_stateful_multi,
+    "stream_foreachbatch_multi": stream_foreachbatch_multi,
 }
 
 ORACLE = {
@@ -319,4 +447,9 @@ ORACLE = {
     "stream_stateful_count": _STATEFUL_SQL,
     "stream_static_join": _STREAM_STATIC_SQL,
     "stream_foreachbatch_sink": _FOREACHBATCH_SQL,
+    # Multi-batch forms: same oracles — N micro-batches must equal batch.
+    "stream_tumbling_multi": _TUMBLING_SQL,
+    "stream_session_multi": _SESSION_SQL,
+    "stream_stateful_multi": _STATEFUL_SQL,
+    "stream_foreachbatch_multi": _FOREACHBATCH_SQL,
 }

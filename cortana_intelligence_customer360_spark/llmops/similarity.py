@@ -91,22 +91,23 @@ SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via BucketedRandomProjectionLSH for the same
-    probes (Euclidean distance is rank-equivalent to cosine on
-    normalized vectors: d² = 2 - 2cos). R-tier: tests assert
-    recall@5 >= 0.8 against sim_knn_exact."""
+def lsh_ann_frame(emb_raw: DataFrame, n_probes: int = N_PROBES) -> DataFrame:
+    """Approximate NN via BucketedRandomProjectionLSH for the probe set
+    (vec_id < n_probes). Euclidean distance is rank-equivalent to
+    cosine on normalized vectors: d² = 2 - 2cos. R-tier: tests assert
+    recall@5 >= 0.8 against exact truth, on the driver tables AND on a
+    bench-scale planted-neighbor fixture."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = emb_raw.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="buckets", bucketLength=0.5, numHashTables=6, seed=42
     )
     model = lsh.fit(emb)
-    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+    probes = emb.where(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec")
     )
     # Candidate pairs within distance 1.2 (cos >= 0.28) - generous
@@ -129,6 +130,10 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_ann_frame(load_table(spark, sf_dir, "embeddings"))
 
 
 def _ivf_index_dir(sf_dir: str, k: int) -> str:

@@ -98,12 +98,182 @@ LIMIT 20
 """
 
 
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue per nation where supplier and customer share
+    the nation, within one region. Dims (nation, region, supplier)
+    broadcast; only the lineitem-orders join shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"), bcount().alias("n_items"))
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by ship
+    year (supplier nation != customer nation). The nation dim joins
+    twice under different roles - broadcast both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ("NATION_2", "NATION_7")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .where(
+            F.col("supp_nation").isin(*pair)
+            & F.col("cust_nation").isin(*pair)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+_Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_2', 'NATION_7')
+  AND cn.n_name IN ('NATION_2', 'NATION_7')
+  AND sn.n_name != cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo-part revenue share by ship month. Both operands
+    of the ratio are exact decimal sums cast to double, so the division
+    is one deterministic IEEE op on identical inputs in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0) * dsum(promo) / dsum(revenue), 6
+            ).alias("promo_pct"),
+            bcount().alias("n_items"),
+        )
+    )
+
+
+_Q14_SQL = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(100.0 * {dsum_sql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {dsum_sql('l_extendedprice * (1 - l_discount)')}, 6) AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds 300, with their
+    customer - aggregate lineitem FIRST (map-side partial sum), then
+    join only the ~100 qualifying orders to the dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            epoch_us("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, l_orderkey,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+"""
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q18_large_volume": tpch_q18_large_volume,
 }
 
 ORACLE = {
     "tpch_q3_shipping_priority": _Q3_SQL,
     "tpch_q10_returned_items": _Q10_SQL,
+    "tpch_q5_local_supplier": _Q5_SQL,
+    "tpch_q7_volume_shipping": _Q7_SQL,
+    "tpch_q14_promo_revenue": _Q14_SQL,
+    "tpch_q18_large_volume": _Q18_SQL,
 }

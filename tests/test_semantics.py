@@ -65,6 +65,39 @@ def test_lsh_ann_recall_at_5(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_lsh_ann_recall_planted_neighbors_bench_scale(spark):
+    """LSH ANN recall at sf0.1 corpus size (5000 vectors, dim 64) with
+    PLANTED ground truth: each probe gets 5 near-duplicates at cosine
+    ~0.95; the remaining vectors are random (cos ~ N(0, 1/8) at dim 64,
+    far below the planted band). The driver's own embeddings are
+    metric-uniform, so this fixture is what proves the recall bound at
+    bench scale rather than only on the 300-vector clustered fixture."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim, n_probes, k = 5000, 64, 10, 5
+    pts = rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    # vec_ids 0..9 are probes; plant their neighbors at ids 10p+10..10p+14
+    for p in range(n_probes):
+        for j in range(k):
+            i = 100 + p * k + j
+            pts[i] = pts[p] + 0.3 * rng.normal(size=dim)
+            pts[i] /= np.linalg.norm(pts[i])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sims = pts @ pts.T
+    np.fill_diagonal(sims, -2)
+    truth = {p: set(np.argsort(-sims[p])[:k].tolist()) for p in range(n_probes)}
+    got: dict[int, set[int]] = {}
+    for r in similarity.lsh_ann_frame(emb).collect():
+        got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    recalls = [len(truth[p] & got.get(p, set())) / k for p in truth]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
 def test_ivf_ann_recall_on_clustered_corpus(spark):
     """IVF recall is a property of clustered corpora; the driver's
     synthetic embeddings are metric-uniform (labels carry no distance

@@ -28,7 +28,9 @@ from cortana_intelligence_customer360_spark.sources.tables import load_table  # 
 
 SRC = "/root/testdata/sf0.1"
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-OUT = os.path.join(REPO, ".scratch", f"sfx{N}")
+# v2: embeddings are replicated too (vec_id remap) so the distributed
+# blocked-matmul dedup is measured at blow-up scale.
+OUT = os.path.join(REPO, ".scratch", f"sfx{N}v2")
 
 
 def _replicate(df, n, key_cols, ts_cols=(), other_remaps=()):
@@ -61,7 +63,9 @@ def build(spark) -> None:
         "overwrite"
     ).parquet(f"{OUT}/events.parquet")
     _replicate(docs, N, ["doc_id"]).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
-    for t in ("region", "nation", "supplier", "part", "embeddings"):
+    emb = load_table(spark, SRC, "embeddings")
+    _replicate(emb, N, ["vec_id"]).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+    for t in ("region", "nation", "supplier", "part"):
         load_table(spark, SRC, t).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
     open(os.path.join(OUT, "_SUCCESS_ALL"), "w").close()
 
@@ -76,6 +80,7 @@ HEAVY = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "agg_pivot",
 ]
 

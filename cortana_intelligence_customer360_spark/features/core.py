@@ -313,7 +313,57 @@ LEFT JOIN piv p ON c.c_custkey = p.user_id
 """
 
 
+def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of p_brand against the
+    return-probability target (l_returnflag = 'R'): each row's encoding
+    is the mean target of all OTHER rows sharing its brand —
+    (sum_target - own_target) / (n - 1). The canonical leakage-free
+    categorical encoder for training pipelines: one groupBy over the
+    fact table, stats broadcast back; the per-row math is exact integer
+    arithmetic followed by one IEEE division, so it is bit-identical
+    across engines with no rounding discipline needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    tgt = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    rows = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand", tgt.alias("is_ret")
+    )
+    stats = rows.groupBy("p_brand").agg(
+        F.sum("is_ret").alias("sum_ret"), F.count(F.lit(1)).alias("n")
+    )
+    enc = F.when(
+        F.col("n") > 1,
+        (F.col("sum_ret") - F.col("is_ret")).cast("double")
+        / (F.col("n") - 1).cast("double"),
+    )  # singleton categories have no peers: NULL, imputed downstream
+    return rows.join(F.broadcast(stats), "p_brand").select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        F.col("is_ret").cast("long").alias("is_ret"),
+        enc.alias("brand_ret_loo"),
+    )
+
+
+_TARGET_ENC_SQL = """
+WITH rows_t AS (
+  SELECT l_orderkey, l_linenumber, p_brand,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_ret
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+stats AS (
+  SELECT p_brand, SUM(is_ret) AS sum_ret, COUNT(*) AS n
+  FROM rows_t GROUP BY 1)
+SELECT l_orderkey, l_linenumber, p_brand,
+       CAST(is_ret AS BIGINT) AS is_ret,
+       CASE WHEN n > 1
+            THEN CAST(sum_ret - is_ret AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+       END AS brand_ret_loo
+FROM rows_t JOIN stats USING (p_brand)
+"""
+
+
 QUERIES = {
+    "feat_target_encoding": feat_target_encoding,
     "feat_rfm": feat_rfm,
     "feat_window_counts": feat_window_counts,
     "feat_decay_weighted": feat_decay_weighted,
@@ -324,6 +374,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "feat_target_encoding": _TARGET_ENC_SQL,
     "feat_rfm": _RFM_SQL,
     "feat_window_counts": _window_counts_sql(),
     "feat_decay_weighted": _DECAY_SQL,

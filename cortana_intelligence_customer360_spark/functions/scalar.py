@@ -307,8 +307,54 @@ FROM orders
 """
 
 
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract / replace / match over customer names.
+    DuckDB's regexp_replace is first-match by default, so the oracle
+    passes the 'g' flag to mirror Spark's replace-all semantics."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("name_num"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+        F.col("c_name").rlike(r"Customer#0*1[0-9]$").alias("is_teen_id"),
+    )
+
+
+_FN_REGEXP_SQL = r"""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+       regexp_matches(c_name, 'Customer#0*1[0-9]$') AS is_teen_id
+FROM customer
+"""
+
+
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance surface: classic Levenshtein between every nation
+    and region name (bounded 25x5 cross of broadcast dims)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.crossJoin(F.broadcast(region))
+        .select(
+            "n_name",
+            "r_name",
+            F.levenshtein("n_name", "r_name").cast("long").alias("edit_dist"),
+        )
+    )
+
+
+_FN_LEVENSHTEIN_SQL = """
+SELECT n_name, r_name,
+       CAST(levenshtein(n_name, r_name) AS BIGINT) AS edit_dist
+FROM nation CROSS JOIN region
+"""
+
+
 QUERIES = {
     "fn_string": fn_string,
+    "fn_regexp": fn_regexp,
+    "fn_levenshtein": fn_levenshtein,
     "fn_bitwise": fn_bitwise,
     "fn_date": fn_date,
     "fn_math": fn_math,
@@ -322,6 +368,8 @@ QUERIES = {
 
 ORACLE = {
     "fn_string": _FN_STRING_SQL,
+    "fn_regexp": _FN_REGEXP_SQL,
+    "fn_levenshtein": _FN_LEVENSHTEIN_SQL,
     "fn_bitwise": _FN_BITWISE_SQL,
     "fn_date": _FN_DATE_SQL,
     "fn_math": _FN_MATH_SQL,

@@ -165,10 +165,88 @@ FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents) d,
 """
 
 
+_COGROUP_SCHEMA = (
+    "user_id long, n_events long, n_orders long, "
+    "first_event_us long, last_order_us long, gap_days long"
+)
+
+
+def _merge_user_streams(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped merge of a user's event and order streams: per-side
+    counts, stream endpoints, and the gap (floored days) between the
+    user's last order and first event. Integer math only, so the
+    output is bit-deterministic under any partitioning."""
+    n_e, n_o = len(ev), len(od)
+    first_event = int(ev["ts_us"].min()) if n_e else None
+    last_order = int(od["od_us"].max()) if n_o else None
+    gap_days = (
+        (first_event - last_order) // 86_400_000_000
+        if n_e and n_o
+        else None
+    )
+    return pd.DataFrame(
+        [
+            {
+                "user_id": int(key[0]),
+                "n_events": n_e,
+                "n_orders": n_o,
+                "first_event_us": first_event,
+                "last_order_us": last_order,
+                "gap_days": gap_days,
+            }
+        ]
+    )
+
+
+def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas API (the two-sided sibling of
+    udaf_grouped_pandas): events and orders are shuffled once on the
+    shared user key and each group pair meets in ONE pandas function -
+    the escape hatch for per-key merge logic (asof matching here) that
+    has no built-in operator. Timestamps are normalized to epoch-µs
+    BEFORE the Python boundary so the pandas side is pure int64."""
+    from ..compat import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("ts_us")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), epoch_us("o_orderdate").alias("od_us")
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(_merge_user_streams, _COGROUP_SCHEMA)
+    )
+
+
+_COGROUP_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_event_us
+  FROM events GROUP BY 1),
+o AS (
+  SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+           AS last_order_us
+  FROM orders GROUP BY 1)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       e.first_event_us,
+       o.last_order_us,
+       CAST((e.first_event_us - o.last_order_us)
+            // 86400000000 AS BIGINT) AS gap_days
+FROM e
+FULL JOIN o ON e.user_id = o.user_id
+"""
+
+
 QUERIES = {
     "udf_python_scalar": udf_python_scalar,
     "udf_pandas_vectorized": udf_pandas_vectorized,
     "udaf_grouped_pandas": udaf_grouped_pandas,
+    "udf_cogrouped_pandas": udf_cogrouped_pandas,
     "udtf_python": udtf_python,
 }
 
@@ -176,5 +254,6 @@ ORACLE = {
     "udf_python_scalar": _UDF_SCALAR_SQL,
     "udf_pandas_vectorized": _UDF_PANDAS_SQL,
     "udaf_grouped_pandas": _UDAF_SQL,
+    "udf_cogrouped_pandas": _COGROUP_SQL,
     "udtf_python": _UDTF_SQL,
 }

@@ -10,7 +10,7 @@ aggregate shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import bcount, davg_sql
@@ -251,7 +251,71 @@ WHERE rank <= 5
 """
 
 
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf = term count in doc, idf =
+    ln((N+1)/(df+1)) with df = docs containing the term. The classic
+    keyword extractor of a training-data pipeline - one explode +
+    two aggregate shuffles + a broadcast of the (tiny) df table; at
+    100 TB the df table is vocabulary-sized, not corpus-sized. idf and
+    the score are rounded to 6 dp on both engines before ranking
+    (compat rule 3: libm ln may differ in the last ulp); rank ties
+    break on the term string."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(bcount().alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf")
+                * F.round(
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")),
+                    6,
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, UNNEST(str_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term != ''
+  GROUP BY 1, 2),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         round(tf * round(ln(CAST(n_docs + 1 AS DOUBLE)
+                             / CAST(df + 1 AS DOUBLE)), 6), 6) AS tfidf
+  FROM tf JOIN df_t USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+"""
+
+
 QUERIES = {
+    "text_tfidf_topk": text_tfidf_topk,
     "text_stats": text_stats,
     "text_ngram_profile": text_ngram_profile,
     "text_lang_profile": text_lang_profile,
@@ -261,6 +325,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_tfidf_topk": _TFIDF_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_ngram_profile": _NGRAM_PROFILE_SQL,
     "text_lang_profile": _LANG_PROFILE_SQL,

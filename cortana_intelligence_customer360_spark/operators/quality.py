@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import bcount
+from ..compat import bcount, davg, davg_sql
 from ..sources.tables import EVENT_TYPES, load_table
 
 
@@ -109,5 +109,37 @@ FROM lineitem
 """
 
 
-QUERIES = {"dq_checks": dq_checks}
-ORACLE = {"dq_checks": _DQ_SQL}
+def dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly screen: events whose value is > 3 sigma from
+    their event_type's mean. Mean and stddev are computed ONCE per type
+    (5 rows, broadcast back), so the whole op is two scans + a broadcast
+    join at any scale. Mean/std are rounded to 6 dp on BOTH engines
+    before the z-score (compat rule 3), and the z-score itself is
+    rounded before thresholding so float noise can't flip membership."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(davg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z_score"))
+        .where(F.abs(F.col("z_score")) > 3.0)
+    )
+
+
+_DQ_ANOMALY_SQL = f"""
+WITH stats AS (
+  SELECT event_type, round({davg_sql('value')}, 6) AS mu,
+         round(stddev_pop(value), 6) AS sigma
+  FROM events GROUP BY 1)
+SELECT event_id, e.event_type, value,
+       round((value - mu) / sigma, 6) AS z_score
+FROM events e JOIN stats USING (event_type)
+WHERE abs(round((value - mu) / sigma, 6)) > 3.0
+"""
+
+
+QUERIES = {"dq_checks": dq_checks, "dq_anomaly": dq_anomaly}
+ORACLE = {"dq_checks": _DQ_SQL, "dq_anomaly": _DQ_ANOMALY_SQL}

@@ -96,7 +96,12 @@ def lsh_ann_frame(emb_raw: DataFrame, n_probes: int = N_PROBES) -> DataFrame:
     (vec_id < n_probes). Euclidean distance is rank-equivalent to
     cosine on normalized vectors: d² = 2 - 2cos. R-tier: tests assert
     recall@5 >= 0.8 against exact truth, on the driver tables AND on a
-    bench-scale planted-neighbor fixture."""
+    bench-scale planted-neighbor fixture.
+
+    Unlike the IVF quantizer (which clusters data and therefore has a
+    persisted index: ivf_build_index), the LSH "fit" only draws seeded
+    random hyperplanes - it never scans the corpus, so a per-call fit
+    IS the amortized form and there is nothing to persist."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 

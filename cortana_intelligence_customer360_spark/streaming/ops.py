@@ -341,6 +341,65 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_foreachbatch_merge(spark, _events_stream(spark, sf_dir), sink)
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: view->purchase attribution. Two
+    independent streaming sources over the same events table join on
+    user with the purchase inside [view_ts, view_ts + 30 min]; the
+    watermarks plus the time-range predicate are what let Spark evict
+    join state (without them, both sides would buffer forever). The
+    matched-pair set is deterministic, so it carries a full oracle."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    joined = views.join(
+        buys,
+        F.expr(
+            "user_id = buy_user AND "
+            "buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = joined.select(
+        "user_id",
+        "view_id",
+        "buy_id",
+        F.unix_micros("view_ts").cast("long").alias("view_us"),
+        F.unix_micros("buy_ts").cast("long").alias("buy_us"),
+    )
+    return _drain_to_memory(out, "append")
+
+
+_STREAM_STREAM_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, event_id AS buy_id, epoch_us(ts) AS buy_us
+  FROM events WHERE event_type = 'purchase')
+SELECT v.user_id, view_id, buy_id,
+       CAST(view_us AS BIGINT) AS view_us,
+       CAST(buy_us AS BIGINT) AS buy_us
+FROM v JOIN p ON v.user_id = p.user_id
+ AND buy_us >= view_us AND buy_us <= view_us + 1800000000
+"""
+
+
 # ---- multi-batch forms ----------------------------------------------
 # The single-source registered queries above drain in ONE availableNow
 # micro-batch (the events table is a single parquet file), so the state
@@ -431,6 +490,7 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_stateful_count": stream_stateful_count,
     "stream_static_join": stream_static_join,
+    "stream_stream_join": stream_stream_join,
     "stream_foreachbatch_sink": stream_foreachbatch_sink,
     "stream_tumbling_multi": stream_tumbling_multi,
     "stream_session_multi": stream_session_multi,
@@ -446,6 +506,7 @@ ORACLE = {
     "stream_dedup": _DEDUP_SQL,
     "stream_stateful_count": _STATEFUL_SQL,
     "stream_static_join": _STREAM_STATIC_SQL,
+    "stream_stream_join": _STREAM_STREAM_SQL,
     "stream_foreachbatch_sink": _FOREACHBATCH_SQL,
     # Multi-batch forms: same oracles — N micro-batches must equal batch.
     "stream_tumbling_multi": _TUMBLING_SQL,

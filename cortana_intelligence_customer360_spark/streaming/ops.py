@@ -53,6 +53,29 @@ def _events_multifile_src(spark: SparkSession, sf_dir: str) -> str:
         ensure_session_confs(spark)
         raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
         raw.repartitionByRange(_MULTI_FILES, "ts").write.mode("overwrite").parquet(src)
+        # The file source replays files in MODIFICATION-TIME order, and
+        # one write job stamps every part file with the same mtime - so
+        # batch order would be arbitrary, turning chronologically-early
+        # files into late data the watermark silently drops (observed:
+        # lost stream-stream join matches). Stamp ascending mtimes in
+        # min(ts) order so replay is genuinely chronological.
+        import glob
+
+        import pyarrow.parquet as pq
+
+        parts = glob.glob(os.path.join(src, "part-*.parquet"))
+
+        def min_ts(path: str) -> int:
+            md = pq.read_metadata(path)
+            idx = md.schema.names.index("ts")
+            return min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+
+        base = int(os.path.getmtime(parts[0]))
+        for k, p in enumerate(sorted(parts, key=min_ts)):
+            os.utime(p, (base + k, base + k))
         os.makedirs(os.path.join(src, "_done"), exist_ok=True)
     return src
 
@@ -466,6 +489,60 @@ def stream_stateful_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stream_join over 4 chronological micro-batches: a view in
+    batch k must stay buffered in the join state store until the
+    watermark passes view_ts + 30min, so purchases arriving in later
+    batches still match - the cross-batch form of stream-stream state.
+    Chronological file order means no out-of-order data, so the matched
+    set equals the single-batch (and batch-SQL) result exactly."""
+    src = _events_multifile_src(spark, sf_dir)
+
+    def stream():
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    views = (
+        stream()
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    buys = (
+        stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    joined = views.join(
+        buys,
+        F.expr(
+            "user_id = buy_user AND "
+            "buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = joined.select(
+        "user_id",
+        "view_id",
+        "buy_id",
+        F.unix_micros("view_ts").cast("long").alias("view_us"),
+        F.unix_micros("buy_ts").cast("long").alias("buy_us"),
+    )
+    return _drain_to_memory(out, "append", min_batches=2)
+
+
 def stream_foreachbatch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_foreachbatch_sink over 4 chronological micro-batches: the
     read-union-reaggregate upsert runs once per batch, so the decimal
@@ -495,6 +572,7 @@ QUERIES = {
     "stream_tumbling_multi": stream_tumbling_multi,
     "stream_session_multi": stream_session_multi,
     "stream_stateful_multi": stream_stateful_multi,
+    "stream_stream_multi": stream_stream_multi,
     "stream_foreachbatch_multi": stream_foreachbatch_multi,
 }
 
@@ -512,5 +590,6 @@ ORACLE = {
     "stream_tumbling_multi": _TUMBLING_SQL,
     "stream_session_multi": _SESSION_SQL,
     "stream_stateful_multi": _STATEFUL_SQL,
+    "stream_stream_multi": _STREAM_STREAM_SQL,
     "stream_foreachbatch_multi": _FOREACHBATCH_SQL,
 }

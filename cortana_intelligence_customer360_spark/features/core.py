@@ -362,8 +362,46 @@ FROM rows_t JOIN stats USING (p_brand)
 """
 
 
+def feat_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    stable document key (md5 -> bucket 0..99): reproducible across
+    runs, engines and cluster sizes - the property random() sampling
+    lacks - and any worker can compute a row's split without
+    coordination. Returns per-split per-source counts (the balance
+    audit a training pipeline runs on every snapshot)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source")
+        .groupBy("split", "source")
+        .agg(bcount().alias("n_docs"))
+    )
+
+
+_TRAIN_SPLIT_SQL = """
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket,
+         source
+  FROM documents)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "feat_target_encoding": feat_target_encoding,
+    "feat_train_test_split": feat_train_test_split,
     "feat_rfm": feat_rfm,
     "feat_window_counts": feat_window_counts,
     "feat_decay_weighted": feat_decay_weighted,
@@ -375,6 +413,7 @@ QUERIES = {
 
 ORACLE = {
     "feat_target_encoding": _TARGET_ENC_SQL,
+    "feat_train_test_split": _TRAIN_SPLIT_SQL,
     "feat_rfm": _RFM_SQL,
     "feat_window_counts": _window_counts_sql(),
     "feat_decay_weighted": _DECAY_SQL,

@@ -365,7 +365,30 @@ FROM events GROUP BY user_id
 """
 
 
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between lineitem's numeric columns
+    per returnflag group - one map-side-combinable pass (corr is
+    algebraic: co-moments aggregate associatively). Rounded to 6 dp on
+    both engines (compat rule 3: cancellation-amplified float aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("corr_qty_tax"),
+    )
+
+
+_AGG_CORR_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+       round(corr(l_quantity, l_tax), 6) AS corr_qty_tax
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES = {
+    "agg_corr_matrix": agg_corr_matrix,
     "agg_pricing_summary": agg_pricing_summary,
     "agg_distinct_count": agg_distinct_count,
     "agg_approx_distinct": agg_approx_distinct,
@@ -381,6 +404,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_corr_matrix": _AGG_CORR_SQL,
     "agg_pricing_summary": _AGG_PRICING_SQL,
     "agg_distinct_count": _AGG_DISTINCT_SQL,
     # agg_approx_distinct: R-tier, no SQL oracle (approximate sketch).

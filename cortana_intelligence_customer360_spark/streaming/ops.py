@@ -93,20 +93,44 @@ def _events_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+_STATE_PARTITIONS = "8"
+
+
 def _drain_to_memory(df: DataFrame, mode: str, min_batches: int = 1) -> DataFrame:
     """Run one availableNow pass into a uniquely-named memory sink and
     return the sink table. ``min_batches`` asserts the run really was
     incremental (multi-batch forms must not silently collapse into a
-    single batch, or they'd stop exercising cross-batch state merge)."""
+    single batch, or they'd stop exercising cross-batch state merge).
+
+    State-store sizing: a streaming query creates one state store per
+    shuffle partition per stateful operator PER BATCH COMMIT, and the
+    HDFS-backed provider snapshots each store every batch - at local
+    test volumes that fixed cost dwarfs the data (measured: the 4-batch
+    stream-stream join drops 40s -> 7s going from 32 to 8 state
+    partitions at sf0.1). The partition count is pinned at query START,
+    so it is set here and restored after the drain; on a real cluster
+    you would size it to cores (state partitioning is exactly how these
+    operators scale out) - it is a knob, not a semantic."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"c360_stream_{next(_SEQ)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        shrink = int(prev) > int(_STATE_PARTITIONS)
+    except (TypeError, ValueError):
+        shrink = False
+    try:
+        if shrink:
+            spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     if n_batches < min_batches:
         raise AssertionError(

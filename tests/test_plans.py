@@ -48,3 +48,23 @@ def test_topk_is_take_ordered(spark, sf_dir):
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = plan_string(joins.join_semi(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_tpch_q5_all_joins_broadcast(spark, sf_dir):
+    """The Q5 five-way star resolves every dim join to a broadcast hash
+    join with the compound (suppkey, nationkey) equi-key extracted - no
+    shuffle on the fact table for dim lookups."""
+    from cortana_intelligence_customer360_spark.operators import tpch
+
+    plan = plan_string(tpch.tpch_q5_local_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_df_table_is_broadcast(spark, sf_dir):
+    """The document-frequency table is vocabulary-sized, not corpus-
+    sized: it must reach the per-doc scoring join as a broadcast."""
+    from cortana_intelligence_customer360_spark.llmops import text
+
+    plan = plan_string(text.text_tfidf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

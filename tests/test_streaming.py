@@ -136,3 +136,35 @@ def test_stateful_count_survives_restart(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     counts = sorted(r["n_events"] for r in rows if r["user_id"] == 1)
     assert counts == [2, 3], rows  # update after b1, cumulative after b2
+
+
+def test_multifile_source_replays_chronologically(spark, sf_dir):
+    """The file stream source replays in modification-time order; the
+    multi-file events source must therefore carry ascending mtimes in
+    min(ts) order, or early files replayed late become watermark-dropped
+    late data (this silently lost stream-stream join matches once)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cortana_intelligence_customer360_spark.streaming.ops import (
+        _events_multifile_src,
+    )
+
+    src = _events_multifile_src(spark, sf_dir)
+    parts = glob.glob(src + "/part-*.parquet")
+    assert len(parts) >= 2
+
+    def min_ts(path):
+        md = pq.read_metadata(path)
+        idx = md.schema.names.index("ts")
+        return min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+
+    import os
+
+    by_mtime = sorted(parts, key=os.path.getmtime)
+    by_ts = sorted(parts, key=min_ts)
+    assert by_mtime == by_ts, "replay order must be chronological"

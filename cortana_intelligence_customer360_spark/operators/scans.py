@@ -110,6 +110,66 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
 FROM orders GROUP BY 1
 """
 
+
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read ONE year out of a year-partitioned orders layout: the
+    o_year predicate is a PartitionFilter, so only that partition's
+    files are listed and scanned - the access pattern that makes
+    time-sliced pipelines O(slice), not O(history), at 100 TB
+    (tests/test_plans.py pins the PartitionFilters plan shape)."""
+    out = scratch_dir("scan_partition_pruned", sf_dir)
+    if not os.path.isdir(os.path.join(out, "o_year=1996")):
+        orders = load_table(spark, sf_dir, "orders")
+        orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
+            "overwrite"
+        ).partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out).where(F.col("o_year") == 1996)
+    return back.groupBy("o_orderstatus").agg(
+        bcount().alias("n_orders"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+_SCAN_PRUNED_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_totalprice) AS max_price
+FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+"""
+
+
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: an old snapshot written without the
+    o_orderpriority column and a new snapshot written with it live in
+    one dataset; mergeSchema unifies them on read, NULL-filling the
+    missing column - how a long-lived lakehouse table absorbs schema
+    change without rewriting history. Old = orders before 1997, new =
+    the rest."""
+    out = scratch_dir("scan_schema_evolution", sf_dir)
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    if not os.path.isdir(os.path.join(out, "v_old")):
+        orders = load_table(spark, sf_dir, "orders")
+        orders.where(F.col("o_orderdate") < cutoff).drop(
+            "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(out, "v_old"))
+        orders.where(F.col("o_orderdate") >= cutoff).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "v_new"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "v_old"), os.path.join(out, "v_new")
+    )
+    return back.groupBy("o_orderstatus").agg(
+        bcount().alias("n_orders"),
+        F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+    )
+
+
+_SCAN_EVOLUTION_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       THEN o_orderpriority END) AS BIGINT) AS n_with_priority
+FROM orders GROUP BY 1
+"""
+
 _STREAM_SEQ = itertools.count(1)  # next() is atomic under CPython
 
 # events.ts on disk is INT64 ns (see sources/tables.py); the stream
@@ -168,6 +228,8 @@ QUERIES = {
     "scan_json_roundtrip": scan_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "sink_parquet_partitioned": sink_parquet_partitioned,
+    "scan_partition_pruned": scan_partition_pruned,
+    "scan_schema_evolution": scan_schema_evolution,
     "source_stream_files": source_stream_files,
 }
 
@@ -178,5 +240,7 @@ ORACLE = {
     "scan_json_roundtrip": "SELECT * FROM nation",
     "scan_orc_roundtrip": "SELECT * FROM supplier",
     "sink_parquet_partitioned": _SINK_PARTITIONED_SQL,
+    "scan_partition_pruned": _SCAN_PRUNED_SQL,
+    "scan_schema_evolution": _SCAN_EVOLUTION_SQL,
     "source_stream_files": _STREAM_SOURCE_SQL,
 }

@@ -68,3 +68,10 @@ def test_tfidf_df_table_is_broadcast(spark, sf_dir):
 
     plan = plan_string(text.text_tfidf_topk(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
+    """The o_year predicate must prune partitions at file-listing time
+    (PartitionFilters), not post-scan."""
+    plan = plan_string(scans.scan_partition_pruned(spark, sf_dir))
+    assert "PartitionFilters" in plan and "o_year" in plan, plan[:1500]

@@ -365,6 +365,25 @@ FROM events GROUP BY user_id
 """
 
 
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles per returnflag (approx_percentile /
+    KLL-style). R-tier like agg_approx_distinct: the sketch is
+    merge-associative (one map-side-combinable pass at any scale) but
+    its exact output depends on merge order, so there is no SQL oracle;
+    tests bound the rank error against the exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 1000)
+        .alias("price_quantiles")
+    ).select(
+        "l_returnflag",
+        F.col("price_quantiles")[0].alias("p25"),
+        F.col("price_quantiles")[1].alias("p50"),
+        F.col("price_quantiles")[2].alias("p75"),
+        F.col("price_quantiles")[3].alias("p95"),
+    )
+
+
 def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations between lineitem's numeric columns
     per returnflag group - one map-side-combinable pass (corr is
@@ -388,6 +407,7 @@ FROM lineitem GROUP BY 1
 
 
 QUERIES = {
+    "agg_approx_percentile": agg_approx_percentile,
     "agg_corr_matrix": agg_corr_matrix,
     "agg_pricing_summary": agg_pricing_summary,
     "agg_distinct_count": agg_distinct_count,

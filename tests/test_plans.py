@@ -75,3 +75,36 @@ def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
     (PartitionFilters), not post-scan."""
     plan = plan_string(scans.scan_partition_pruned(spark, sf_dir))
     assert "PartitionFilters" in plan and "o_year" in plan, plan[:1500]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning must engage when the
+    build side is selectively filtered: the probe side scans through a
+    might_contain() filter instead of feeding every row to the join -
+    at 100 TB this is the difference between shuffling the full fact
+    table and shuffling the ~matching slice."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+            F.col("p_size") == 1
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey)
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -36,6 +36,32 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
 
 
+def test_approx_percentile_rank_error_bounded(spark, sf_dir):
+    """The sketch quantile must land within accuracy-bound rank error
+    (1/accuracy = 0.1% of rows) of the exact percentile, checked by
+    rank position rather than value distance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["l_returnflag"]: [r["p25"], r["p50"], r["p75"], r["p95"]]
+        for r in aggregates.agg_approx_percentile(spark, sf_dir).collect()
+    }
+    for flag, quantiles in got.items():
+        vals = sorted(
+            r["l_extendedprice"]
+            for r in li.where(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, v in zip([0.25, 0.5, 0.75, 0.95], quantiles):
+            import bisect
+
+            rank = bisect.bisect_left(vals, v)
+            # 2x the nominal 1/accuracy rank error: duplicates and the
+            # bisect boundary each cost up to one extra rank position.
+            assert abs(rank - q * n) <= max(3, 2 * n / 1000 + 2), (flag, q, rank, n)
+
+
 def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     exact = {
         (r["a_id"], r["b_id"]): r["jaccard"]

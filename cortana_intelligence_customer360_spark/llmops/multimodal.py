@@ -1,17 +1,23 @@
 """Multimodal (binary) column plumbing (SURVEY.md §2.9 / BASELINE
 north star: "multimodal columns").
 
-Images/audio/video are opaque BINARY columns with typed metadata. The
-container has no decode libraries, so the decode step is STUBBED
-(deterministic fake derived from the bytes, or NotImplementedError for
-the real path) - but the Spark-side plumbing is real: BinaryType
-column, Arrow-batched mapInPandas with an explicit output schema, and
-batch-shape-independent semantics. Swapping the stub for PIL/ffmpeg
-changes only `_decode_payload`.
+Images/audio/video are opaque BINARY columns with typed metadata,
+decoded via Arrow-batched ``mapInPandas`` with an explicit output
+schema and batch-shape-independent semantics.
 
-The registered query is O-tier: the fake metadata is a deterministic
-function of the payload bytes, so DuckDB can recompute it from the
-source text - which verifies the whole Arrow round-trip byte-exactly.
+The decode path is REAL for PNG and WAV: ``llmops.codecs`` builds and
+parses both formats with stdlib-only code (magic sniffing, chunk
+CRC32 verification, zlib inflate, RIFF framing), so
+``multimodal_decode_png`` / ``multimodal_decode_wav`` exercise genuine
+encode -> BINARY column -> Arrow -> parse round trips. Their payload
+parameters derive deterministically from doc_id, so a DuckDB oracle
+recomputes every decoded field in closed form — any corruption in the
+binary plumbing (or the codecs) breaks the hash match.
+
+Formats beyond PNG/WAV (JPEG, MP4, ...) still need PIL/libav, absent
+in this container: ``_decode_payload`` falls back to a deterministic
+fake for unrecognized bytes, keeping the original O-tier query
+(``multimodal_decode_meta``) verifiable end to end.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.tables import load_table
+from .codecs import PNG_MAGIC, decode_png_meta, decode_wav_meta, encode_png, encode_wav
 
 HAVE_IMAGE_LIBS = False  # PIL/cv2 not in this container (by design)
 
@@ -42,10 +49,13 @@ META_SCHEMA = T.StructType(
 def _decode_payload(payload: bytes) -> tuple[int, int, int]:
     """Decode one media payload -> (width, height, checksum).
 
-    STUB: real decoding needs PIL/libav, absent here. The fake is a
-    deterministic function of the bytes (first/last byte + length +
-    a 64-bit additive checksum) so correctness of the surrounding
-    distributed plumbing is still fully verifiable."""
+    PNG payloads take the REAL path (stdlib parser in ``codecs``:
+    CRC-verified chunk walk + inflate). Other formats need PIL/libav,
+    absent here, and fall back to a deterministic fake of the bytes so
+    the surrounding distributed plumbing stays fully verifiable."""
+    if payload[:8] == PNG_MAGIC:
+        meta = decode_png_meta(payload)
+        return meta["width"], meta["height"], meta["pixel_sum"] % (1 << 31)
     if HAVE_IMAGE_LIBS:  # pragma: no cover - scaffolding for real libs
         raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
     width = (payload[0] if payload else 0) + len(payload) % 640
@@ -107,5 +117,155 @@ FROM b
 """
 
 
-QUERIES = {"multimodal_decode_meta": multimodal_decode_meta}
-ORACLE = {"multimodal_decode_meta": _DECODE_META_SQL}
+# ------------------------------------------------------ real decode
+# Payload parameters derive deterministically from doc_id, so the
+# oracle recomputes every decoded field in closed form while the Spark
+# side must round-trip REAL bytes: encode (mapInPandas) -> BINARY
+# column through Arrow -> parse (mapInPandas, CRC-verified). A single
+# flipped bit anywhere in the pipeline fails the CRC or the hash match.
+
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+        T.StructField("color_type", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 13 + 4, doc_id % 9 + 3
+
+
+def _encode_png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = _png_dims(d)
+            payloads.append(encode_png(w, h, lambda x, y: (d + 7 * x + 13 * y) % 256))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+def _decode_png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        metas = [decode_png_meta(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                **{
+                    k: pd.Series([m[k] for m in metas], dtype="int64")
+                    for k in ("width", "height", "bit_depth", "color_type", "pixel_sum")
+                },
+            }
+        )
+
+
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG round trip: build a valid grayscale PNG per document,
+    carry it as a BINARY column, parse it back (CRC-verified chunk
+    walk + zlib inflate) into typed metadata. Two Arrow boundaries;
+    no shuffle; linear in rows x pixels."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(_encode_png_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(_decode_png_batches, PNG_SCHEMA)
+
+
+_DECODE_PNG_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 9 + 3 AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, w AS width, h AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(0 AS BIGINT) AS color_type,
+       CAST(list_sum(flatten(list_transform(range(h), y ->
+            list_transform(range(w), x -> (doc_id + 7*x + 13*y) % 256))))
+            AS BIGINT) AS pixel_sum
+FROM dims
+"""
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("amp_sum", T.LongType()),
+    ]
+)
+
+_WAV_RATE = 8000
+
+
+def _wav_samples(doc_id: int) -> list[int]:
+    n = doc_id % 400 + 50
+    return [((doc_id * 31 + i * 17) % 4096) - 2048 for i in range(n)]
+
+
+def _wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a PCM16 WAV per doc, then parse it back via the real
+    RIFF parser — one fused stage (the byte round trip is in-process;
+    the PNG query already pins the cross-Arrow BINARY transfer)."""
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            payload = encode_wav(_WAV_RATE, _wav_samples(int(d)))
+            m = decode_wav_meta(payload)
+            rows.append(
+                (int(d), len(payload), m["sample_rate"], m["n_samples"],
+                 m["duration_us"], m["amp_sum"])
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_bytes", "sample_rate", "n_samples",
+                     "duration_us", "amp_sum"],
+        ).astype("int64")
+
+
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV (RIFF/PCM16) encode + header/sample parse per doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_wav_batches, WAV_SCHEMA)
+
+
+# n_bytes is closed-form because the WAV header is a fixed 44 bytes +
+# 2 bytes per PCM16 sample; duration_us = n * 1e6 / 8000 = n * 125.
+_DECODE_WAV_SQL = """
+WITH p AS (SELECT doc_id, CAST(doc_id % 400 + 50 AS BIGINT) AS n FROM documents)
+SELECT doc_id,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       n AS n_samples,
+       CAST(n * 125 AS BIGINT) AS duration_us,
+       CAST(list_sum(list_transform(range(n), i ->
+            abs((doc_id * 31 + i * 17) % 4096 - 2048))) AS BIGINT) AS amp_sum
+FROM p
+"""
+
+
+QUERIES = {
+    "multimodal_decode_meta": multimodal_decode_meta,
+    "multimodal_decode_png": multimodal_decode_png,
+    "multimodal_decode_wav": multimodal_decode_wav,
+}
+ORACLE = {
+    "multimodal_decode_meta": _DECODE_META_SQL,
+    "multimodal_decode_png": _DECODE_PNG_SQL,
+    "multimodal_decode_wav": _DECODE_WAV_SQL,
+}

@@ -61,6 +61,46 @@ def test_tpch_q5_all_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_tpch_q4_exists_is_semi_join(spark, sf_dir):
+    """The EXISTS predicate must compile to a LeftSemi hash join (one
+    pass over lineitem, no output amplification), with the extra
+    shipdate inequality as the join's non-equi condition."""
+    from cortana_intelligence_customer360_spark.operators import tpch
+
+    plan = plan_string(tpch.tpch_q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:1500]
+
+
+def test_tpch_q19_part_conjuncts_push_to_scan(spark, sf_dir):
+    """The disjunction mixes columns of both tables so it can't fully
+    push below the join, but its part-only residue (brand IN + size
+    bound) must still reach the part scan as PushedFilters, and the
+    part side must broadcast."""
+    from cortana_intelligence_customer360_spark.operators import tpch
+
+    plan = plan_string(tpch.tpch_q19_disjunctive(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "p_brand" in plan, plan[:2000]
+
+
+def test_tpch_q15_aggregates_before_join(spark, sf_dir):
+    """Per-supplier revenue must aggregate lineitem BEFORE the supplier
+    join (the join input is supplier-cardinality, not line-cardinality)
+    and the scalar max must arrive via broadcast, not a shuffle."""
+    from cortana_intelligence_customer360_spark.operators import tpch
+
+    plan = plan_string(tpch.tpch_q15_top_supplier(spark, sf_dir))
+    assert "partial_" in plan  # map-side combine on the revenue sum
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tpch_q22_no_orders_is_anti_join(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators import tpch
+
+    plan = plan_string(tpch.tpch_q22_idle_customers(spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:1500]
+
+
 def test_tfidf_df_table_is_broadcast(spark, sf_dir):
     """The document-frequency table is vocabulary-sized, not corpus-
     sized: it must reach the per-doc scoring join as a broadcast."""

@@ -428,8 +428,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation - labels only decrease, so the sum of labels is a
     strictly-decreasing fixpoint witness; components here are tiny
     (pair chains), so convergence is a couple of rounds. At real scale
-    this becomes the alternating large-star/small-star algorithm or a
-    Pregel loop; the join-per-round structure is the same.
+    use :func:`dedup_cluster_stars` (alternating large-star/small-star,
+    O(log^2 n) rounds independent of diameter); the join-per-round
+    structure is the same.
 
     Oracle: DuckDB recursive CTE computing the transitive closure."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -481,6 +482,79 @@ GROUP BY d.doc_id
 """
 
 
+def dedup_cluster_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the real-scale form of :func:`dedup_cluster`: O(log^2 n) rounds
+    regardless of component diameter, where min-label propagation needs
+    O(diameter) rounds and a 100-TB near-dup chain can be long.
+
+    Each round is two groupBy+join passes over the (large -> small)
+    edge list; edges monotonically re-point at smaller nodes, so
+    (count, sum(u), sum(v)) is a terminating fixpoint witness. At the
+    fixpoint the edge list IS the star forest: every non-root node
+    carries exactly one edge to its component minimum.
+
+    Oracle: the same DuckDB recursive-CTE transitive closure as
+    dedup_cluster (identical output contract)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    return _star_components(docs, pairs)
+
+
+def _star_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Large-star/small-star core over (doc_id) nodes and (a_id, b_id)
+    undirected edges; returns (doc_id, cluster_id=component min)."""
+    # Orient every edge large -> small: u > v invariant held throughout.
+    edges = pairs.select(
+        F.greatest("a_id", "b_id").alias("u"), F.least("a_id", "b_id").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    prev = None
+    while True:
+        # LARGE-STAR: symmetrize; per node u with m = min(N(u) ∪ {u}),
+        # re-point every strictly-larger neighbor v > u at m.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("minv"))
+            .select("u", F.least("minv", "u").alias("m"))
+        )
+        ls = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: edges already point large -> small; per node u
+        # with m = min(N(u)), re-point u and every other neighbor at m.
+        smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            ls.join(smin, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()  # cut the iterative lineage per round
+        )
+        agg = edges.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).first()
+        cur = tuple(agg)
+        if cur == prev:
+            break
+        prev = cur
+    parent = edges.groupBy("u").agg(F.min("v").alias("p"))
+    return docs.join(parent, docs.doc_id == parent.u, "left").select(
+        "doc_id",
+        F.least(F.col("doc_id"), F.coalesce("p", F.col("doc_id")))
+        .cast("long")
+        .alias("cluster_id"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -488,6 +562,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster": dedup_cluster,
+    "dedup_cluster_stars": dedup_cluster_stars,
 }
 
 ORACLE = {
@@ -497,4 +572,5 @@ ORACLE = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMB_COSINE_SQL,
     "dedup_cluster": _cluster_sql(),
+    "dedup_cluster_stars": _cluster_sql(),
 }

@@ -352,3 +352,37 @@ def test_dedup_exact_micro(spark, sf_dir, tmp_path):
     keys = keyed.groupBy("text_key").agg(F.min("doc_id").alias("keep_id")).collect()
     assert len(keys) == 2
     assert {r["keep_id"] for r in keys} == {1, 3}
+
+
+def test_star_components_deep_chain_and_rings(spark):
+    """Large-star/small-star must converge on structures far deeper
+    than the corpus's pair chains: a 30-node chain (diameter 29), a
+    ring, a star, and isolated nodes — every node must label with its
+    component minimum, which min-label propagation would need ~30
+    rounds to reach but LS/SS reaches in O(log^2 n)."""
+    chain = [(i, i + 1) for i in range(100, 129)]          # component min 100
+    ring = [(200, 201), (201, 202), (202, 203), (203, 200)]  # min 200
+    star = [(307, 300), (307, 301), (307, 302)]             # min 300
+    nodes = sorted(
+        {x for e in chain + ring + star for x in e} | {400, 401}  # isolated
+    )
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    pairs = spark.createDataFrame(chain + ring + star, "a_id long, b_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup._star_components(docs, pairs).collect()
+    }
+    for n in range(100, 130):
+        assert got[n] == 100, (n, got[n])
+    for n in (200, 201, 202, 203):
+        assert got[n] == 200
+    for n in (300, 301, 302, 307):
+        assert got[n] == 300
+    assert got[400] == 400 and got[401] == 401
+
+
+def test_star_components_empty_edges(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup._star_components(docs, pairs).collect()}
+    assert got == {1: 1, 2: 2}

@@ -82,6 +82,12 @@ HEAVY = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "agg_pivot",
+    # round-2 second-session additions
+    "merge_upsert",
+    "scd2_history",
+    "dedup_cluster_stars",
+    "tpch_q8_market_share",
+    "multimodal_decode_png",
 ]
 
 

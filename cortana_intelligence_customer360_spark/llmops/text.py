@@ -314,8 +314,74 @@ QUALIFY rnk <= 3
 """
 
 
+# Misra-Gries sketch size and the heavy-hitter threshold (1/50 = 2% of
+# all token occurrences). Guarantee: a sketch of K counters undercounts
+# any word by at most n_p/(K+1) within its partition; a globally-heavy
+# word has count_p >= n_p/50 in at least one partition (pigeonhole), and
+# n_p/50 > n_p/(K+1) for K=256, so every true heavy hitter reaches the
+# candidate set. The exact phase then makes the final answer sketch-free.
+_HH_K = 256
+_HH_INV_PHI = 50
+
+
+def _mg_sketch(batches):
+    """mapInPandas worker: ONE bounded Misra-Gries sketch per partition
+    (the iterator spans all of the partition's batches). Batched
+    decrement: subtracting the (K+1)-th largest count from every
+    counter removes >= (K+1)*dec occurrences, preserving the n/(K+1)
+    undercount bound of the classic one-at-a-time form."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for w, c in pdf["word"].value_counts().items():
+            counters[w] = counters.get(w, 0) + int(c)
+        if len(counters) > _HH_K:
+            dec = sorted(counters.values(), reverse=True)[_HH_K]
+            counters = {w: c - dec for w, c in counters.items() if c > dec}
+    yield pd.DataFrame({"word": pd.Series(list(counters), dtype="object")})
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters (words with >= 2% of all occurrences),
+    two-phase: (1) per-partition Misra-Gries sketches — O(K) state per
+    task regardless of vocabulary size, the 100 TB property — emit a
+    candidate set that provably contains every true heavy hitter;
+    (2) one exact count restricted to the (tiny, broadcast) candidates.
+    The output is therefore EXACT — the sketch only prunes the
+    aggregation's key space — and the threshold test is integer math
+    (cnt * 50 >= total), identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    cands = words.mapInPandas(_mg_sketch, "word string").distinct()
+    total = words.agg(bcount().alias("n_total"))
+    return (
+        words.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(bcount().alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * _HH_INV_PHI >= F.col("n_total"))
+        .select("word", "cnt")
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+WITH w AS (
+  SELECT unnest(str_split(text, ' ')) AS word FROM documents),
+ww AS (SELECT word FROM w WHERE word != ''),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ww)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM ww, tot
+GROUP BY word, n_total
+HAVING count(*) * 50 >= n_total
+"""
+
+
 QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
+    "text_heavy_hitters": text_heavy_hitters,
     "text_stats": text_stats,
     "text_ngram_profile": text_ngram_profile,
     "text_lang_profile": text_lang_profile,
@@ -326,6 +392,7 @@ QUERIES = {
 
 ORACLE = {
     "text_tfidf_topk": _TFIDF_SQL,
+    "text_heavy_hitters": _HEAVY_HITTERS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_ngram_profile": _NGRAM_PROFILE_SQL,
     "text_lang_profile": _LANG_PROFILE_SQL,

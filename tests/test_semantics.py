@@ -386,3 +386,23 @@ def test_star_components_empty_edges(spark):
     pairs = spark.createDataFrame([], "a_id long, b_id long")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup._star_components(docs, pairs).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_misra_gries_candidates_cover_true_heavies():
+    """MG guarantee: after the batched-decrement sketch, every word
+    with true count > n/(K+1) must survive as a candidate — checked on
+    an adversarial stream (one heavy word drip-fed among churn)."""
+    import pandas as pd
+    from cortana_intelligence_customer360_spark.llmops import text as t
+
+    # 40k filler words all distinct (max churn) + 2k of one heavy word
+    # interleaved across batches.
+    batches = []
+    for b in range(20):
+        filler = [f"w{b}_{i}" for i in range(2000)]
+        heavy = ["HEAVY"] * 100
+        batches.append(pd.DataFrame({"word": filler + heavy}))
+    out = pd.concat(list(t._mg_sketch(iter(batches))))
+    n = 20 * 2100
+    assert n / (t._HH_K + 1) < 2000  # heavy (2000) is above the bound
+    assert "HEAVY" in set(out["word"]), "true heavy hitter pruned by sketch"

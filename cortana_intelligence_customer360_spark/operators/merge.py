@@ -141,11 +141,92 @@ WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: enrich every order with the SCD2
+    dimension version valid at its order date — the lookup pattern any
+    type-2 dimension exists to serve. The predicate is an equi-join on
+    the business key plus the half-open validity range
+    [valid_from, valid_to); the open current version matches via the
+    NULL end. Spark plans the equi-key as the hash join key and the
+    range as a post-join filter — one shuffle on custkey.
+
+    Self-validating: validity boundaries are themselves order dates, so
+    each order matches exactly one version, its own run's — matched
+    priority equals the order's own priority (asserted in tests)."""
+    orders_all = load_table(spark, sf_dir, "orders")
+    # Tie-granular dimension: validity boundaries as (date, orderkey)
+    # tuples, because two same-day orders for one customer can flip the
+    # priority intra-day — a date-granular [from, to) would exclude the
+    # earlier order from its own run. Struct comparison is lexicographic
+    # in Spark exactly as row-value comparison is in DuckDB.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = orders_all.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+    ).where(
+        F.col("prev_prio").isNull()
+        | (F.col("prev_prio") != F.col("o_orderpriority"))
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = marked.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        epoch_us("o_orderdate").alias("from_us"),
+        F.col("o_orderkey").alias("from_key"),
+        epoch_us(F.lead("o_orderdate").over(wv)).alias("to_us"),
+        F.lead("o_orderkey").over(wv).alias("to_key"),
+        F.row_number().over(wv).cast("long").alias("version_no"),
+    )
+    orders = orders_all.select(
+        "o_orderkey", "o_custkey", epoch_us("o_orderdate").alias("od_us")
+    )
+    at = F.struct(orders.od_us, orders.o_orderkey)
+    return orders.join(
+        dim,
+        (orders.o_custkey == dim.custkey)
+        & (at >= F.struct(dim.from_us, dim.from_key))
+        & (
+            dim.to_us.isNull()
+            | (at < F.struct(dim.to_us, dim.to_key))
+        ),
+    ).select("o_orderkey", "custkey", "priority", "version_no")
+
+
+_SCD2_PIT_SQL = f"""
+WITH marked AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         lag(o_orderpriority) OVER w AS prev_prio
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+dim AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         {epoch_us_sql('o_orderdate')} AS from_us,
+         o_orderkey AS from_key,
+         {epoch_us_sql('lead(o_orderdate) OVER w2')} AS to_us,
+         lead(o_orderkey) OVER w2 AS to_key,
+         CAST(row_number() OVER w2 AS BIGINT) AS version_no
+  FROM marked
+  WHERE prev_prio IS NULL OR prev_prio != o_orderpriority
+  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+SELECT o_orderkey, custkey, priority, version_no
+FROM orders JOIN dim
+  ON o_custkey = custkey
+ AND ({epoch_us_sql('o_orderdate')}, o_orderkey) >= (from_us, from_key)
+ AND (to_us IS NULL
+      OR ({epoch_us_sql('o_orderdate')}, o_orderkey) < (to_us, to_key))
+"""
+
+
 QUERIES = {
     "merge_upsert": merge_upsert,
     "scd2_history": scd2_history,
+    "scd2_pointintime_join": scd2_pointintime_join,
 }
 ORACLE = {
     "merge_upsert": _MERGE_SQL,
     "scd2_history": _SCD2_SQL,
+    "scd2_pointintime_join": _SCD2_PIT_SQL,
 }

@@ -406,3 +406,23 @@ def test_misra_gries_candidates_cover_true_heavies():
     n = 20 * 2100
     assert n / (t._HH_K + 1) < 2000  # heavy (2000) is above the bound
     assert "HEAVY" in set(out["word"]), "true heavy hitter pruned by sketch"
+
+
+def test_scd2_pit_join_matches_every_order_exactly_once(spark, sf_dir):
+    """Temporal-join self-validation: validity boundaries are order
+    dates, so every order matches exactly one SCD2 version and that
+    version carries the order's own priority."""
+    from cortana_intelligence_customer360_spark.operators import merge
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    pit = merge.scd2_pointintime_join(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    assert pit.count() == n_orders, "temporal join dropped or duplicated orders"
+    assert pit.select("o_orderkey").distinct().count() == n_orders
+    mismatch = (
+        pit.join(orders, "o_orderkey")
+        .where(F.col("priority") != F.col("o_orderpriority"))
+        .count()
+    )
+    assert mismatch == 0, "an order matched a version from a different run"

@@ -1,0 +1,166 @@
+"""Graph analytics over the supplier<->customer trade graph: PageRank
+(fixed-iteration, cross-engine bit-deterministic) and a deterministic
+hash sampler for reproducible pipeline subsetting.
+
+PageRank determinism across engines is the interesting part: the
+per-node rank sum over incoming edges is order-dependent in doubles,
+so each edge contribution is quantized to DECIMAL(38,12) before the
+sum (exact, order-independent, ~5e-13 quantization error per edge so
+rank mass stays conserved to ~1e-6) and the total cast back to double —
+the same discipline ``compat.dsum`` applies to revenue sums, applied
+per iteration. Five iterations of join + groupBy build one lazy plan;
+at 100 TB each iteration is a single shuffle on the destination key,
+and the rank/out-degree table is node-cardinality, far smaller than
+the edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import bcount
+from ..sources.tables import load_table
+
+_DAMPING = 0.85
+_ITERS = 5
+_SUPP_OFFSET = 1_000_000  # supplier node ids, disjoint from custkeys
+_DEC = "decimal(38,12)"
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier<->customer trade edges (symmetric: one edge
+    each way), node ids in one space via the supplier offset."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("s"),
+            F.col("o_custkey").alias("c"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five damped PageRank iterations over the trade graph, returning
+    (node, rank rounded to 9 dp). Every float step is either a single
+    IEEE op on identical operands in both engines or an exact decimal
+    sum, so the oracle hash-matches bit-for-bit."""
+    # Materialize the DEGREE-WEIGHTED edge list once: out-degree is
+    # static across iterations, so folding it in up front saves a join
+    # per iteration; the checkpoint stops the lineitem-orders join from
+    # re-running per iteration (and the per-iteration checkpoints below
+    # keep the plan depth constant instead of quintupling).
+    raw = _edges(spark, sf_dir)
+    deg = raw.groupBy("src").agg(bcount().alias("outdeg"))
+    edges = raw.join(deg, "src").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(bcount().alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "n", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks.select("node", "rank"), edges.src == F.col("node"))
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("outdeg").cast("double"))
+                .cast(_DEC)
+                .alias("q"),
+            )
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("q").cast("double").alias("acc"))
+        ranks = (
+            ranks.select("node", "n")
+            .join(summed, F.col("node") == summed.dst, "left")
+            .select(
+                "node",
+                "n",
+                (
+                    (1.0 - _DAMPING) / F.col("n").cast("double")
+                    + F.lit(_DAMPING) * F.coalesce("acc", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_sql() -> str:
+    """Unrolled-iteration oracle (DuckDB disallows aggregates in the
+    recursive term of a recursive CTE, and the iteration count is fixed
+    anyway). Mirrors the Spark math op for op, including the DECIMAL
+    quantization of edge contributions."""
+    base = f"""
+pairs AS (
+  SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT node, n, 1.0 / CAST(n AS DOUBLE) AS rank FROM nodes, nn)"""
+    steps = []
+    for i in range(_ITERS):
+        steps.append(f"""
+s{i} AS (
+  SELECT e.dst, r.n,
+         CAST(SUM(CAST(r.rank / CAST(d.outdeg AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) AS acc
+  FROM edges e
+  JOIN r{i} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY 1, 2),
+r{i + 1} AS (
+  SELECT r.node, r.n,
+         (1.0 - {_DAMPING}) / CAST(r.n AS DOUBLE)
+           + {_DAMPING} * COALESCE(s.acc, 0.0) AS rank
+  FROM r{i} r LEFT JOIN s{i} s ON r.node = s.dst)""")
+    return (
+        "WITH "
+        + ",".join([base] + steps)
+        + f"\nSELECT node, round(rank, 9) AS rank FROM r{_ITERS}"
+    )
+
+
+def sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of orders: keep rows whose md5(key)
+    prefix falls below the threshold. Unlike TABLESAMPLE/rand(), the
+    selection is a pure function of the key — reproducible across
+    engines, runs, partitionings, and retries, which is what a
+    training-data pipeline needs from a sampler. Map-only: no shuffle,
+    prunes at scan speed."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return orders.where(bucket % 100 < 10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+"""
+
+
+QUERIES = {
+    "graph_pagerank": graph_pagerank,
+    "sample_hash_pct": sample_hash_pct,
+}
+ORACLE = {
+    "graph_pagerank": _pagerank_sql(),
+    "sample_hash_pct": _SAMPLE_SQL,
+}

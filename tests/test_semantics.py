@@ -426,3 +426,15 @@ def test_scd2_pit_join_matches_every_order_exactly_once(spark, sf_dir):
         .count()
     )
     assert mismatch == 0, "an order matched a version from a different run"
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """With a symmetric (dangling-free) graph, damped PageRank
+    preserves total probability mass: ranks sum to 1 (up to the 9 dp
+    output rounding), and every rank is positive."""
+    from cortana_intelligence_customer360_spark.operators import graph
+
+    rows = graph.graph_pagerank(spark, sf_dir).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-5, total
+    assert all(r["rank"] > 0 for r in rows)

@@ -399,7 +399,83 @@ GROUP BY 1, 2
 """
 
 
+def feat_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel per user: first 'view', then the first
+    'click' AFTER that view, then the first 'purchase' AFTER that
+    click. Later stages condition on the previous stage's timestamp, so
+    the funnel is three aggregate stages, each a groupBy(user) feeding
+    a user-key join — every shuffle is on the same key and carries one
+    row per user, not the event stream. depth counts completed stages.
+
+    Timestamps compare in epoch-µs (events.ts is ns-truncated on read
+    in both engines)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("depth"),
+        )
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, {epoch_us_sql('ts')} AS ts_us FROM events),
+s1 AS (
+  SELECT user_id, MIN(ts_us) AS t_view FROM e
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(ts_us) AS t_click
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, MIN(ts_us) AS t_purchase
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1)
+SELECT s1.user_id, t_view, t_click, t_purchase,
+       CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS depth
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 QUERIES = {
+    "feat_funnel_conversion": feat_funnel_conversion,
     "feat_target_encoding": feat_target_encoding,
     "feat_train_test_split": feat_train_test_split,
     "feat_rfm": feat_rfm,
@@ -412,6 +488,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "feat_funnel_conversion": _FUNNEL_SQL,
     "feat_target_encoding": _TARGET_ENC_SQL,
     "feat_train_test_split": _TRAIN_SPLIT_SQL,
     "feat_rfm": _RFM_SQL,

@@ -104,6 +104,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregation (R-tier): build a Datasketches HLL
+    sketch of distinct users INDEPENDENTLY over two disjoint halves of
+    the event stream (early/late by event_id parity here; in production,
+    per partition/day), then union the serialized sketches and estimate.
+
+    This is the incremental-aggregation pattern a 100 TB pipeline
+    needs: per-chunk sketches are tiny, persistable, and merge without
+    re-reading the source — re-aggregation cost is O(sketches), not
+    O(events). Tests assert the merged estimate is within 5% of the
+    exact distinct count and equals a single-pass sketch's estimate."""
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.withColumn("half", F.pmod("event_id", F.lit(2)).cast("int"))
+    per_half = halves.groupBy("event_type", "half").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return per_half.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("merged_users"),
+        bcount().alias("n_sketches"),
+    )
+
+
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment min/max/avg/stddev_samp/var_samp of c_acctbal.
 
@@ -407,6 +431,7 @@ FROM lineitem GROUP BY 1
 
 
 QUERIES = {
+    "agg_sketch_merge": agg_sketch_merge,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_corr_matrix": agg_corr_matrix,
     "agg_pricing_summary": agg_pricing_summary,

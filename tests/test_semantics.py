@@ -438,3 +438,37 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     total = sum(r["rank"] for r in rows)
     assert abs(total - 1.0) < 1e-5, total
     assert all(r["rank"] > 0 for r in rows)
+
+
+def test_sketch_merge_matches_single_pass_and_exact(spark, sf_dir):
+    """Merging per-half HLL sketches must (a) estimate within 5% of the
+    exact distinct count and (b) agree with a single-pass sketch built
+    over the whole stream — the mergeability property that lets a
+    pipeline re-aggregate from stored sketches instead of raw events."""
+    from cortana_intelligence_customer360_spark.operators import aggregates
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    merged = {
+        r["event_type"]: r["merged_users"]
+        for r in aggregates.agg_sketch_merge(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    single = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(merged[et] - n) <= max(2, 0.05 * n), (et, merged[et], n)
+        assert merged[et] == single[et], "merge of halves != single-pass sketch"

@@ -88,6 +88,7 @@ HEAVY = [
     "dedup_cluster_stars",
     "tpch_q8_market_share",
     "multimodal_decode_png",
+    "graph_pagerank",
 ]
 
 

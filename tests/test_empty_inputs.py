@@ -50,3 +50,64 @@ def test_profile_join_without_events_keeps_spine(spark, sf_dir):
     prof = profile_frame(customer, orders, _empty_events(spark), nation)
     assert prof.count() == customer.count()
     assert prof.where(F.col("n_click") != 0).count() == 0
+
+
+def test_mg_sketch_on_empty_stream():
+    import pandas as pd
+
+    from cortana_intelligence_customer360_spark.llmops.text import _mg_sketch
+
+    out = pd.concat(list(_mg_sketch(iter([pd.DataFrame({"word": []})]))))
+    assert len(out) == 0 and list(out.columns) == ["word"]
+
+
+def test_codecs_reject_empty_payloads():
+    import pytest as _pytest
+
+    from cortana_intelligence_customer360_spark.llmops.codecs import (
+        decode_png_meta,
+        decode_wav_meta,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_png_meta(b"")
+    with _pytest.raises(ValueError):
+        decode_wav_meta(b"")
+
+
+def test_pagerank_on_empty_edge_graph(spark):
+    """No edges -> no nodes -> empty result with the right schema, not
+    a crash in the fixpoint loop."""
+    from unittest import mock
+
+    from cortana_intelligence_customer360_spark.operators import graph
+
+    empty_li = spark.createDataFrame([], "l_orderkey long, l_suppkey long")
+    empty_orders = spark.createDataFrame([], "o_orderkey long, o_custkey long")
+
+    def fake_load(spark_, sf_dir_, name):
+        return {"lineitem": empty_li, "orders": empty_orders}[name]
+
+    with mock.patch.object(graph, "load_table", fake_load):
+        out = graph.graph_pagerank(spark, "unused")
+        assert out.columns == ["node", "rank"]
+        assert out.count() == 0
+
+
+def test_funnel_without_purchases_caps_depth(spark):
+    from unittest import mock
+
+    from cortana_intelligence_customer360_spark.features import core as fc
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-02 00:00:00", 7, "view", 1.0, ""),
+            (2, "2024-01-02 00:10:00", 7, "click", 1.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    with mock.patch.object(fc, "load_table", lambda s, d, n: ev):
+        rows = fc.feat_funnel_conversion(spark, "unused").collect()
+    assert len(rows) == 1
+    assert rows[0]["depth"] == 2 and rows[0]["t_purchase"] is None

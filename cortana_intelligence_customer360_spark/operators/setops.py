@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import epoch_us
-from ..sources.tables import load_table
+from ..sources.tables import EVENT_TYPES, load_table
 
 
 def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +134,79 @@ SELECT o_custkey FROM orders
 """
 
 
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort on a genuinely nullable key with EXPLICIT null placement —
+    the cross-engine trap this op exists to pin: Spark's default is
+    NULLS FIRST for ASC, DuckDB's is NULLS LAST, so any sort on a
+    nullable key that doesn't spell out the placement silently differs
+    between engines. NULLIF manufactures the nulls (zero-balance
+    customers), rank makes the ordering hash-verifiable."""
+    cust = load_table(spark, sf_dir, "customer")
+    nullable_bal = F.when(F.col("c_acctbal") < 0, None).otherwise(
+        F.col("c_acctbal")
+    )
+    ordering = [
+        F.col("bal_or_null").asc_nulls_first(),
+        F.col("c_custkey").asc(),
+    ]
+    w = Window.orderBy(*ordering)
+    return (
+        cust.select("c_custkey", nullable_bal.alias("bal_or_null"))
+        .orderBy(*ordering)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "c_custkey",
+            "bal_or_null",
+        )
+    )
+
+
+_SORT_NULLS_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+  FROM customer)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY bal_or_null ASC NULLS FIRST,
+                               c_custkey ASC) AS BIGINT) AS rank,
+       c_custkey, bal_or_null
+FROM c
+"""
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the inverse of agg_pivot — fold the per-type
+    event-count matrix back into (user_id, event_type, n) rows.
+    Wide->long reshape is map-only (each row expands in place, no
+    shuffle beyond the pivot's own aggregation)."""
+    from ..operators.aggregates import event_type_pivot
+
+    ev = load_table(spark, sf_dir, "events")
+    wide = event_type_pivot(ev)
+    value_cols = [c for c in wide.columns if c.startswith("n_")]
+    return (
+        wide.unpivot("user_id", value_cols, "event_type", "n")
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .where(F.col("n") > 0)
+    )
+
+
+def _unpivot_sql() -> str:
+    from ..operators.aggregates import pivot_oracle_sql
+
+    return f"""
+WITH wide AS ({pivot_oracle_sql()}),
+long AS (
+  UNPIVOT wide ON {', '.join(f'n_{t}' for t in sorted(EVENT_TYPES))}
+  INTO NAME event_type VALUE n)
+SELECT user_id, substring(event_type, 3) AS event_type, n
+FROM long WHERE n > 0
+"""
+
+
+
 QUERIES = {
+    "sort_nulls_ordering": sort_nulls_ordering,
+    "agg_unpivot": agg_unpivot,
     "sort_multikey": sort_multikey,
     "topk_global": topk_global,
     "set_union_all": set_union_all,
@@ -144,6 +216,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sort_nulls_ordering": _SORT_NULLS_SQL,
+    "agg_unpivot": _unpivot_sql(),
     "sort_multikey": _SORT_SQL,
     "topk_global": _TOPK_SQL,
     "set_union_all": _UNION_ALL_SQL,

@@ -23,6 +23,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.operators.setops",
     "cortana_intelligence_customer360_spark.operators.quality",
     "cortana_intelligence_customer360_spark.operators.tpch",
+    "cortana_intelligence_customer360_spark.operators.tpch2",
     "cortana_intelligence_customer360_spark.operators.merge",
     "cortana_intelligence_customer360_spark.operators.graph",
     "cortana_intelligence_customer360_spark.functions.scalar",

@@ -148,3 +148,47 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q6_filters_push_to_scan(spark, sf_dir):
+    """Q6 is pure scan-filter-agg: all three predicates must reach the
+    parquet reader as PushedFilters, and the ReadSchema must carry only
+    the four referenced columns."""
+    from cortana_intelligence_customer360_spark.operators import tpch2
+
+    plan = plan_string(tpch2.tpch_q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_discount" in plan.split("PushedFilters:")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_tpch_q21_exists_shapes(spark, sf_dir):
+    """Q21's EXISTS must stay a LeftSemi and its NOT EXISTS a LeftAnti
+    (never a full join + filter), both equi on orderkey so they hash
+    rather than nested-loop."""
+    from cortana_intelligence_customer360_spark.operators import tpch2
+
+    plan = plan_string(tpch2.tpch_q21_waiting_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoop", "")
+
+
+def test_tpch_q2_dims_broadcast_and_agg_first(spark, sf_dir):
+    """Q2: part/supplier/nation/region and the per-part min table all
+    broadcast; lineitem aggregates (partial phase) before the min-
+    equality join, so the fact table shuffles only on the group keys."""
+    from cortana_intelligence_customer360_spark.operators import tpch2
+
+    plan = plan_string(tpch2.tpch_q2_min_cost_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan
+
+
+def test_tpch_q16_not_in_is_anti_join(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators import tpch2
+
+    plan = plan_string(tpch2.tpch_q16_supplier_count(spark, sf_dir))
+    assert "LeftAnti" in plan

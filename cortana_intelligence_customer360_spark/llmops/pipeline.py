@@ -1,0 +1,232 @@
+"""Training-data pipeline operators beyond dedup/similarity: benchmark
+contamination detection, document chunking, and sequence packing — the
+steps between "raw corpus" and "batches on the trainer".
+
+All three are pure built-in column expressions (whole-stage codegen, no
+Python), with full DuckDB oracles.
+
+Scale notes per operator:
+- contamination: the benchmark side of the inverted-index join is tiny
+  by nature (eval sets are thousands of docs), so its shingle index
+  BROADCASTS; the 100 TB train corpus streams past it map-side and is
+  never shuffled.
+- chunking: embarrassingly parallel map (explode multiplies rows ~x
+  n_chunks, no shuffle).
+- packing: one shuffle on the salt bucket; each bucket packs
+  independently, so parallelism is B-wide regardless of corpus size and
+  no window ever sees more than 1/B of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Word-n-gram order for contamination matching. 3 is right for this
+# synthetic small-vocabulary corpus; real pipelines use 8-13 (GPT-3
+# appendix C uses 13-grams) — the plan shape is identical.
+_CONTAM_N = 3
+# Report a train-bench pair when it shares at least this many distinct
+# shingles.
+_CONTAM_MIN_COMMON = 3
+# Benchmark slice: two of the twenty sources play the role of the eval
+# set being screened against.
+_BENCH_SOURCES = ("src0", "src1")
+
+# Chunking: window of 16 tokens advancing by 12 (4-token overlap).
+_CHUNK_LEN = 16
+_CHUNK_STRIDE = 12
+
+# Packing: trainer context window in tokens, and the salt-bucket count
+# that bounds how much data any one packing window sees.
+_PACK_CTX = 256
+_PACK_BUCKETS = 32
+
+
+def _shingles(n: int):
+    """Array of distinct word n-grams of the materialized `toks` col."""
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: which training documents share
+    >= _CONTAM_MIN_COMMON distinct word 3-grams with an eval-set
+    document, and what fraction of that eval doc they cover
+    (containment = |common| / |bench shingles| — two exact integers,
+    so the division is bit-identical across engines).
+
+    The eval-set shingle index is broadcast (benchmarks are small by
+    nature); the train corpus is filtered map-side against it and only
+    the surviving (train, bench, shingle) hits shuffle into the
+    per-pair count — the corpus itself never reshuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    sh = docs.select(
+        "doc_id", "source", F.explode(_shingles(_CONTAM_N)).alias("shingle")
+    )
+    is_bench = F.col("source").isin(*_BENCH_SOURCES)
+    bench = sh.where(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = sh.where(~is_bench).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    bench_sizes = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench_sh")
+    )
+    pairs = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= _CONTAM_MIN_COMMON)
+    )
+    return pairs.join(F.broadcast(bench_sizes), "bench_id").select(
+        "train_id",
+        "bench_id",
+        F.col("n_common").cast("long").alias("n_common"),
+        (F.col("n_common").cast("double") / F.col("n_bench_sh").cast("double")).alias(
+            "containment"
+        ),
+    )
+
+
+_CONTAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source, UNNEST(list_distinct(
+           list_transform(range(len(l) - {_CONTAM_N - 1}),
+                          i -> concat_ws(' ', l[i+1], l[i+2], l[i+3])))) AS shingle
+  FROM (SELECT doc_id, source, str_split(text, ' ') AS l FROM documents)),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+          WHERE source IN ('src0', 'src1')),
+train AS (SELECT doc_id AS train_id, shingle FROM sh
+          WHERE source NOT IN ('src0', 'src1')),
+bs AS (SELECT bench_id, COUNT(*) AS n_bench_sh FROM bench GROUP BY 1),
+pairs AS (
+  SELECT train_id, bench_id, COUNT(*) AS n_common
+  FROM train JOIN bench USING (shingle)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_CONTAM_MIN_COMMON})
+SELECT train_id, bench_id,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(n_bench_sh AS DOUBLE) AS containment
+FROM pairs JOIN bs USING (bench_id)
+"""
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (len {_CHUNK_LEN}, stride
+    {_CHUNK_STRIDE}): the RAG/pretraining preprocessing step that turns
+    each document into overlapping token windows. posexplode gives the
+    chunk ordinal; slice() is 1-based. Pure map — rows multiply by
+    ~n_tokens/stride, nothing shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    chunked = docs.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK_LEN)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+s AS (
+  SELECT doc_id, l,
+         UNNEST(range(0, greatest(len(l) - 1, 0) + 1, {_CHUNK_STRIDE})) AS start
+  FROM t)
+SELECT doc_id,
+       CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(l[start+1:start+{_CHUNK_LEN}]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(l[start+1:start+{_CHUNK_LEN}], ' ') AS chunk_text
+FROM s
+"""
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-stream sequence packing: documents are concatenated (in
+    deterministic doc_id order within a salt bucket) and the stream is
+    cut every {_PACK_CTX} tokens; each doc is assigned the pack its
+    FIRST token lands in (docs may straddle pack boundaries, as in
+    standard LLM pretraining packing). The md5-derived bucket is
+    engine-reproducible; each bucket packs independently, so the
+    running-sum window never sees more than 1/{_PACK_BUCKETS} of the
+    corpus — this is what keeps a global-looking cumulative sum
+    scalable."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % _PACK_BUCKETS
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = docs.select(
+        "doc_id", n_tok.alias("n_tokens"), bucket.alias("bucket")
+    ).withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        (F.col("bucket") * 1_000_000 + F.floor(F.col("cum_before") / _PACK_CTX))
+        .cast("long")
+        .alias("pack_id"),
+        (F.col("cum_before") % _PACK_CTX).cast("long").alias("pack_offset"),
+    )
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_PACK_BUCKETS} AS bucket
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens, bucket,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t)
+SELECT doc_id, n_tokens, bucket,
+       CAST(bucket * 1000000 + cum_before // {_PACK_CTX} AS BIGINT) AS pack_id,
+       CAST(cum_before % {_PACK_CTX} AS BIGINT) AS pack_offset
+FROM s
+"""
+
+
+QUERIES = {
+    "text_contamination": text_contamination,
+    "text_chunk_overlap": text_chunk_overlap,
+    "text_pack_sequences": text_pack_sequences,
+}
+
+ORACLE = {
+    "text_contamination": _CONTAM_SQL,
+    "text_chunk_overlap": _CHUNK_SQL,
+    "text_pack_sequences": _PACK_SQL,
+}

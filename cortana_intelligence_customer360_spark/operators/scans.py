@@ -221,6 +221,39 @@ FROM events GROUP BY event_type
 """
 
 
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingest via the ``binaryFile`` source — the entry
+    point of a multimodal pipeline (image/audio payloads land as files;
+    Spark lists them in parallel and each task reads its own split).
+
+    The fixture is one .txt file per src0 document, written
+    DISTRIBUTEDLY by partitioning the text write on doc_id (no driver
+    collect — the same pattern writes a billion files from 1000
+    executors). The re-read proves content fidelity end to end: byte
+    length and md5 digest of each file must equal the oracle's
+    recomputation from the source table (the text writer appends one
+    trailing newline per line, hence the ``|| chr(10)``)."""
+    out = scratch_dir("scan_binary_files", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("source") == "src0")
+    docs.select("doc_id", F.col("text").alias("value")).write.mode(
+        "overwrite"
+    ).partitionBy("doc_id").text(out)
+    binf = spark.read.format("binaryFile").load(os.path.join(out, "doc_id=*"))
+    return binf.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )
+
+
+_SCAN_BINARY_SQL = """
+SELECT doc_id,
+       CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+       md5(text || chr(10)) AS digest
+FROM documents WHERE source = 'src0'
+"""
+
+
 QUERIES = {
     "scan_parquet": scan_parquet,
     "scan_project_pushdown": scan_project_pushdown,
@@ -230,6 +263,7 @@ QUERIES = {
     "sink_parquet_partitioned": sink_parquet_partitioned,
     "scan_partition_pruned": scan_partition_pruned,
     "scan_schema_evolution": scan_schema_evolution,
+    "scan_binary_files": scan_binary_files,
     "source_stream_files": source_stream_files,
 }
 
@@ -242,5 +276,6 @@ ORACLE = {
     "sink_parquet_partitioned": _SINK_PARTITIONED_SQL,
     "scan_partition_pruned": _SCAN_PRUNED_SQL,
     "scan_schema_evolution": _SCAN_EVOLUTION_SQL,
+    "scan_binary_files": _SCAN_BINARY_SQL,
     "source_stream_files": _STREAM_SOURCE_SQL,
 }

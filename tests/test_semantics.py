@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cortana_intelligence_customer360_spark.features import core as feat
@@ -472,3 +473,113 @@ def test_sketch_merge_matches_single_pass_and_exact(spark, sf_dir):
     for et, n in exact.items():
         assert abs(merged[et] - n) <= max(2, 0.05 * n), (et, merged[et], n)
         assert merged[et] == single[et], "merge of halves != single-pass sketch"
+
+
+# ---------- training-data pipeline ops (llmops/pipeline.py) ----------
+
+
+def test_chunks_reconstruct_documents(spark, sf_dir):
+    """Dropping each chunk's overlap tail (keep the first `stride`
+    tokens; the final chunk keeps everything) and concatenating in
+    chunk order must reproduce every document exactly."""
+    from cortana_intelligence_customer360_spark.llmops import pipeline as pl
+
+    chunks = pl.text_chunk_overlap(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    rebuilt = (
+        chunks.withColumn("nxt", F.lead("chunk_id").over(w))
+        .withColumn(
+            "head",
+            F.when(
+                F.col("nxt").isNull(), F.col("chunk_text")
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.split("chunk_text", " "), 1, pl._CHUNK_STRIDE),
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "head"))),
+                    lambda s: s["head"],
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bad = (
+        rebuilt.join(docs, "doc_id")
+        .where(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Every doc's offset is < CTX; within a (bucket, pack) the docs
+    are doc_id-ordered with contiguous token extents; total tokens are
+    conserved across packs."""
+    from cortana_intelligence_customer360_spark.llmops import pipeline as pl
+
+    packed = pl.text_pack_sequences(spark, sf_dir).cache()
+    try:
+        assert packed.where(F.col("pack_offset") >= pl._PACK_CTX).count() == 0
+        assert packed.where(
+            F.col("pack_id") != F.col("bucket") * 1_000_000
+            + (F.col("pack_id") % 1_000_000)
+        ).count() == 0
+        # Contiguity: within a bucket, cum offsets rebuild from doc order.
+        w = Window.partitionBy("bucket").orderBy("doc_id")
+        chk = packed.withColumn(
+            "cum", F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        )
+        bad = chk.where(
+            (F.col("cum") % pl._PACK_CTX) != F.col("pack_offset")
+        ).count()
+        assert bad == 0
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert packed.count() == n_docs
+    finally:
+        packed.unpersist()
+
+
+def test_contamination_is_train_vs_bench_only(spark, sf_dir):
+    """No pair may have a bench doc on the train side or vice versa,
+    and containment is in (0, 1]."""
+    from cortana_intelligence_customer360_spark.llmops import pipeline as pl
+
+    pairs = pl.text_contamination(spark, sf_dir).cache()
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        bench_ids = docs.where(F.col("source").isin(*pl._BENCH_SOURCES))
+        joined = pairs.join(
+            bench_ids.withColumnRenamed("doc_id", "train_id"), "train_id", "left_semi"
+        )
+        assert joined.count() == 0
+        assert pairs.where(
+            (F.col("containment") <= 0) | (F.col("containment") > 1)
+        ).count() == 0
+    finally:
+        pairs.unpersist()
+
+
+def test_binary_files_roundtrip_bytes(spark, sf_dir):
+    """The binaryFile re-read must agree with a direct recomputation
+    from the source table (md5 over text + trailing newline)."""
+    from cortana_intelligence_customer360_spark.operators import scans
+
+    got = scans.scan_binary_files(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("source") == "src0")
+    want = docs.select(
+        "doc_id",
+        (F.length("text") + 1).cast("long").alias("n_bytes"),
+        F.md5(F.concat(F.col("text"), F.lit("\n"))).alias("digest"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -22,7 +22,7 @@ from __future__ import annotations
 import itertools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -583,6 +583,147 @@ FROM events GROUP BY user_id
 """
 
 
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+# transformWithStateInPandas (Spark 4's arbitrary-stateful API) starts a
+# separate Python "state server" worker that speaks protobuf; without
+# google.protobuf the worker crashes at init
+# (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, verified in this
+# container). Gate registration on the dependency — the operators below
+# are complete and self-activate when the environment gains protobuf,
+# exactly like the HAVE_IMAGE_LIBS codec gate in llmops/multimodal.py.
+import importlib.util as _ilu
+
+try:
+    HAVE_PROTOBUF = _ilu.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no 'google' namespace package at all
+    HAVE_PROTOBUF = False
+
+
+class _LatestEventProcessor(StatefulProcessor):
+    """StatefulProcessor for transformWithStateInPandas (Spark 4's
+    arbitrary-stateful API, the successor to applyInPandasWithState):
+    per-user ValueState holding (n_events, last_ts_us, last_event_id,
+    last_type); each batch folds its rows into the state and emits the
+    updated row. "Latest" breaks ts ties by event_id, so the final
+    state is identical under ANY micro-batch split of the input — that
+    determinism is what lets a streaming state machine carry a full
+    batch oracle."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "latest",
+            "n_events LONG, last_ts_us LONG, last_event_id LONG, last_type STRING",
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, ts, eid, typ = (
+            self._state.get() if self._state.exists() else (0, -1, -1, None)
+        )
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            i = pdf.sort_values(["ts_us", "event_id"]).index[-1]
+            cand = (int(pdf["ts_us"][i]), int(pdf["event_id"][i]))
+            if cand > (ts, eid):
+                ts, eid = cand
+                typ = str(pdf["event_type"][i])
+        self._state.update((n, ts, eid, typ))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts_us": [ts],
+                "last_type": [typ],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator on the transformWithState API: per-user
+    running count + latest event (ts-then-event_id argmax) kept in a
+    typed ValueState. Under one availableNow pass the emitted update
+    equals the batch argmax/count, so it carries a full oracle; the
+    cross-batch state-merge path is exercised by
+    stream_transform_state_multi against the SAME oracle."""
+    proc = _LatestEventProcessor()
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _drain_to_memory(out, "update")
+
+
+def stream_transform_state_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_transform_state over _MULTI_FILES chronological
+    micro-batches: the ValueState must fold across batches; the memory
+    sink keeps every per-batch update, so the LAST update per user
+    (max n_events — the count is monotone) must equal the batch
+    oracle."""
+    proc = _LatestEventProcessor()
+    ev = _events_stream_multi(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    updates = _drain_to_memory(out, "update", min_batches=2)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_TWS_SQL = """
+WITH t AS (
+  -- CAST through TIMESTAMP truncates parquet-ns ts to Spark's µs so
+  -- the argmax ordering matches what the processor compares.
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+  FROM events),
+g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(epoch_us(MAX(tsu)) AS BIGINT) AS last_ts_us
+      FROM t GROUP BY 1),
+l AS (SELECT user_id, event_type AS last_type
+      FROM (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY tsu DESC, event_id DESC) AS rn
+            FROM t) WHERE rn = 1)
+SELECT user_id, n_events, last_ts_us, last_type FROM g JOIN l USING (user_id)
+"""
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
@@ -599,6 +740,9 @@ QUERIES = {
     "stream_stream_multi": stream_stream_multi,
     "stream_foreachbatch_multi": stream_foreachbatch_multi,
 }
+if HAVE_PROTOBUF:  # pragma: no cover - container lacks protobuf
+    QUERIES["stream_transform_state"] = stream_transform_state
+    QUERIES["stream_transform_state_multi"] = stream_transform_state_multi
 
 ORACLE = {
     "stream_tumbling": _TUMBLING_SQL,
@@ -617,3 +761,6 @@ ORACLE = {
     "stream_stream_multi": _STREAM_STREAM_SQL,
     "stream_foreachbatch_multi": _FOREACHBATCH_SQL,
 }
+if HAVE_PROTOBUF:  # pragma: no cover
+    ORACLE["stream_transform_state"] = _TWS_SQL
+    ORACLE["stream_transform_state_multi"] = _TWS_SQL

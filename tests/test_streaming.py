@@ -10,7 +10,11 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+from cortana_intelligence_customer360_spark.sources.tables import load_table
 
 
 def _write_events(spark, path: str, rows) -> None:
@@ -168,3 +172,35 @@ def test_multifile_source_replays_chronologically(spark, sf_dir):
     by_mtime = sorted(parts, key=os.path.getmtime)
     by_ts = sorted(parts, key=min_ts)
     assert by_mtime == by_ts, "replay order must be chronological"
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "cortana_intelligence_customer360_spark.streaming.ops", fromlist=["HAVE_PROTOBUF"]
+    ).HAVE_PROTOBUF,
+    reason="transformWithState needs google.protobuf (state-server protocol); "
+    "not present in this container — operator is gated, self-activates with the dep",
+)
+def test_transform_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas per-user latest-event state must equal
+    the batch argmax/count under both single- and multi-batch drains."""
+    from cortana_intelligence_customer360_spark.streaming import ops
+
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts_us"], r["last_type"])
+        for r in ops.stream_transform_state(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["n"], r["ts_us"], r["t"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("ts_us", F.max(F.unix_micros("ts")).over(Window.partitionBy("user_id")))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n", "ts_us", F.col("event_type").alias("t"))
+        .collect()
+    }
+    assert got == want

@@ -430,8 +430,71 @@ FROM lineitem GROUP BY 1
 """
 
 
+def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (the continuous-
+    aggregate pattern): events aggregate ONCE into 15-minute buckets;
+    the 1-hour and 1-day grains then derive FROM THE 15-MINUTE RESULT,
+    not from raw data — at 100 TB the raw table is read a single time
+    and each coarser grain re-aggregates ~96x fewer rows. Sums stay in
+    DECIMAL through every tier (exact re-aggregation, order-free) and
+    cast to double only at the output edge."""
+    ev = load_table(spark, sf_dir, "events")
+    fine = ev.groupBy(
+        F.window("ts", "15 minutes").start.alias("b15"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("sv_dec"),
+    )
+    hour = fine.groupBy(
+        F.date_trunc("hour", "b15").alias("b"), "event_type"
+    ).agg(F.sum("n_events").cast("long").alias("n_events"), F.sum("sv_dec").alias("sv_dec"))
+    day = hour.groupBy(
+        F.date_trunc("day", "b").alias("b"), "event_type"
+    ).agg(F.sum("n_events").cast("long").alias("n_events"), F.sum("sv_dec").alias("sv_dec"))
+
+    def out(df: DataFrame, grain: str, bucket_col: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.unix_micros(F.col(bucket_col)).cast("long").alias("bucket_us"),
+            "event_type",
+            "n_events",
+            F.col("sv_dec").cast("double").alias("sum_value"),
+        )
+
+    return (
+        out(fine, "15m", "b15").unionAll(out(hour, "1h", "b")).unionAll(out(day, "1d", "b"))
+    )
+
+
+_AGG_TIMEBUCKET_SQL = """
+WITH fine AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS b,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(30,6))) AS sv
+  FROM events GROUP BY 1, 2),
+h AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, b) AS b, event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+  FROM fine GROUP BY 1, 2),
+d AS (
+  SELECT time_bucket(INTERVAL 1 DAY, b) AS b, event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+  FROM h GROUP BY 1, 2)
+SELECT '15m' AS grain, CAST(epoch_us(b) AS BIGINT) AS bucket_us, event_type,
+       n_events, CAST(sv AS DOUBLE) AS sum_value FROM fine
+UNION ALL
+SELECT '1h', CAST(epoch_us(b) AS BIGINT), event_type, n_events,
+       CAST(sv AS DOUBLE) FROM h
+UNION ALL
+SELECT '1d', CAST(epoch_us(b) AS BIGINT), event_type, n_events,
+       CAST(sv AS DOUBLE) FROM d
+"""
+
+
 QUERIES = {
     "agg_sketch_merge": agg_sketch_merge,
+    "agg_time_bucket_rollup": agg_time_bucket_rollup,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_corr_matrix": agg_corr_matrix,
     "agg_pricing_summary": agg_pricing_summary,
@@ -450,6 +513,7 @@ QUERIES = {
 
 ORACLE = {
     "agg_corr_matrix": _AGG_CORR_SQL,
+    "agg_time_bucket_rollup": _AGG_TIMEBUCKET_SQL,
     "agg_pricing_summary": _AGG_PRICING_SQL,
     "agg_distinct_count": _AGG_DISTINCT_SQL,
     # agg_approx_distinct: R-tier, no SQL oracle (approximate sketch).

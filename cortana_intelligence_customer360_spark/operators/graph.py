@@ -156,11 +156,58 @@ WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 1
 """
 
 
+# Per-stratum keep-rates (permille) for the stratified sampler: the
+# class-rebalancing shape of a training-data pipeline — downsample the
+# abundant strata hard, keep the rare/valuable ones whole.
+_STRATA_PERMILLE = {
+    "view": 50,
+    "click": 100,
+    "error": 200,
+    "signup": 500,
+    "purchase": 1000,
+}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling of events: each stratum
+    (event_type) keeps its own md5-threshold fraction of rows. Like
+    sample_hash_pct, selection is a pure function of the key — stable
+    across engines, runs, partitionings, retries — but the rate varies
+    per stratum. Map-only (the rate lookup folds to a literal CASE):
+    no shuffle, prunes at scan speed."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 1000
+    rate = F.coalesce(
+        *[
+            F.when(F.col("event_type") == et, F.lit(pm))
+            for et, pm in _STRATA_PERMILLE.items()
+        ],
+        F.lit(0),
+    )
+    return ev.where(bucket < rate).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+_STRATIFIED_SQL = f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < CASE event_type
+          {' '.join(f"WHEN '{et}' THEN {pm}" for et, pm in _STRATA_PERMILLE.items())}
+          ELSE 0 END
+"""
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "sample_hash_pct": sample_hash_pct,
+    "sample_stratified": sample_stratified,
 }
 ORACLE = {
     "graph_pagerank": _pagerank_sql(),
     "sample_hash_pct": _SAMPLE_SQL,
+    "sample_stratified": _STRATIFIED_SQL,
 }

@@ -403,8 +403,45 @@ GROUP BY r_name
 """
 
 
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — the record-linkage shape:
+    deduplicate to the DISTINCT name dictionary first, block on a cheap
+    key (first token), and run levenshtein only within a block. The
+    all-pairs product never happens: candidate generation is an
+    equi-join on the block key, and the dictionary is orders of
+    magnitude smaller than the table (64 names for 2 000 parts here;
+    same ratio logic holds for 100 TB of skewed real-world names).
+    Both engines implement classic DP levenshtein, so the distance
+    values — and therefore the filter — agree exactly."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select("p_name").distinct()
+        .withColumn("block", F.split("p_name", " ").getItem(0))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("distance") <= 3)
+        .select("block", "name_a", "name_b", "distance")
+    )
+
+
+_FUZZY_SQL = """
+WITH names AS (
+  SELECT DISTINCT p_name, str_split(p_name, ' ')[1] AS block FROM part)
+SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
 QUERIES = {
     "join_inner_equi": join_inner_equi,
+    "join_fuzzy_blocked": join_fuzzy_blocked,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
     "join_full_outer": join_full_outer,
@@ -422,6 +459,7 @@ QUERIES = {
 
 ORACLE = {
     "join_inner_equi": _INNER_SQL,
+    "join_fuzzy_blocked": _FUZZY_SQL,
     "join_left_outer": _LEFT_SQL,
     "join_right_outer": _RIGHT_SQL,
     "join_full_outer": _FULL_SQL,

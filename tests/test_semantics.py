@@ -583,3 +583,73 @@ def test_binary_files_roundtrip_bytes(spark, sf_dir):
         F.md5(F.concat(F.col("text"), F.lit("\n"))).alias("digest"),
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_time_bucket_rollup_derivation_consistent(spark, sf_dir):
+    """Coarse grains derived from fine buckets must equal direct
+    aggregation from raw events, and every grain conserves the total
+    event count."""
+    from cortana_intelligence_customer360_spark.operators import aggregates as agg
+
+    roll = agg.agg_time_bucket_rollup(spark, sf_dir).cache()
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        totals = {
+            r["grain"]: r["n"]
+            for r in roll.groupBy("grain").agg(F.sum("n_events").alias("n")).collect()
+        }
+        n_raw = ev.count()
+        assert totals == {"15m": n_raw, "1h": n_raw, "1d": n_raw}
+        direct_1h = {
+            (r["b"], r["event_type"]): r["n"]
+            for r in ev.groupBy(
+                F.unix_micros(F.date_trunc("hour", "ts")).alias("b"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        rolled_1h = {
+            (r["bucket_us"], r["event_type"]): r["n_events"]
+            for r in roll.where(F.col("grain") == "1h").collect()
+        }
+        assert rolled_1h == direct_1h
+    finally:
+        roll.unpersist()
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators import graph as g
+
+    s1 = g.sample_stratified(spark, sf_dir)
+    got = {
+        r["event_type"]: r["n"]
+        for r in s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    base = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got.get("purchase", 0) == base["purchase"]  # 100% stratum kept whole
+    for et, pm in g._STRATA_PERMILLE.items():
+        if pm == 1000:
+            continue
+        # md5 buckets are uniform: observed rate within 5 sigma.
+        n, p = base[et], pm / 1000.0
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(got.get(et, 0) - n * p) <= 5 * sigma, (et, got.get(et), n * p)
+    # Determinism: a second run selects the identical row set.
+    s2 = g.sample_stratified(spark, sf_dir)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+
+
+def test_fuzzy_blocked_join_stays_in_block(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators import joins
+
+    pairs = joins.join_fuzzy_blocked(spark, sf_dir).collect()
+    assert pairs, "fixture should produce at least one near-match pair"
+    for r in pairs:
+        assert r["name_a"].split(" ")[0] == r["block"]
+        assert r["name_b"].split(" ")[0] == r["block"]
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["distance"] <= 3

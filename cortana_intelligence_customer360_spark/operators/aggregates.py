@@ -437,14 +437,27 @@ def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not from raw data — at 100 TB the raw table is read a single time
     and each coarser grain re-aggregates ~96x fewer rows. Sums stay in
     DECIMAL through every tier (exact re-aggregation, order-free) and
-    cast to double only at the output edge."""
+    cast to double only at the output edge.
+
+    The fine grain is MATERIALIZED (scratch parquet) before the coarser
+    grains derive from it: Spark does not CSE identical subplans across
+    union branches, so without materialization the three grains would
+    each rescan raw events (verified: 3 parquet scans) — the exact
+    failure the continuous-aggregate pattern exists to avoid. The
+    materialized 15-min table is also what serves incremental refresh
+    in a real deployment."""
+    from .scans import scratch_dir
+
     ev = load_table(spark, sf_dir, "events")
-    fine = ev.groupBy(
+    ev.groupBy(
         F.window("ts", "15 minutes").start.alias("b15"), "event_type"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,6)")).alias("sv_dec"),
+    ).write.mode("overwrite").parquet(
+        scratch_dir("agg_time_bucket_rollup", sf_dir)
     )
+    fine = spark.read.parquet(scratch_dir("agg_time_bucket_rollup", sf_dir))
     hour = fine.groupBy(
         F.date_trunc("hour", "b15").alias("b"), "event_type"
     ).agg(F.sum("n_events").cast("long").alias("n_events"), F.sum("sv_dec").alias("sv_dec"))

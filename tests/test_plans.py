@@ -192,3 +192,16 @@ def test_tpch_q16_not_in_is_anti_join(spark, sf_dir):
 
     plan = plan_string(tpch2.tpch_q16_supplier_count(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_time_bucket_rollup_reads_raw_once(spark, sf_dir):
+    """The continuous-aggregate invariant: the output plan must derive
+    every grain from the materialized 15-min table — zero scans of raw
+    events in the union (Spark does not CSE identical union branches,
+    so deriving from raw would triple the 100 TB scan)."""
+    from cortana_intelligence_customer360_spark.operators import aggregates as agg
+
+    df = agg.agg_time_bucket_rollup(spark, sf_dir)
+    plan = plan_string(df)
+    assert "events.parquet" not in plan
+    assert plan.count("agg_time_bucket_rollup") >= 3

@@ -1,0 +1,247 @@
+"""Time-series operators: OHLC resampling, gap-fill with forward
+fill, rolling z-score anomaly flags.
+
+Reference parity: the upstream solution's pipelines are time-sliced
+batch jobs over event-time partitions (SURVEY.md §1.1, §3.1 — the
+checkout itself is empty, §0); these operators give the engine the
+standard time-series surface a Customer-360 event stream needs beyond
+the plain windowed aggregates in operators/windows.py.
+
+Scale posture (100 TB): every operator here shuffles at most once on
+``user_id`` (or ``(user_id, bucket)``), the natural high-cardinality
+partition key of an event table. Gap-fill's generated hour spine is
+bounded per user by that user's own [min, max] activity span, so the
+explode never amplifies a user beyond its true time range; the
+forward-fill window is a per-user running frame — Spark executes it
+after a single hash partition by user, no global sort. Rolling
+z-score stays numerically cross-engine-stable by deriving mean/std
+from DECIMAL-exact window sums (compat rule 1) so both engines feed
+identical doubles into identical IEEE arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import bcount, dsum, dsum_sql, epoch_us, epoch_us_sql
+from ..sources.tables import load_table
+
+_DEC = "decimal(30,6)"
+
+# Microseconds per hour: the gap-fill bucket index is an integer
+# floor-division on epoch-µs, identical in both engines on the
+# all-positive 2024 timestamps.
+_US_PER_HOUR = 3_600_000_000
+
+
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user per hour: open/high/low/close of ``value`` (financial
+    resampling shape). Open/close are the values at the earliest/latest
+    event in the bucket, tie-broken by event_id (compat rule 7); they
+    are raw column values — no arithmetic — so they hash exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    wa = Window.partitionBy("user_id", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = df.select(
+        "user_id",
+        "hour",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("user_id", "hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            bcount().alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            epoch_us("hour").alias("hour_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_OHLC_SQL = f"""
+WITH r AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT user_id,
+       {epoch_us_sql('hour')} AS hour_us,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM r
+GROUP BY user_id, hour
+"""
+
+
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill per user: generate the full hour spine over each
+    user's own activity span, left-join observed hourly sums, and
+    forward-fill missing hours with the last observed value (the
+    dashboard/feature-store "carry last reading forward" primitive).
+
+    The spine is ``sequence(h0, h1)`` per user — bounded by real
+    activity, so a 100 TB run generates no more rows than the busiest
+    user's wall-clock span; the fill is one per-user running window."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / F.lit(_US_PER_HOUR))
+            .cast("long")
+            .alias("hour_idx"),
+            "value",
+        )
+        .groupBy("user_id", "hour_idx")
+        .agg(dsum("value").alias("v"))
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_idx"),
+        )
+    )
+    joined = spine.join(obs, ["user_id", "hour_idx"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_idx",
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+    )
+
+
+_GAP_FILL_SQL = f"""
+WITH obs AS (
+  SELECT user_id,
+         CAST({epoch_us_sql('ts')} // {_US_PER_HOUR} AS BIGINT) AS hour_idx,
+         {dsum_sql('value')} AS v
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(hour_idx) AS h0, MAX(hour_idx) AS h1
+         FROM obs GROUP BY user_id),
+spine AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour_idx FROM span),
+j AS (SELECT s.user_id, s.hour_idx, o.v
+      FROM spine s LEFT JOIN obs o USING (user_id, hour_idx))
+SELECT user_id, hour_idx,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       CAST(v IS NULL AS INT) AS is_gap
+FROM j
+"""
+
+_ZSCORE_N = 24  # trailing full-day window at the corpus's hourly-ish event rate
+
+
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag: per user ordered by event time, a
+    trailing 24-row mean/std and the current value's z-score. Emits
+    only rows with a FULL window (n = 24) and positive variance, so
+    the division is always defined.
+
+    Cross-engine float discipline: the window sum and sum-of-squares
+    accumulate in DECIMAL(30,6) (exact, order-independent — compat
+    rule 1), then every derived quantity (mean, variance, std, z) is
+    the same IEEE double expression over identical operands in both
+    engines; the 6-dp round is belt-and-braces."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ZSCORE_N - 1), Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    sq = F.sum((F.col("value") * F.col("value")).cast(_DEC)).over(w).cast("double")
+    mean = s / n
+    var = (sq - s * s / n) / (n - F.lit(1))
+    std = F.sqrt(var)
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        "value",
+        n.alias("n"),
+        mean.alias("mean_raw"),
+        std.alias("std_raw"),
+    ).where((F.col("n") == _ZSCORE_N) & (F.col("std_raw") > 0))
+    return scored.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.round("mean_raw", 6).alias("roll_mean"),
+        F.round("std_raw", 6).alias("roll_std"),
+        F.round((F.col("value") - F.col("mean_raw")) / F.col("std_raw"), 6).alias(
+            "zscore"
+        ),
+        (
+            F.abs((F.col("value") - F.col("mean_raw")) / F.col("std_raw")) > 2.0
+        )
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
+_ZSCORE_SQL = f"""
+WITH win AS (
+  SELECT event_id, user_id, {epoch_us_sql('ts')} AS ts_us, value,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sq
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_ZSCORE_N - 1} PRECEDING AND CURRENT ROW)),
+d AS (
+  SELECT event_id, user_id, ts_us, value,
+         s / n AS mean_raw,
+         sqrt((sq - s * s / n) / (n - 1)) AS std_raw
+  FROM win WHERE n = {_ZSCORE_N})
+SELECT event_id, user_id, ts_us, value,
+       round(mean_raw, 6) AS roll_mean,
+       round(std_raw, 6) AS roll_std,
+       round((value - mean_raw) / std_raw, 6) AS zscore,
+       CAST(abs((value - mean_raw) / std_raw) > 2.0 AS INT) AS is_anomaly
+FROM d WHERE std_raw > 0
+"""
+
+
+QUERIES = {
+    "ts_resample_ohlc": ts_resample_ohlc,
+    "ts_gap_fill": ts_gap_fill,
+    "ts_rolling_zscore": ts_rolling_zscore,
+}
+
+ORACLE = {
+    "ts_resample_ohlc": _OHLC_SQL,
+    "ts_gap_fill": _GAP_FILL_SQL,
+    "ts_rolling_zscore": _ZSCORE_SQL,
+}

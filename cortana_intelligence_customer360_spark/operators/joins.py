@@ -439,8 +439,41 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (SQL-standard lateral, Spark
+    3.2+): each customer's top-2 orders by price, expressed as a
+    per-row dependent subquery rather than a window. Catalyst
+    decorrelates this into the same rank-then-filter plan a window
+    top-k produces — asserting the two forms agree is the point: the
+    lateral FORM must not change the answer (win_topk_per_group is the
+    window twin). Tie-broken by o_orderkey (compat rule 7)."""
+    from .aggregates import _temp_view
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cv = _temp_view(cust, "lat_cust")
+    ov = _temp_view(orders, "lat_orders")
+    return spark.sql(f"""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM {cv} c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM {ov} o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
 QUERIES = {
     "join_inner_equi": join_inner_equi,
+    "join_lateral_topk": join_lateral_topk,
     "join_fuzzy_blocked": join_fuzzy_blocked,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
@@ -459,6 +492,7 @@ QUERIES = {
 
 ORACLE = {
     "join_inner_equi": _INNER_SQL,
+    "join_lateral_topk": _LATERAL_SQL,
     "join_fuzzy_blocked": _FUZZY_SQL,
     "join_left_outer": _LEFT_SQL,
     "join_right_outer": _RIGHT_SQL,

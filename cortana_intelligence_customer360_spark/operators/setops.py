@@ -134,6 +134,45 @@ SELECT o_custkey FROM orders
 """
 
 
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: custkeys kept min(m, n) times across the
+    'O'-status and 'F'-status order multisets. Spark's intersectAll is
+    a single aggregate-count-per-side + generate plan — one shuffle on
+    the key, no join blow-up on hot keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.intersectAll(f)
+
+
+_INTERSECT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: each custkey kept max(m - n, 0) times
+    (orders-minus-events multiset difference on the shared key space)."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return orders.select(F.col("o_custkey").alias("custkey")).exceptAll(
+        events.select(F.col("user_id").alias("custkey"))
+    )
+
+
+_EXCEPT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT user_id FROM events
+"""
+
+
 def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort on a genuinely nullable key with EXPLICIT null placement —
     the cross-engine trap this op exists to pin: Spark's default is
@@ -213,6 +252,8 @@ QUERIES = {
     "set_union_distinct": set_union_distinct,
     "set_intersect": set_intersect,
     "set_except": set_except,
+    "set_intersect_all": set_intersect_all,
+    "set_except_all": set_except_all,
 }
 
 ORACLE = {
@@ -224,4 +265,6 @@ ORACLE = {
     "set_union_distinct": _UNION_DISTINCT_SQL,
     "set_intersect": _INTERSECT_SQL,
     "set_except": _EXCEPT_SQL,
+    "set_intersect_all": _INTERSECT_ALL_SQL,
+    "set_except_all": _EXCEPT_ALL_SQL,
 }

@@ -36,6 +36,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.llmops.similarity",
     "cortana_intelligence_customer360_spark.llmops.multimodal",
     "cortana_intelligence_customer360_spark.llmops.pipeline",
+    "cortana_intelligence_customer360_spark.llmops.scoring",
     "cortana_intelligence_customer360_spark.streaming.ops",
 ]
 

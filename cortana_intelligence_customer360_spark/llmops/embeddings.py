@@ -1,0 +1,110 @@
+"""Embedding-column transforms: int8 scalar quantization and PCA
+dimensionality reduction — the storage/compute shrink steps an
+embedding corpus goes through before ANN indexing at scale.
+
+Scale posture (100 TB): quantization is entirely map-side — the
+per-vector max-abs comes from a JVM higher-order ``aggregate`` over
+the array column (no shuffle, no Python); the only shuffle in this
+module is PCA's Gramian accumulation (one treeAggregate over 64x64
+matrices, independent of row count per partition).
+
+Cross-engine float discipline for the O-tier quantizer: float32 ->
+double casts are exact in both engines, max is exact, and the
+quantized code uses floor(x*scale + 0.5) — floor is exact IEEE, so no
+round-half-mode divergence (Spark HALF_UP vs DuckDB's banker's
+rounding on doubles) can occur.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+_PCA_K = 8
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|,
+    code = floor(x*scale + 0.5). Emits (vec_id, pos, code, scale) rows
+    — the (codes, scale) pair is what an int8 ANN index stores, at a
+    4x memory cut. Map-only: amax via JVM aggregate() over the array,
+    posexplode in place."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    df = emb.select("vec_id", "embedding", (F.lit(127.0) / amax).alias("scale"))
+    return df.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+        "scale",
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.col("scale") + 0.5)
+        .cast("int")
+        .alias("code"),
+        "scale",
+    )
+
+
+_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         127.0 / list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings),
+flat AS (
+  SELECT vec_id, r.i AS pos,
+         CAST(embedding[r.i + 1] AS DOUBLE) AS x, scale
+  FROM s, LATERAL (SELECT UNNEST(range(len(s.embedding))) AS i) r)
+SELECT vec_id, CAST(pos AS INT) AS pos,
+       CAST(floor(x * scale + 0.5) AS INT) AS code,
+       scale
+FROM flat
+"""
+
+
+def emb_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA to 8 components over the embedding corpus (MLlib: one
+    distributed Gramian/SVD pass), projected per vector and exploded
+    to (vec_id, pos, component) rows. R-tier: eigenvector sign and
+    low-order float bits are implementation-defined, so there is no
+    SQL oracle — tests pin explained-variance ordering, projection
+    norms, and determinism instead."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", array_to_vector("embedding").alias("features"))
+    model = PCA(k=_PCA_K, inputCol="features", outputCol="pc").fit(vecs)
+    out = model.transform(vecs).select(
+        "vec_id", vector_to_array("pc").alias("pc")
+    )
+    return out.select("vec_id", F.posexplode("pc").alias("pos", "component")).select(
+        "vec_id", "pos", F.round("component", 6).alias("component")
+    )
+
+
+def pca_model(spark: SparkSession, sf_dir: str):
+    """The fitted PCA model (exposed for tests: explainedVariance)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", array_to_vector("embedding").alias("features"))
+    return PCA(k=_PCA_K, inputCol="features", outputCol="pc").fit(vecs)
+
+
+QUERIES = {
+    "emb_quantize_int8": emb_quantize_int8,
+    "emb_pca_reduce": emb_pca_reduce,
+}
+
+ORACLE = {
+    "emb_quantize_int8": _QUANTIZE_SQL,
+}

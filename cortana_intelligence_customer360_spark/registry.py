@@ -37,6 +37,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.llmops.multimodal",
     "cortana_intelligence_customer360_spark.llmops.pipeline",
     "cortana_intelligence_customer360_spark.llmops.scoring",
+    "cortana_intelligence_customer360_spark.llmops.embeddings",
     "cortana_intelligence_customer360_spark.streaming.ops",
 ]
 

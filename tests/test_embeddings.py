@@ -1,0 +1,50 @@
+"""Semantic tests for embedding transforms: quantization error bound,
+PCA variance ordering / determinism (emb_pca_reduce is R-tier — no SQL
+oracle — so these tests ARE its correctness contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cortana_intelligence_customer360_spark.llmops.embeddings import (
+    _PCA_K,
+    emb_pca_reduce,
+    emb_quantize_int8,
+    pca_model,
+)
+from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    q = emb_quantize_int8(spark, sf_dir).cache()
+    # int8 range respected
+    assert q.where((F.col("code") < -127) | (F.col("code") > 127)).count() == 0
+    # dequantization error <= half a quantization step (0.5/scale)
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+    joined = q.join(flat, ["vec_id", "pos"])
+    err = joined.select(
+        (F.abs(F.col("x") - F.col("code") / F.col("scale"))
+         - 0.5 / F.col("scale")).alias("excess")
+    )
+    assert err.where(F.col("excess") > 1e-12).count() == 0
+    # every vector emits all 64 positions
+    n_vec = emb.count()
+    assert q.count() == n_vec * 64
+    q.unpersist()
+
+
+def test_pca_variance_ordering_and_shape(spark, sf_dir):
+    model = pca_model(spark, sf_dir)
+    ev = list(model.explainedVariance)
+    assert len(ev) == _PCA_K
+    assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:])), "variance must be sorted"
+    assert all(v > 0 for v in ev)
+    out = emb_pca_reduce(spark, sf_dir)
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert out.count() == n_vec * _PCA_K
+    # deterministic across invocations (same data, same solver)
+    again = emb_pca_reduce(spark, sf_dir)
+    assert out.exceptAll(again).count() == 0

@@ -201,13 +201,78 @@ WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000
 """
 
 
+_BFS_MAX_HOPS = 4
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop count from the seed set (customer
+    nodes with key < 10) to every node reachable within 4 hops over
+    the symmetric trade graph — the reachability/shortest-path
+    primitive (fraud rings, influence radius). Frontier-based: each
+    round joins ONLY the newly-reached frontier against the edge list
+    (never the full visited set), so per-round work shrinks as the
+    frontier saturates; level-order expansion guarantees first
+    discovery = minimum hops, no min() re-aggregation needed. The
+    per-round localCheckpoint keeps the plan depth constant (the same
+    discipline as graph_pagerank's iterations)."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    seeds = (
+        edges.where(F.col("src") < 10)
+        .select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("hops"))
+    )
+    dist = seeds.localCheckpoint()
+    frontier = dist.select("node")
+    for d in range(1, _BFS_MAX_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_frontier = reached.join(dist.select("node"), "node", "left_anti")
+        new_rows = new_frontier.select(
+            "node", F.lit(d).cast("long").alias("hops")
+        ).localCheckpoint()
+        dist = dist.union(new_rows).localCheckpoint()
+        frontier = new_rows.select("node")
+    return dist
+
+
+def _bfs_sql() -> str:
+    """DuckDB recursive-CTE twin. UNION (not UNION ALL) dedups the
+    (node, d) working set, so the recursion is bounded by nodes x
+    depth instead of path-enumeration blowup; MIN(d) collapses to the
+    BFS distance."""
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs),
+seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src < 10),
+r(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.d + 1
+  FROM r JOIN edges e ON e.src = r.node
+  WHERE r.d < {_BFS_MAX_HOPS})
+SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM r GROUP BY node
+"""
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "graph_bfs_hops": graph_bfs_hops,
     "sample_hash_pct": sample_hash_pct,
     "sample_stratified": sample_stratified,
 }
 ORACLE = {
     "graph_pagerank": _pagerank_sql(),
+    "graph_bfs_hops": _bfs_sql(),
     "sample_hash_pct": _SAMPLE_SQL,
     "sample_stratified": _STRATIFIED_SQL,
 }

@@ -474,8 +474,57 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def feat_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern: an island is a run where day_idx minus
+    its per-user row_number is constant. Day indices are integer
+    epoch-day quotients, so the whole computation is exact integer
+    arithmetic in both engines. Two shuffles: the distinct-days
+    aggregation and the per-user window (same user key, so AQE reuses
+    the partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    islands = days.withColumn(
+        "grp", F.col("day_idx") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(bcount().alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+_STREAK_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST({epoch_us_sql('ts')} // 86400000000 AS BIGINT) AS day_idx
+  FROM events),
+islands AS (
+  SELECT user_id, day_idx,
+         day_idx - ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day_idx) AS grp
+  FROM days),
+streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM islands GROUP BY user_id, grp)
+SELECT user_id, MAX(len) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY user_id
+"""
+
+
 QUERIES = {
     "feat_funnel_conversion": feat_funnel_conversion,
+    "feat_activity_streak": feat_activity_streak,
     "feat_target_encoding": feat_target_encoding,
     "feat_train_test_split": feat_train_test_split,
     "feat_rfm": feat_rfm,
@@ -489,6 +538,7 @@ QUERIES = {
 
 ORACLE = {
     "feat_funnel_conversion": _FUNNEL_SQL,
+    "feat_activity_streak": _STREAK_SQL,
     "feat_target_encoding": _TARGET_ENC_SQL,
     "feat_train_test_split": _TRAIN_SPLIT_SQL,
     "feat_rfm": _RFM_SQL,

@@ -439,6 +439,47 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): unordered pairs of events — any
+    users — within 1 second of each other. Without help Spark plans a
+    pure interval predicate as a broadcast-nested-loop (O(n^2) at
+    100 TB); this operator applies the standard bucketed-range-join
+    rewrite: quantize time into 1 s buckets, replicate ONE side into
+    its own and the preceding bucket, equi-join on the bucket id (hash
+    shuffle, AQE-splittable), then refine the exact band. For a pair
+    with b >= a, bucket(a) is either bucket(b) or bucket(b)-1 —
+    exactly one replica matches, so no dedup pass is needed.
+    tests/test_plans.py asserts the nested-loop never appears."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("a_id"), epoch_us("ts").alias("a_us")
+    ).withColumn("bucket", F.expr("a_us div 1000000"))
+    b = ev.select(
+        F.col("event_id").alias("b_id"), epoch_us("ts").alias("b_us")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(F.expr("b_us div 1000000"), F.expr("b_us div 1000000 - 1"))
+        ),
+    )
+    pairs = a.join(b, "bucket").where(
+        (F.col("b_us") - F.col("a_us")).between(0, 1_000_000)
+        & ((F.col("b_us") > F.col("a_us")) | (F.col("b_id") > F.col("a_id")))
+    )
+    return pairs.select(
+        "a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("dt_us")
+    )
+
+
+_RANGE_BUCKETED_SQL = """
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+FROM events a JOIN events b
+  ON epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 1000000
+ AND (epoch_us(b.ts) > epoch_us(a.ts) OR b.event_id > a.event_id)
+"""
+
+
 def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery join (SQL-standard lateral, Spark
     3.2+): each customer's top-2 orders by price, expressed as a
@@ -474,6 +515,7 @@ LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
 QUERIES = {
     "join_inner_equi": join_inner_equi,
     "join_lateral_topk": join_lateral_topk,
+    "join_range_bucketed": join_range_bucketed,
     "join_fuzzy_blocked": join_fuzzy_blocked,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
@@ -493,6 +535,7 @@ QUERIES = {
 ORACLE = {
     "join_inner_equi": _INNER_SQL,
     "join_lateral_topk": _LATERAL_SQL,
+    "join_range_bucketed": _RANGE_BUCKETED_SQL,
     "join_fuzzy_blocked": _FUZZY_SQL,
     "join_left_outer": _LEFT_SQL,
     "join_right_outer": _RIGHT_SQL,

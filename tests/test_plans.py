@@ -205,3 +205,38 @@ def test_time_bucket_rollup_reads_raw_once(spark, sf_dir):
     plan = plan_string(df)
     assert "events.parquet" not in plan
     assert plan.count("agg_time_bucket_rollup") >= 3
+
+
+def test_range_bucketed_join_avoids_nested_loop(spark, sf_dir):
+    """The bucketed-range-join rewrite must plan as an EQUI join on the
+    bucket id (hash-partitioned, AQE-splittable) — never the
+    BroadcastNestedLoopJoin/CartesianProduct a bare interval predicate
+    would produce, which is O(n^2) at 100 TB."""
+    plan = plan_string(joins.join_range_bucketed(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_unigram_lm_is_broadcast(spark, sf_dir):
+    """Corpus scoring must broadcast the vocabulary-sized LM/df tables
+    so the token stream (the 100 TB side) never reshuffles for the
+    join."""
+    from cortana_intelligence_customer360_spark.llmops import scoring
+
+    plan = plan_string(scoring.text_unigram_logprob(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan2 = plan_string(scoring.text_bm25_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_quantizer_is_map_only(spark, sf_dir):
+    """int8 quantization must not shuffle: amax comes from a JVM
+    higher-order aggregate over the array column, so the whole plan is
+    scan -> project -> generate (posexplode)."""
+    from cortana_intelligence_customer360_spark.llmops import embeddings
+
+    plan = plan_string(embeddings.emb_quantize_int8(spark, sf_dir))
+    assert "Exchange" not in plan

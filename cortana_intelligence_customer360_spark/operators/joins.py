@@ -439,6 +439,30 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join helper (plans/scale.py) in the graded path:
+    events ⋈ customer on user_id with the fact side salted across 16
+    buckets and the dimension exploded to match — the manual remedy
+    when one hot key floods a reducer and AQE's skew split can't help
+    (e.g. a single-key broadcast-unfriendly aggregation downstream).
+    Semantically identical to the plain join, which is exactly what
+    the oracle checks."""
+    from ..plans.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = salted_join(ev, cust, key="user_id", salt_buckets=16, unique_col="event_id")
+    return out.select("event_id", "user_id", "c_mktsegment")
+
+
+_SALTED_SQL = """
+SELECT event_id, user_id, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
 def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PURE range join (no equi key): unordered pairs of events — any
     users — within 1 second of each other. Without help Spark plans a
@@ -516,6 +540,7 @@ QUERIES = {
     "join_inner_equi": join_inner_equi,
     "join_lateral_topk": join_lateral_topk,
     "join_range_bucketed": join_range_bucketed,
+    "join_salted_skew": join_salted_skew,
     "join_fuzzy_blocked": join_fuzzy_blocked,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
@@ -536,6 +561,7 @@ ORACLE = {
     "join_inner_equi": _INNER_SQL,
     "join_lateral_topk": _LATERAL_SQL,
     "join_range_bucketed": _RANGE_BUCKETED_SQL,
+    "join_salted_skew": _SALTED_SQL,
     "join_fuzzy_blocked": _FUZZY_SQL,
     "join_left_outer": _LEFT_SQL,
     "join_right_outer": _RIGHT_SQL,

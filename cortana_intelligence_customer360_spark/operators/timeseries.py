@@ -234,14 +234,78 @@ FROM d WHERE std_raw > 0
 """
 
 
+_EWMA_ALPHA = 0.2
+_EWMA_N = 24
+# Literal decay weights (1-a)^k, k = lag distance. Both engines receive
+# the IDENTICAL repr-precision double constants and evaluate the same
+# left-associated 24-term expression, so the result is bit-deterministic
+# without any decimal quantization.
+_EWMA_W = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_N)]
+_EWMA_NORM = sum(_EWMA_W)  # full-window normalizer (rows with 24 lags only)
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user
+    (alpha=0.2, truncated at 24 trailing rows, full windows only).
+    The recursion is unrolled into a fixed 24-term dot product over
+    ``lag()`` columns with literal weights — one per-user window sort,
+    zero Python, and (because the term order is frozen in the
+    expression) bit-identical IEEE arithmetic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    terms = F.col("value") * F.lit(_EWMA_W[0])
+    for k in range(1, _EWMA_N):
+        terms = terms + F.lag("value", k).over(w) * F.lit(_EWMA_W[k])
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            epoch_us("ts").alias("ts_us"),
+            "value",
+            F.row_number().over(w).alias("rn"),
+            terms.alias("wsum"),
+        )
+        .where(F.col("rn") >= _EWMA_N)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "value",
+            F.round(F.col("wsum") / F.lit(_EWMA_NORM), 6).alias("ewma"),
+        )
+    )
+
+
+def _ewma_sql() -> str:
+    terms = " + ".join(
+        f"value * {_EWMA_W[0]!r}"
+        if k == 0
+        else f"lag(value, {k}) OVER w * {_EWMA_W[k]!r}"
+        for k in range(_EWMA_N)
+    )
+    return f"""
+WITH t AS (
+  SELECT event_id, user_id, {epoch_us_sql('ts')} AS ts_us, value,
+         ROW_NUMBER() OVER w AS rn,
+         {terms} AS wsum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, ts_us, value,
+       round(wsum / {_EWMA_NORM!r}, 6) AS ewma
+FROM t WHERE rn >= {_EWMA_N}
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
     "ts_gap_fill": ts_gap_fill,
     "ts_rolling_zscore": ts_rolling_zscore,
+    "ts_ewma": ts_ewma,
 }
 
 ORACLE = {
     "ts_resample_ohlc": _OHLC_SQL,
     "ts_gap_fill": _GAP_FILL_SQL,
     "ts_rolling_zscore": _ZSCORE_SQL,
+    "ts_ewma": _ewma_sql(),
 }

@@ -435,9 +435,17 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE computing the transitive closure."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).withColumnRenamed("a_id", "u").withColumnRenamed("b_id", "v")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+        .withColumnRenamed("a_id", "u")
+        .withColumnRenamed("b_id", "v")
+        # materialize ONCE: every propagation round joins this edge
+        # list, and without the checkpoint each round would re-run the
+        # whole ngram-Jaccard inverted-index self-join that produced it
+        .localCheckpoint()
+    )
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
     prev_sum = None
     while True:  # labels strictly decrease, so the sum-fixpoint is
@@ -506,9 +514,16 @@ def _star_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Large-star/small-star core over (doc_id) nodes and (a_id, b_id)
     undirected edges; returns (doc_id, cluster_id=component min)."""
     # Orient every edge large -> small: u > v invariant held throughout.
-    edges = pairs.select(
-        F.greatest("a_id", "b_id").alias("u"), F.least("a_id", "b_id").alias("v")
-    ).where(F.col("u") != F.col("v")).distinct()
+    edges = (
+        pairs.select(
+            F.greatest("a_id", "b_id").alias("u"), F.least("a_id", "b_id").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        # materialize the pair-generation lineage once; round 1 reads
+        # this frame several times (sym union, lmin agg, ls join)
+        .localCheckpoint()
+    )
     prev = None
     while True:
         # LARGE-STAR: symmetrize; per node u with m = min(N(u) ∪ {u}),

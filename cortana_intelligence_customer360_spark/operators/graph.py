@@ -66,8 +66,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "n", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
     )
     for _ in range(_ITERS):
+        # ranks is node-cardinality (orders of magnitude below the edge
+        # list); broadcasting it keeps the edge list un-shuffled — the
+        # only per-iteration shuffle left is the groupBy(dst) that IS
+        # the rank aggregation.
         contrib = (
-            edges.join(ranks.select("node", "rank"), edges.src == F.col("node"))
+            edges.join(
+                F.broadcast(ranks.select("node", "rank")),
+                edges.src == F.col("node"),
+            )
             .select(
                 F.col("dst"),
                 (F.col("rank") / F.col("outdeg").cast("double"))
@@ -225,12 +232,17 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = seeds.localCheckpoint()
     frontier = dist.select("node")
     for d in range(1, _BFS_MAX_HOPS + 1):
+        # the frontier (and visited set) are node-cardinality —
+        # broadcast both so the edge list never shuffles during
+        # expansion; only the distinct() on newly-reached nodes does.
         reached = (
-            frontier.join(edges, frontier.node == edges.src)
+            edges.join(F.broadcast(frontier), frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new_frontier = reached.join(dist.select("node"), "node", "left_anti")
+        new_frontier = reached.join(
+            F.broadcast(dist.select("node")), "node", "left_anti"
+        )
         new_rows = new_frontier.select(
             "node", F.lit(d).cast("long").alias("hops")
         ).localCheckpoint()

@@ -52,6 +52,15 @@ def encode_png(width: int, height: int, gray: Callable[[int, int], int]) -> byte
     )
 
 
+def decode_png_pixels(payload: bytes) -> list[list[int]]:
+    """Parse a PNG and return the full pixel matrix (rows of 8-bit
+    gray values) — the real decode behind resize/feature-extraction.
+    Same validation contract as :func:`decode_png_meta` (magic, chunk
+    CRCs, inflate, type-0 unfilter); raises ValueError on violations."""
+    meta = _parse_png(payload)
+    return meta["rows"]
+
+
 def decode_png_meta(payload: bytes) -> dict[str, int]:
     """Parse a PNG: verify magic + every chunk CRC, read IHDR geometry,
     inflate IDAT, unfilter (type-0 scanlines), and checksum pixels.
@@ -59,6 +68,17 @@ def decode_png_meta(payload: bytes) -> dict[str, int]:
     Returns {width, height, bit_depth, color_type, pixel_sum}. Raises
     ValueError on any framing/CRC/filter violation — corrupt media must
     surface as errors, not garbage metadata."""
+    m = _parse_png(payload)
+    return {
+        "width": m["width"],
+        "height": m["height"],
+        "bit_depth": m["bit_depth"],
+        "color_type": m["color_type"],
+        "pixel_sum": sum(sum(r) for r in m["rows"]),
+    }
+
+
+def _parse_png(payload: bytes) -> dict:
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG: bad magic")
     pos = 8
@@ -94,18 +114,18 @@ def decode_png_meta(payload: bytes) -> dict[str, int]:
     stride = width + 1
     if len(raw) != stride * height:
         raise ValueError("pixel payload size mismatch")
-    pixel_sum = 0
+    rows: list[list[int]] = []
     for y in range(height):
         row = raw[y * stride : (y + 1) * stride]
         if row[0] != 0:
             raise ValueError(f"scanline filter {row[0]} unsupported")
-        pixel_sum += sum(row[1:])
+        rows.append(list(row[1:]))
     return {
         "width": width,
         "height": height,
         "bit_depth": bit_depth,
         "color_type": color_type,
-        "pixel_sum": pixel_sum,
+        "rows": rows,
     }
 
 

@@ -259,13 +259,170 @@ FROM p
 """
 
 
+# Fixed target geometry for the resize op (thumbnailing shape).
+_RESIZE_W, _RESIZE_H = 8, 6
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.LongType()),
+        T.StructField("src_h", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_weighted", T.LongType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode -> REAL decode (full pixel matrix) -> nearest-neighbor
+    resize with numpy index gather -> positional checksum."""
+    import numpy as np
+
+    from .codecs import decode_png_pixels
+
+    tw, th = _RESIZE_W, _RESIZE_H
+    # positional weights pin WHERE each pixel landed, not just the sum
+    wgt = (np.arange(th)[:, None] * tw + np.arange(tw)[None, :] + 1).astype(
+        "int64"
+    )
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = _png_dims(d)
+            img = np.array(
+                decode_png_pixels(
+                    encode_png(w, h, lambda x, y: (d + 7 * x + 13 * y) % 256)
+                ),
+                dtype="int64",
+            )
+            small = img[np.ix_((np.arange(th) * h) // th, (np.arange(tw) * w) // tw)]
+            rows.append(
+                (d, w, h, tw, th, int(small.sum()), int((small * wgt).sum()))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "src_w", "src_h", "out_w", "out_h",
+                "px_sum", "px_weighted",
+            ],
+        ).astype("int64")
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image thumbnailing without PIL: per doc, build a grayscale
+    PNG, decode the full pixel matrix (CRC walk + inflate + unfilter),
+    nearest-neighbor resize to 8x6 via numpy index gather, and emit
+    positional checksums. The oracle recomputes the expected thumbnail
+    in closed form from the generator, so the whole decode->resize
+    path is hash-verified. Map-only Arrow stage; pixels never leave
+    the workers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+
+
+# Nearest-neighbor index math mirrored exactly: sx = tx*w // 8,
+# sy = ty*h // 6 (integer floor division in both engines).
+_RESIZE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 9 + 3 AS BIGINT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         flatten(list_transform(range({_RESIZE_H}), ty ->
+           list_transform(range({_RESIZE_W}), tx ->
+             (doc_id + 7 * ((tx * w) // {_RESIZE_W})
+                     + 13 * ((ty * h) // {_RESIZE_H})) % 256))) AS thumb
+  FROM dims)
+SELECT doc_id, w AS src_w, h AS src_h,
+       CAST({_RESIZE_W} AS BIGINT) AS out_w,
+       CAST({_RESIZE_H} AS BIGINT) AS out_h,
+       CAST(list_sum(thumb) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(range({_RESIZE_W * _RESIZE_H}), i ->
+            thumb[i + 1] * (i + 1))) AS BIGINT) AS px_weighted
+FROM px
+"""
+
+_FRAME_STEP = 4
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_amp_sum", T.LongType()),
+        T.StructField("frame_amp_max", T.LongType()),
+    ]
+)
+
+
+def _framesample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .codecs import decode_wav_meta  # noqa: F401  (validation import)
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            payload = encode_wav(_WAV_RATE, _wav_samples(d))
+            # real parse: pull PCM16 samples back out of the RIFF body
+            body = payload[44:]
+            samples = np.frombuffer(body, dtype="<i2").astype("int64")
+            frames = samples[::_FRAME_STEP]
+            amp = np.abs(frames)
+            rows.append(
+                (d, len(samples), len(frames), int(amp.sum()), int(amp.max()))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "n_frames", "frame_amp_sum",
+                "frame_amp_max",
+            ],
+        ).astype("int64")
+
+
+def multimodal_audio_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame sampling (the video-frame-sample analog on the one
+    media type we can decode for real): keep every 4th PCM16 sample
+    from the decoded WAV body and checksum amplitudes. Oracle
+    recomputes the sampled positions in closed form from the
+    generator."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_framesample_batches, FRAME_SCHEMA)
+
+
+_FRAMESAMPLE_SQL = f"""
+WITH p AS (SELECT doc_id, CAST(doc_id % 400 + 50 AS BIGINT) AS n FROM documents),
+f AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n, {_FRAME_STEP}), i ->
+           abs((doc_id * 31 + i * 17) % 4096 - 2048)) AS amps
+  FROM p)
+SELECT doc_id, n AS n_samples,
+       CAST((n + {_FRAME_STEP - 1}) // {_FRAME_STEP} AS BIGINT) AS n_frames,
+       CAST(list_sum(amps) AS BIGINT) AS frame_amp_sum,
+       CAST(list_max(amps) AS BIGINT) AS frame_amp_max
+FROM f
+"""
+
+
 QUERIES = {
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_decode_png": multimodal_decode_png,
     "multimodal_decode_wav": multimodal_decode_wav,
+    "multimodal_image_resize": multimodal_image_resize,
+    "multimodal_audio_framesample": multimodal_audio_framesample,
 }
 ORACLE = {
     "multimodal_decode_meta": _DECODE_META_SQL,
     "multimodal_decode_png": _DECODE_PNG_SQL,
     "multimodal_decode_wav": _DECODE_WAV_SQL,
+    "multimodal_image_resize": _RESIZE_SQL,
+    "multimodal_audio_framesample": _FRAMESAMPLE_SQL,
 }

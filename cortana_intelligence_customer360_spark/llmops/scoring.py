@@ -95,57 +95,54 @@ GROUP BY t.doc_id
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents for a fixed 3-term query under BM25 (k1=1.2,
     b=0.75, Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5))) — the
-    retrieval primitive behind RAG corpus search. The per-term df/idf
-    table (|query| rows) broadcasts; per-doc term frequencies are one
-    corpus groupBy; ties broken by doc_id (compat rule 7)."""
+    retrieval primitive behind RAG corpus search.
+
+    Single-pass shape: ONE groupBy(doc_id) over the token stream
+    computes doc length AND each query term's tf as pivoted columns
+    (conditional sums), the corpus stats reduce that doc-level frame
+    to one broadcast row, and the score is a fixed-order 3-term
+    expression — the token stream shuffles exactly once no matter how
+    many query terms there are. Ties broken by doc_id (compat rule 7)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(bcount().alias("dl"))
-    stats = dl.agg(
+    per_doc = toks.groupBy("doc_id").agg(
+        bcount().alias("dl"),
+        *[
+            F.sum((F.col("tok") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
         bcount().alias("n_docs"),
         F.sum(F.col("dl").cast(_DEC)).cast("double").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "tok string")
-    df_t = (
-        toks.join(F.broadcast(terms), "tok")
-        .groupBy("tok")
-        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "tok",
-            "n_docs",
-            "total_dl",
-            F.round(
-                F.log(
-                    1.0
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                ),
-                6,
-            ).alias("idf"),
-        )
-    )
-    tf = (
-        toks.join(F.broadcast(terms), "tok")
-        .groupBy("doc_id", "tok")
-        .agg(bcount().alias("tf"))
-    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
     avgdl = F.col("total_dl") / F.col("n_docs")
-    denom = F.col("tf") + _BM25_K1 * (
-        1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl
-    )
-    per_term = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_t), "tok")
-        .select(
-            "doc_id",
-            F.round(
-                F.col("idf") * F.col("tf") * (_BM25_K1 + 1.0) / denom, 6
-            ).alias("term_score"),
+    denom_norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.round(
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+            ),
+            6,
         )
-    )
-    scored = per_term.groupBy("doc_id").agg(
-        F.sum(F.col("term_score").cast(_DEC)).cast("double").alias("bm25")
-    )
+        return F.when(
+            tf > 0,
+            F.round(idf * tf * (_BM25_K1 + 1.0) / (tf + denom_norm), 6),
+        ).otherwise(F.lit(0.0))
+
+    bm25 = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        bm25 = bm25 + term_score(i)  # fixed-order IEEE adds, both engines
+    scored = joined.select("doc_id", bm25.alias("bm25")).where(F.col("bm25") > 0)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
         scored.select(
@@ -155,39 +152,49 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_SQL = f"""
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"""CASE WHEN tf_{i} > 0 THEN
+           round(round(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)), 6)
+                 * tf_{i} * ({_BM25_K1} + 1.0)
+                 / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl / (total_dl / n_docs))), 6)
+         ELSE 0.0 END"""
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
 t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM t GROUP BY doc_id),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(CAST(dl AS DECIMAL(30,6))) AS DOUBLE) AS total_dl
-  FROM dl),
-q(tok) AS (VALUES {', '.join(f"('{t}')" for t in _BM25_TERMS)}),
-df_t AS (
-  SELECT tok, n_docs, total_dl,
-         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
-  FROM (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-        FROM t JOIN q USING (tok) GROUP BY tok), stats),
-tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM t JOIN q USING (tok) GROUP BY doc_id, tok),
-per_term AS (
-  SELECT tf.doc_id,
-         round(d.idf * tf.tf * ({_BM25_K1} + 1.0)
-               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                  + {_BM25_B} * dl.dl / (d.total_dl / d.n_docs))), 6)
-           AS term_score
-  FROM tf JOIN dl USING (doc_id) JOIN df_t d USING (tok)),
+         CAST(SUM(CAST(dl AS DECIMAL(30,6))) AS DOUBLE) AS total_dl,
+         {df_cols}
+  FROM per_doc),
 scored AS (
-  SELECT doc_id,
-         CAST(SUM(CAST(term_score AS DECIMAL(30,6))) AS DOUBLE) AS bm25
-  FROM per_term GROUP BY doc_id)
+  SELECT doc_id, {terms} AS bm25
+  FROM per_doc, stats)
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, bm25
 FROM scored
+WHERE bm25 > 0
 QUALIFY rank <= 10
 """
+
+
+_BM25_SQL = _bm25_sql()
 
 
 _N_SHARDS = 8

@@ -108,3 +108,28 @@ def test_png_crc_matches_reference_impl():
     body = payload[12 : 12 + 4 + ihdr_len]
     (crc,) = struct.unpack(">I", payload[16 + ihdr_len : 20 + ihdr_len])
     assert crc == zlib.crc32(body) & 0xFFFFFFFF
+
+
+def test_png_pixel_matrix_roundtrip():
+    """decode_png_pixels must return exactly the generator's matrix."""
+    from cortana_intelligence_customer360_spark.llmops.codecs import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    w, h = 7, 5
+    payload = encode_png(w, h, lambda x, y: (3 + 7 * x + 13 * y) % 256)
+    rows = decode_png_pixels(payload)
+    assert rows == [[(3 + 7 * x + 13 * y) % 256 for x in range(w)] for y in range(h)]
+
+
+def test_nearest_neighbor_resize_matches_reference():
+    """The numpy index-gather in the resize op equals a per-pixel
+    reference implementation."""
+    import numpy as np
+
+    w, h, tw, th = 11, 7, 8, 6
+    img = np.arange(w * h, dtype="int64").reshape(h, w)
+    fast = img[np.ix_((np.arange(th) * h) // th, (np.arange(tw) * w) // tw)]
+    ref = [[img[ty * h // th][tx * w // tw] for tx in range(tw)] for ty in range(th)]
+    assert fast.tolist() == ref

@@ -277,6 +277,36 @@ FROM events GROUP BY user_id
 """
 
 
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: parse the props JSON into an open
+    VARIANT (no declared schema — the semi-structured ingestion shape)
+    and extract typed fields with variant_get. Variant is a binary
+    encoding, so it never appears in the output schema; only the
+    extracted primitives do. Map-side only until the final per-type
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+_FN_VARIANT_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise ops on keys: and/or/xor/not/shifts (partition-routing
     and bitmap arithmetic primitives)."""
@@ -364,6 +394,7 @@ QUERIES = {
     "fn_explode": fn_explode,
     "fn_map": fn_map,
     "fn_json": fn_json,
+    "fn_variant": fn_variant,
 }
 
 ORACLE = {
@@ -379,4 +410,5 @@ ORACLE = {
     "fn_explode": _FN_EXPLODE_SQL,
     "fn_map": _FN_MAP_SQL,
     "fn_json": _FN_JSON_SQL,
+    "fn_variant": _FN_VARIANT_SQL,
 }

@@ -254,8 +254,84 @@ FROM documents WHERE source = 'src0'
 """
 
 
+_PYDS_PARTS = 4
+_PYDS_ROWS_PER_PART = 250
+_PYDS_MOD = 97
+_PYDS_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+def _make_synth_source():
+    """Build the DataSource class lazily (the datasource module import
+    belongs inside the function so module import stays cheap)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _SynthReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(_PYDS_PARTS)]
+
+        def read(self, partition):
+            pid = partition.value
+            base = pid * _PYDS_ROWS_PER_PART
+            for i in range(_PYDS_ROWS_PER_PART):
+                rid = base + i
+                yield (rid, pid, (rid * _PYDS_MULT) % _PYDS_MOD)
+
+    class SynthRangeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "c360_synth_range"
+
+        def schema(self):
+            return "id bigint, part_id bigint, bucket bigint"
+
+        def reader(self, schema):
+            return _SynthReader()
+
+    return SynthRangeSource
+
+
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API: a custom partition-parallel
+    source (the extension point for bespoke connectors — feeds,
+    internal services, exotic formats) registered and read through the
+    normal ``spark.read.format(...)`` path. Each of the 4 input
+    partitions generates its rows as a pure function of the partition
+    id, so the read is deterministic, embarrassingly parallel, and
+    driver-free — the planner schedules one task per InputPartition
+    exactly as it would for file splits. The aggregate on top proves
+    the rows flow through the ordinary Catalyst pipeline."""
+    try:
+        spark.dataSource.register(_make_synth_source())
+    except Exception:
+        pass  # already registered in this session — re-register is a no-op race
+    df = spark.read.format("c360_synth_range").load()
+    return df.groupBy("bucket").agg(
+        bcount().alias("n"),
+        F.sum("id").cast("long").alias("sum_id"),
+        F.countDistinct("part_id").cast("long").alias("n_parts"),
+    )
+
+
+_PYDS_SQL = f"""
+WITH rows AS (
+  SELECT r.range AS id,
+         r.range // {_PYDS_ROWS_PER_PART} AS part_id,
+         (r.range * {_PYDS_MULT}) % {_PYDS_MOD} AS bucket
+  FROM range({_PYDS_PARTS * _PYDS_ROWS_PER_PART}) r)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(id) AS BIGINT) AS sum_id,
+       CAST(COUNT(DISTINCT part_id) AS BIGINT) AS n_parts
+FROM rows GROUP BY bucket
+"""
+
+
 QUERIES = {
     "scan_parquet": scan_parquet,
+    "source_python_datasource": source_python_datasource,
     "scan_project_pushdown": scan_project_pushdown,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_json_roundtrip": scan_json_roundtrip,
@@ -269,6 +345,7 @@ QUERIES = {
 
 ORACLE = {
     "scan_parquet": _SCAN_PARQUET_SQL,
+    "source_python_datasource": _PYDS_SQL,
     "scan_project_pushdown": _SCAN_PUSHDOWN_SQL,
     "scan_csv_roundtrip": "SELECT * FROM region",
     "scan_json_roundtrip": "SELECT * FROM nation",

@@ -220,13 +220,67 @@ FROM orders JOIN dim
 """
 
 
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-(user,
+    event_type) aggregate MV built from the historical 80% of events
+    (event_id % 10 < 8) is refreshed with the 20% delta by MERGING
+    PARTIAL AGGREGATES — count adds, sum accumulates in DECIMAL(30,6)
+    (exact under any split, same discipline as the foreachBatch sink)
+    — never re-reading history. At 100 TB the refresh cost is
+    O(delta + MV), not O(raw); the oracle recomputes the full
+    aggregate from scratch and must hash-match the merged MV exactly,
+    which is precisely the incremental-view-maintenance contract."""
+    from .scans import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    dec_sum = lambda c: F.sum(F.col(c).cast("decimal(30,6)"))  # noqa: E731
+    base = (
+        ev.where(F.col("event_id") % 10 < 8)
+        .groupBy("user_id", "event_type")
+        .agg(bcount().alias("n"), dec_sum("value").alias("sum_dec"))
+    )
+    mv_path = scratch_dir("mv_incremental_refresh", sf_dir)
+    base.write.mode("overwrite").parquet(mv_path)  # the standing MV
+    mv = spark.read.parquet(mv_path)
+
+    delta = (
+        ev.where(F.col("event_id") % 10 >= 8)
+        .groupBy("user_id", "event_type")
+        .agg(bcount().alias("n_d"), dec_sum("value").alias("sum_d"))
+    )
+    merged = mv.join(delta, ["user_id", "event_type"], "full")
+    return merged.select(
+        "user_id",
+        "event_type",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        (
+            F.coalesce(F.col("sum_dec"), F.lit(0).cast("decimal(30,6)"))
+            + F.coalesce(F.col("sum_d"), F.lit(0).cast("decimal(30,6)"))
+        )
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+_MV_REFRESH_SQL = f"""
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events GROUP BY user_id, event_type
+"""
+
+
 QUERIES = {
     "merge_upsert": merge_upsert,
+    "mv_incremental_refresh": mv_incremental_refresh,
     "scd2_history": scd2_history,
     "scd2_pointintime_join": scd2_pointintime_join,
 }
 ORACLE = {
     "merge_upsert": _MERGE_SQL,
+    "mv_incremental_refresh": _MV_REFRESH_SQL,
     "scd2_history": _SCD2_SQL,
     "scd2_pointintime_join": _SCD2_PIT_SQL,
 }

@@ -307,6 +307,35 @@ FROM events GROUP BY event_type
 """
 
 
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support: group a deliberately mixed-case key
+    under the UTF8_LCASE collation — comparisons/grouping become
+    case-insensitive WITHOUT rewriting values through lower() (at
+    scale, collation-aware grouping keeps codegen string comparators;
+    it is not a per-row UDF). The emitted key is normalized via
+    lower() only because the collated group representative is
+    first-seen (physical-order-dependent) — the grouping itself is
+    done by the collation."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    grouped = ev.select(mixed.alias("mixed_case")).groupBy(
+        F.collate("mixed_case", "UTF8_LCASE").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return grouped.select(F.lower("k").alias("event_type"), "n")
+
+
+_FN_COLLATION_SQL = """
+WITH m AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS mixed_case
+  FROM events)
+SELECT lower(mixed_case) AS event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM m GROUP BY lower(mixed_case)
+"""
+
+
 def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise ops on keys: and/or/xor/not/shifts (partition-routing
     and bitmap arithmetic primitives)."""
@@ -395,6 +424,7 @@ QUERIES = {
     "fn_map": fn_map,
     "fn_json": fn_json,
     "fn_variant": fn_variant,
+    "fn_collation": fn_collation,
 }
 
 ORACLE = {
@@ -411,4 +441,5 @@ ORACLE = {
     "fn_map": _FN_MAP_SQL,
     "fn_json": _FN_JSON_SQL,
     "fn_variant": _FN_VARIANT_SQL,
+    "fn_collation": _FN_COLLATION_SQL,
 }

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -505,7 +505,55 @@ SELECT '1d', CAST(epoch_us(b) AS BIGINT), event_type, n_events,
 """
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: per returnflag, the smallest
+    l_extendedprice whose cumulative l_quantity weight reaches half
+    the group total. Cumulative weights accumulate in DECIMAL (exact,
+    order-independent within the pinned (price, orderkey, linenumber)
+    ordering), so the threshold crossing is identical in both engines.
+    One shuffle on the group key; the cumulative window rides the same
+    partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = (
+        F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    total = F.sum(F.col("l_quantity").cast("decimal(30,6)")).over(wt).cast("double")
+    flagged = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        cum.alias("cum_w"),
+        total.alias("total_w"),
+    ).where(F.col("cum_w") * 2 >= F.col("total_w"))
+    return flagged.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("weighted_median_price")
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (
+            PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_w,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (
+            PARTITION BY l_returnflag) AS DOUBLE) AS total_w
+  FROM lineitem)
+SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median_price
+FROM c WHERE cum_w * 2 >= total_w
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
+    "agg_weighted_median": agg_weighted_median,
     "agg_sketch_merge": agg_sketch_merge,
     "agg_time_bucket_rollup": agg_time_bucket_rollup,
     "agg_approx_percentile": agg_approx_percentile,
@@ -525,6 +573,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "agg_corr_matrix": _AGG_CORR_SQL,
     "agg_time_bucket_rollup": _AGG_TIMEBUCKET_SQL,
     "agg_pricing_summary": _AGG_PRICING_SQL,

@@ -19,7 +19,7 @@ on a ulp between Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import bcount, dsum, dsum_sql
@@ -429,8 +429,52 @@ LIMIT 100
 """
 
 
+def tpcds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-style year-over-year growth: revenue per (market
+    segment, order year) with each year's growth ratio vs the
+    segment's previous year — aggregate first (segment x year is a
+    tiny frame), then the lag window runs on the aggregate, never on
+    the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_mktsegment", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "c_mktsegment",
+        "o_year",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    )
+
+
+_YOY_SQL = f"""
+WITH rev AS (
+  SELECT c_mktsegment,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {dsum_sql('o_totalprice')} AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment, o_year, revenue,
+       round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6)
+         AS yoy_growth
+FROM rev
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_year)
+"""
+
+
 QUERIES = {
     "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpcds_yoy_growth": tpcds_yoy_growth,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q9_product_profit": tpch_q9_product_profit,
     "tpch_q11_important_parts": tpch_q11_important_parts,
@@ -443,6 +487,7 @@ QUERIES = {
 
 ORACLE = {
     "tpch_q2_min_cost_supplier": _Q2_SQL,
+    "tpcds_yoy_growth": _YOY_SQL,
     "tpch_q6_forecast_revenue": _Q6_SQL,
     "tpch_q9_product_profit": _Q9_SQL,
     "tpch_q11_important_parts": _Q11_SQL,

@@ -89,6 +89,17 @@ HEAVY = [
     "tpch_q8_market_share",
     "multimodal_decode_png",
     "graph_pagerank",
+    # round-3 additions
+    "ts_resample_ohlc",
+    "ts_gap_fill",
+    "ts_ewma",
+    "feat_activity_streak",
+    "graph_bfs_hops",
+    "join_range_bucketed",
+    "text_bm25_search",
+    "text_unigram_logprob",
+    "emb_quantize_int8",
+    "mv_incremental_refresh",
 ]
 
 

@@ -140,7 +140,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
     - UTC session timezone: the data is UTC wall-clock; epoch
       extraction (compat.epoch_us) must not shift by a local offset.
-    - nanosAsLong: lets Spark 4 read events.ts (parquet TIMESTAMP_NANOS).
+    - nanosAsLong: lets older Spark 4 runtimes read events.ts (parquet
+      TIMESTAMP_NANOS) as a long; 4.1.2 ignores it (reads ntz) — both
+      shapes are normalized in load_table / raw_ts_to_timestamp.
     - Arrow: columnar JVM<->Python transfer for pandas UDF operators.
     """
     for k, v in (
@@ -164,24 +166,52 @@ def ensure_session_confs(spark: SparkSession) -> None:
         pass
 
 
+# Discriminates epoch-ns from epoch-µs longs: epoch-µs stays below 1e17
+# until year 5138, epoch-ns crosses it in 1973. Needed because Spark
+# runtimes disagree on what a LongType-forced read of a parquet
+# TIMESTAMP(NANOS) column yields: 4.1.0+nanosAsLong surfaces raw ns,
+# 4.1.2 ignores the legacy conf and surfaces µs-truncated values.
+_NS_MAGNITUDE = 10**17
+
+
+def raw_ts_to_timestamp(colname: str = "ts"):
+    """Column expr: raw INT64 events timestamp -> µs TimestampType.
+
+    Handles both runtime behaviors for LongType-forced reads of the
+    parquet TIMESTAMP(NANOS) column (raw ns vs pre-truncated µs) by
+    magnitude, entirely JVM-side (whole-stage codegen; no Python).
+    DuckDB's reader performs the identical ns->µs truncation, so oracle
+    timestamps align either way.
+    """
+    c = F.col(colname)
+    us = F.when(c >= F.lit(_NS_MAGNITUDE), F.expr(f"{colname} DIV 1000")).otherwise(c)
+    return F.timestamp_micros(us)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table from ``{sf_dir}/{name}.parquet``.
 
     Plain ``spark.read.parquet`` (no schema override): the schema is
     parquet-embedded and Catalyst prunes columns/pushes filters from the
-    declarative plan. events.ts is stored as timestamp[ns]; Spark reads
-    it as µs TimestampType (see compat.epoch_us for oracle alignment).
+    declarative plan. events.ts is stored as timestamp[ns]; see the
+    events branch below for the runtime-dependent normalization.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
     ensure_session_confs(spark)
     if name == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark 4 has
-        # no timestamp type for. Read it as a raw long and truncate to
-        # µs TimestampType. DuckDB's parquet reader performs the
-        # identical ns->µs truncation, so oracle timestamps align.
+        # events.ts is parquet INT64 TIMESTAMP(NANOS). Depending on the
+        # Spark runtime it surfaces as a raw long (nanosAsLong honored)
+        # or as TIMESTAMP_NTZ µs-truncated (4.1.2+, conf ignored).
+        # Normalize both to session-tz µs TimestampType; DuckDB's
+        # parquet reader truncates identically, so oracles align.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", raw_ts_to_timestamp("ts"))
+        elif ts_type.startswith("timestamp_ntz"):
+            # Session tz is UTC (ensure_session_confs), so the ntz->ltz
+            # cast keeps the UTC wall clock bit-identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from ..compat import bcount, dsum, dsum_sql
 from ..operators.scans import _EVENTS_RAW_SCHEMA, scratch_dir
-from ..sources.tables import ensure_session_confs
+from ..sources.tables import ensure_session_confs, raw_ts_to_timestamp
 
 _SEQ = itertools.count(1)  # single next() call is atomic under CPython
 
@@ -40,7 +40,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the batch loader (ns long -> µs timestamp)."""
     ensure_session_confs(spark)
     raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parque[t]")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", raw_ts_to_timestamp("ts"))
 
 
 def _events_multifile_src(spark: SparkSession, sf_dir: str) -> str:
@@ -90,7 +90,7 @@ def _events_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", raw_ts_to_timestamp("ts"))
 
 
 _STATE_PARTITIONS = "8"
@@ -528,7 +528,7 @@ def stream_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return raw.withColumn("ts", raw_ts_to_timestamp("ts"))
 
     views = (
         stream()

@@ -45,13 +45,18 @@ def test_gap_fill_spine_is_dense_and_filled(spark, sf_dir):
 
 
 def test_gap_fill_tiny_handcomputed(spark):
-    # user 1: hours 10, 13 observed -> spine 10..13 with 11,12 gap-filled
-    # mimic the real events layout: ts at rest is a raw INT64 of nanos
-    # (load_table truncates to µs TimestampType on read)
+    # user 1: hours B+10, B+13 observed -> spine B+10..B+13 with gaps
+    # gap-filled. Mimic the real events layout: ts at rest is a raw
+    # INT64 of nanos (load_table normalizes to µs TimestampType on
+    # read). Use a 2024-era base like the real data: ns/µs magnitude
+    # discrimination (tables.raw_ts_to_timestamp) is only defined for
+    # realistic epochs, not 1970-adjacent toys.
+    base_s = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+    B = base_s // 3600
     ev = spark.createDataFrame(
         [
-            (1, 10 * 3_600_000_000 * 1000, 1, "click", 5.0, "{}"),
-            (2, 13 * 3_600_000_000 * 1000, 1, "view", 7.0, "{}"),
+            (1, (base_s + 10 * 3600) * 1_000_000_000, 1, "click", 5.0, "{}"),
+            (2, (base_s + 13 * 3600) * 1_000_000_000, 1, "view", 7.0, "{}"),
         ],
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string",
@@ -65,7 +70,12 @@ def test_gap_fill_tiny_handcomputed(spark):
             r["hour_idx"]: (r["value_ffill"], r["is_gap"])
             for r in ts_gap_fill(spark, d).collect()
         }
-    assert rows == {10: (5.0, 0), 11: (5.0, 1), 12: (5.0, 1), 13: (7.0, 0)}
+    assert rows == {
+        B + 10: (5.0, 0),
+        B + 11: (5.0, 1),
+        B + 12: (5.0, 1),
+        B + 13: (7.0, 0),
+    }
 
 
 def test_zscore_windows_are_full_and_flag_consistent(spark, sf_dir):

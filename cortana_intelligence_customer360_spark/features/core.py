@@ -522,7 +522,52 @@ FROM streaks GROUP BY user_id
 """
 
 
+def feat_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for every
+    (prev_type -> event_type) bigram in each user's chronological
+    stream, the transition count and row-normalized probability — the
+    behavioral-model / next-action-prediction primitive.
+
+    Plan: ONE window shuffle keyed on user_id produces the lag pairs,
+    then the groupBy reduces to a |types|² frame (25 rows) with map-side
+    partials; the per-prev normalization is a window over that tiny
+    aggregate, not over the event stream. Ordering ties broken by
+    event_id (compat rule 7)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(bcount().alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+counts AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, event_type, n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM counts
+"""
+
+
 QUERIES = {
+    "feat_markov_transitions": feat_markov_transitions,
     "feat_funnel_conversion": feat_funnel_conversion,
     "feat_activity_streak": feat_activity_streak,
     "feat_target_encoding": feat_target_encoding,
@@ -537,6 +582,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "feat_markov_transitions": _MARKOV_SQL,
     "feat_funnel_conversion": _FUNNEL_SQL,
     "feat_activity_streak": _STREAK_SQL,
     "feat_target_encoding": _TARGET_ENC_SQL,

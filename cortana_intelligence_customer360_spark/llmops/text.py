@@ -379,7 +379,73 @@ HAVING count(*) * 50 >= n_total
 """
 
 
+# Conservative regex subset that parses identically under Java's regex
+# engine (Spark) and RE2 (DuckDB): no backrefs, no \b, explicit classes.
+_PII_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]+"
+_PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: count then redact email / phone
+    patterns, emitting per-doc redaction counts and the scrubbed text's
+    md5 (so the oracle pins the exact output bytes, not just counts).
+
+    The synthetic corpus contains no organic PII, so a deterministic
+    fixture step first plants one email and one phone per doc (derived
+    from doc_id); the OPERATOR is the regex count+redact chain, which is
+    pure whole-stage-codegen column work — an embarrassingly parallel
+    scan at 100 TB, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id"),
+            F.lit("@mail.example call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_PII_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@mail.example call 555-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents),
+r AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM planted)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(redacted) AS BIGINT) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM r
+"""
+
+
 QUERIES = {
+    "text_pii_redact": text_pii_redact,
     "text_tfidf_topk": text_tfidf_topk,
     "text_heavy_hitters": text_heavy_hitters,
     "text_stats": text_stats,
@@ -391,6 +457,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_pii_redact": _PII_SQL,
     "text_tfidf_topk": _TFIDF_SQL,
     "text_heavy_hitters": _HEAVY_HITTERS_SQL,
     "text_stats": _TEXT_STATS_SQL,

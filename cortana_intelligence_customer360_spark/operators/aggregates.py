@@ -552,8 +552,44 @@ GROUP BY l_returnflag
 """
 
 
+def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extrema and boolean aggregates per segment: max_by /
+    min_by (which customer holds the extreme balance), bool_and /
+    bool_or, count_if — all single-pass JVM aggregates (one shuffle,
+    map-side partials).
+
+    max_by needs a totally-ordered argument or ties are engine-defined:
+    rank by the exact integer ``round(acctbal*100)*1e8 + custkey``
+    (balance cents, custkey tiebreak) so both engines pick the same row
+    deterministically."""
+    cu = load_table(spark, sf_dir, "customer")
+    ordv = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(100_000_000)
+        + F.col("c_custkey")
+    )
+    return cu.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", ordv).alias("richest"),
+        F.min_by("c_name", ordv).alias("poorest"),
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") < -900).alias("any_deep_negative"),
+        F.count_if(F.col("c_acctbal") < 0).cast("long").alias("n_negative"),
+    )
+
+
+_AGG_ARG_EXTREMA_SQL = """
+SELECT c_mktsegment,
+       arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*100000000 + c_custkey) AS richest,
+       arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*100000000 + c_custkey) AS poorest,
+       bool_and(c_acctbal > 0) AS all_positive,
+       bool_or(c_acctbal < -900) AS any_deep_negative,
+       CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "agg_weighted_median": agg_weighted_median,
+    "agg_arg_extrema": agg_arg_extrema,
     "agg_sketch_merge": agg_sketch_merge,
     "agg_time_bucket_rollup": agg_time_bucket_rollup,
     "agg_approx_percentile": agg_approx_percentile,
@@ -574,6 +610,7 @@ QUERIES = {
 
 ORACLE = {
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
+    "agg_arg_extrema": _AGG_ARG_EXTREMA_SQL,
     "agg_corr_matrix": _AGG_CORR_SQL,
     "agg_time_bucket_rollup": _AGG_TIMEBUCKET_SQL,
     "agg_pricing_summary": _AGG_PRICING_SQL,

@@ -272,15 +272,116 @@ FROM events GROUP BY user_id, event_type
 """
 
 
+# --- CDC log application -------------------------------------------------
+
+_CDC_INS_OFFSET = 10_000_000  # insert keys live in a disjoint id space
+
+
+def _cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered change log derived from orders: every order
+    is one change record (seq = orderkey gives a total order). Op mix:
+    ~1% deletes, ~8% inserts of brand-new keys, rest updates."""
+    o = load_table(spark, sf_dir, "orders")
+    op = (
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 13 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    key = F.when(
+        F.col("o_orderkey") % 13 == 0,
+        F.col("o_custkey") + F.lit(_CDC_INS_OFFSET),
+    ).otherwise(F.col("o_custkey"))
+    return o.select(
+        F.col("o_orderkey").alias("seq"),
+        key.cast("long").alias("key"),
+        op.alias("op"),
+        F.round(F.col("o_totalprice") / 100.0, 6).alias("new_bal"),
+    )
+
+
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an ordered CDC change log (insert/update/delete) to a
+    snapshot with last-writer-wins semantics — the batch form of a
+    Debezium/«apply changes into» pipeline on plain parquet.
+
+    Per key only the highest-seq record matters: rank the log with ONE
+    window over the key (the log's only shuffle), then full-outer-join
+    the one-row-per-key survivors against the snapshot on the same key —
+    the window's hash partitioning is reused by the join, so the whole
+    apply is one shuffle per side at any scale. D drops the row, U/I
+    upsert (update-if-present, insert-if-absent)."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    log = _cdc_log(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joined = base.join(latest, "key", "full")
+    return (
+        joined.where((F.col("op") != "D") | F.col("op").isNull())
+        .select(
+            "key",
+            F.coalesce(F.col("name"), F.concat(F.lit("cdc#"), F.col("key"))).alias(
+                "name"
+            ),
+            F.coalesce(F.col("mktsegment"), F.lit("CDC")).alias("mktsegment"),
+            F.round(F.coalesce(F.col("new_bal"), F.col("acctbal")), 6).alias(
+                "acctbal"
+            ),
+            F.when(F.col("op").isNull(), F.lit("kept"))
+            .when(F.col("acctbal").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("change"),
+        )
+    )
+
+
+_CDC_SQL = f"""
+WITH log AS (
+  SELECT o_orderkey AS seq,
+         CAST(CASE WHEN o_orderkey % 13 = 0
+                   THEN o_custkey + {_CDC_INS_OFFSET} ELSE o_custkey END
+              AS BIGINT) AS key,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'D'
+              WHEN o_orderkey % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+         round(o_totalprice / 100.0, 6) AS new_bal
+  FROM orders),
+latest AS (
+  SELECT * FROM log QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) = 1),
+joined AS (
+  SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
+         b.c_mktsegment AS mktsegment, b.c_acctbal AS acctbal,
+         l.op, l.new_bal
+  FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.key)
+SELECT key,
+       COALESCE(name, 'cdc#' || key) AS name,
+       COALESCE(mktsegment, 'CDC') AS mktsegment,
+       round(COALESCE(new_bal, acctbal), 6) AS acctbal,
+       CASE WHEN op IS NULL THEN 'kept'
+            WHEN acctbal IS NULL THEN 'inserted'
+            ELSE 'updated' END AS change
+FROM joined WHERE op IS NULL OR op <> 'D'
+"""
+
+
 QUERIES = {
     "merge_upsert": merge_upsert,
     "mv_incremental_refresh": mv_incremental_refresh,
     "scd2_history": scd2_history,
     "scd2_pointintime_join": scd2_pointintime_join,
+    "cdc_apply_log": cdc_apply_log,
 }
 ORACLE = {
     "merge_upsert": _MERGE_SQL,
     "mv_incremental_refresh": _MV_REFRESH_SQL,
     "scd2_history": _SCD2_SQL,
     "scd2_pointintime_join": _SCD2_PIT_SQL,
+    "cdc_apply_log": _CDC_SQL,
 }

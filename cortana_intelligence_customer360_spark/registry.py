@@ -26,6 +26,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.operators.tpch2",
     "cortana_intelligence_customer360_spark.operators.merge",
     "cortana_intelligence_customer360_spark.operators.graph",
+    "cortana_intelligence_customer360_spark.operators.spatial",
     "cortana_intelligence_customer360_spark.operators.timeseries",
     "cortana_intelligence_customer360_spark.functions.scalar",
     "cortana_intelligence_customer360_spark.functions.udfs",

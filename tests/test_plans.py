@@ -251,3 +251,42 @@ def test_quantizer_is_map_only(spark, sf_dir):
 
     plan = plan_string(embeddings.emb_quantize_int8(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_spatial_grid_join_is_equi_not_allpairs(spark, sf_dir):
+    """The grid rewrite must plan as a cell-keyed equi join — never a
+    cross product with a distance filter (the quadratic shape the
+    rewrite exists to avoid)."""
+    from cortana_intelligence_customer360_spark.operators import spatial
+
+    plan = plan_string(spatial.join_spatial_grid(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """Regex count+redact is pure per-row column work: the plan must be
+    a single scan->project with no shuffle and no Python boundary."""
+    from cortana_intelligence_customer360_spark.llmops import text
+
+    plan = plan_string(text.text_pii_redact(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_markov_shuffles_only_on_user_then_pair(spark, sf_dir):
+    """The event stream shuffles once (user window); everything after
+    operates on the |types|^2 aggregate, so no other event-sized
+    exchange may appear."""
+    import re
+
+    from cortana_intelligence_customer360_spark.features import core
+
+    plan = plan_string(core.feat_markov_transitions(spark, sf_dir))
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) <= {"user_id", "prev_type"}, keys

@@ -653,3 +653,62 @@ def test_fuzzy_blocked_join_stays_in_block(spark, sf_dir):
         assert r["name_b"].split(" ")[0] == r["block"]
         assert r["name_a"] < r["name_b"]
         assert 1 <= r["distance"] <= 3
+
+
+def test_spatial_grid_equals_bruteforce(spark):
+    """The 3x3-neighbor grid rewrite must find EXACTLY the all-pairs
+    result: no boundary pair lost to cell quantization, none duplicated
+    by the replication. sf0.01: the 150 points of sf0.001 scatter too
+    sparsely over the 1000x1000 plane to produce any qualifying pair."""
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.operators import spatial
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {
+        (r["pid_a"], r["pid_b"], r["dist2"])
+        for r in spatial.join_spatial_grid(spark, sf_dir).collect()
+    }
+    pts = spatial._points(spark, sf_dir)
+    a = pts.toDF("pid_a", "xa", "ya")
+    b = pts.toDF("pid_b", "xb", "yb")
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    brute = {
+        (r["pid_a"], r["pid_b"], r["d2"])
+        for r in a.crossJoin(b)
+        .where((F.col("pid_a") < F.col("pid_b")) & (d2 <= spatial._R2))
+        .select("pid_a", "pid_b", d2.alias("d2"))
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_cdc_apply_last_writer_wins(spark, sf_dir):
+    """For a key with several log records the surviving balance must
+    come from the highest-seq record, and deleted keys must vanish."""
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.operators import merge
+
+    log = merge._cdc_log(spark, sf_dir).cache()
+    out = merge.cdc_apply_log(spark, sf_dir).cache()
+    # highest-seq record per key decides
+    latest = (
+        log.orderBy(F.col("seq").desc())
+        .groupBy("key")
+        .agg(F.first("op").alias("op"), F.first("new_bal").alias("new_bal"))
+    )
+    deleted = {r["key"] for r in latest.where(F.col("op") == "D").collect()}
+    assert deleted, "fixture must exercise deletes"
+    out_keys = {r["key"] for r in out.collect()}
+    assert not (deleted & out_keys)
+    upd = (
+        out.join(latest.where(F.col("op") != "D"), "key")
+        .where(F.round(F.col("acctbal"), 6) != F.round(F.col("new_bal"), 6))
+        .count()
+    )
+    assert upd == 0
+    log.unpersist()
+    out.unpersist()

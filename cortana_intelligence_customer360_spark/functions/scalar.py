@@ -410,7 +410,50 @@ FROM nation CROSS JOIN region
 """
 
 
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction with Spark's native ``parse_url``
+    (HOST / PATH / QUERY-parameter forms). The URL is synthesized
+    deterministically from customer columns, so the oracle emits the
+    ground-truth components straight from the source columns — pinning
+    parse_url's behavior against construction, not against a second
+    parser. Map-only; whole-stage codegen."""
+    cu = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shop.example/seg/"),
+        F.lower("c_mktsegment"),
+        F.lit("/u"),
+        F.col("c_custkey"),
+        F.lit("?n="),
+        F.col("c_nationkey"),
+        F.lit("&b="),
+        F.round("c_acctbal").cast("long"),
+    )
+    u = F.col("url")
+    return cu.select("c_custkey", url.alias("url")).select(
+        "c_custkey",
+        "url",
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("n")).cast("long").alias("q_n"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("b")).cast("long").alias("q_b"),
+    )
+
+
+_FN_URL_SQL = """
+SELECT c_custkey,
+       'https://shop.example/seg/' || lower(c_mktsegment) || '/u' || c_custkey
+         || '?n=' || c_nationkey || '&b=' || CAST(round(c_acctbal) AS BIGINT)
+         AS url,
+       'shop.example' AS host,
+       '/seg/' || lower(c_mktsegment) || '/u' || c_custkey AS path,
+       CAST(c_nationkey AS BIGINT) AS q_n,
+       CAST(round(c_acctbal) AS BIGINT) AS q_b
+FROM customer
+"""
+
+
 QUERIES = {
+    "fn_url": fn_url,
     "fn_string": fn_string,
     "fn_regexp": fn_regexp,
     "fn_levenshtein": fn_levenshtein,
@@ -428,6 +471,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_url": _FN_URL_SQL,
     "fn_string": _FN_STRING_SQL,
     "fn_regexp": _FN_REGEXP_SQL,
     "fn_levenshtein": _FN_LEVENSHTEIN_SQL,

@@ -570,7 +570,52 @@ def _star_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup collapse — the step after clustering that training
+    pipelines actually ship: per cluster keep ONE canonical document
+    (the longest; doc_id breaks length ties) and flag the rest for
+    drop. Emits the full audit frame (doc -> cluster -> canonical ->
+    keep) rather than just survivors, so the drop set is reviewable.
+
+    The canonical choice rides a single-pass max_by over the cluster
+    labels with the exact integer order ``n_chars*1e10 - doc_id``
+    (length desc, doc_id asc) — engine-independent ties, and the
+    cluster->canonical table is cluster-cardinality (broadcastable) so
+    the label frame never reshuffles for the final join."""
+    labels = dedup_cluster(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lab = labels.join(docs, "doc_id")
+    ordv = F.col("n_chars").cast("long") * F.lit(10_000_000_000) - F.col("doc_id")
+    canon = lab.groupBy("cluster_id").agg(
+        F.max_by("doc_id", ordv).alias("canonical_id")
+    )
+    return lab.join(F.broadcast(canon), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    )
+
+
+def _canonical_sql() -> str:
+    return f"""
+WITH clusters AS ({_cluster_sql()}),
+lab AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)),
+canon AS (
+  SELECT cluster_id,
+         arg_max(doc_id, CAST(n_chars AS BIGINT)*10000000000 - doc_id)
+           AS canonical_id
+  FROM lab GROUP BY cluster_id)
+SELECT lab.doc_id, lab.cluster_id, canon.canonical_id,
+       lab.doc_id = canon.canonical_id AS keep
+FROM lab JOIN canon USING (cluster_id)
+"""
+
+
 QUERIES = {
+    "dedup_canonical_pick": dedup_canonical_pick,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
@@ -581,6 +626,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_canonical_pick": _canonical_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash": _minhash_oracle_sql(),

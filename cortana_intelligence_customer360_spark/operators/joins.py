@@ -536,7 +536,125 @@ LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
 """
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each event pairs with whichever of the user's
+    latest order at-or-before ts / earliest order after ts is closer in
+    time; distance ties prefer the backward match.
+
+    Same union-merge shape as :func:`asof_enrich` run in BOTH scan
+    directions over ONE user-keyed shuffle (two sorts of the same hash
+    partitioning — no second Exchange): carry-last-forward gives the
+    backward candidate, carry-last-backward over the reversed order
+    gives the forward candidate, and a final projection picks the
+    closer. No event x orders-per-user blowup at any scale.
+
+    Tie discipline (compat rule 7): among equal-date orders the
+    backward candidate is max o_orderkey, the forward candidate min
+    o_orderkey — both engines pin the same rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        epoch_us("o_orderdate").alias("t_us"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = events.select(
+        "user_id",
+        epoch_us("ts").alias("t_us"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("event_id"),
+    )
+    merged = o.unionByName(e)
+    # Backward: orders at equal t sort before the event (<= semantics),
+    # last-carried among them is max o_orderkey.
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Forward: reversed scan; events sort before equal-t orders so an
+    # equal-t order stays a BACKWARD match only; among equal-t orders
+    # the last carried in the reversed scan is min o_orderkey.
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("t_us").desc(), F.col("is_event").desc(), F.col("o_orderkey").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = merged.select(
+        "user_id",
+        "t_us",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(wb).alias("bwd_key"),
+        F.max(F.when(F.col("is_event") == 0, F.col("t_us"))).over(wb).alias("bwd_us"),
+        F.last("o_orderkey", ignorenulls=True).over(wf).alias("fwd_key"),
+        F.min(F.when(F.col("is_event") == 0, F.col("t_us"))).over(wf).alias("fwd_us"),
+    )
+    ev_rows = cand.where(F.col("is_event") == 1)
+    bwd_gap = F.col("t_us") - F.col("bwd_us")
+    fwd_gap = F.col("fwd_us") - F.col("t_us")
+    pick_bwd = F.col("bwd_key").isNotNull() & (
+        F.col("fwd_key").isNull() | (bwd_gap <= fwd_gap)
+    )
+    return ev_rows.select(
+        "event_id",
+        "user_id",
+        F.col("t_us").alias("ts_us"),
+        F.when(pick_bwd, F.col("bwd_key")).otherwise(F.col("fwd_key")).alias(
+            "near_orderkey"
+        ),
+        F.when(pick_bwd & F.col("bwd_key").isNotNull(), bwd_gap)
+        .otherwise(fwd_gap)
+        .alias("gap_us"),
+        F.when(F.col("bwd_key").isNull() & F.col("fwd_key").isNull(), F.lit(None))
+        .when(pick_bwd, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
+_ASOF_NEAREST_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+bwd AS (
+  SELECT e.event_id, o.o_orderkey, epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS t_us,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM e JOIN orders o
+    ON o.o_custkey = e.user_id
+   AND epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) <= e.ts_us),
+fwd AS (
+  SELECT e.event_id, o.o_orderkey, epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS t_us,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+  FROM e JOIN orders o
+    ON o.o_custkey = e.user_id
+   AND epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) > e.ts_us)
+SELECT e.event_id, e.user_id, e.ts_us,
+       CASE WHEN b.o_orderkey IS NOT NULL
+                 AND (f.o_orderkey IS NULL OR e.ts_us - b.t_us <= f.t_us - e.ts_us)
+            THEN b.o_orderkey ELSE f.o_orderkey END AS near_orderkey,
+       CASE WHEN b.o_orderkey IS NOT NULL
+                 AND (f.o_orderkey IS NULL OR e.ts_us - b.t_us <= f.t_us - e.ts_us)
+            THEN e.ts_us - b.t_us ELSE f.t_us - e.ts_us END AS gap_us,
+       CASE WHEN b.o_orderkey IS NULL AND f.o_orderkey IS NULL THEN NULL
+            WHEN b.o_orderkey IS NOT NULL
+                 AND (f.o_orderkey IS NULL OR e.ts_us - b.t_us <= f.t_us - e.ts_us)
+            THEN 'backward' ELSE 'forward' END AS direction
+FROM e
+LEFT JOIN bwd b ON b.event_id = e.event_id AND b.rn = 1
+LEFT JOIN fwd f ON f.event_id = e.event_id AND f.rn = 1
+"""
+
+
 QUERIES = {
+    "join_asof_nearest": join_asof_nearest,
     "join_inner_equi": join_inner_equi,
     "join_lateral_topk": join_lateral_topk,
     "join_range_bucketed": join_range_bucketed,
@@ -558,6 +676,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_asof_nearest": _ASOF_NEAREST_SQL,
     "join_inner_equi": _INNER_SQL,
     "join_lateral_topk": _LATERAL_SQL,
     "join_range_bucketed": _RANGE_BUCKETED_SQL,

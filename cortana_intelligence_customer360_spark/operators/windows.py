@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import _DEC, epoch_us
+from ..compat import _DEC, epoch_us, epoch_us_sql
 from ..sources.tables import load_table
 
 
@@ -214,7 +214,54 @@ FROM orders
 """
 
 
+def win_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (the MATCH_RECOGNIZE shape Spark
+    lacks natively): maximal runs of >= 3 CONSECUTIVE 'error' events in
+    a user's chronological stream, reported with run span and length —
+    the alerting/incident primitive.
+
+    Gaps-and-islands with the running-count trick: the number of
+    non-error events seen so far is constant exactly within a
+    consecutive-error run, so it IS the run id. One user-keyed window
+    shuffle; the run aggregation reuses the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grp = F.sum((F.col("event_type") != "error").cast("long")).over(w)
+    runs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("grp", grp)
+        .where(F.col("event_type") == "error")
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min(epoch_us("ts")).alias("start_us"),
+            F.max(epoch_us("ts")).alias("end_us"),
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+        )
+    )
+    return runs.where(F.col("n_errors") >= 3).select(
+        "user_id", "start_us", "end_us", "n_errors"
+    )
+
+
+_ERROR_BURST_SQL = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+  FROM events),
+runs AS (
+  SELECT user_id, grp,
+         MIN({epoch_us_sql('ts')}) AS start_us,
+         MAX({epoch_us_sql('ts')}) AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_errors
+  FROM s WHERE event_type = 'error' GROUP BY user_id, grp)
+SELECT user_id, start_us, end_us, n_errors
+FROM runs WHERE n_errors >= 3
+"""
+
+
 QUERIES = {
+    "win_error_burst": win_error_burst,
     "win_rank_dense": win_rank_dense,
     "win_cume_dist": win_cume_dist,
     "win_topk_per_group": win_topk_per_group,
@@ -226,6 +273,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_error_burst": _ERROR_BURST_SQL,
     "win_rank_dense": _RANK_SQL,
     "win_cume_dist": _CUME_SQL,
     "win_topk_per_group": _TOPK_GROUP_SQL,

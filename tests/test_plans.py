@@ -290,3 +290,17 @@ def test_markov_shuffles_only_on_user_then_pair(spark, sf_dir):
     plan = plan_string(core.feat_markov_transitions(spark, sf_dir))
     keys = re.findall(r"hashpartitioning\((\w+)#", plan)
     assert keys and set(keys) <= {"user_id", "prev_type"}, keys
+
+
+def test_asof_nearest_single_user_shuffle(spark, sf_dir):
+    """Both scan directions must ride ONE user-keyed hash partitioning
+    (two sorts, no second Exchange) and there is no join at all in the
+    plan — the union-merge shape."""
+    import re
+
+    from cortana_intelligence_customer360_spark.operators import joins
+
+    plan = plan_string(joins.join_asof_nearest(spark, sf_dir))
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) == {"user_id"}, keys
+    assert "Join" not in plan

@@ -712,3 +712,139 @@ def test_cdc_apply_last_writer_wins(spark, sf_dir):
     assert upd == 0
     log.unpersist()
     out.unpersist()
+
+
+def test_error_burst_runs_are_maximal_and_correct(spark, sf_dir):
+    """Every reported burst must be a maximal consecutive-error run:
+    recompute runs in plain Python from the sorted stream and compare
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.operators.windows import (
+        win_error_burst,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+    from cortana_intelligence_customer360_spark.compat import epoch_us
+
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_errors"])
+        for r in win_error_burst(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", epoch_us("ts").alias("t"), "event_id", "event_type")
+        .orderBy("user_id", "t", "event_id")
+        .collect()
+    )
+    want = set()
+    run: list = []
+    prev_user = None
+    for r in ev:
+        if r["user_id"] != prev_user or r["event_type"] != "error":
+            if len(run) >= 3:
+                want.add((prev_user, run[0], run[-1], len(run)))
+            run = []
+        if r["event_type"] == "error":
+            run.append(r["t"])
+        prev_user = r["user_id"]
+    if len(run) >= 3:
+        want.add((prev_user, run[0], run[-1], len(run)))
+    assert got == want and len(got) > 0
+
+
+def test_asof_nearest_picks_closer_side(spark, sf_dir):
+    """The nearest join must agree with the naive per-event candidate
+    computation (join + row_number) on every event."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.operators import joins
+    from cortana_intelligence_customer360_spark.compat import epoch_us
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    out = joins.join_asof_nearest(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        epoch_us("o_orderdate").alias("t_us"),
+    )
+    j = ev.join(o, "user_id", "left")
+    wb = Window.partitionBy("event_id").orderBy(
+        F.col("t_us").desc(), F.col("o_orderkey").desc()
+    )
+    bwd = (
+        j.where(F.col("t_us") <= F.col("ts_us"))
+        .withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("event_id", F.col("o_orderkey").alias("bk"), F.col("t_us").alias("bt"))
+    )
+    wf = Window.partitionBy("event_id").orderBy(
+        F.col("t_us").asc(), F.col("o_orderkey").asc()
+    )
+    fwd = (
+        j.where(F.col("t_us") > F.col("ts_us"))
+        .withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .select("event_id", F.col("o_orderkey").alias("fk"), F.col("t_us").alias("ft"))
+    )
+    ref = (
+        ev.join(bwd, "event_id", "left")
+        .join(fwd, "event_id", "left")
+        .select(
+            "event_id",
+            F.when(
+                F.col("bk").isNotNull()
+                & (
+                    F.col("fk").isNull()
+                    | ((F.col("ts_us") - F.col("bt")) <= (F.col("ft") - F.col("ts_us")))
+                ),
+                F.col("bk"),
+            )
+            .otherwise(F.col("fk"))
+            .alias("want_key"),
+        )
+    )
+    diff = (
+        out.join(ref, "event_id")
+        .where(
+            ~(
+                (F.col("near_orderkey") == F.col("want_key"))
+                | (F.col("near_orderkey").isNull() & F.col("want_key").isNull())
+            )
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_canonical_pick_one_keeper_per_cluster(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.llmops import dedup
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    out = dedup.dedup_canonical_pick(spark, sf_dir).cache()
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.countDistinct("canonical_id").alias("n_canon"),
+    )
+    assert per.where((F.col("n_keep") != 1) | (F.col("n_canon") != 1)).count() == 0
+    # the canonical doc is never shorter than any cluster member
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = (
+        out.join(docs, "doc_id")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("canonical_id"),
+                F.col("n_chars").alias("canon_chars"),
+            ),
+            "canonical_id",
+        )
+        .where(F.col("n_chars") > F.col("canon_chars"))
+        .count()
+    )
+    assert m == 0
+    out.unpersist()

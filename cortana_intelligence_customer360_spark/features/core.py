@@ -566,7 +566,75 @@ FROM counts
 """
 
 
+_N_TOP_PATHS = 20
+
+
+def feat_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the top-20 most common session
+    event-type sequences (e.g. ``view>click>purchase``) across all
+    gap-based sessions — the funnel-discovery primitive.
+
+    The per-session path is built with sort_array(collect_list(struct))
+    so element order is deterministic (collect_list alone is
+    partition-order-dependent); the path table the top-k runs on is
+    aggregate-sized. Two shuffles total: user window + path groupBy;
+    final rank ties broken by path text (compat rule 7)."""
+    ev = sessionized(load_table(spark, sf_dir, "events"))
+    paths = (
+        ev.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(bcount().alias("n_sessions"))
+    )
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        paths.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _N_TOP_PATHS)
+        .select("rank", "path", "n_sessions")
+    )
+
+
+_SESSION_PATHS_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {epoch_us_sql('ts')} AS ts_us FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+numbered AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM numbered GROUP BY user_id, session_id),
+counted AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS BIGINT)
+         AS rank,
+       path, n_sessions
+FROM counted
+QUALIFY rank <= {_N_TOP_PATHS}
+"""
+
+
 QUERIES = {
+    "feat_session_paths": feat_session_paths,
     "feat_markov_transitions": feat_markov_transitions,
     "feat_funnel_conversion": feat_funnel_conversion,
     "feat_activity_streak": feat_activity_streak,
@@ -582,6 +650,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "feat_session_paths": _SESSION_PATHS_SQL,
     "feat_markov_transitions": _MARKOV_SQL,
     "feat_funnel_conversion": _FUNNEL_SQL,
     "feat_activity_streak": _STREAK_SQL,

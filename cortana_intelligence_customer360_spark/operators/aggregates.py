@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..compat import bcount, davg, davg_sql, dsum, dsum_sql, dsum_where_sql
+from ..compat import bcount, davg, davg_sql, dsum, dsum_sql, dsum_where_sql, epoch_us, epoch_us_sql
 from ..sources.tables import EVENT_TYPES, load_table
 
 _SQ_DEC = T.DecimalType(38, 10)
@@ -552,6 +552,43 @@ GROUP BY l_returnflag
 """
 
 
+def agg_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows in BATCH mode via Spark's native
+    window() TVF — the same grouping construct the streaming queries
+    use, applied to at-rest data (backfill/reprocessing path). The TVF
+    emits a (start, end) struct; both bounds surface as epoch-µs.
+
+    Oracle: the window start is simply ts truncated to the hour, so
+    DuckDB reproduces it with integer arithmetic on epoch-µs."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(bcount().alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            epoch_us("w.start").alias("win_start_us"),
+            epoch_us("w.end").alias("win_end_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+_AGG_WINDOW_TVF_SQL = f"""
+WITH e AS (
+  SELECT {epoch_us_sql('ts')} AS ts_us, event_type, value FROM events)
+SELECT ts_us - ts_us % {_HOUR_US} AS win_start_us,
+       ts_us - ts_us % {_HOUR_US} + {_HOUR_US} AS win_end_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM e GROUP BY 1, 2, 3
+"""
+
+
 def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argument-extrema and boolean aggregates per segment: max_by /
     min_by (which customer holds the extreme balance), bool_and /
@@ -588,6 +625,7 @@ FROM customer GROUP BY c_mktsegment
 
 
 QUERIES = {
+    "agg_window_tvf": agg_window_tvf,
     "agg_weighted_median": agg_weighted_median,
     "agg_arg_extrema": agg_arg_extrema,
     "agg_sketch_merge": agg_sketch_merge,
@@ -609,6 +647,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_window_tvf": _AGG_WINDOW_TVF_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "agg_arg_extrema": _AGG_ARG_EXTREMA_SQL,
     "agg_corr_matrix": _AGG_CORR_SQL,

@@ -371,7 +371,77 @@ FROM joined WHERE op IS NULL OR op <> 'D'
 """
 
 
+# --- snapshot diff -------------------------------------------------------
+
+
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data reconciliation: row-level diff of two table versions,
+    emitting added / removed / changed keys with both values — the
+    audit-trail inverse of MERGE (given two snapshots, recover the
+    changeset). The two versions derive deterministically from orders:
+    v1 drops keys ≡0 (mod 7), v2 drops keys ≡0 (mod 11) and re-prices
+    keys ≡0 (mod 5) by +10%.
+
+    One full outer join on the key; unchanged rows are filtered out so
+    the output is changeset-sized, not table-sized (at 100 TB the diff
+    of two mostly-equal snapshots must not materialize the tables)."""
+    o = load_table(spark, sf_dir, "orders")
+    # Prices ride as integer CENTS so the +10% re-price and the
+    # changed-row equality are exact integer arithmetic — a double
+    # price*1.1 rounds differently across engines on .005 ties.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("key"), cents.alias("old_cents")
+    )
+    v2 = o.where(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, (cents * 11).cast("long") / 10
+        )
+        .otherwise(cents)
+        .cast("long")
+        .alias("new_cents"),
+    )
+    j = v1.join(v2, "key", "full")
+    return j.select(
+        "key",
+        "old_cents",
+        "new_cents",
+        F.when(F.col("old_cents").isNull(), F.lit("added"))
+        .when(F.col("new_cents").isNull(), F.lit("removed"))
+        .when(F.col("old_cents") != F.col("new_cents"), F.lit("changed"))
+        .alias("change"),
+    ).where(F.col("change").isNotNull())
+
+
+_DIFF_SQL = """
+WITH c AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+v1 AS (
+  SELECT o_orderkey AS key, cents AS old_cents
+  FROM c WHERE o_orderkey % 7 <> 0),
+v2 AS (
+  SELECT o_orderkey AS key,
+         CAST(CASE WHEN o_orderkey % 5 = 0 THEN (cents * 11) // 10
+                   ELSE cents END AS BIGINT) AS new_cents
+  FROM c WHERE o_orderkey % 11 <> 0),
+j AS (
+  SELECT COALESCE(v1.key, v2.key) AS key, v1.old_cents, v2.new_cents
+  FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
+SELECT key, old_cents, new_cents,
+       CASE WHEN old_cents IS NULL THEN 'added'
+            WHEN new_cents IS NULL THEN 'removed'
+            WHEN old_cents <> new_cents THEN 'changed' END AS change
+FROM j
+WHERE CASE WHEN old_cents IS NULL THEN 'added'
+           WHEN new_cents IS NULL THEN 'removed'
+           WHEN old_cents <> new_cents THEN 'changed' END IS NOT NULL
+"""
+
+
 QUERIES = {
+    "diff_snapshots": diff_snapshots,
     "merge_upsert": merge_upsert,
     "mv_incremental_refresh": mv_incremental_refresh,
     "scd2_history": scd2_history,
@@ -379,6 +449,7 @@ QUERIES = {
     "cdc_apply_log": cdc_apply_log,
 }
 ORACLE = {
+    "diff_snapshots": _DIFF_SQL,
     "merge_upsert": _MERGE_SQL,
     "mv_incremental_refresh": _MV_REFRESH_SQL,
     "scd2_history": _SCD2_SQL,

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..compat import bcount, epoch_us
+from ..compat import bcount, dsum, dsum_sql, epoch_us
 from ..sources.tables import TABLE_SCHEMAS, load_table
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -329,7 +329,57 @@ FROM rows GROUP BY bucket
 """
 
 
+_COMPACT_SHARDS = 4
+
+
+def maint_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance compaction: rewrite a small-file-fragmented
+    events copy (32 tiny parquet files — the classic streaming-sink
+    pathology) into _COMPACT_SHARDS files, then verify the compacted
+    copy by aggregating per shard. Shards are FIXED key ranges
+    (event_id mod), so file contents are deterministic and the oracle
+    recomputes the same partitions straight from the source table.
+
+    At 100 TB this is the periodic OPTIMIZE job every streaming lake
+    needs: the rewrite is one hash shuffle on the shard key, reads and
+    writes stream through executors (no driver materialization), and
+    the per-shard aggregate proves no row was lost or duplicated."""
+    frag = scratch_dir("maint_frag_events", sf_dir)
+    if not os.path.isdir(os.path.join(frag, "_done")):
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(32).write.mode("overwrite").parquet(frag)
+        os.makedirs(os.path.join(frag, "_done"), exist_ok=True)
+    compacted = scratch_dir("maint_compact_events", sf_dir)
+    small = spark.read.parquet(frag).withColumn(
+        "shard", (F.col("event_id") % _COMPACT_SHARDS).cast("int")
+    )
+    (
+        small.repartition(_COMPACT_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(compacted)
+    )
+    back = spark.read.parquet(compacted)
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        bcount().alias("n_rows"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+_COMPACT_SQL = f"""
+SELECT CAST(event_id % {_COMPACT_SHARDS} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       {dsum_sql('value')} AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
+    "maint_compact_small_files": maint_compact_small_files,
     "scan_parquet": scan_parquet,
     "source_python_datasource": source_python_datasource,
     "scan_project_pushdown": scan_project_pushdown,
@@ -344,6 +394,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "maint_compact_small_files": _COMPACT_SQL,
     "scan_parquet": _SCAN_PARQUET_SQL,
     "source_python_datasource": _PYDS_SQL,
     "scan_project_pushdown": _SCAN_PUSHDOWN_SQL,

@@ -848,3 +848,39 @@ def test_canonical_pick_one_keeper_per_cluster(spark, sf_dir):
     )
     assert m == 0
     out.unpersist()
+
+
+def test_compaction_produces_few_files_and_keeps_rows(spark, sf_dir):
+    """The compacted layout must actually be compact (one file per
+    shard, 32 -> 4) and lossless (row count preserved)."""
+    import glob
+    import os
+
+    from cortana_intelligence_customer360_spark.operators import scans
+
+    out = scans.maint_compact_small_files(spark, sf_dir)
+    total = sum(r["n_rows"] for r in out.collect())
+    src_rows = load_table(spark, sf_dir, "events").count()
+    assert total == src_rows
+    frag = scans.scratch_dir("maint_frag_events", sf_dir)
+    comp = scans.scratch_dir("maint_compact_events", sf_dir)
+    n_small = len(glob.glob(os.path.join(frag, "part-*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp, "shard=*", "part-*.parquet")))
+    assert n_small == 32
+    assert n_comp == scans._COMPACT_SHARDS
+
+
+def test_session_paths_consistent_with_sessionize(spark, sf_dir):
+    """Top-path counts can't exceed the total session count, and every
+    path is composed of real event types."""
+    from cortana_intelligence_customer360_spark.features import core
+    from cortana_intelligence_customer360_spark.sources.tables import EVENT_TYPES
+
+    rows = core.feat_session_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= core._N_TOP_PATHS
+    n_sessions = sum(
+        r["n_sessions"] for r in feat.feat_sessionize(spark, sf_dir).collect()
+    )
+    assert sum(r["n_sessions"] for r in rows) <= n_sessions
+    for r in rows:
+        assert set(r["path"].split(">")) <= set(EVENT_TYPES)

@@ -251,7 +251,64 @@ FULL JOIN o ON e.user_id = o.user_id
 """
 
 
+_ARROW_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("disc_price", T.DoubleType()),
+    ]
+)
+
+
+def _arrow_disc_price(batches):
+    """RecordBatch-level transform: stays in Arrow end to end (no pandas
+    materialization) — the lowest-overhead Python boundary Spark
+    offers. Arithmetic via pyarrow.compute matches the oracle
+    operation-for-operation, so IEEE results are bit-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        ext = batch.column(batch.schema.get_field_index("l_extendedprice"))
+        disc = batch.column(batch.schema.get_field_index("l_discount"))
+        price = pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc))
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("l_orderkey")),
+                batch.column(batch.schema.get_field_index("l_linenumber")),
+                price,
+            ],
+            schema=pa.schema(
+                [
+                    pa.field("l_orderkey", pa.int64()),
+                    pa.field("l_linenumber", pa.int32()),
+                    pa.field("disc_price", pa.float64()),
+                ]
+            ),
+        )
+
+
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow over lineitem: the Arrow-native sibling of
+    mapInPandas — batches cross the JVM/Python boundary as Arrow
+    RecordBatches and are transformed with pyarrow.compute kernels
+    without ever building a pandas frame (no index, no object dtype,
+    no copy). Map-only: zero shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(_arrow_disc_price, _ARROW_OUT_SCHEMA)
+
+
+_MAP_ARROW_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS disc_price
+FROM lineitem
+"""
+
+
 QUERIES = {
+    "udf_map_in_arrow": udf_map_in_arrow,
     "udf_python_scalar": udf_python_scalar,
     "udf_pandas_vectorized": udf_pandas_vectorized,
     "udaf_grouped_pandas": udaf_grouped_pandas,
@@ -260,6 +317,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "udf_map_in_arrow": _MAP_ARROW_SQL,
     "udf_python_scalar": _UDF_SCALAR_SQL,
     "udf_pandas_vectorized": _UDF_PANDAS_SQL,
     "udaf_grouped_pandas": _UDAF_SQL,

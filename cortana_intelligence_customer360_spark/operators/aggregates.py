@@ -552,6 +552,35 @@ GROUP BY l_returnflag
 """
 
 
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame stat API: df.stat.crosstab — the exact contingency
+    table of mktsegment x orderstatus THROUGH the utility API (one
+    pivot-count shuffle under the hood). Column names come from the
+    data values; orderstatus domain {F,O,P} is part of the engine
+    contract (FIXTURES.md), so the oracle enumerates it."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    j = o.join(
+        cu.select("c_custkey", "c_mktsegment"),
+        o.o_custkey == cu.c_custkey,
+    ).select("c_mktsegment", "o_orderstatus")
+    ct = j.stat.crosstab("c_mktsegment", "o_orderstatus")
+    return ct.select(
+        F.col("c_mktsegment_o_orderstatus").alias("mktsegment"),
+        *[F.col(s).cast("long").alias(f"n_{s}") for s in ("F", "O", "P")],
+    )
+
+
+_STAT_CROSSTAB_SQL = """
+SELECT c_mktsegment AS mktsegment,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def agg_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows in BATCH mode via Spark's native
     window() TVF — the same grouping construct the streaming queries
@@ -625,6 +654,7 @@ FROM customer GROUP BY c_mktsegment
 
 
 QUERIES = {
+    "stat_crosstab": stat_crosstab,
     "agg_window_tvf": agg_window_tvf,
     "agg_weighted_median": agg_weighted_median,
     "agg_arg_extrema": agg_arg_extrema,
@@ -647,6 +677,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stat_crosstab": _STAT_CROSSTAB_SQL,
     "agg_window_tvf": _AGG_WINDOW_TVF_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "agg_arg_extrema": _AGG_ARG_EXTREMA_SQL,

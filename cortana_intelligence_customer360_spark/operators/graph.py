@@ -163,6 +163,21 @@ WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 1
 """
 
 
+def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE seeded Bernoulli sampler (df.sample) — the
+    TABLESAMPLE surface users reach for first. R-tier by nature: the
+    selection depends on Spark's XORShift stream per partition, so no
+    cross-engine oracle exists (the driver records a rows-only check);
+    tests pin (a) run-to-run determinism under a fixed seed and input
+    layout and (b) the sampling fraction within binomial bounds. For
+    engine-independent reproducibility use sample_hash_pct instead —
+    that distinction is the point of registering both."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.sample(fraction=0.1, seed=42).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 # Per-stratum keep-rates (permille) for the stratified sampler: the
 # class-rebalancing shape of a training-data pipeline — downsample the
 # abundant strata hard, keep the rare/valuable ones whole.
@@ -276,13 +291,52 @@ SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM r GROUP BY node
 """
 
 
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4 recursive CTE support) walking a
+    synthetic customer hierarchy — parent(k) = k DIV 10, roots are keys
+    < 10 — to each row's depth and root ancestor. Both engines run a
+    structurally identical recursive query; per-iteration work is one
+    equi-computation over the frontier, ≤5 levels at any tested SF
+    (and O(log10 maxkey) generally, so the recursion depth stays flat
+    at 100 TB key ranges)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
+    return spark.sql(
+        """
+WITH RECURSIVE walk(custkey, node, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer_rcte
+  UNION ALL
+  SELECT custkey, node DIV 10, depth + 1 FROM walk WHERE node >= 10)
+SELECT custkey,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(MIN(node) AS BIGINT) AS root
+FROM walk GROUP BY custkey
+"""
+    )
+
+
+_RCTE_SQL = """
+WITH RECURSIVE walk(custkey, node, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT custkey, node // 10, depth + 1 FROM walk WHERE node >= 10)
+SELECT custkey,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(MIN(node) AS BIGINT) AS root
+FROM walk GROUP BY custkey
+"""
+
+
 QUERIES = {
+    "sql_recursive_cte": sql_recursive_cte,
     "graph_pagerank": graph_pagerank,
     "graph_bfs_hops": graph_bfs_hops,
     "sample_hash_pct": sample_hash_pct,
     "sample_stratified": sample_stratified,
+    # R-tier: native seeded sampler has no cross-engine oracle.
+    "sample_bernoulli_seeded": sample_bernoulli_seeded,
 }
 ORACLE = {
+    "sql_recursive_cte": _RCTE_SQL,
     "graph_pagerank": _pagerank_sql(),
     "graph_bfs_hops": _bfs_sql(),
     "sample_hash_pct": _SAMPLE_SQL,

@@ -884,3 +884,16 @@ def test_session_paths_consistent_with_sessionize(spark, sf_dir):
     assert sum(r["n_sessions"] for r in rows) <= n_sessions
     for r in rows:
         assert set(r["path"].split(">")) <= set(EVENT_TYPES)
+
+
+def test_bernoulli_sample_deterministic_and_in_bounds(spark, sf_dir):
+    """Fixed seed + fixed input layout => identical sample across runs;
+    fraction lands within 4-sigma binomial bounds."""
+    from cortana_intelligence_customer360_spark.operators import graph
+
+    a = {r["o_orderkey"] for r in graph.sample_bernoulli_seeded(spark, sf_dir).collect()}
+    b = {r["o_orderkey"] for r in graph.sample_bernoulli_seeded(spark, sf_dir).collect()}
+    assert a == b
+    n = load_table(spark, sf_dir, "orders").count()
+    mu, sigma = 0.1 * n, (0.1 * 0.9 * n) ** 0.5
+    assert abs(len(a) - mu) < 4 * sigma, (len(a), n)

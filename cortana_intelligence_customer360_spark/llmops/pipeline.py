@@ -219,13 +219,97 @@ FROM s
 """
 
 
+_MIN_CHARS = 80
+_MIN_TOKENS = 15
+_KEEP_LANGS = ("de", "en", "es", "fr")
+
+
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation audit — the composition a
+    training-data pipeline actually runs, as ONE declarative plan:
+
+      quality gate (length/token floor) -> language allowlist ->
+      exact dedup (md5, min-doc_id keeper) -> near-dup collapse
+      (Jaccard-cluster canonical pick) -> kept
+
+    Every doc gets a verdict = its FIRST failing stage (or 'kept'), so
+    the output is a reviewable per-document audit, not just the
+    survivor set. Gates are evaluated corpus-wide and composed by
+    priority; the near-dup flag comes from the full-corpus canonical
+    pick (documented choice — gating the cluster graph on upstream
+    survivors would change cluster shapes).
+
+    Scale: the gates are map-only column work; exact dedup is one
+    md5-keyed aggregate broadcast back; the near-dup stage reuses the
+    banded-LSH machinery. Nothing materializes driver-side."""
+    from .dedup import dedup_canonical_pick
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    base = docs.select("doc_id", "lang", "n_chars", toks.alias("n_tokens"), "text")
+    exact_keep = (
+        base.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keeper"))
+        .select("keeper")
+        .withColumnRenamed("keeper", "doc_id")
+        .withColumn("exact_keep", F.lit(True))
+    )
+    near = dedup_canonical_pick(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("near_keep")
+    )
+    j = (
+        base.join(exact_keep, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .withColumn("exact_keep", F.coalesce("exact_keep", F.lit(False)))
+        .withColumn("near_keep", F.coalesce("near_keep", F.lit(True)))
+    )
+    verdict = (
+        F.when(
+            (F.col("n_chars") < _MIN_CHARS) | (F.col("n_tokens") < _MIN_TOKENS),
+            F.lit("quality"),
+        )
+        .when(~F.col("lang").isin(*_KEEP_LANGS), F.lit("lang"))
+        .when(~F.col("exact_keep"), F.lit("exact_dup"))
+        .when(~F.col("near_keep"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select("doc_id", "lang", "n_chars", "n_tokens", verdict.alias("verdict"))
+
+
+def _curation_sql() -> str:
+    from .dedup import _canonical_sql
+
+    langs = ", ".join(f"'{x}'" for x in _KEEP_LANGS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(length(str_split(text, ' ')) AS BIGINT) AS n_tokens, text
+  FROM documents),
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+near AS ({_canonical_sql()})
+SELECT b.doc_id, b.lang, b.n_chars, b.n_tokens,
+       CASE WHEN b.n_chars < {_MIN_CHARS} OR b.n_tokens < {_MIN_TOKENS}
+              THEN 'quality'
+            WHEN b.lang NOT IN ({langs}) THEN 'lang'
+            WHEN e.doc_id IS NULL THEN 'exact_dup'
+            WHEN NOT COALESCE(near.keep, TRUE) THEN 'near_dup'
+            ELSE 'kept' END AS verdict
+FROM base b
+LEFT JOIN exact_keep e ON e.doc_id = b.doc_id
+LEFT JOIN near ON near.doc_id = b.doc_id
+"""
+
+
 QUERIES = {
+    "pipeline_corpus_curation": pipeline_corpus_curation,
     "text_contamination": text_contamination,
     "text_chunk_overlap": text_chunk_overlap,
     "text_pack_sequences": text_pack_sequences,
 }
 
 ORACLE = {
+    "pipeline_corpus_curation": _curation_sql(),
     "text_contamination": _CONTAM_SQL,
     "text_chunk_overlap": _CHUNK_SQL,
     "text_pack_sequences": _PACK_SQL,

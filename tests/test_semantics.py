@@ -897,3 +897,20 @@ def test_bernoulli_sample_deterministic_and_in_bounds(spark, sf_dir):
     n = load_table(spark, sf_dir, "orders").count()
     mu, sigma = 0.1 * n, (0.1 * 0.9 * n) ** 0.5
     assert abs(len(a) - mu) < 4 * sigma, (len(a), n)
+
+
+def test_corpus_curation_verdict_distribution(spark, sf_dir):
+    """The curation audit must exercise every gate on the synthetic
+    corpus (planted near-dups guarantee near_dup/exact_dup verdicts)
+    and keep a majority of documents."""
+    from cortana_intelligence_customer360_spark.llmops import pipeline
+
+    out = pipeline.pipeline_corpus_curation(spark, sf_dir).collect()
+    by = {}
+    for r in out:
+        by[r["verdict"]] = by.get(r["verdict"], 0) + 1
+    total = sum(by.values())
+    assert total == load_table(spark, sf_dir, "documents").count()
+    assert by.get("kept", 0) > 0.5 * total, by
+    assert by.get("near_dup", 0) > 0, by
+    assert by.get("quality", 0) > 0, by

@@ -100,6 +100,19 @@ HEAVY = [
     "text_unigram_logprob",
     "emb_quantize_int8",
     "mv_incremental_refresh",
+    # round-2 third-session additions
+    "join_spatial_grid",
+    "dedup_canonical_pick",
+    "cdc_apply_log",
+    "join_asof_nearest",
+    "feat_session_paths",
+    "feat_markov_transitions",
+    "win_error_burst",
+    "maint_compact_small_files",
+    "sql_recursive_cte",
+    "agg_window_tvf",
+    "diff_snapshots",
+    "udf_map_in_arrow",
 ]
 
 

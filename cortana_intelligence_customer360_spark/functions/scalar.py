@@ -410,6 +410,82 @@ FROM nation CROSS JOIN region
 """
 
 
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide / try_add and NULL-instead-of-
+    error casts — the functions that keep a 100 TB batch job from dying
+    on one malformed row. Division by a data-dependent zero yields NULL
+    (not an exception, not Inf); try_to_number on a non-numeric string
+    yields NULL. Map-only."""
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderkey % 50 is zero for some rows -> real divide-by-zero sites
+    denom = (F.col("o_orderkey") % 50).cast("double")
+    numstr = F.when(
+        F.col("o_orderkey") % 3 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    return o.select(
+        "o_orderkey",
+        # raw IEEE quotient: identical operand doubles -> identical
+        # result on both engines; rounding would re-introduce .5 ties
+        F.try_divide(F.col("o_totalprice"), denom).alias("per_mod"),
+        F.try_add(F.col("o_orderkey"), F.lit(9_223_372_036_854_775_800)).alias(
+            "try_overflow"
+        ),
+        F.try_to_number(numstr, F.lit("999999.99")).cast("double").alias("parsed"),
+    )
+
+
+_FN_TRY_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_orderkey AS HUGEINT) + 9223372036854775800 AS h
+  FROM orders)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 50 = 0 THEN NULL
+            ELSE o_totalprice / CAST(o_orderkey % 50 AS DOUBLE) END AS per_mod,
+       CASE WHEN h > 9223372036854775807 THEN NULL
+            ELSE CAST(h AS BIGINT) END AS try_overflow,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE CAST(o_totalprice AS DOUBLE) END AS parsed
+FROM t
+"""
+
+
+def fn_array_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (array_union / array_intersect / array_except)
+    between each document's token set and the stopword list. Result
+    ordering is engine-defined, so arrays are sorted then stringified
+    (compat rule 6) before comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    stop = F.array(*[F.lit(w) for w in _STOP_SAMPLE])
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect(toks, stop)), ",").alias(
+            "stop_hits"
+        ),
+        F.size(F.array_except(toks, stop)).cast("long").alias("n_content"),
+        F.size(F.array_union(toks, stop)).cast("long").alias("n_union"),
+    )
+
+
+_STOP_SAMPLE = ["the", "a", "of", "and", "to"]
+
+_FN_ARRAY_SETS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(str_split(text, ' ')) AS toks,
+         {_STOP_SAMPLE!r} AS stop
+  FROM documents)
+SELECT doc_id,
+       COALESCE(array_to_string(list_sort(list_intersect(toks, stop)), ','), '')
+         AS stop_hits,
+       CAST(length(list_filter(toks, x -> NOT list_contains(stop, x))) AS BIGINT)
+         AS n_content,
+       CAST(length(list_distinct(list_concat(toks, stop))) AS BIGINT) AS n_union
+FROM t
+"""
+
+
 def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL component extraction with Spark's native ``parse_url``
     (HOST / PATH / QUERY-parameter forms). The URL is synthesized
@@ -453,6 +529,8 @@ FROM customer
 
 
 QUERIES = {
+    "fn_try_arith": fn_try_arith,
+    "fn_array_sets": fn_array_sets,
     "fn_url": fn_url,
     "fn_string": fn_string,
     "fn_regexp": fn_regexp,
@@ -471,6 +549,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_try_arith": _FN_TRY_SQL,
+    "fn_array_sets": _FN_ARRAY_SETS_SQL,
     "fn_url": _FN_URL_SQL,
     "fn_string": _FN_STRING_SQL,
     "fn_regexp": _FN_REGEXP_SQL,

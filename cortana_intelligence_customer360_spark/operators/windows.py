@@ -214,6 +214,39 @@ FROM orders
 """
 
 
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + lag(ignoreNulls) — the window functions dashboards
+    lean on for 'third purchase' / 'last known value' questions. Per
+    user: the 3rd event's value over the full frame, and the most
+    recent PRIOR purchase value carried to every event (last(ignore
+    nulls) over a conditional column, frame ending 1 PRECEDING)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.nth_value("value", 3).over(w_full).alias("third_value"),
+        F.last(purchase_val, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("last_purchase_before"),
+    )
+
+
+_NTH_VALUE_SQL = """
+SELECT event_id, user_id,
+       NTH_VALUE(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS third_value,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS last_purchase_before
+FROM events
+"""
+
+
 def win_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential pattern detection (the MATCH_RECOGNIZE shape Spark
     lacks natively): maximal runs of >= 3 CONSECUTIVE 'error' events in
@@ -261,6 +294,7 @@ FROM runs WHERE n_errors >= 3
 
 
 QUERIES = {
+    "win_nth_value": win_nth_value,
     "win_error_burst": win_error_burst,
     "win_rank_dense": win_rank_dense,
     "win_cume_dist": win_cume_dist,
@@ -273,6 +307,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_nth_value": _NTH_VALUE_SQL,
     "win_error_burst": _ERROR_BURST_SQL,
     "win_rank_dense": _RANK_SQL,
     "win_cume_dist": _CUME_SQL,

@@ -486,6 +486,49 @@ FROM t
 """
 
 
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML extraction with the xpath function family (xpath_string /
+    xpath_long / xpath_double / xpath count form). The document is
+    synthesized deterministically from customer columns, so the oracle
+    emits ground truth straight from the source columns — pinning the
+    XPath engine against construction (same pattern as fn_url). The
+    balance rides as an exact DECIMAL(12,2) string so the text->number
+    roundtrip is bit-exact. Map-only."""
+    cu = load_table(spark, sf_dir, "customer")
+    dec_bal = F.col("c_acctbal").cast(T.DecimalType(12, 2)).cast("string")
+    xml = F.concat(
+        F.lit('<cust id="'),
+        F.col("c_custkey"),
+        F.lit('"><seg>'),
+        F.col("c_mktsegment"),
+        F.lit("</seg><bal>"),
+        dec_bal,
+        F.lit("</bal><nk>"),
+        F.col("c_nationkey"),
+        F.lit("</nk></cust>"),
+    )
+    x = F.col("xml")
+    return cu.select("c_custkey", xml.alias("xml")).select(
+        "c_custkey",
+        F.xpath_string(x, F.lit("/cust/seg")).alias("seg"),
+        F.xpath_double(x, F.lit("/cust/bal")).alias("bal"),
+        F.xpath_long(x, F.lit("/cust/nk")).alias("nk"),
+        F.xpath_long(x, F.lit('/cust/@id')).alias("id_attr"),
+        F.size(F.xpath(x, F.lit("/cust/*"))).cast("long").alias("n_children"),
+    )
+
+
+_FN_XML_SQL = """
+SELECT c_custkey,
+       c_mktsegment AS seg,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+       CAST(c_nationkey AS BIGINT) AS nk,
+       CAST(c_custkey AS BIGINT) AS id_attr,
+       CAST(3 AS BIGINT) AS n_children
+FROM customer
+"""
+
+
 def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL component extraction with Spark's native ``parse_url``
     (HOST / PATH / QUERY-parameter forms). The URL is synthesized
@@ -529,6 +572,7 @@ FROM customer
 
 
 QUERIES = {
+    "fn_xml": fn_xml,
     "fn_try_arith": fn_try_arith,
     "fn_array_sets": fn_array_sets,
     "fn_url": fn_url,
@@ -549,6 +593,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_xml": _FN_XML_SQL,
     "fn_try_arith": _FN_TRY_SQL,
     "fn_array_sets": _FN_ARRAY_SETS_SQL,
     "fn_url": _FN_URL_SQL,

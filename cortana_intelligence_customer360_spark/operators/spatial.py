@@ -1,4 +1,4 @@
-"""Spatial proximity join via grid binning (SURVEY.md §2.12).
+"""Spatial proximity operators via grid binning (SURVEY.md §2.12).
 
 The generic "find all pairs within distance r" problem is quadratic if
 expressed naively (cross join + distance filter -> BroadcastNestedLoop,
@@ -9,11 +9,19 @@ cell with one replica, so the join is a plain hash-partitioned equi
 join whose cost is local point density, not corpus size. This is the
 same bucket-rewrite family as join_range_bucketed (1-D) lifted to 2-D.
 
-Coordinates are derived deterministically from the customer key with
-multiplicative integer hashing (Knuth/Fibonacci constants), and the
-distance test is exact integer arithmetic (dist² <= r²) — no floats
+Coordinates derive from the customer key through md5 (the same
+engine-portable construction as sample_hash_pct) so points scatter
+uniformly — a multiplicative-mod hash was tried first and produced a
+degenerate lattice where the only close pairs were exact collisions.
+The distance test is exact integer arithmetic (dist² <= r²): no floats
 anywhere, so the DuckDB all-pairs oracle matches bit-for-bit and no
 boundary pair can flip on rounding.
+
+graph_triangle_count closes the loop: 3-cliques of the proximity graph
+(co-located triples) via the ordered wedge join — every triangle
+a<b<c is counted exactly once, the canonical distributed triangle
+enumeration (edge list joined with itself on the middle vertex, then
+closed against the edge list).
 """
 
 from __future__ import annotations
@@ -24,32 +32,30 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 _GRID = 1000  # points scatter over a _GRID x _GRID integer plane
-_R = 5  # proximity radius (= cell side, so 3x3 neighbors suffice)
-_R2 = _R * _R
-# Multiplicative hash constants (public domain: Knuth 2654435761,
-# xxhash prime 2246822519) — plain BIGINT arithmetic in both engines.
-_HX = 2654435761
-_HY = 2246822519
+_R = 5  # proximity radius for join_spatial_grid (= cell side)
+_TRI_R = 10  # wider radius for the triangle graph (denser edges)
+
+
+def _coord(pid, salt: str):
+    """Uniform integer coordinate in [0, _GRID): md5-derived, portable
+    across engines (identical construction in the oracle SQL)."""
+    h = F.md5(F.concat(pid.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _GRID
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer")
+    pid = F.col("c_custkey")
     return cu.select(
-        F.col("c_custkey").alias("pid"),
-        ((F.col("c_custkey") * _HX) % _GRID).cast("long").alias("x"),
-        ((F.col("c_custkey") * _HY) % _GRID).cast("long").alias("y"),
+        pid.alias("pid"),
+        _coord(pid, "x").alias("x"),
+        _coord(pid, "y").alias("y"),
     )
 
 
-def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All point pairs within distance _R, via the grid-cell rewrite.
-
-    Left side replicates into its 9 neighbor cells (a 9x map-side
-    explode — no shuffle), both sides hash-partition on the cell id,
-    and the refine step is an exact integer dist² filter. Each
-    unordered pair (a<b) meets in exactly one (cell, replica)
-    combination, so no post-join dedup is needed."""
-    pts = _points(spark, sf_dir)
+def _pairs_within(pts: DataFrame, r: int) -> DataFrame:
+    """All pid_a < pid_b with dist² <= r², via the grid rewrite with
+    cell side r (3x3 neighbor replication of the left side)."""
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -63,8 +69,8 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pid").alias("pid_a"),
             F.col("x").alias("xa"),
             F.col("y").alias("ya"),
-            (F.col("x") / _R).cast("long") + F.col("o.dx"),
-            (F.col("y") / _R).cast("long") + F.col("o.dy"),
+            (F.col("x") / r).cast("long") + F.col("o.dx"),
+            (F.col("y") / r).cast("long") + F.col("o.dy"),
         )
         .toDF("pid_a", "xa", "ya", "cx", "cy")
     )
@@ -72,32 +78,103 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid").alias("pid_b"),
         F.col("x").alias("xb"),
         F.col("y").alias("yb"),
-        (F.col("x") / _R).cast("long").alias("cx"),
-        (F.col("y") / _R).cast("long").alias("cy"),
+        (F.col("x") / r).cast("long").alias("cx"),
+        (F.col("y") / r).cast("long").alias("cy"),
     )
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
     return (
         left.join(right, ["cx", "cy"])
-        .where((F.col("pid_a") < F.col("pid_b")) & (d2 <= _R2))
+        .where((F.col("pid_a") < F.col("pid_b")) & (d2 <= r * r))
         .select("pid_a", "pid_b", d2.cast("long").alias("dist2"))
     )
 
 
-_SPATIAL_SQL = f"""
-WITH pts AS (
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within distance _R, via the grid-cell rewrite.
+
+    Left side replicates into its 9 neighbor cells (a 9x map-side
+    explode — no shuffle), both sides hash-partition on the cell id,
+    and the refine step is an exact integer dist² filter. Each
+    unordered pair (a<b) meets in exactly one (cell, replica)
+    combination, so no post-join dedup is needed."""
+    return _pairs_within(_points(spark, sf_dir), _R)
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the radius-_TRI_R proximity
+    graph: the canonical distributed triangle enumeration. Edges carry
+    a<b ordering, wedges join on the middle vertex (a<b<c by
+    construction), and the closing edge (a,c) arrives via one more
+    equi-join — every triangle counted exactly once, no orientation
+    dedup. Cost is Σ deg(v)² (wedge count), the known bound; at real
+    scale the standard refinement is degree-ordered edge direction,
+    which this a<b ordering already approximates."""
+    e = _pairs_within(_points(spark, sf_dir), _TRI_R).select(
+        F.col("pid_a").alias("a"), F.col("pid_b").alias("b")
+    )
+    wedges = e.select(F.col("a"), F.col("b")).join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")).withColumn(
+            "closed", F.lit(1)
+        ),
+        ["a", "c"],
+    )
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+_COORD_SQL = (
+    "('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '{salt}'), 1, 8))::BIGINT"
+    f" % {_GRID}"
+)
+
+_PTS_SQL = f"""
   SELECT c_custkey AS pid,
-         CAST((c_custkey * {_HX}) % {_GRID} AS BIGINT) AS x,
-         CAST((c_custkey * {_HY}) % {_GRID} AS BIGINT) AS y
-  FROM customer)
+         CAST({_COORD_SQL.format(salt='x')} AS BIGINT) AS x,
+         CAST({_COORD_SQL.format(salt='y')} AS BIGINT) AS y
+  FROM customer"""
+
+_SPATIAL_SQL = f"""
+WITH pts AS ({_PTS_SQL})
 SELECT a.pid AS pid_a, b.pid AS pid_b,
        CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
 FROM pts a JOIN pts b
   ON a.pid < b.pid
- AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_R2}
+ AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_R * _R}
+"""
+
+_TRIANGLE_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+e AS (
+  SELECT a.pid AS a, b.pid AS b
+  FROM pts a JOIN pts b
+    ON a.pid < b.pid
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_TRI_R * _TRI_R}),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
 """
 
 
-QUERIES = {"join_spatial_grid": join_spatial_grid}
-ORACLE = {"join_spatial_grid": _SPATIAL_SQL}
+QUERIES = {
+    "join_spatial_grid": join_spatial_grid,
+    "graph_triangle_count": graph_triangle_count,
+}
+ORACLE = {
+    "join_spatial_grid": _SPATIAL_SQL,
+    "graph_triangle_count": _TRIANGLE_SQL,
+}

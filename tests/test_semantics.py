@@ -678,7 +678,7 @@ def test_spatial_grid_equals_bruteforce(spark):
     brute = {
         (r["pid_a"], r["pid_b"], r["d2"])
         for r in a.crossJoin(b)
-        .where((F.col("pid_a") < F.col("pid_b")) & (d2 <= spatial._R2))
+        .where((F.col("pid_a") < F.col("pid_b")) & (d2 <= spatial._R * spatial._R))
         .select("pid_a", "pid_b", d2.alias("d2"))
         .collect()
     }
@@ -914,3 +914,32 @@ def test_corpus_curation_verdict_distribution(spark, sf_dir):
     assert by.get("kept", 0) > 0.5 * total, by
     assert by.get("near_dup", 0) > 0, by
     assert by.get("quality", 0) > 0, by
+
+
+def test_triangle_count_invariants(spark):
+    """Total participations = 3 x triangle count (each triangle touches
+    exactly 3 nodes), and a brute-force recount over the edge list
+    agrees."""
+    from itertools import combinations
+
+    from cortana_intelligence_customer360_spark.operators import spatial
+
+    sf_dir = "/root/testdata/sf0.01"
+    pts = spatial._points(spark, sf_dir)
+    edges = {
+        (r["pid_a"], r["pid_b"])
+        for r in spatial._pairs_within(pts, spatial._TRI_R).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = 0
+    for a, nbrs in adj.items():
+        for b, c in combinations(sorted(nbrs), 2):
+            if c in adj.get(b, set()):
+                want += 1
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in spatial.graph_triangle_count(spark, sf_dir).collect()
+    }
+    assert sum(got.values()) == 3 * want and want > 0

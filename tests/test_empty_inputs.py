@@ -111,3 +111,61 @@ def test_funnel_without_purchases_caps_depth(spark):
         rows = fc.feat_funnel_conversion(spark, "unused").collect()
     assert len(rows) == 1
     assert rows[0]["depth"] == 2 and rows[0]["t_purchase"] is None
+
+
+def test_spatial_ops_empty_at_sparse_density(spark, sf_dir):
+    """sf0.001's 150 points scatter too sparsely for any pair or
+    triangle: both ops must return EMPTY with the right schema, not
+    fail."""
+    from cortana_intelligence_customer360_spark.operators import spatial
+
+    pairs = spatial.join_spatial_grid(spark, sf_dir)
+    assert pairs.columns == ["pid_a", "pid_b", "dist2"]
+    assert pairs.count() == 0
+    tri = spatial.graph_triangle_count(spark, sf_dir)
+    assert tri.columns == ["node", "n_triangles"]
+    assert tri.count() == 0
+
+
+def test_markov_single_event_users_drop_out(spark):
+    """A user with one event has no transition: the pair frame must be
+    empty, not a null-prev row."""
+    from cortana_intelligence_customer360_spark.features.core import (
+        feat_markov_transitions,
+    )
+    import tempfile
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1_704_067_200_000_000_000, 7, "click", 1.0, "{}"),
+            (2, 1_704_067_300_000_000_000, 8, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        assert feat_markov_transitions(spark, d).count() == 0
+
+
+def test_error_burst_none_below_threshold(spark):
+    """Two consecutive errors (below the >=3 floor) must yield no
+    burst."""
+    from cortana_intelligence_customer360_spark.operators.windows import (
+        win_error_burst,
+    )
+    import tempfile
+
+    base = 1_704_067_200
+    rows = [
+        (i, (base + i * 60) * 1_000_000_000, 1, t, 1.0, "{}")
+        for i, t in enumerate(["error", "error", "click", "error"])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        assert win_error_burst(spark, d).count() == 0

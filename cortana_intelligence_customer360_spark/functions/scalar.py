@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..compat import epoch_us
 from ..sources.tables import load_table
 
 
@@ -486,6 +487,84 @@ FROM t
 """
 
 
+def fn_make_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime constructors: make_date / make_timestamp /
+    make_interval + interval arithmetic — the inverse direction of
+    fn_date's extractors. Components come from order keys (mod-cycled
+    into valid ranges) so both engines construct from identical
+    integers; timestamps emit as epoch-µs (compat rule 4)."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = (F.col("o_orderkey") % 30 + 1990).cast("int")
+    mo = (F.col("o_orderkey") % 12 + 1).cast("int")
+    dy = (F.col("o_orderkey") % 28 + 1).cast("int")
+    hh = (F.col("o_orderkey") % 24).cast("int")
+    made_date = F.make_date(yr, mo, dy)
+    made_ts = F.make_timestamp(yr, mo, dy, hh, F.lit(30), F.lit(0))
+    return o.select(
+        "o_orderkey",
+        made_date.cast("string").alias("made_date"),
+        epoch_us(made_ts).alias("made_ts_us"),
+        epoch_us(made_ts + F.make_interval(days=F.lit(45))).alias("plus_45d_us"),
+        F.datediff(made_date, F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch90"),
+    )
+
+
+_FN_MAKE_SQL = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 30 + 1990 AS INT) AS yr,
+         CAST(o_orderkey % 12 + 1 AS INT) AS mo,
+         CAST(o_orderkey % 28 + 1 AS INT) AS dy,
+         CAST(o_orderkey % 24 AS INT) AS hh
+  FROM orders),
+m AS (
+  SELECT o_orderkey,
+         make_date(yr, mo, dy) AS md,
+         make_timestamp(yr, mo, dy, hh, 30, 0.0) AS mt
+  FROM c)
+SELECT o_orderkey,
+       CAST(md AS VARCHAR) AS made_date,
+       epoch_us(mt) AS made_ts_us,
+       epoch_us(mt + INTERVAL 45 DAY) AS plus_45d_us,
+       CAST(date_diff('day', DATE '1990-01-01', md) AS BIGINT)
+         AS days_since_epoch90
+FROM m
+"""
+
+
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized spark.sql (named-parameter binding, Spark 3.4+):
+    the injection-safe query API — parameters are bound as literals by
+    the engine, not string-interpolated. The query itself is a banded
+    aggregate whose band edges arrive as parameters."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > :hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_big
+FROM orders_param
+WHERE o_totalprice >= :lo
+GROUP BY o_orderstatus
+""",
+        args={"lo": 1000.0, "hi": 200000.0},
+    )
+
+
+_SQL_PARAM_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_big
+FROM orders
+WHERE o_totalprice >= 1000.0
+GROUP BY o_orderstatus
+"""
+
+
 def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML extraction with the xpath function family (xpath_string /
     xpath_long / xpath_double / xpath count form). The document is
@@ -572,6 +651,8 @@ FROM customer
 
 
 QUERIES = {
+    "fn_make_datetime": fn_make_datetime,
+    "sql_parameterized": sql_parameterized,
     "fn_xml": fn_xml,
     "fn_try_arith": fn_try_arith,
     "fn_array_sets": fn_array_sets,
@@ -593,6 +674,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_make_datetime": _FN_MAKE_SQL,
+    "sql_parameterized": _SQL_PARAM_SQL,
     "fn_xml": _FN_XML_SQL,
     "fn_try_arith": _FN_TRY_SQL,
     "fn_array_sets": _FN_ARRAY_SETS_SQL,

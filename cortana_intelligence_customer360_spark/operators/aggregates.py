@@ -552,6 +552,36 @@ GROUP BY l_returnflag
 """
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the
+    mergeable-exact complement to the HLL sketch: per (group, bucket)
+    bitmaps are small, persistable, and OR-merge without re-reading
+    the source, but unlike HLL the merged count is exact. The shape at
+    100 TB: dense-int domains (user ids) compress to one bit per id,
+    and incremental re-aggregation is bitmap OR, not a distinct
+    expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    # ids are 0-based; bitmap positions are defined for v >= 1, so
+    # shift by one (a bijection — distinct counts are unchanged)
+    uid1 = F.col("user_id") + 1
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number(uid1).alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(uid1)).alias("bm"))
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("distinct_users"),
+        bcount().alias("n_buckets"),
+    )
+
+
+_AGG_BITMAP_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       CAST(COUNT(DISTINCT user_id // 32768) AS BIGINT) AS n_buckets  -- bucket((uid+1)) = uid//32768 + 1, bijective
+FROM events GROUP BY event_type
+"""
+
+
 def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame stat API: df.stat.crosstab — the exact contingency
     table of mktsegment x orderstatus THROUGH the utility API (one
@@ -654,6 +684,7 @@ FROM customer GROUP BY c_mktsegment
 
 
 QUERIES = {
+    "agg_bitmap_distinct": agg_bitmap_distinct,
     "stat_crosstab": stat_crosstab,
     "agg_window_tvf": agg_window_tvf,
     "agg_weighted_median": agg_weighted_median,
@@ -677,6 +708,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_bitmap_distinct": _AGG_BITMAP_SQL,
     "stat_crosstab": _STAT_CROSSTAB_SQL,
     "agg_window_tvf": _AGG_WINDOW_TVF_SQL,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,

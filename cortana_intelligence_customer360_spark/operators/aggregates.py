@@ -552,6 +552,42 @@ GROUP BY l_returnflag
 """
 
 
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (most frequent; lexicographically
+    smallest wins count ties — engines disagree on native mode() tie
+    handling, so the mode is computed as count + max_by over an exact
+    integer order). Two shuffles: (user, type) count, then a user-keyed
+    single-pass argmax — both map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(bcount().alias("n"))
+    # EVENT_TYPES is sorted; earlier index = lexicographically smaller.
+    idx = F.array_position(
+        F.array(*[F.lit(t) for t in EVENT_TYPES]), F.col("event_type")
+    )
+    ordv = F.col("n") * 10 + (F.lit(len(EVENT_TYPES) + 1) - idx)
+    return counts.groupBy("user_id").agg(
+        F.max_by("event_type", ordv).alias("modal_type"),
+        F.max("n").cast("long").alias("modal_n"),
+    )
+
+
+def _mode_sql() -> str:
+    idx_case = " ".join(
+        f"WHEN event_type = '{t}' THEN {i + 1}" for i, t in enumerate(EVENT_TYPES)
+    )
+    return f"""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       arg_max(event_type,
+               n * 10 + ({len(EVENT_TYPES) + 1} - CASE {idx_case} END))
+         AS modal_type,
+       CAST(MAX(n) AS BIGINT) AS modal_n
+FROM counts GROUP BY user_id
+"""
+
+
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct counting via bitmaps (bitmap_bit_position /
     bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the
@@ -684,6 +720,7 @@ FROM customer GROUP BY c_mktsegment
 
 
 QUERIES = {
+    "agg_mode_per_group": agg_mode_per_group,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "stat_crosstab": stat_crosstab,
     "agg_window_tvf": agg_window_tvf,
@@ -708,6 +745,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_mode_per_group": _mode_sql(),
     "agg_bitmap_distinct": _AGG_BITMAP_SQL,
     "stat_crosstab": _STAT_CROSSTAB_SQL,
     "agg_window_tvf": _AGG_WINDOW_TVF_SQL,

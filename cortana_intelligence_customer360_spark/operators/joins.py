@@ -653,7 +653,46 @@ LEFT JOIN fwd f ON f.event_id = e.event_id AND f.rn = 1
 """
 
 
+def join_nullsafe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM as the JOIN
+    condition): NULL keys MATCH each other instead of dropping — the
+    semantics referential data with unknown codes actually needs.
+    Spark plans <=> as a hash join key (null-safe equality is still an
+    equi key), so this shuffles exactly like a plain equi join; the
+    left side is pre-filtered to keep the NULL-bucket product small."""
+    cu = load_table(spark, sf_dir, "customer")
+    code_l = F.when(F.col("c_custkey") % 5 != 0, F.col("c_custkey") % 100)
+    code_r = F.when(F.col("c_custkey") % 1000 != 0, F.col("c_custkey") % 100)
+    left = cu.where(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("l_key"), code_l.cast("long").alias("code")
+    )
+    right = cu.select(
+        F.col("c_custkey").alias("r_key"), code_r.cast("long").alias("rcode")
+    )
+    return (
+        left.join(right, left.code.eqNullSafe(right.rcode))
+        .select("l_key", "r_key", F.coalesce("code", F.lit(-1)).alias("code_or_neg1"))
+    )
+
+
+_NULLSAFE_JOIN_SQL = """
+WITH l AS (
+  SELECT c_custkey AS l_key,
+         CASE WHEN c_custkey % 5 <> 0 THEN CAST(c_custkey % 100 AS BIGINT) END
+           AS code
+  FROM customer WHERE c_custkey % 97 = 0),
+r AS (
+  SELECT c_custkey AS r_key,
+         CASE WHEN c_custkey % 1000 <> 0 THEN CAST(c_custkey % 100 AS BIGINT) END
+           AS rcode
+  FROM customer)
+SELECT l_key, r_key, COALESCE(code, -1) AS code_or_neg1
+FROM l JOIN r ON l.code IS NOT DISTINCT FROM r.rcode
+"""
+
+
 QUERIES = {
+    "join_nullsafe_equi": join_nullsafe_equi,
     "join_asof_nearest": join_asof_nearest,
     "join_inner_equi": join_inner_equi,
     "join_lateral_topk": join_lateral_topk,
@@ -676,6 +715,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_nullsafe_equi": _NULLSAFE_JOIN_SQL,
     "join_asof_nearest": _ASOF_NEAREST_SQL,
     "join_inner_equi": _INNER_SQL,
     "join_lateral_topk": _LATERAL_SQL,

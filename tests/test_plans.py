@@ -304,3 +304,18 @@ def test_asof_nearest_single_user_shuffle(spark, sf_dir):
     keys = re.findall(r"hashpartitioning\((\w+)#", plan)
     assert keys and set(keys) == {"user_id"}, keys
     assert "Join" not in plan
+
+
+def test_nullsafe_join_is_hash_join(spark, sf_dir):
+    """<=> must plan as a hash-joinable equi key, never a nested-loop
+    fallback."""
+    from cortana_intelligence_customer360_spark.operators import joins
+
+    plan = plan_string(joins.join_nullsafe_equi(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )

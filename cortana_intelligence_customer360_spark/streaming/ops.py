@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..compat import bcount, dsum, dsum_sql
+from ..compat import bcount, dsum, dsum_sql, epoch_us_sql
 from ..operators.scans import _EVENTS_RAW_SCHEMA, scratch_dir
 from ..sources.tables import ensure_session_confs, raw_ts_to_timestamp
 
@@ -269,6 +269,114 @@ _STATE_SCHEMA = T.StructType(
     ]
 )
 _STATE_STATE_SCHEMA = T.StructType([T.StructField("count", T.LongType())])
+
+
+_BURST_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+    ]
+)
+# (current run length, run start µs, run end µs)
+_BURST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_len", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+    ]
+)
+
+
+def _burst_state_fn(key, pdf_iter, state):
+    """Streaming pattern detector: maximal runs of >= 3 consecutive
+    'error' events, emitted when a non-error event CLOSES the run (the
+    open tail of the stream is never emitted — same contract as the
+    oracle). The run (length, span) survives micro-batch boundaries in
+    the state store; within a batch rows are sorted by (ts, event_id),
+    and chronological batch order (the multi-file source invariant)
+    makes cross-batch concatenation a single sorted timeline."""
+    import pandas as pd
+
+    run_len, start_us, end_us = (
+        tuple(state.get) if state.exists else (0, 0, 0)
+    )
+    out = []
+    pdf = pd.concat(list(pdf_iter))
+    pdf = pdf.sort_values(["ts", "event_id"])
+    import pandas as _pd
+
+    ts_us = ((pdf["ts"] - _pd.Timestamp(0)) // _pd.Timedelta(microseconds=1)).tolist()
+    for t, et in zip(ts_us, pdf["event_type"].tolist()):
+        if et == "error":
+            if run_len == 0:
+                start_us = t
+            run_len += 1
+            end_us = t
+        else:
+            if run_len >= 3:
+                out.append((key[0], start_us, end_us, run_len))
+            run_len = 0
+    state.update((run_len, start_us, end_us))
+    yield pd.DataFrame(
+        out, columns=["user_id", "start_us", "end_us", "n_errors"]
+    )
+
+
+def _stream_error_burst(ev: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _burst_state_fn,
+        outputStructType=_BURST_SCHEMA,
+        stateStructType=_BURST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful PATTERN detection (the MATCH_RECOGNIZE gap in
+    streaming SQL): closed >= 3-consecutive-error runs per user via
+    applyInPandasWithState. Emission happens exactly when a non-error
+    closes a qualifying run, so the result is deterministic and batch-
+    expressible -> full oracle (win_error_burst restricted to runs
+    followed by a later non-error event)."""
+    return _drain_to_memory(_stream_error_burst(_events_stream(spark, sf_dir)), "update")
+
+
+def stream_error_burst_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_error_burst over 4 chronological micro-batches: a run
+    whose errors span a batch boundary must be stitched from state —
+    the pattern the single-batch form never exercises. Same closed-run
+    oracle."""
+    return _drain_to_memory(
+        _stream_error_burst(_events_stream_multi(spark, sf_dir)),
+        "update",
+        min_batches=2,
+    )
+
+
+_ERROR_BURST_STREAM_SQL = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         {epoch_us_sql('ts')} AS ts_us,
+         SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+  FROM events),
+last_nonerr AS (
+  SELECT user_id, MAX(grp) AS max_grp FROM s GROUP BY user_id),
+runs AS (
+  SELECT s.user_id, s.grp,
+         MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_errors
+  FROM s WHERE event_type = 'error'
+  GROUP BY s.user_id, s.grp)
+SELECT r.user_id, r.start_us, r.end_us, r.n_errors
+FROM runs r JOIN last_nonerr l ON l.user_id = r.user_id
+WHERE r.n_errors >= 3 AND r.grp < l.max_grp
+"""
 
 
 def _count_state_fn(key, pdf_iter, state):
@@ -725,6 +833,8 @@ SELECT user_id, n_events, last_ts_us, last_type FROM g JOIN l USING (user_id)
 
 
 QUERIES = {
+    "stream_error_burst": stream_error_burst,
+    "stream_error_burst_multi": stream_error_burst_multi,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session_window": stream_session_window,
@@ -745,6 +855,8 @@ if HAVE_PROTOBUF:  # pragma: no cover - container lacks protobuf
     QUERIES["stream_transform_state_multi"] = stream_transform_state_multi
 
 ORACLE = {
+    "stream_error_burst": _ERROR_BURST_STREAM_SQL,
+    "stream_error_burst_multi": _ERROR_BURST_STREAM_SQL,
     "stream_tumbling": _TUMBLING_SQL,
     "stream_sliding": _SLIDING_SQL,
     "stream_session_window": _SESSION_SQL,

@@ -64,6 +64,75 @@ FROM orders GROUP BY o_custkey
 """
 
 
+_RFM_SEGMENT_LABELS = {
+    # (r_hi, f_hi, m_hi): quintile >= 4 counts as "high" on that axis
+    (True, True, True): "champion",
+    (True, True, False): "loyal",
+    (True, False, True): "big_spender",
+    (True, False, False): "promising",
+    (False, True, True): "at_risk_valuable",
+    (False, True, False): "at_risk",
+    (False, False, True): "cant_lose",
+    (False, False, False): "hibernating",
+}
+
+
+def feat_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the Customer-360 deliverable the reference
+    solution actually shipped to marketers: quintile-score each RFM
+    axis, then map (high-R, high-F, high-M) octants to named segments
+    (champion / at-risk / hibernating ...). Recency quintile 5 = most
+    RECENT (smallest recency_days), so all three axes point the same
+    way.
+
+    The quintiles ride ntile(5) over the customer-cardinality RFM
+    aggregate (tiny vs the fact tables; three window passes over one
+    frame), with custkey tiebreaks so the cut points are deterministic
+    cross-engine."""
+    rfm = rfm_frame(load_table(spark, sf_dir, "orders"))
+    wr = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").asc(), F.col("o_custkey"))
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
+    label = None
+    for (r_hi, f_hi, m_hi), name in _RFM_SEGMENT_LABELS.items():
+        cond = (
+            ((F.col("r_score") >= 4) == F.lit(r_hi))
+            & ((F.col("f_score") >= 4) == F.lit(f_hi))
+            & ((F.col("m_score") >= 4) == F.lit(m_hi))
+        )
+        label = F.when(cond, name) if label is None else label.when(cond, name)
+    return scored.select("o_custkey", "r_score", "f_score", "m_score", label.alias("segment"))
+
+
+def _rfm_segments_sql() -> str:
+    cases = " ".join(
+        f"WHEN (r_score >= 4) = {str(r).upper()} AND (f_score >= 4) = {str(f).upper()} "
+        f"AND (m_score >= 4) = {str(m).upper()} THEN '{name}'"
+        for (r, f, m), name in _RFM_SEGMENT_LABELS.items()
+    )
+    return f"""
+WITH rfm AS ({_RFM_SQL}),
+scored AS (
+  SELECT o_custkey,
+         CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT)
+           AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey) AS BIGINT)
+           AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary ASC, o_custkey) AS BIGINT)
+           AS m_score
+  FROM rfm)
+SELECT o_custkey, r_score, f_score, m_score,
+       CASE {cases} END AS segment
+FROM scored
+"""
+
+
 def feat_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-horizon trailing-window activity (1d/7d/30d as of anchor).
 
@@ -634,6 +703,7 @@ QUALIFY rank <= {_N_TOP_PATHS}
 
 
 QUERIES = {
+    "feat_rfm_segments": feat_rfm_segments,
     "feat_session_paths": feat_session_paths,
     "feat_markov_transitions": feat_markov_transitions,
     "feat_funnel_conversion": feat_funnel_conversion,
@@ -650,6 +720,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "feat_rfm_segments": _rfm_segments_sql(),
     "feat_session_paths": _SESSION_PATHS_SQL,
     "feat_markov_transitions": _MARKOV_SQL,
     "feat_funnel_conversion": _FUNNEL_SQL,

@@ -133,6 +133,47 @@ FROM scored
 """
 
 
+def feat_purchase_gap_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label construction: for every purchase event, the
+    time until the user's NEXT purchase (the churn/repeat-purchase
+    regression target) plus a 7-day repeat flag; the user's final
+    purchase gets NULL gap and flag 0 (right-censored — the label a
+    leakage-safe trainer wants). One lead() over the purchase substream
+    — filter BEFORE the window, so the shuffle carries only purchases."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w)
+    gap = nxt - F.col("ts_us")
+    return purchases.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        gap.alias("gap_us"),
+        F.when(gap <= 7 * 86_400_000_000, 1).otherwise(0).cast("long").alias(
+            "repeat_7d"
+        ),
+    )
+
+
+_PURCHASE_GAP_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id, {epoch_us_sql('ts')} AS ts_us
+  FROM events WHERE event_type = 'purchase'),
+g AS (
+  SELECT event_id, user_id, ts_us,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           - ts_us AS gap_us
+  FROM p)
+SELECT event_id, user_id, ts_us, gap_us,
+       CAST(CASE WHEN gap_us <= {7 * 86_400_000_000} THEN 1 ELSE 0 END AS BIGINT)
+         AS repeat_7d
+FROM g
+"""
+
+
 def feat_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-horizon trailing-window activity (1d/7d/30d as of anchor).
 
@@ -703,6 +744,7 @@ QUALIFY rank <= {_N_TOP_PATHS}
 
 
 QUERIES = {
+    "feat_purchase_gap_label": feat_purchase_gap_label,
     "feat_rfm_segments": feat_rfm_segments,
     "feat_session_paths": feat_session_paths,
     "feat_markov_transitions": feat_markov_transitions,
@@ -720,6 +762,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "feat_purchase_gap_label": _PURCHASE_GAP_SQL,
     "feat_rfm_segments": _rfm_segments_sql(),
     "feat_session_paths": _SESSION_PATHS_SQL,
     "feat_markov_transitions": _MARKOV_SQL,

@@ -487,6 +487,43 @@ FROM t
 """
 
 
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: initcap / translate / lpad / rpad /
+    repeat / reverse / overlay / format_string — the formatting side
+    of the string surface (fn_string covers extraction)."""
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.translate("c_name", "#0", "-O").alias("name_subst"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_rpad"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse("c_name").alias("name_rev"),
+        F.overlay("c_name", F.lit("XX"), 1, 2).alias("name_overlay"),
+        F.format_string("u%05d:%s", F.col("c_custkey"), F.col("c_mktsegment")).alias(
+            "formatted"
+        ),
+    )
+
+
+_FN_STRING2_SQL = """
+SELECT c_custkey,
+       -- DuckDB initcap uppercases after non-alpha too; segments are
+       -- single words so simple title-casing matches Spark
+       upper(substring(lower(c_mktsegment), 1, 1))
+         || substring(lower(c_mktsegment), 2) AS seg_title,
+       translate(c_name, '#0', '-O') AS name_subst,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+       rpad(c_mktsegment, 12, '.') AS seg_rpad,
+       repeat('ab', 3) AS rep,
+       reverse(c_name) AS name_rev,
+       'XX' || substring(c_name, 3) AS name_overlay,
+       printf('u%05d:%s', c_custkey, c_mktsegment) AS formatted
+FROM customer
+"""
+
+
 def fn_make_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datetime constructors: make_date / make_timestamp /
     make_interval + interval arithmetic — the inverse direction of
@@ -572,8 +609,16 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits ground truth straight from the source columns — pinning the
     XPath engine against construction (same pattern as fn_url). The
     balance rides as an exact DECIMAL(12,2) string so the text->number
-    roundtrip is bit-exact. Map-only."""
-    cu = load_table(spark, sf_dir, "customer")
+    roundtrip is bit-exact. Map-only.
+
+    Cost note: Spark evaluates xpath_* through the JVM XPath engine
+    per call (never codegen) at ~100 µs/evaluation, so the query runs
+    on a deterministic 10% key slice — 5 extractions x 1.5k docs at
+    sf0.1 — which demonstrates the surface without burning bench time;
+    at scale you'd parse once with from_xml, not per-field xpath."""
+    cu = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 10 == 0
+    )
     dec_bal = F.col("c_acctbal").cast(T.DecimalType(12, 2)).cast("string")
     xml = F.concat(
         F.lit('<cust id="'),
@@ -604,7 +649,7 @@ SELECT c_custkey,
        CAST(c_nationkey AS BIGINT) AS nk,
        CAST(c_custkey AS BIGINT) AS id_attr,
        CAST(3 AS BIGINT) AS n_children
-FROM customer
+FROM customer WHERE c_custkey % 10 = 0
 """
 
 
@@ -651,6 +696,7 @@ FROM customer
 
 
 QUERIES = {
+    "fn_string2": fn_string2,
     "fn_make_datetime": fn_make_datetime,
     "sql_parameterized": sql_parameterized,
     "fn_xml": fn_xml,
@@ -674,6 +720,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_string2": _FN_STRING2_SQL,
     "fn_make_datetime": _FN_MAKE_SQL,
     "sql_parameterized": _SQL_PARAM_SQL,
     "fn_xml": _FN_XML_SQL,

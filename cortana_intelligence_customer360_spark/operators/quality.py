@@ -141,5 +141,84 @@ WHERE abs(round((value - mu) / sigma, 6)) > 3.0
 """
 
 
-QUERIES = {"dq_checks": dq_checks, "dq_anomaly": dq_anomaly}
-ORACLE = {"dq_checks": _DQ_SQL, "dq_anomaly": _DQ_ANOMALY_SQL}
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit across the star schema: per relation, how many
+    child rows reference a missing parent. The real tables are
+    FK-consistent, so each parent set is thinned deterministically
+    (keys ≡ 0 mod 50 dropped) to plant orphans — the check itself is
+    the production operator: one LEFT ANTI join per relation on the FK
+    (anti joins broadcast the thinned dim where small, and never
+    amplify output: at 100 TB the result is one row per relation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 50 != 0
+    )
+    thin_orders = orders.where(F.col("o_orderkey") % 50 != 0)
+    rels = [
+        (
+            "orders->customer",
+            orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "left_anti"
+            ),
+            orders,
+        ),
+        (
+            "lineitem->orders",
+            li.join(
+                thin_orders,
+                li.l_orderkey == thin_orders.o_orderkey,
+                "left_anti",
+            ),
+            li,
+        ),
+    ]
+    parts = [
+        orphans.agg(
+            F.lit(name).alias("relation"),
+            bcount().alias("n_orphans"),
+        ).crossJoin(child.agg(bcount().alias("n_children")))
+        for name, orphans, child in rels
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "relation",
+        "n_orphans",
+        "n_children",
+        F.round(F.col("n_orphans") / F.col("n_children"), 6).alias("orphan_rate"),
+    )
+
+
+_DQ_RI_SQL = """
+WITH a AS (
+  SELECT 'orders->customer' AS relation,
+         CAST(COUNT(*) FILTER (WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0))
+           AS BIGINT) AS n_orphans,
+         CAST(COUNT(*) AS BIGINT) AS n_children
+  FROM orders),
+b AS (
+  SELECT 'lineitem->orders' AS relation,
+         CAST(COUNT(*) FILTER (WHERE l_orderkey NOT IN
+             (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 <> 0))
+           AS BIGINT) AS n_orphans,
+         CAST(COUNT(*) AS BIGINT) AS n_children
+  FROM lineitem)
+SELECT relation, n_orphans, n_children,
+       round(CAST(n_orphans AS DOUBLE) / n_children, 6) AS orphan_rate
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+"""
+
+
+QUERIES = {
+    "dq_checks": dq_checks,
+    "dq_anomaly": dq_anomaly,
+    "dq_referential_integrity": dq_referential_integrity,
+}
+ORACLE = {
+    "dq_checks": _DQ_SQL,
+    "dq_anomaly": _DQ_ANOMALY_SQL,
+    "dq_referential_integrity": _DQ_RI_SQL,
+}

@@ -552,6 +552,33 @@ GROUP BY l_returnflag
 """
 
 
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT x) over DIFFERENT columns in one query —
+    Catalyst plans this with the Expand operator (one input row fans
+    into one row per distinct-aggregate branch, then a two-level
+    aggregate). The single-pass-with-expand plan beats N separate
+    scans at 100 TB; plain count rides along untouched."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("d_cust"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).cast("long").alias(
+            "d_days"
+        ),
+        F.countDistinct("o_orderstatus").cast("long").alias("d_status"),
+        bcount().alias("n_orders"),
+    )
+
+
+_AGG_MULTI_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_cust,
+       CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS d_days,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user modal event type (most frequent; lexicographically
     smallest wins count ties — engines disagree on native mode() tie
@@ -720,6 +747,7 @@ FROM customer GROUP BY c_mktsegment
 
 
 QUERIES = {
+    "agg_multi_distinct": agg_multi_distinct,
     "agg_mode_per_group": agg_mode_per_group,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "stat_crosstab": stat_crosstab,
@@ -745,6 +773,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_multi_distinct": _AGG_MULTI_DISTINCT_SQL,
     "agg_mode_per_group": _mode_sql(),
     "agg_bitmap_distinct": _AGG_BITMAP_SQL,
     "stat_crosstab": _STAT_CROSSTAB_SQL,

@@ -165,6 +165,77 @@ FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents) d,
 """
 
 
+def udtf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-aware stateful UDTF (Spark 4): the TABLE argument is
+    PARTITION BY user_id ORDER BY (ts, event_id), so eval() sees one
+    user's events in time order and terminate() emits a single summary
+    row per partition — the UDTF form of a custom aggregate. Computes
+    the longest run of consecutive same-type events (earliest run wins
+    ties, which the guaranteed ordering makes deterministic)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id: long, n_events: long, longest_streak: long, "
+        "streak_type: string"
+    )
+    class LongestStreak:
+        def __init__(self):
+            self.user = None
+            self.n = 0
+            self.cur_type = None
+            self.cur_len = 0
+            self.best_len = 0
+            self.best_type = None
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            if row["event_type"] == self.cur_type:
+                self.cur_len += 1
+            else:
+                self.cur_type = row["event_type"]
+                self.cur_len = 1
+            if self.cur_len > self.best_len:  # strict >: earliest run wins
+                self.best_len = self.cur_len
+                self.best_type = self.cur_type
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.best_len, self.best_type
+
+    from ..operators.aggregates import _temp_view
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    spark.udtf.register("c360_longest_streak", LongestStreak)
+    view = _temp_view(load_table(spark, sf_dir, "events"), "c360_ev_for_udtf")
+    return spark.sql(
+        "SELECT s.user_id, s.n_events, s.longest_streak, s.streak_type "
+        f"FROM c360_longest_streak(TABLE(SELECT user_id, ts, event_id, event_type "
+        f"FROM {view}) PARTITION BY user_id ORDER BY (ts, event_id)) s"
+    )
+
+
+_UDTF_PART_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER w AS rn,
+         ROW_NUMBER() OVER w
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT user_id, event_type, grp,
+         CAST(COUNT(*) AS BIGINT) AS len, MIN(rn) AS start_rn
+  FROM s GROUP BY user_id, event_type, grp)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_events,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       arg_max(event_type, len * 10000000 - start_rn) AS streak_type
+FROM islands GROUP BY user_id
+"""
+
+
 _COGROUP_SCHEMA = (
     "user_id long, n_events long, n_orders long, "
     "first_event_us long, last_order_us long, gap_days long"
@@ -308,6 +379,7 @@ FROM lineitem
 
 
 QUERIES = {
+    "udtf_partitioned": udtf_partitioned,
     "udf_map_in_arrow": udf_map_in_arrow,
     "udf_python_scalar": udf_python_scalar,
     "udf_pandas_vectorized": udf_pandas_vectorized,
@@ -317,6 +389,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "udtf_partitioned": _UDTF_PART_SQL,
     "udf_map_in_arrow": _MAP_ARROW_SQL,
     "udf_python_scalar": _UDF_SCALAR_SQL,
     "udf_pandas_vectorized": _UDF_PANDAS_SQL,

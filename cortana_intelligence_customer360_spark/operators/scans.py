@@ -358,6 +358,62 @@ FROM documents
 """
 
 
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record handling: a CSV where every 13th
+    line is broken (truncated column list) is read with an explicit
+    schema + _corrupt_record column — bad rows surface as data instead
+    of killing the job (the only survivable contract for 100 TB
+    ingestion). The result splits clean/corrupt counts and aggregates
+    only clean values; the oracle recomputes both from the same
+    deterministic construction, no file I/O needed."""
+    out = scratch_dir("scan_csv_malformed", sf_dir)
+    cu = load_table(spark, sf_dir, "customer")
+    line = F.when(
+        F.col("c_custkey") % 13 == 0,
+        F.concat(F.col("c_custkey"), F.lit(",BROKEN")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("c_custkey"),
+            F.col("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+    )
+    cu.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("seg", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("n_clean"),
+        F.count("_corrupt_record").cast("long").alias("n_corrupt"),
+        dsum(F.when(F.col("_corrupt_record").isNull(), F.col("bal"))).alias(
+            "sum_clean_bal"
+        ),
+    )
+
+
+_CSV_MALFORMED_SQL = f"""
+SELECT CAST(COUNT(*) FILTER (WHERE c_custkey % 13 <> 0) AS BIGINT) AS n_clean,
+       CAST(COUNT(*) FILTER (WHERE c_custkey % 13 = 0) AS BIGINT) AS n_corrupt,
+       {dsum_sql('CASE WHEN c_custkey % 13 <> 0 THEN c_acctbal END')}
+         AS sum_clean_bal
+FROM customer
+"""
+
+
 def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-controlled parquet sink: write lineitem zstd-compressed
     (the lakehouse default for cold data — ~30% smaller than snappy at
@@ -432,6 +488,7 @@ FROM events GROUP BY 1
 
 
 QUERIES = {
+    "scan_csv_malformed": scan_csv_malformed,
     "scan_text_lines": scan_text_lines,
     "sink_parquet_zstd": sink_parquet_zstd,
     "maint_compact_small_files": maint_compact_small_files,
@@ -449,6 +506,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scan_csv_malformed": _CSV_MALFORMED_SQL,
     "scan_text_lines": _SCAN_TEXT_SQL,
     "sink_parquet_zstd": _SINK_ZSTD_SQL,
     "maint_compact_small_files": _COMPACT_SQL,

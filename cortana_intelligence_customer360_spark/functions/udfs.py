@@ -227,12 +227,19 @@ WITH s AS (
 islands AS (
   SELECT user_id, event_type, grp,
          CAST(COUNT(*) AS BIGINT) AS len, MIN(rn) AS start_rn
-  FROM s GROUP BY user_id, event_type, grp)
+  FROM s GROUP BY user_id, event_type, grp),
+ranked AS (
+  SELECT user_id, event_type, len,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_rn ASC) AS rk,
+         SUM(len) OVER (PARTITION BY user_id) AS total_len,
+         MAX(len) OVER (PARTITION BY user_id) AS max_len
+  FROM islands)
 SELECT user_id,
-       CAST(SUM(len) AS BIGINT) AS n_events,
-       CAST(MAX(len) AS BIGINT) AS longest_streak,
-       arg_max(event_type, len * 10000000 - start_rn) AS streak_type
-FROM islands GROUP BY user_id
+       CAST(total_len AS BIGINT) AS n_events,
+       CAST(max_len AS BIGINT) AS longest_streak,
+       event_type AS streak_type
+FROM ranked WHERE rk = 1
 """
 
 

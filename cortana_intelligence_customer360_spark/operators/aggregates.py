@@ -591,7 +591,11 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.array_position(
         F.array(*[F.lit(t) for t in EVENT_TYPES]), F.col("event_type")
     )
-    ordv = F.col("n") * 10 + (F.lit(len(EVENT_TYPES) + 1) - idx)
+    # Stride len+1 keeps the packed order count-monotonic for ANY
+    # number of event types (the tiebreak term is in [1, len]).
+    ordv = F.col("n") * (len(EVENT_TYPES) + 1) + (
+        F.lit(len(EVENT_TYPES) + 1) - idx
+    )
     return counts.groupBy("user_id").agg(
         F.max_by("event_type", ordv).alias("modal_type"),
         F.max("n").cast("long").alias("modal_n"),
@@ -608,7 +612,8 @@ WITH counts AS (
   FROM events GROUP BY user_id, event_type)
 SELECT user_id,
        arg_max(event_type,
-               n * 10 + ({len(EVENT_TYPES) + 1} - CASE {idx_case} END))
+               n * {len(EVENT_TYPES) + 1}
+                 + ({len(EVENT_TYPES) + 1} - CASE {idx_case} END))
          AS modal_type,
        CAST(MAX(n) AS BIGINT) AS modal_n
 FROM counts GROUP BY user_id

@@ -22,7 +22,10 @@ from ..compat import bcount, dsum, dsum_sql, epoch_us, epoch_us_sql
 from ..sources.tables import load_table
 
 _CUTOFF = "2000-01-01 00:00:00"
-_NEW_KEY_OFFSET = 10_000_000
+# Inserted keys live in a disjoint id space. Customer keys are
+# 150_000 * SF, so a 10^12 offset stays collision-free to SF ~6.6M —
+# far past the 100 TB design point (10^7 collided at SF >= 67).
+_NEW_KEY_OFFSET = 1_000_000_000_000
 _VIP_SPEND = 400_000.0
 
 
@@ -274,7 +277,8 @@ FROM events GROUP BY user_id, event_type
 
 # --- CDC log application -------------------------------------------------
 
-_CDC_INS_OFFSET = 10_000_000  # insert keys live in a disjoint id space
+# Same disjoint-id-space contract (and SF bound) as _NEW_KEY_OFFSET.
+_CDC_INS_OFFSET = 1_000_000_000_000
 
 
 def _cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,14 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
+def sf001_dir() -> str:
+    """The driver's t2 scale (sf0.01), derived from the same testdata
+    root as ``sf_dir`` — for the few tests whose semantics need more
+    rows than sf0.001 provides."""
+    return os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+
+
+@pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
     for t in TABLES:

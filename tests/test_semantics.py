@@ -188,12 +188,12 @@ def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
 # ---------- ML evaluation (SURVEY §5.4) ----------
 
 
-def test_ml_beats_majority_baseline_and_roundtrips(spark, tmp_path):
+def test_ml_beats_majority_baseline_and_roundtrips(spark, sf001_dir, tmp_path):
     from pyspark.ml import PipelineModel
 
     # Evaluated at sf0.01 (the driver's t2 scale): sf0.001 has only 15
     # labeled users - too few rows for any classifier to beat majority.
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = sf001_dir
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
@@ -655,7 +655,7 @@ def test_fuzzy_blocked_join_stays_in_block(spark, sf_dir):
         assert 1 <= r["distance"] <= 3
 
 
-def test_spatial_grid_equals_bruteforce(spark):
+def test_spatial_grid_equals_bruteforce(spark, sf001_dir):
     """The 3x3-neighbor grid rewrite must find EXACTLY the all-pairs
     result: no boundary pair lost to cell quantization, none duplicated
     by the replication. sf0.01: the 150 points of sf0.001 scatter too
@@ -664,7 +664,7 @@ def test_spatial_grid_equals_bruteforce(spark):
 
     from cortana_intelligence_customer360_spark.operators import spatial
 
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = sf001_dir
     got = {
         (r["pid_a"], r["pid_b"], r["dist2"])
         for r in spatial.join_spatial_grid(spark, sf_dir).collect()
@@ -916,7 +916,7 @@ def test_corpus_curation_verdict_distribution(spark, sf_dir):
     assert by.get("quality", 0) > 0, by
 
 
-def test_triangle_count_invariants(spark):
+def test_triangle_count_invariants(spark, sf001_dir):
     """Total participations = 3 x triangle count (each triangle touches
     exactly 3 nodes), and a brute-force recount over the edge list
     agrees."""
@@ -924,7 +924,7 @@ def test_triangle_count_invariants(spark):
 
     from cortana_intelligence_customer360_spark.operators import spatial
 
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = sf001_dir
     pts = spatial._points(spark, sf_dir)
     edges = {
         (r["pid_a"], r["pid_b"])

@@ -8,14 +8,16 @@ so each edge contribution is quantized to DECIMAL(38,12) before the
 sum (exact, order-independent, ~5e-13 quantization error per edge so
 rank mass stays conserved to ~1e-6) and the total cast back to double —
 the same discipline ``compat.dsum`` applies to revenue sums, applied
-per iteration. Five iterations of join + groupBy build one lazy plan;
-at 100 TB each iteration is a single shuffle on the destination key,
-and the rank/out-degree table is node-cardinality, far smaller than
-the edge list.
+per iteration. At 100 TB the edge list is partitioned on src once and
+never moves again; each iteration shuffles only the node-cardinality
+rank table (to the edges' partitioning, then by destination key for
+the rank aggregation) — both orders of magnitude below an edge-list
+shuffle.
 """
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,14 +53,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node, rank rounded to 9 dp). Every float step is either a single
     IEEE op on identical operands in both engines or an exact decimal
     sum, so the oracle hash-matches bit-for-bit."""
-    # Materialize the DEGREE-WEIGHTED edge list once: out-degree is
-    # static across iterations, so folding it in up front saves a join
-    # per iteration; the checkpoint stops the lineitem-orders join from
-    # re-running per iteration (and the per-iteration checkpoints below
-    # keep the plan depth constant instead of quintupling).
-    raw = _edges(spark, sf_dir)
-    deg = raw.groupBy("src").agg(bcount().alias("outdeg"))
-    edges = raw.join(deg, "src").localCheckpoint()
+    # Materialize the DEGREE-WEIGHTED edge list ONCE, hash-partitioned
+    # on src: out-degree is static across iterations, so folding it in
+    # up front saves a join per iteration, and the persisted
+    # InMemoryRelation keeps its HashPartitioning(src) so every
+    # iteration's rank join streams the edges in place — the edge list
+    # (the 100 TB side) never re-shuffles. persist(), not
+    # localCheckpoint(): a checkpoint's LogicalRDD drops the output
+    # partitioning, which would re-Exchange the edges per iteration.
+    edges = _weighted_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.agg(bcount().alias("n"))
 
@@ -66,37 +69,54 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "n", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
     )
     for _ in range(_ITERS):
-        # ranks is node-cardinality (orders of magnitude below the edge
-        # list); broadcasting it keeps the edge list un-shuffled — the
-        # only per-iteration shuffle left is the groupBy(dst) that IS
-        # the rank aggregation.
-        contrib = (
-            edges.join(
-                F.broadcast(ranks.select("node", "rank")),
-                edges.src == F.col("node"),
-            )
-            .select(
-                F.col("dst"),
-                (F.col("rank") / F.col("outdeg").cast("double"))
-                .cast(_DEC)
-                .alias("q"),
-            )
-        )
-        summed = contrib.groupBy("dst").agg(F.sum("q").cast("double").alias("acc"))
-        ranks = (
-            ranks.select("node", "n")
-            .join(summed, F.col("node") == summed.dst, "left")
-            .select(
-                "node",
-                "n",
-                (
-                    (1.0 - _DAMPING) / F.col("n").cast("double")
-                    + F.lit(_DAMPING) * F.coalesce("acc", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _pagerank_step(edges, ranks).localCheckpoint()
+    edges.unpersist()
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-weighted edge list, hash-partitioned on src and
+    persisted (materialized eagerly). Caller owns unpersist()."""
+    raw = _edges(spark, sf_dir)
+    deg = raw.groupBy("src").agg(bcount().alias("outdeg"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = (
+        raw.join(deg, "src")
+        .repartition(n_parts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+    return edges
+
+
+def _pagerank_step(edges: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One damped iteration. Shuffle budget per iteration: the
+    node-cardinality rank table moves to the edges' src partitioning
+    (shuffle-hash join — no sort of the edge list), and the groupBy(dst)
+    that IS the rank aggregation. Never a broadcast: at 10^8–10^9 nodes
+    a rank table is tens of GB, past any broadcast limit, while a
+    node-table shuffle is orders of magnitude below the edge shuffle
+    this shape avoids."""
+    contrib = edges.join(
+        ranks.select(F.col("node").alias("src"), "rank").hint("shuffle_hash"),
+        "src",
+    ).select(
+        "dst",
+        (F.col("rank") / F.col("outdeg").cast("double")).cast(_DEC).alias("q"),
+    )
+    summed = contrib.groupBy("dst").agg(F.sum("q").cast("double").alias("acc"))
+    return (
+        ranks.select("node", "n")
+        .join(summed, F.col("node") == summed.dst, "left")
+        .select(
+            "node",
+            "n",
+            (
+                (1.0 - _DAMPING) / F.col("n").cast("double")
+                + F.lit(_DAMPING) * F.coalesce("acc", F.lit(0.0))
+            ).alias("rank"),
+        )
+    )
 
 
 def _pagerank_sql() -> str:

@@ -319,3 +319,33 @@ def test_nullsafe_join_is_hash_join(spark, sf_dir):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_pagerank_iteration_edges_never_reshuffle(spark, sf_dir):
+    """The 100 TB contract of the PageRank step: the persisted,
+    src-partitioned edge list streams into the rank join in place
+    (shuffle-hash, no sort) — the only Exchanges in an iteration move
+    the node-cardinality rank table. In the plan tree the streamed
+    side of the ShuffledHashJoin must read the InMemoryTableScan with
+    no Exchange (and no Sort) in between."""
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.operators import graph
+
+    edges = graph._weighted_edges(spark, sf_dir)
+    try:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        ranks = nodes.withColumn("n", F.lit(100)).withColumn(
+            "rank", F.lit(0.01)
+        )
+        plan = plan_string(graph._pagerank_step(edges, ranks), mode="simple")
+        assert "ShuffledHashJoin" in plan, plan
+        # Left (streamed) child is printed first: the segment between
+        # the join node and its edge-side leaf must be Exchange-free.
+        seg = plan.split("ShuffledHashJoin", 1)[1].split(
+            "InMemoryTableScan", 1
+        )[0]
+        assert "Exchange" not in seg, seg
+        assert "Sort" not in seg, seg
+    finally:
+        edges.unpersist()

@@ -19,7 +19,7 @@ Shingling is word-3-grams: unigram token sets saturate on this corpus
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import bcount
@@ -168,6 +168,64 @@ _MH_A = [_rng.randrange(1, 1 << 30) for _ in range(_MH_K)]
 _MH_B_OFF = [_rng.randrange(0, _MH_P) for _ in range(_MH_K)]
 
 
+# Per-band bucket candidate cap: a band bucket holding > _MH_BUCKET_CAP
+# docs would generate O(bucket^2) candidate pairs inside ONE bucket —
+# mass-duplicated boilerplate (legal footers, templated pages) recreates
+# the quadratic blowup banding exists to avoid. Buckets over the cap are
+# skipped for pair generation (dedup_minhash_audit reports them); the
+# DuckDB oracle applies the same cap, and at the driver's sf0.01 the
+# observed max bucket is 4, so the cap never binds there (exactness is
+# unchanged where it is checked). The boilerplate such buckets hold is
+# better handled by dedup_exact / dedup_cluster_stars anyway.
+_MH_BUCKET_CAP = 32
+
+
+def _mh_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) — the K seeded minhashes per doc as one array.
+    One groupBy-min shuffle."""
+    sh = shingle_frame(docs)
+    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    mh_cols = [
+        (F.lit(_MH_A[k]) * F.col("h") + F.lit(_MH_B_OFF[k])) % _MH_P
+        for k in range(_MH_K)
+    ]
+    return (
+        sh.select("doc_id", h32.alias("h"))
+        .groupBy("doc_id")
+        .agg(*[F.min(mh_cols[k]).alias(f"m{k}") for k in range(_MH_K)])
+        .select(
+            "doc_id", F.array(*[f"m{k}" for k in range(_MH_K)]).alias("sig")
+        )
+    )
+
+
+def _mh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, bkey): one row per (doc, band)."""
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * _MH_R + r + 1)
+                            for r in range(_MH_R)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(_MH_B)
+        ]
+    )
+    return sigs.select("doc_id", "sig", F.explode(band_keys).alias("bk")).select(
+        "doc_id",
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at Jaccard >= ~0.5 over 3-gram
     shingles, composed from DataFrame ops (no per-pair vector pass):
@@ -181,51 +239,47 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        (slack under the 0.5 target absorbs +-1/sqrt(K) estimator noise;
        exact downstream check is dedup_ngram_jaccard's join).
 
+    Buckets holding more than _MH_BUCKET_CAP docs are skipped for pair
+    generation (see the cap's comment; dedup_minhash_audit surfaces
+    them), bounding per-bucket work at any corpus duplication level.
+
     Every stage is deterministic given the seeded hash family, so this
     carries a FULL oracle: the DuckDB SQL mirrors the same digests,
-    minhash lattice, banding and estimate; tests additionally assert
-    recall vs the exact Jaccard pairs on sf0.001."""
+    minhash lattice, banding, bucket cap and estimate; tests
+    additionally assert recall vs the exact Jaccard pairs on sf0.001."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_frame(docs)
-    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    mh_cols = [
-        (F.lit(_MH_A[k]) * F.col("h") + F.lit(_MH_B_OFF[k])) % _MH_P for k in range(_MH_K)
-    ]
-    sigs = (
-        sh.select("doc_id", h32.alias("h"))
-        .groupBy("doc_id")
-        .agg(*[F.min(mh_cols[k]).alias(f"m{k}") for k in range(_MH_K)])
-        .select(
-            "doc_id", F.array(*[f"m{k}" for k in range(_MH_K)]).alias("sig")
-        )
+    # Signatures are computed once and lineage-truncated: the band
+    # explode and both sides of the signature lookup below reuse the
+    # materialized rows instead of re-running the shingle pipeline.
+    sigs = _mh_sigs(docs).localCheckpoint()
+    # Candidate pairs travel SLIM (two longs) through the band join and
+    # the dedup — the K=48 signature arrays are attached afterwards by
+    # doc-keyed joins, so they move once per surviving pair, not once
+    # per (band × bucket-pair). The bucket-size window shares the
+    # (band, bkey) hash partitioning with the self-join, so the cap
+    # costs no extra shuffle.
+    w = Window.partitionBy("band", "bkey")
+    buckets = (
+        _mh_bands(sigs)
+        .drop("sig")
+        .withColumn("bsize", F.count(F.lit(1)).over(w))
+        .where(F.col("bsize") <= _MH_BUCKET_CAP)
+        .drop("bsize")
     )
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.element_at("sig", b * _MH_R + r + 1) for r in range(_MH_R)]
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(_MH_B)
-        ]
-    )
-    buckets = sigs.select("doc_id", "sig", F.explode(band_keys).alias("bk")).select(
-        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-    )
-    a = buckets.select(
-        F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"), "band", "bkey"
-    )
-    b = buckets.select(
-        F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"), "band", "bkey"
-    )
-    cand = (
+    a = buckets.select(F.col("doc_id").alias("a_id"), "band", "bkey")
+    b = buckets.select(F.col("doc_id").alias("b_id"), "band", "bkey")
+    pairs = (
         a.join(b, ["band", "bkey"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "sig_a", "sig_b")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = pairs.join(
+        sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a")),
+        "a_id",
+    ).join(
+        sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b")),
+        "b_id",
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -237,9 +291,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB mirror of dedup_minhash, generated from the same seeded
-    hash constants (a*h fits int64: a < 2^30, h < 2^32)."""
+def _mh_buckets_sql() -> str:
+    """The WITH-chain (shingles → minhash sigs → band buckets) shared
+    by the minhash oracle and its audit — same seeded hash constants
+    as the Spark path (a*h fits int64: a < 2^30, h < 2^32)."""
     mh_cols = ",\n         ".join(
         f"MIN(({_MH_A[k]}::BIGINT * h + {_MH_B_OFF[k]}::BIGINT) % {_MH_P}) AS m{k}"
         for k in range(_MH_K)
@@ -251,8 +306,7 @@ def _minhash_oracle_sql() -> str:
         for b in range(_MH_B)
     )
     sig_list = ", ".join(f"m{k}" for k in range(_MH_K))
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, UNNEST(list_distinct(
            list_transform(range(len(l) - 2),
                           i -> concat_ws(' ', l[i+1], l[i+2], l[i+3])))) AS shingle
@@ -267,10 +321,21 @@ sigs AS (
   SELECT doc_id, [{sig_list}] AS sig FROM mins),
 buckets AS (
 {band_rows}
-),
+)"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB mirror of dedup_minhash: shared bucket chain, then the
+    bucket-capped self-join and minhash-agreement estimate."""
+    return f"""
+WITH {_mh_buckets_sql()},
+kept AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsize FROM buckets)
+  WHERE bsize <= {_MH_BUCKET_CAP}),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sig_a, b.sig AS sig_b
-  FROM buckets a JOIN buckets b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
 SELECT a_id, b_id,
        CAST(len(list_filter(range({_MH_K}), i -> sig_a[i+1] = sig_b[i+1])) AS DOUBLE)
@@ -278,6 +343,47 @@ SELECT a_id, b_id,
 FROM cand
 WHERE CAST(len(list_filter(range({_MH_K}), i -> sig_a[i+1] = sig_b[i+1])) AS DOUBLE)
       / {float(_MH_K)} >= {JACCARD_THRESHOLD - 0.1}
+"""
+
+
+def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket health: bucket count, largest bucket, and
+    how many buckets (and docs inside them) exceed _MH_BUCKET_CAP —
+    i.e. what dedup_minhash's cap skipped. The operational dashboard
+    for the capped pipeline: a band with over-cap buckets means
+    mass-duplicated boilerplate that should be routed to exact dedup.
+    Two node-light shuffles over band-bucket aggregates; never touches
+    pair space."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_bucket = _mh_bands(_mh_sigs(docs)).groupBy("band", "bkey").agg(
+        bcount().alias("bsize")
+    )
+    return per_bucket.groupBy(F.col("band").cast("long").alias("band")).agg(
+        bcount().alias("n_buckets"),
+        F.max("bsize").cast("long").alias("max_bucket"),
+        F.sum(
+            F.when(F.col("bsize") > _MH_BUCKET_CAP, 1).otherwise(0)
+        ).cast("long").alias("n_overcap"),
+        F.sum(
+            F.when(F.col("bsize") > _MH_BUCKET_CAP, F.col("bsize")).otherwise(0)
+        ).cast("long").alias("docs_overcap"),
+    )
+
+
+def _minhash_audit_sql() -> str:
+    return f"""
+WITH {_mh_buckets_sql()},
+per_bucket AS (
+  SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsize
+  FROM buckets GROUP BY 1, 2)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(bsize) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN bsize > {_MH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overcap,
+       CAST(SUM(CASE WHEN bsize > {_MH_BUCKET_CAP} THEN bsize ELSE 0 END) AS BIGINT)
+         AS docs_overcap
+FROM per_bucket GROUP BY 1
 """
 
 
@@ -619,6 +725,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_audit": dedup_minhash_audit,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster": dedup_cluster,
@@ -630,6 +737,7 @@ ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash": _minhash_oracle_sql(),
+    "dedup_minhash_audit": _minhash_audit_sql(),
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMB_COSINE_SQL,
     "dedup_cluster": _cluster_sql(),

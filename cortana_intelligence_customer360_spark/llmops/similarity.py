@@ -253,12 +253,10 @@ def ivf_query_frame(
     )
 
 
-def ivf_ann_frame(
-    emb: DataFrame, k: int = 16, nprobe: int = 3, n_probes: int = N_PROBES
-) -> DataFrame:
-    """Convenience for ad-hoc frames (tests' clustered fixtures): fit
-    the quantizer in-memory and run the probe path. The registered
-    queries use the persisted index via ivf_build_index instead."""
+def fit_ivf_frames(emb: DataFrame, k: int = 16) -> tuple[DataFrame, DataFrame]:
+    """In-memory IVF fit for ad-hoc frames (tests' clustered fixtures):
+    returns (indexed, centroids). The registered queries use the
+    persisted index via ivf_build_index instead."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -276,6 +274,14 @@ def ivf_ann_frame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
+    return indexed, centroids
+
+
+def ivf_ann_frame(
+    emb: DataFrame, k: int = 16, nprobe: int = 3, n_probes: int = N_PROBES
+) -> DataFrame:
+    """fit_ivf_frames + the probe path, for ad-hoc frames."""
+    indexed, centroids = fit_ivf_frames(emb, k=k)
     return ivf_query_frame(indexed, centroids, nprobe=nprobe, n_probes=n_probes)
 
 
@@ -315,6 +321,25 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch) and runs the bucket-pruned probe join — no per-call KMeans."""
     indexed, centroids = _load_ivf_index(spark, sf_dir)
     return ivf_query_frame(indexed, centroids)
+
+
+def sim_knn_rewritten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §4 rewrite demonstrated end-to-end: build the naive
+    ORDER BY cosine LIMIT k plan for probe 0, run it through
+    plans.rewrite.rewrite_knn against the persisted IVF index, and
+    return the substituted probe plan. The function asserts the
+    rewrite actually fired — a silent fall-through to the naive full
+    scan would defeat the operator's purpose. R-tier like sim_ivf_ann
+    (IVF approximation on metric-uniform driver data); on clustered
+    corpora tests assert exact equality with the naive plan's rows."""
+    from ..plans.rewrite import knn_orderby_frame, rewrite_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    naive = knn_orderby_frame(emb, probe_id=0, k=TOP_K)
+    indexed, centroids = _load_ivf_index(spark, sf_dir)
+    rewritten = rewrite_knn(naive, indexed, centroids)
+    assert rewritten is not naive, "knn rewrite did not fire"
+    return rewritten
 
 
 def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,14 +405,16 @@ QUERIES = {
     "sim_lsh_ann": sim_lsh_ann,
     "ann_ivf_build": ann_ivf_build,
     "sim_ivf_ann": sim_ivf_ann,
+    "sim_knn_rewritten": sim_knn_rewritten,
     "sim_centroid_by_label": sim_centroid_by_label,
     "multimodal_join": multimodal_join,
 }
 
 ORACLE = {
     "sim_knn_exact": _KNN_SQL,
-    # sim_lsh_ann / sim_ivf_ann: R-tier (randomized/model-dependent;
-    # recall@5 asserted vs sim_knn_exact in tests). ann_ivf_build's
+    # sim_lsh_ann / sim_ivf_ann / sim_knn_rewritten: R-tier
+    # (randomized/model-dependent; recall@5 and clustered-fixture
+    # equality asserted vs sim_knn_exact in tests). ann_ivf_build's
     # corpus facts ARE deterministic, so it carries a full oracle.
     "ann_ivf_build": _ANN_BUILD_SQL,
     "sim_centroid_by_label": _CENTROID_SQL,

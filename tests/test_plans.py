@@ -349,3 +349,38 @@ def test_pagerank_iteration_edges_never_reshuffle(spark, sf_dir):
         assert "Sort" not in seg, seg
     finally:
         edges.unpersist()
+
+
+def test_knn_rewrite_fires_and_prunes(spark, sf_dir):
+    """rewrite_knn must (a) substitute a DIFFERENT plan for the naive
+    ORDER BY cosine LIMIT k query — one that joins on the index's cell
+    column instead of cross-joining the whole corpus — and (b) return
+    a non-matching DataFrame unchanged (identity), so applying it
+    blindly can never corrupt a query."""
+    from cortana_intelligence_customer360_spark.llmops import similarity
+    from cortana_intelligence_customer360_spark.plans.rewrite import (
+        knn_orderby_frame,
+        rewrite_knn,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = similarity.fit_ivf_frames(emb, k=4)
+    naive = knn_orderby_frame(emb, probe_id=0, k=5)
+    rewritten = rewrite_knn(naive, indexed, centroids)
+    assert rewritten is not naive
+    plan = plan_string(rewritten)
+    assert "cell" in plan  # candidate join keyed on the inverted-list id
+    # the naive shape's corpus-wide cross join must be gone
+    assert "CartesianProduct" not in plan
+
+    not_knn = emb.groupBy("label").count()
+    assert rewrite_knn(not_knn, indexed, centroids) is not_knn
+    # same shape but ascending sort: must NOT match (top-k semantics
+    # only hold for DESC)
+    from pyspark.sql import functions as F
+
+    asc = knn_orderby_frame(emb, probe_id=0, k=5).orderBy(
+        F.col("cosine").asc(), F.col("neighbor_id")
+    )
+    assert rewrite_knn(asc, indexed, centroids) is asc

@@ -943,3 +943,36 @@ def test_triangle_count_invariants(spark, sf001_dir):
         for r in spatial.graph_triangle_count(spark, sf_dir).collect()
     }
     assert sum(got.values()) == 3 * want and want > 0
+
+
+def test_knn_rewrite_equals_naive_on_clustered_corpus(spark):
+    """On a clustered corpus the IVF substitute must return EXACTLY the
+    naive plan's rows (same ids, same rounded cosines, same order) for
+    every probe in the first cluster-free id range — the §4 rewrite is
+    only admissible because this equality holds where IVF's recall
+    contract does."""
+    import numpy as np
+
+    from cortana_intelligence_customer360_spark.llmops import similarity
+    from cortana_intelligence_customer360_spark.plans.rewrite import (
+        knn_orderby_frame,
+        rewrite_knn,
+    )
+
+    rng = np.random.default_rng(19)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(240) % 8] + 0.12 * rng.normal(size=(240, 32))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]], int(i % 8)) for i in range(240)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    indexed, centroids = similarity.fit_ivf_frames(emb, k=8)
+    for probe_id in (0, 3):
+        naive = knn_orderby_frame(emb, probe_id=probe_id, k=5)
+        rewritten = rewrite_knn(naive, indexed, centroids, nprobe=2)
+        assert rewritten is not naive
+        want = [(r["neighbor_id"], r["cosine"]) for r in naive.collect()]
+        got = [(r["neighbor_id"], r["cosine"]) for r in rewritten.collect()]
+        assert got == want, (probe_id, got, want)

@@ -1,0 +1,250 @@
+"""Marketing attribution & churn labeling (Customer-360 analytics).
+
+The reference solution (Azure/cortana-intelligence-customer360 — local
+checkout empty, SURVEY.md §0; SURVEY §2.8 is the normative inventory)
+targets exactly this consumer: a marketer deciding which channel gets
+credit for a conversion and which customers are about to churn. Three
+operators:
+
+- feat_attribution_touch   first- and last-touch channel attribution
+                           for every purchase event
+- feat_churn_label         observation/label-period split with
+                           leakage-safe churn flag per active user
+- feat_audience_overlap    audience co-membership (Jaccard) between
+                           event-type segments
+
+Scale notes (100 TB posture): attribution is ONE window shuffle on
+user_id (the same exchange every session/feature op uses — AQE reuses
+it); both attribution aggregates shrink to <= |event_type| rows before
+the final outer join, so the join is driver-trivial. Churn labeling is
+a single conditional-aggregate scan (no self-join between observation
+and label periods). Audience overlap self-joins the DISTINCT
+(user, type) table — bounded at |users| x |event_types| rows, and each
+user contributes at most C(5,2) = 10 pairs, so the output is linear in
+users with a constant factor, never quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import bcount, dsum, dsum_sql, dsum_where_sql, epoch_us, epoch_us_sql
+from ..sources.tables import load_table
+
+# Events span [2024-01-01, 2024-01-31) (FIXTURES.md). The churn split
+# gives a 23-day observation window and a 7-day label window.
+CHURN_SPLIT = "2024-01-24 00:00:00"
+
+
+def feat_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- and last-touch attribution per channel.
+
+    For every ``purchase`` event, the *last-touch* channel is the
+    event_type of the most recent STRICTLY-earlier non-purchase event
+    by the same user, and the *first-touch* channel is their earliest
+    non-purchase event ever before the purchase; purchases with no
+    prior touch attribute to ``direct``. One window pass (frame ends at
+    -1 row, so a purchase never attributes to itself), then two
+    channel-level aggregates outer-joined — the classic multi-touch
+    attribution report in one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        epoch_us("ts").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    purchases = (
+        ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+            F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+            "value",
+        )
+    )
+    last_agg = purchases.groupBy(F.col("last_touch").alias("channel")).agg(
+        bcount().alias("n_last_touch"), dsum("value").alias("rev_last_touch")
+    )
+    first_agg = purchases.groupBy(F.col("first_touch").alias("channel")).agg(
+        bcount().alias("n_first_touch"), dsum("value").alias("rev_first_touch")
+    )
+    return (
+        last_agg.join(first_agg, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_last_touch", F.lit(0)).cast("long").alias("n_last_touch"),
+            F.coalesce("rev_last_touch", F.lit(0.0)).alias("rev_last_touch"),
+            F.coalesce("n_first_touch", F.lit(0)).cast("long").alias("n_first_touch"),
+            F.coalesce("rev_first_touch", F.lit(0.0)).alias("rev_first_touch"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         {epoch_us_sql('ts')} AS ts_us
+  FROM events),
+touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS last_touch,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS) OVER w AS first_touch
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+p AS (
+  SELECT COALESCE(last_touch, 'direct') AS last_touch,
+         COALESCE(first_touch, 'direct') AS first_touch, value
+  FROM touched WHERE event_type = 'purchase'),
+la AS (
+  SELECT last_touch AS channel, CAST(COUNT(*) AS BIGINT) AS n_last_touch,
+         {dsum_sql('value')} AS rev_last_touch
+  FROM p GROUP BY 1),
+fa AS (
+  SELECT first_touch AS channel, CAST(COUNT(*) AS BIGINT) AS n_first_touch,
+         {dsum_sql('value')} AS rev_first_touch
+  FROM p GROUP BY 1)
+SELECT COALESCE(la.channel, fa.channel) AS channel,
+       CAST(COALESCE(n_last_touch, 0) AS BIGINT) AS n_last_touch,
+       COALESCE(rev_last_touch, 0.0) AS rev_last_touch,
+       CAST(COALESCE(n_first_touch, 0) AS BIGINT) AS n_first_touch,
+       COALESCE(rev_first_touch, 0.0) AS rev_first_touch
+FROM la FULL OUTER JOIN fa ON la.channel = fa.channel
+ORDER BY channel
+"""
+
+
+def feat_churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn label + observation-period features.
+
+    Events before ``CHURN_SPLIT`` are the observation window (features
+    may only read these); events at/after it are the label window.
+    ``churned = 1`` iff a user active in observation has ZERO label-
+    window events. One conditional-aggregate scan — the observation/
+    label split never becomes a self-join, so at 100 TB this costs
+    exactly one shuffle of one row per user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(CHURN_SPLIT).cast("timestamp")
+    obs = F.col("ts") < split
+    out = ev.groupBy("user_id").agg(
+        F.count(F.when(obs, 1)).cast("long").alias("n_obs"),
+        F.count(F.when(obs & (F.col("event_type") == "purchase"), 1))
+        .cast("long")
+        .alias("n_purchases_obs"),
+        F.coalesce(dsum(F.when(obs, F.col("value"))), F.lit(0.0)).alias("v_obs"),
+        F.countDistinct(F.when(obs, F.col("ts").cast("date"))).cast("long").alias(
+            "active_days_obs"
+        ),
+        F.max(F.when(obs, epoch_us("ts"))).alias("last_seen_us"),
+        F.when(F.count(F.when(~obs, 1)) == 0, 1).otherwise(0).cast("long").alias(
+            "churned"
+        ),
+    )
+    return out.where(F.col("n_obs") > 0)
+
+
+def _churn_sql() -> str:
+    cond = f"ts < TIMESTAMP '{CHURN_SPLIT}'"
+    return f"""
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE {cond}) AS BIGINT) AS n_obs,
+       CAST(COUNT(*) FILTER (WHERE {cond} AND event_type = 'purchase') AS BIGINT)
+         AS n_purchases_obs,
+       {dsum_where_sql('value', cond)} AS v_obs,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) FILTER (WHERE {cond}) AS BIGINT)
+         AS active_days_obs,
+       MAX(CASE WHEN {cond} THEN {epoch_us_sql('ts')} END) AS last_seen_us,
+       CAST(CASE WHEN COUNT(*) FILTER (WHERE NOT ({cond})) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS churned
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) FILTER (WHERE {cond}) > 0
+"""
+
+
+def feat_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event-type segments.
+
+    For every unordered pair of event types (a < b): how many users did
+    BOTH, and the Jaccard overlap of the two audiences. The self-join
+    runs on the DISTINCT (user_id, event_type) table — |users| x 5 rows
+    — and is keyed on user_id, so each user expands to at most
+    C(5,2) = 10 pairs; the per-type audience sizes are a <= 5-row
+    aggregate joined broadcast-style afterwards.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("user_id", "event_type").distinct()
+    sizes = aud.groupBy("event_type").agg(bcount().alias("n_users"))
+    a = aud.select("user_id", F.col("event_type").alias("type_a"))
+    b = aud.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(bcount().alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_AUDIENCE_SQL = """
+WITH aud AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM aud GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM aud a JOIN aud b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_both,
+       sa.n_users AS n_a, sb.n_users AS n_b,
+       ROUND(n_both / (sa.n_users + sb.n_users - n_both), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+QUERIES = {
+    "feat_attribution_touch": feat_attribution_touch,
+    "feat_churn_label": feat_churn_label,
+    "feat_audience_overlap": feat_audience_overlap,
+}
+
+ORACLE = {
+    "feat_attribution_touch": _ATTRIBUTION_SQL,
+    "feat_churn_label": _churn_sql(),
+    "feat_audience_overlap": _AUDIENCE_SQL,
+}

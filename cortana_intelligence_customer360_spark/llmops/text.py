@@ -444,8 +444,105 @@ FROM r
 """
 
 
+_BPEISH_RE = "[a-z0-9]{1,4}"
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counting two ways (training-data budgeting):
+    whitespace tokens and a BPE-ish fixed-width-chunk regex
+    (``[a-z0-9]{1,4}`` — every <=4-char greedy alnum chunk, the
+    deterministic stand-in for a subword tokenizer's piece count), plus
+    chars-per-token. Pure column expressions — map-only, no shuffle;
+    the cost model a 100 TB corpus-budget pass wants."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    n_bpeish = F.size(F.regexp_extract_all("text", F.lit(_BPEISH_RE), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_ws.alias("n_ws_tokens"),
+        n_bpeish.alias("n_bpeish_tokens"),
+        F.round(F.col("n_chars") / n_bpeish, 6).alias("chars_per_token"),
+    )
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id, n_chars,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPEISH_RE}')) AS BIGINT)
+         AS n_bpeish_tokens,
+       ROUND(n_chars / len(regexp_extract_all(text, '{_BPEISH_RE}')), 6)
+         AS chars_per_token
+FROM documents
+"""
+
+
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition quality signals (the C4/Gopher-style filters):
+    distinct-token ratio, duplicate-bigram fraction, and the most-
+    frequent-token share. All array lambdas (JVM, codegen); the
+    per-doc top-token scan is O(distinct x tokens) on ~100-token docs —
+    constant per row, map-only, no shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    n = F.size("toks")
+    docs = docs.withColumn("dtoks", F.array_distinct("toks")).withColumn(
+        "bigrams",
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    n_bi = F.size("bigrams")
+    top_n = F.array_max(
+        F.transform(
+            "dtoks",
+            lambda x: F.size(F.filter("toks", lambda y: y == x)).cast("long"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size("dtoks") / n, 6).alias("distinct_ratio"),
+        F.when(
+            n_bi > 0, F.round((n_bi - F.size(F.array_distinct("bigrams"))) / n_bi, 6)
+        ).alias("dup_bigram_frac"),
+        F.round(top_n / n, 6).alias("top_token_frac"),
+    )
+
+
+_REPETITION_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+b AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS bigrams
+  FROM d)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       ROUND(len(list_distinct(t)) / len(t), 6) AS distinct_ratio,
+       CASE WHEN len(bigrams) > 0
+            THEN ROUND((len(bigrams) - len(list_distinct(bigrams)))
+                       / len(bigrams), 6) END AS dup_bigram_frac,
+       ROUND(list_max(list_transform(list_distinct(t),
+                      x -> CAST(len(list_filter(t, y -> y = x)) AS BIGINT)))
+             / len(t), 6) AS top_token_frac
+FROM b
+"""
+
+
 QUERIES = {
     "text_pii_redact": text_pii_redact,
+    "text_token_count": text_token_count,
+    "text_repetition_ratio": text_repetition_ratio,
     "text_tfidf_topk": text_tfidf_topk,
     "text_heavy_hitters": text_heavy_hitters,
     "text_stats": text_stats,
@@ -458,6 +555,8 @@ QUERIES = {
 
 ORACLE = {
     "text_pii_redact": _PII_SQL,
+    "text_token_count": _TOKEN_COUNT_SQL,
+    "text_repetition_ratio": _REPETITION_SQL,
     "text_tfidf_topk": _TFIDF_SQL,
     "text_heavy_hitters": _HEAVY_HITTERS_SQL,
     "text_stats": _TEXT_STATS_SQL,

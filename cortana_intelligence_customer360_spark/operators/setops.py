@@ -9,7 +9,7 @@ merge, never a full sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import epoch_us
@@ -243,8 +243,104 @@ FROM long WHERE n > 0
 
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key — multi-dimensional data clustering.
+
+_SPREAD_STEPS = [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]
+
+
+def _spread16(col: Column) -> Column:
+    """Interleave-ready bit spread of a 16-bit value (abcd -> a0b0c0d0)."""
+    x = col.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _spread16_sql(expr: str) -> str:
+    x = f"(({expr}) & 65535)"
+    for shift, mask in _SPREAD_STEPS:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """32-bit Morton interleave of two 16-bit dimensions.
+
+    Callers must pre-scale dimensions to comparable bit-widths (see
+    :func:`scale16` / :func:`sort_zorder`): interleaving a ~11-bit key
+    with a ~7-bit key leaves every high interleaved bit owned by the
+    wider key, and range-splits then cluster only that dimension."""
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+
+
+def scale16(col: Column, mn: Column, mx: Column) -> Column:
+    """Min/max-scale a key to the full 16-bit domain (exact IEEE floor
+    of an exact-integer product/quotient — cross-engine stable)."""
+    return F.floor(((col - mn) * 65535) / (mx - mn)).cast("long")
+
+
+def _scale16_sql(expr: str, mn: str, mx: str) -> str:
+    return f"CAST(floor((({expr}) - {mn}) * 65535 / ({mx} - {mn})) AS BIGINT)"
+
+
+_ZORDER_TOPN = 200
+
+
+def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-interleave) layout key over two join dimensions.
+
+    The 100 TB story: range-partitioning + sorting a fact table by
+    ``zorder_key(scale16(l_partkey), scale16(l_suppkey))`` clusters
+    BOTH dimensions into narrow per-file min/max ranges simultaneously,
+    so parquet data skipping prunes scans filtered on either key — the
+    standard lakehouse multi-dim clustering technique
+    (tests/test_semantics.py asserts the span shrink on written files).
+    Each dimension is min/max-scaled to 16 bits first (one cheap
+    min/max scan, broadcast back as a 1-row literal frame) — without
+    it, the wider key owns every high interleaved bit. The key itself
+    is pure bit arithmetic (mask-shift spread, whole-stage codegen).
+    The query form returns the first ``_ZORDER_TOPN`` rows in z-order —
+    a TakeOrderedAndProject, never a full global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("mn_p"),
+        F.max("l_partkey").alias("mx_p"),
+        F.min("l_suppkey").alias("mn_s"),
+        F.max("l_suppkey").alias("mx_s"),
+    )
+    zkey = zorder_key(
+        scale16(F.col("l_partkey"), F.col("mn_p"), F.col("mx_p")),
+        scale16(F.col("l_suppkey"), F.col("mn_s"), F.col("mx_s")),
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            zkey.alias("zkey"),
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(_ZORDER_TOPN)
+    )
+
+
+_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT MIN(l_partkey) AS mn_p, MAX(l_partkey) AS mx_p,
+         MIN(l_suppkey) AS mn_s, MAX(l_suppkey) AS mx_s
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       ({_spread16_sql(_scale16_sql('l_partkey', 'mn_p', 'mx_p'))}
+        | ({_spread16_sql(_scale16_sql('l_suppkey', 'mn_s', 'mx_s'))} << 1)) AS zkey
+FROM lineitem CROSS JOIN b
+ORDER BY zkey, l_orderkey, l_linenumber
+LIMIT {_ZORDER_TOPN}
+"""
+
+
 QUERIES = {
     "sort_nulls_ordering": sort_nulls_ordering,
+    "sort_zorder": sort_zorder,
     "agg_unpivot": agg_unpivot,
     "sort_multikey": sort_multikey,
     "topk_global": topk_global,
@@ -258,6 +354,7 @@ QUERIES = {
 
 ORACLE = {
     "sort_nulls_ordering": _SORT_NULLS_SQL,
+    "sort_zorder": _ZORDER_SQL,
     "agg_unpivot": _unpivot_sql(),
     "sort_multikey": _SORT_SQL,
     "topk_global": _TOPK_SQL,

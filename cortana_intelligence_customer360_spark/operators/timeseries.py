@@ -296,8 +296,72 @@ FROM t WHERE rn >= {_EWMA_N}
 """
 
 
+# 3 * 1.4826 (the normal-consistency constant): the conventional
+# "3 sigma" robust outlier threshold expressed in MAD units.
+_MAD_K = 4.4478
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly detection via Median Absolute Deviation.
+
+    For each user: median(value), MAD = median(|value - median|), and
+    the count of events whose deviation exceeds 3-sigma-equivalent
+    (``_MAD_K * MAD``). Unlike mean/stddev z-scores (ts_rolling_zscore),
+    the median/MAD pair is outlier-robust — the detector a fraud/abuse
+    pipeline actually wants. Three aggregates, but ALL keyed on
+    user_id: the exchange is computed once and reused (AQE), so at
+    100 TB this is one partition pass + two medians over already-
+    co-located rows. Both engines compute exact interpolated medians
+    over identical doubles; the threshold compare is 6-dp rounded on
+    both sides so a 1-ulp interpolation delta cannot flip a flag."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            bcount().alias("n_events"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count(
+                F.when(
+                    F.round(F.col("adev"), 6)
+                    > F.round(F.lit(_MAD_K) * F.col("mad"), 6),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+_MAD_SQL = f"""
+WITH m AS (
+  SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+d AS (
+  SELECT e.user_id, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN m USING (user_id)),
+md AS (
+  SELECT user_id, median(adev) AS mad FROM d GROUP BY user_id)
+SELECT d.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(d.med), 6) AS med,
+       ROUND(MAX(md.mad), 6) AS mad,
+       CAST(COUNT(*) FILTER (WHERE ROUND(adev, 6) > ROUND({_MAD_K} * md.mad, 6))
+            AS BIGINT) AS n_anomalies
+FROM d JOIN md USING (user_id)
+GROUP BY d.user_id
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
+    "ts_anomaly_mad": ts_anomaly_mad,
     "ts_gap_fill": ts_gap_fill,
     "ts_rolling_zscore": ts_rolling_zscore,
     "ts_ewma": ts_ewma,
@@ -305,6 +369,7 @@ QUERIES = {
 
 ORACLE = {
     "ts_resample_ohlc": _OHLC_SQL,
+    "ts_anomaly_mad": _MAD_SQL,
     "ts_gap_fill": _GAP_FILL_SQL,
     "ts_rolling_zscore": _ZSCORE_SQL,
     "ts_ewma": _ewma_sql(),

@@ -31,6 +31,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.functions.scalar",
     "cortana_intelligence_customer360_spark.functions.udfs",
     "cortana_intelligence_customer360_spark.features.core",
+    "cortana_intelligence_customer360_spark.features.attribution",
     "cortana_intelligence_customer360_spark.features.ml",
     "cortana_intelligence_customer360_spark.llmops.text",
     "cortana_intelligence_customer360_spark.llmops.dedup",

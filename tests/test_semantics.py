@@ -976,3 +976,194 @@ def test_knn_rewrite_equals_naive_on_clustered_corpus(spark):
         want = [(r["neighbor_id"], r["cosine"]) for r in naive.collect()]
         got = [(r["neighbor_id"], r["cosine"]) for r in rewritten.collect()]
         assert got == want, (probe_id, got, want)
+
+
+# ---------- attribution / churn / audience (features.attribution) ----------
+
+
+def test_attribution_micro_first_last_and_direct(spark, tmp_path):
+    """view->click->purchase->purchase: purchase 1 gets last=click,
+    first=view; purchase 2 ALSO gets last=click (the prior purchase is
+    not a touch). A touchless purchaser attributes to 'direct'."""
+    from cortana_intelligence_customer360_spark.features import attribution as attr
+
+    t0 = dt.datetime(2024, 1, 5)
+    rows = [
+        (1, 10, t0, "view", 1.0, "{}"),
+        (2, 10, t0 + dt.timedelta(minutes=1), "click", 2.0, "{}"),
+        (3, 10, t0 + dt.timedelta(minutes=2), "purchase", 10.0, "{}"),
+        (4, 10, t0 + dt.timedelta(minutes=3), "purchase", 20.0, "{}"),
+        (5, 11, t0, "purchase", 5.0, "{}"),  # no prior touch -> direct
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "attr")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = {r["channel"]: r for r in attr.feat_attribution_touch(spark, d).collect()}
+    assert out["click"]["n_last_touch"] == 2
+    assert out["click"]["rev_last_touch"] == pytest.approx(30.0)
+    assert out["view"]["n_first_touch"] == 2
+    assert out["direct"]["n_last_touch"] == 1
+    assert out["direct"]["n_first_touch"] == 1
+    assert out.get("view", {})["n_last_touch"] == 0
+
+
+def test_churn_label_split_semantics(spark, tmp_path):
+    """Obs-only user -> churned=1; obs+label user -> churned=0;
+    label-only user excluded from the output entirely."""
+    from cortana_intelligence_customer360_spark.features import attribution as attr
+
+    obs_t = dt.datetime(2024, 1, 10)
+    lab_t = dt.datetime(2024, 1, 28)
+    rows = [
+        (1, 1, obs_t, "view", 1.0, "{}"),
+        (2, 2, obs_t, "view", 1.0, "{}"),
+        (3, 2, lab_t, "click", 1.0, "{}"),
+        (4, 3, lab_t, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "churn")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = {r["user_id"]: r for r in attr.feat_churn_label(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["churned"] == 1 and out[2]["churned"] == 0
+    assert out[1]["n_obs"] == 1 and out[2]["n_obs"] == 1
+
+
+def test_audience_overlap_jaccard_bounds(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features import attribution as attr
+
+    rows = attr.feat_audience_overlap(spark, sf_dir).collect()
+    assert rows, "no audience pairs"
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+# ---------- z-order layout ----------
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """zorder_key(1,0)=1, zorder_key(0,1)=2, zorder_key(3,5)=0b100111."""
+    df = spark.range(1).select(
+        setops.zorder_key(F.lit(1), F.lit(0)).alias("a"),
+        setops.zorder_key(F.lit(0), F.lit(1)).alias("b"),
+        setops.zorder_key(F.lit(3), F.lit(5)).alias("c"),
+        setops.zorder_key(F.lit(0xFFFF), F.lit(0xFFFF)).alias("d"),
+    )
+    r = df.collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (1, 2, 0b100111)
+    assert r["d"] == 0xFFFFFFFF
+
+
+def test_zorder_layout_shrinks_both_dim_spans(spark, sf001_dir, tmp_path):
+    """Writing lineitem range-partitioned+sorted by the z-key must give
+    per-file min/max spans on BOTH l_partkey and l_suppkey that are
+    materially narrower than the natural insertion layout — the data-
+    skipping property the operator exists for. (sf0.01: sf0.001's 10
+    suppliers leave no span to shrink.)"""
+    li = load_table(spark, sf001_dir, "lineitem").select("l_partkey", "l_suppkey")
+    row = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    mn_p, mx_p, mn_s, mx_s = row
+    zkey = setops.zorder_key(
+        setops.scale16(F.col("l_partkey"), F.lit(mn_p), F.lit(mx_p)),
+        setops.scale16(F.col("l_suppkey"), F.lit(mn_s), F.lit(mx_s)),
+    )
+    nfiles = 16
+    zdir, ndir = str(tmp_path / "z"), str(tmp_path / "n")
+    (
+        li.withColumn("zkey", zkey)
+        .repartitionByRange(nfiles, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.parquet(zdir)
+    )
+    li.repartition(nfiles).write.parquet(ndir)
+
+    def mean_span(path: str, col: str) -> float:
+        import pyspark.sql.functions as SF
+
+        spans = (
+            spark.read.parquet(path)
+            .withColumn("f", SF.input_file_name())
+            .groupBy("f")
+            .agg((SF.max(col) - SF.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r["span"] for r in spans) / len(spans)
+
+    for col in ("l_partkey", "l_suppkey"):
+        z, n = mean_span(zdir, col), mean_span(ndir, col)
+        assert z < 0.5 * n, (col, z, n)
+
+
+# ---------- MAD anomaly ----------
+
+
+def test_mad_constant_series_and_planted_outlier(spark, tmp_path):
+    from cortana_intelligence_customer360_spark.operators import timeseries as ts
+
+    t0 = dt.datetime(2024, 1, 5)
+    rows = [(i, 1, t0 + dt.timedelta(minutes=i), "view", 7.0, "{}") for i in range(9)]
+    rows += [
+        (100 + i, 2, t0 + dt.timedelta(minutes=i), "view", float(v), "{}")
+        for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 500])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "mad")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = {r["user_id"]: r for r in ts.ts_anomaly_mad(spark, d).collect()}
+    assert out[1]["mad"] == 0.0 and out[1]["n_anomalies"] == 0
+    assert out[2]["n_anomalies"] == 1  # the 500 spike, and only it
+
+
+# ---------- text token/repetition ----------
+
+
+def test_repetition_ratio_known_string(spark, tmp_path):
+    from cortana_intelligence_customer360_spark.llmops import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b", "en", "src0", 11),   # bigrams: 5, distinct 2
+            (1, "u v w x y z", "en", "src0", 11),   # no repetition
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "rep")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in tx.text_repetition_ratio(spark, d).collect()}
+    assert out[0]["n_tokens"] == 6
+    assert out[0]["distinct_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out[0]["dup_bigram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert out[0]["top_token_frac"] == pytest.approx(3 / 6, abs=1e-6)
+    assert out[1]["distinct_ratio"] == 1.0
+    assert out[1]["dup_bigram_frac"] == 0.0
+
+
+def test_token_count_bpeish_chunking(spark, tmp_path):
+    from cortana_intelligence_customer360_spark.llmops import text as tx
+
+    docs = spark.createDataFrame(
+        [(0, "spark join merge", "en", "src0", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "tok")
+    docs.write.parquet(f"{d}/documents.parquet")
+    r = tx.text_token_count(spark, d).collect()[0]
+    # spar|k, join, merg|e -> 5 BPE-ish chunks, 3 whitespace tokens
+    assert r["n_ws_tokens"] == 3 and r["n_bpeish_tokens"] == 5

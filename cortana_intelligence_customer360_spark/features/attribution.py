@@ -237,14 +237,155 @@ ORDER BY type_a, type_b
 """
 
 
+def feat_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency per user: first ``view`` to first
+    ``purchase`` STRICTLY after it (purchases before ever viewing do
+    not count as view-driven conversions). Two aggregates and a join,
+    all keyed on user_id — the exchange is planned once. Users who
+    viewed but never converted keep a NULL latency (right-censored)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_view_us"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts_us") > F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_purchase_us"))
+    )
+    return fv.join(fp, "user_id", "left").select(
+        "user_id",
+        "first_view_us",
+        "first_purchase_us",
+        F.round(
+            (F.col("first_purchase_us") - F.col("first_view_us")) / 3.6e9, 6
+        ).alias("hours_to_convert"),
+        F.when(F.col("first_purchase_us").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("converted"),
+    )
+
+
+_TIME_TO_CONVERT_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, {epoch_us_sql('ts')} AS ts_us FROM events),
+fv AS (
+  SELECT user_id, MIN(ts_us) AS first_view_us
+  FROM e WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, MIN(e.ts_us) AS first_purchase_us
+  FROM e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > fv.first_view_us
+  GROUP BY e.user_id)
+SELECT fv.user_id, fv.first_view_us, fp.first_purchase_us,
+       ROUND((fp.first_purchase_us - fv.first_view_us) / 3.6e9, 6)
+         AS hours_to_convert,
+       CAST(CASE WHEN fp.first_purchase_us IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS converted
+FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+"""
+
+
+_WILSON_Z = 1.96  # 95% normal quantile, the conventional reporting level
+
+
+def agg_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-conversion rate per market segment with a Wilson 95%
+    confidence interval — the experiment-readout aggregate. User-level
+    conversion collapses first (one row per event-active user), joins
+    the customer dim for the segment, then a 5-row segment aggregate;
+    the CI arithmetic runs on that aggregate only. Both engines
+    evaluate the identical IEEE expression tree on identical (n, k)
+    integers, rounded at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    conv = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    seg = (
+        conv.join(cust, conv.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            bcount().alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+    )
+    z, n, k = F.lit(_WILSON_Z), F.col("n_users").cast("double"), F.col("n_converted")
+    p = k / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n_users",
+        "n_converted",
+        F.round(p, 6).alias("conv_rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    ).orderBy("c_mktsegment")
+
+
+_CONVERSION_CI_SQL = f"""
+WITH conv AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id),
+seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM conv JOIN customer ON user_id = c_custkey
+  GROUP BY c_mktsegment)
+SELECT c_mktsegment, n_users, n_converted,
+       ROUND(n_converted / CAST(n_users AS DOUBLE), 6) AS conv_rate,
+       ROUND((n_converted / CAST(n_users AS DOUBLE)
+               + {_WILSON_Z} * {_WILSON_Z} / (2.0 * CAST(n_users AS DOUBLE)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n_users AS DOUBLE))
+             - {_WILSON_Z} * sqrt(
+                 n_converted / CAST(n_users AS DOUBLE)
+                   * (1.0 - n_converted / CAST(n_users AS DOUBLE))
+                   / CAST(n_users AS DOUBLE)
+                 + {_WILSON_Z} * {_WILSON_Z}
+                   / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)))
+               / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n_users AS DOUBLE)),
+             6) AS ci_lo,
+       ROUND((n_converted / CAST(n_users AS DOUBLE)
+               + {_WILSON_Z} * {_WILSON_Z} / (2.0 * CAST(n_users AS DOUBLE)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n_users AS DOUBLE))
+             + {_WILSON_Z} * sqrt(
+                 n_converted / CAST(n_users AS DOUBLE)
+                   * (1.0 - n_converted / CAST(n_users AS DOUBLE))
+                   / CAST(n_users AS DOUBLE)
+                 + {_WILSON_Z} * {_WILSON_Z}
+                   / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)))
+               / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n_users AS DOUBLE)),
+             6) AS ci_hi
+FROM seg
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "feat_attribution_touch": feat_attribution_touch,
     "feat_churn_label": feat_churn_label,
     "feat_audience_overlap": feat_audience_overlap,
+    "feat_time_to_convert": feat_time_to_convert,
+    "agg_conversion_ci": agg_conversion_ci,
 }
 
 ORACLE = {
     "feat_attribution_touch": _ATTRIBUTION_SQL,
     "feat_churn_label": _churn_sql(),
     "feat_audience_overlap": _AUDIENCE_SQL,
+    "feat_time_to_convert": _TIME_TO_CONVERT_SQL,
+    "agg_conversion_ci": _CONVERSION_CI_SQL,
 }

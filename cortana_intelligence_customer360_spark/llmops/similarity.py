@@ -400,8 +400,64 @@ GROUP BY source, label
 """
 
 
+_EXEMPLAR_K = 3
+
+
+def emb_exemplar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-exemplar selection: the 3 vectors nearest (dot
+    product) to their own label centroid — how an eval-set curator
+    picks canonical members of each cluster. Centroids are rounded to
+    6 dp BEFORE the dot (both engines multiply identical values,
+    compat rule); ranking uses the ROUNDED dot with a vec_id tiebreak
+    so order is engine-independent. The per-label rank<=k cut rides
+    Spark's WindowGroupLimit (per-partition top-k before the 10-key
+    exchange), and the centroid table joined back is label-cardinality
+    — broadcast-sized at any corpus scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(F.sum("v") / F.count("v"), 6).alias("c")
+    )
+    dots = (
+        flat.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum(F.col("v") * F.col("c")), 6).alias("dot"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _EXEMPLAR_K)
+        .select("label", "rank", "vec_id", "dot")
+    )
+
+
+_EXEMPLAR_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, label, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
+cent AS (
+  SELECT label, pos, round(SUM(v) / COUNT(v), 6) AS c
+  FROM flat GROUP BY label, pos),
+dots AS (
+  SELECT f.vec_id, f.label, round(SUM(f.v * c.c), 6) AS dot
+  FROM flat f JOIN cent c ON f.label = c.label AND f.pos = c.pos
+  GROUP BY f.vec_id, f.label)
+SELECT label,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, dot
+FROM dots
+QUALIFY rank <= {_EXEMPLAR_K}
+"""
+
+
 QUERIES = {
     "sim_knn_exact": sim_knn_exact,
+    "emb_exemplar_topk": emb_exemplar_topk,
     "sim_lsh_ann": sim_lsh_ann,
     "ann_ivf_build": ann_ivf_build,
     "sim_ivf_ann": sim_ivf_ann,
@@ -412,6 +468,7 @@ QUERIES = {
 
 ORACLE = {
     "sim_knn_exact": _KNN_SQL,
+    "emb_exemplar_topk": _EXEMPLAR_SQL,
     # sim_lsh_ann / sim_ivf_ann / sim_knn_rewritten: R-tier
     # (randomized/model-dependent; recall@5 and clustered-fixture
     # equality asserted vs sim_knn_exact in tests). ann_ivf_build's

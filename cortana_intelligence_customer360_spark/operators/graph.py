@@ -18,7 +18,7 @@ shuffle.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import bcount
@@ -346,8 +346,43 @@ FROM walk GROUP BY custkey
 """
 
 
+_RESERVOIR_K = 5
+
+
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=5) uniform sample per event_type — the
+    deterministic equivalent of a per-group reservoir: rank rows by
+    md5(event_id) (a uniform permutation that is a pure function of
+    the key) and keep the k smallest per group. Reproducible across
+    engines, runs, partitionings, and retries, unlike an actual
+    stateful reservoir. Scale shape: Spark's WindowGroupLimit rewrite
+    pushes the rank<=k cut to a per-partition top-k BEFORE the
+    exchange, so the 5-key shuffle moves only k rows per group per
+    input partition, never the events table (plan-tested)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _RESERVOIR_K)
+        .select("event_type", "rank", "event_id", "user_id", "value")
+    )
+
+
+_RESERVOIR_SQL = f"""
+SELECT event_type,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                        event_id) AS BIGINT) AS rank,
+       event_id, user_id, value
+FROM events
+QUALIFY rank <= {_RESERVOIR_K}
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": sql_recursive_cte,
+    "sample_reservoir_per_group": sample_reservoir_per_group,
     "graph_pagerank": graph_pagerank,
     "graph_bfs_hops": graph_bfs_hops,
     "sample_hash_pct": sample_hash_pct,

@@ -384,3 +384,31 @@ def test_knn_rewrite_fires_and_prunes(spark, sf_dir):
         F.col("cosine").asc(), F.col("neighbor_id")
     )
     assert rewrite_knn(asc, indexed, centroids) is asc
+
+
+def test_reservoir_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-group rank<=k cut must ride Spark's WindowGroupLimit
+    rewrite (a per-partition top-k BEFORE the 5-key exchange) — without
+    it, the full events table shuffles into 5 hot partitions."""
+    from cortana_intelligence_customer360_spark.operators.graph import (
+        sample_reservoir_per_group,
+    )
+
+    plan = plan_string(sample_reservoir_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_exemplar_topk_uses_window_group_limit(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.llmops.similarity import (
+        emb_exemplar_topk,
+    )
+
+    plan = plan_string(emb_exemplar_topk(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_zorder_query_is_take_ordered(spark, sf_dir):
+    """The z-order query form must compile to TakeOrderedAndProject
+    (per-partition heap + driver merge), never a full global sort."""
+    plan = plan_string(setops.sort_zorder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan

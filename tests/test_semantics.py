@@ -1167,3 +1167,97 @@ def test_token_count_bpeish_chunking(spark, tmp_path):
     r = tx.text_token_count(spark, d).collect()[0]
     # spar|k, join, merg|e -> 5 BPE-ish chunks, 3 whitespace tokens
     assert r["n_ws_tokens"] == 3 and r["n_bpeish_tokens"] == 5
+
+
+# ---------- batch-2: reservoir / conversion / exemplars ----------
+
+
+def test_reservoir_fixed_size_and_deterministic(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.graph import (
+        _RESERVOIR_K,
+        sample_reservoir_per_group,
+    )
+
+    a = sample_reservoir_per_group(spark, sf_dir).collect()
+    b = sample_reservoir_per_group(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_type = {}
+    for r in a:
+        by_type.setdefault(r["event_type"], []).append(r["rank"])
+    for et, ranks in by_type.items():
+        assert sorted(ranks) == list(range(1, _RESERVOIR_K + 1)), et
+
+
+def test_time_to_convert_excludes_pre_view_purchase(spark, tmp_path):
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        feat_time_to_convert,
+    )
+
+    t0 = dt.datetime(2024, 1, 5)
+    rows = [
+        # user 1: purchase BEFORE first view, then view, then purchase
+        (1, 1, t0, "purchase", 5.0, "{}"),
+        (2, 1, t0 + dt.timedelta(hours=1), "view", 0.0, "{}"),
+        (3, 1, t0 + dt.timedelta(hours=3), "purchase", 9.0, "{}"),
+        # user 2: view only, never converts
+        (4, 2, t0, "view", 0.0, "{}"),
+        # user 3: purchase only, no view -> not in output at all
+        (5, 3, t0, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "ttc")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = {r["user_id"]: r for r in feat_time_to_convert(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["hours_to_convert"] == pytest.approx(2.0)
+    assert out[1]["converted"] == 1
+    assert out[2]["first_purchase_us"] is None and out[2]["converted"] == 0
+
+
+def test_conversion_ci_brackets_rate(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        agg_conversion_ci,
+    )
+
+    rows = agg_conversion_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["conv_rate"] <= r["ci_hi"] <= 1.0
+        assert r["n_converted"] <= r["n_users"]
+
+
+def test_exemplars_minimize_centroid_distance(spark, sf_dir):
+    """The rank-1 exemplar per label must have the smallest
+    dist_to_centroid among that label's vectors (dot to a rounded
+    centroid and L2 to it agree on the argmax for normalized inputs up
+    to rounding; verify via the distance frame directly)."""
+    from cortana_intelligence_customer360_spark.llmops.similarity import (
+        emb_exemplar_topk,
+        sim_centroid_by_label,
+    )
+
+    dist = {
+        (r["label"], r["vec_id"]): r["dist_to_centroid"]
+        for r in sim_centroid_by_label(spark, sf_dir).collect()
+    }
+    best = {}
+    for (label, vec_id), dv in dist.items():
+        if label not in best or dv < best[label][0]:
+            best[label] = (dv, vec_id)
+    top = {
+        r["label"]: r["vec_id"]
+        for r in emb_exemplar_topk(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    for label, vec_id in top.items():
+        # allow dot/L2 disagreement only within rounding slack
+        assert dist[(label, vec_id)] <= best[label][0] + 1e-4, (
+            label,
+            vec_id,
+            dist[(label, vec_id)],
+            best[label],
+        )

@@ -8,7 +8,9 @@ The blow-up preserves the schema, key relationships and value domains
 consistent; event timestamps get per-replica second offsets so
 sessionization/windows see distinct instants.
 
-Usage: python tools/scale_smoke.py [N_replicas]  (default 10)
+Usage: python tools/scale_smoke.py [N_replicas] [qid ...]
+(default 10 replicas, full HEAVY list; naming qids runs that subset —
+the 30-50x runs measure the heaviest families only)
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ from cortana_intelligence_customer360_spark.sources.tables import load_table  # 
 
 SRC = "/root/testdata/sf0.1"
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ONLY = set(sys.argv[2:])
 # v2: embeddings are replicated too (vec_id remap) so the distributed
 # blocked-matmul dedup is measured at blow-up scale.
 OUT = os.path.join(REPO, ".scratch", f"sfx{N}v2")
@@ -146,8 +149,8 @@ def main() -> None:
         for t in ("lineitem", "events", "customer", "documents")
     }
     timings = {}
-    heavy = list(HEAVY)
-    if N > 10:
+    heavy = sorted(ONLY) if ONLY else list(HEAVY)
+    if not ONLY and N > 10:
         # The exact all-pairs Jaccard baseline is quadratic by design
         # (SCALE_SMOKE.md); above 10x only the MinHash path is run.
         heavy.remove("dedup_ngram_jaccard")

@@ -392,6 +392,7 @@ QUERIES = {
 }
 ORACLE = {
     "sql_recursive_cte": _RCTE_SQL,
+    "sample_reservoir_per_group": _RESERVOIR_SQL,
     "graph_pagerank": _pagerank_sql(),
     "graph_bfs_hops": _bfs_sql(),
     "sample_hash_pct": _SAMPLE_SQL,

@@ -374,8 +374,92 @@ ORDER BY c_mktsegment
 """
 
 
+_AB_A, _AB_B = "BUILDING", "MACHINERY"
+
+
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test on order value between two market
+    segments — the other half of the experiment-readout surface next
+    to agg_conversion_ci. One conditional-aggregate pass over the
+    orders⋈customer join produces (n, Σx, Σx²) per arm in exact
+    DECIMAL; the t statistic and Welch–Satterthwaite df are then a
+    fixed IEEE expression tree over identical doubles in both engines,
+    rounded at 6 dp. Never two scans, never a per-arm subquery."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    x = F.col("o_totalprice")
+    in_a = F.col("c_mktsegment") == _AB_A
+    in_b = F.col("c_mktsegment") == _AB_B
+    agg = j.agg(
+        F.count(F.when(in_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(in_b, 1)).cast("long").alias("n_b"),
+        dsum(F.when(in_a, x)).alias("s_a"),
+        dsum(F.when(in_b, x)).alias("s_b"),
+        dsum(F.when(in_a, x * x)).alias("ss_a"),
+        dsum(F.when(in_b, x * x)).alias("ss_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("s_a") / na, F.col("s_b") / nb
+    va = (F.col("ss_a") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("ss_b") - nb * mb * mb) / (nb - F.lit(1.0))
+    se2a, se2b = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(se2a + se2b)
+    df = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (na - F.lit(1.0)) + se2b * se2b / (nb - F.lit(1.0))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df_welch"),
+    )
+
+
+def _ab_ttest_sql() -> str:
+    def _arm(tag: str, seg: str) -> str:
+        cond = f"c_mktsegment = '{seg}'"
+        return (
+            f"CAST(COUNT(*) FILTER (WHERE {cond}) AS BIGINT) AS n_{tag},\n"
+            f"       {dsum_where_sql('o_totalprice', cond)} AS s_{tag},\n"
+            f"       {dsum_where_sql('o_totalprice * o_totalprice', cond)} AS ss_{tag}"
+        )
+
+    return f"""
+WITH j AS (
+  SELECT c_mktsegment, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+agg AS (
+  SELECT {_arm('a', _AB_A)},
+       {_arm('b', _AB_B)}
+  FROM j),
+c AS (
+  SELECT n_a, n_b,
+         s_a / CAST(n_a AS DOUBLE) AS ma, s_b / CAST(n_b AS DOUBLE) AS mb,
+         (ss_a - CAST(n_a AS DOUBLE) * (s_a / CAST(n_a AS DOUBLE))
+                 * (s_a / CAST(n_a AS DOUBLE))) / (CAST(n_a AS DOUBLE) - 1.0)
+           / CAST(n_a AS DOUBLE) AS se2a,
+         (ss_b - CAST(n_b AS DOUBLE) * (s_b / CAST(n_b AS DOUBLE))
+                 * (s_b / CAST(n_b AS DOUBLE))) / (CAST(n_b AS DOUBLE) - 1.0)
+           / CAST(n_b AS DOUBLE) AS se2b
+  FROM agg)
+SELECT n_a, n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND((ma - mb) / sqrt(se2a + se2b), 6) AS t_stat,
+       ROUND((se2a + se2b) * (se2a + se2b)
+             / (se2a * se2a / (CAST(n_a AS DOUBLE) - 1.0)
+                + se2b * se2b / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df_welch
+FROM c
+"""
+
+
 QUERIES = {
     "feat_attribution_touch": feat_attribution_touch,
+    "agg_ab_ttest": agg_ab_ttest,
     "feat_churn_label": feat_churn_label,
     "feat_audience_overlap": feat_audience_overlap,
     "feat_time_to_convert": feat_time_to_convert,
@@ -384,6 +468,7 @@ QUERIES = {
 
 ORACLE = {
     "feat_attribution_touch": _ATTRIBUTION_SQL,
+    "agg_ab_ttest": _ab_ttest_sql(),
     "feat_churn_label": _churn_sql(),
     "feat_audience_overlap": _AUDIENCE_SQL,
     "feat_time_to_convert": _TIME_TO_CONVERT_SQL,

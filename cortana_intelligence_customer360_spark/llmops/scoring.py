@@ -234,14 +234,115 @@ FROM hashed
 """
 
 
+_LAMBDA = 0.8  # interpolation weight on the bigram term
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average bigram surprisal -ln p(w_i | w_{i-1}) under an
+    interpolated LM: p = λ·c(prev,cur)/c(prev,·) + (1-λ)·c(cur)/N —
+    the next-cheapest perplexity proxy after the unigram one, and the
+    one that actually penalizes shuffled-word salad. Both LM tables
+    are vocabulary-bounded (|V| and ≤|V|² rows) and broadcast; the
+    corpus is scored map-side and aggregated once per doc_id, same
+    scale shape as text_unigram_logprob. Surprisal is rounded at the
+    bigram-type level so the per-doc decimal sum is exact."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    n = F.size("toks")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            # guard: sequence(1, 0) would DESCEND, not be empty
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("prev"),
+                        F.element_at("toks", i + 1).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    toks = _tokens(docs.drop("toks"))
+    big = pairs.groupBy("prev", "cur").agg(bcount().alias("cb"))
+    ctx = pairs.groupBy("prev").agg(bcount().alias("cprev"))
+    uni = toks.groupBy("tok").agg(bcount().alias("cu"))
+    n_total = toks.select(bcount().alias("n_total"))
+    lm = (
+        big.join(ctx, "prev")
+        .join(uni.select(F.col("tok").alias("cur"), "cu"), "cur")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                -F.log(
+                    F.lit(_LAMBDA) * (F.col("cb") / F.col("cprev"))
+                    + F.lit(1.0 - _LAMBDA) * (F.col("cu") / F.col("n_total"))
+                ),
+                6,
+            ).alias("surprisal"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(lm), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            bcount().alias("n_bigrams"),
+            F.sum(F.col("surprisal").cast(_DEC)).cast("double").alias("sum_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("sum_s") / F.col("n_bigrams"), 6).alias("avg_surprisal"),
+        )
+    )
+
+
+_BIGRAM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur
+  FROM d),
+toks AS (
+  SELECT doc_id, unnest(t) AS tok FROM d),
+tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+big AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM pairs GROUP BY prev, cur),
+ctx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cprev
+        FROM pairs GROUP BY prev),
+uni AS (SELECT tok AS cur, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM tk GROUP BY tok),
+lm AS (
+  SELECT big.prev, big.cur,
+         round(-ln({_LAMBDA} * (cb / cprev)
+                   + {1.0 - _LAMBDA} * (cu / (SELECT CAST(COUNT(*) AS BIGINT)
+                                              FROM tk))), 6) AS surprisal
+  FROM big JOIN ctx ON big.prev = ctx.prev
+           JOIN uni ON big.cur = uni.cur)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(lm.surprisal AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_surprisal
+FROM pairs p JOIN lm ON p.prev = lm.prev AND p.cur = lm.cur
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "text_unigram_logprob": text_unigram_logprob,
+    "text_bigram_logprob": text_bigram_logprob,
     "text_bm25_search": text_bm25_search,
     "data_global_shuffle": data_global_shuffle,
 }
 
 ORACLE = {
     "text_unigram_logprob": _UNIGRAM_SQL,
+    "text_bigram_logprob": _BIGRAM_SQL,
     "text_bm25_search": _BM25_SQL,
     "data_global_shuffle": _SHUFFLE_SQL,
 }

@@ -359,9 +359,99 @@ GROUP BY d.user_id
 """
 
 
+_CP_MIN_SIDE = 5  # min observations on each side of a candidate split
+
+
+def ts_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user level-shift changepoint: the split point (between
+    consecutive events) maximizing |mean(before) - mean(after)| — the
+    exhaustive-scan single-changepoint detector (binary-segmentation
+    step 1). The naive form is O(n²) per user (recompute two means per
+    split); this is the O(n) prefix-sum form: one running DECIMAL sum
+    per user gives every split's two means from (prefix, total−prefix).
+    Ranking uses the ROUNDED delta with a ts tiebreak so the argmax is
+    engine-independent. One user_id window shuffle + a WindowGroupLimit
+    rank cut; splits need >= _CP_MIN_SIDE points per side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wall = Window.partitionBy("user_id")
+    pre = (
+        ev.withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "psum",
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double"),
+        )
+        .withColumn("n", F.count("*").over(wall).cast("long"))
+        .withColumn(
+            "tot", F.sum(F.col("value").cast(_DEC)).over(wall).cast("double")
+        )
+    )
+    cand = pre.where(
+        (F.col("i") >= _CP_MIN_SIDE) & (F.col("n") - F.col("i") >= _CP_MIN_SIDE)
+    ).select(
+        "user_id",
+        "ts_us",
+        "i",
+        "n",
+        F.round(
+            F.abs(
+                F.col("psum") / F.col("i").cast("double")
+                - (F.col("tot") - F.col("psum"))
+                / (F.col("n") - F.col("i")).cast("double")
+            ),
+            6,
+        ).alias("delta"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("delta").desc(), F.col("ts_us").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("split_after_us"),
+            F.col("i").alias("n_before"),
+            (F.col("n") - F.col("i")).cast("long").alias("n_after"),
+            "delta",
+        )
+    )
+
+
+_CHANGEPOINT_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, {epoch_us_sql('ts')} AS ts_us, value FROM events),
+pre AS (
+  SELECT user_id, ts_us,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS psum,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY user_id)
+              AS DOUBLE) AS tot
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING)),
+cand AS (
+  SELECT user_id, ts_us, i, n,
+         ROUND(abs(psum / CAST(i AS DOUBLE)
+                   - (tot - psum) / CAST(n - i AS DOUBLE)), 6) AS delta
+  FROM pre
+  WHERE i >= {_CP_MIN_SIDE} AND n - i >= {_CP_MIN_SIDE})
+SELECT user_id, ts_us AS split_after_us, i AS n_before,
+       CAST(n - i AS BIGINT) AS n_after, delta
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY delta DESC, ts_us ASC) AS rn
+      FROM cand)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
     "ts_anomaly_mad": ts_anomaly_mad,
+    "ts_changepoint_split": ts_changepoint_split,
     "ts_gap_fill": ts_gap_fill,
     "ts_rolling_zscore": ts_rolling_zscore,
     "ts_ewma": ts_ewma,
@@ -370,6 +460,7 @@ QUERIES = {
 ORACLE = {
     "ts_resample_ohlc": _OHLC_SQL,
     "ts_anomaly_mad": _MAD_SQL,
+    "ts_changepoint_split": _CHANGEPOINT_SQL,
     "ts_gap_fill": _GAP_FILL_SQL,
     "ts_rolling_zscore": _ZSCORE_SQL,
     "ts_ewma": _ewma_sql(),

@@ -832,9 +832,94 @@ SELECT user_id, n_events, last_ts_us, last_type FROM g JOIN l USING (user_id)
 """
 
 
+# -- streaming last-touch attribution ---------------------------------------
+
+_ATTR_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("channel", T.StringType()),
+    ]
+)
+# last non-purchase event_type seen for this user ('' = none yet)
+_ATTR_STATE_SCHEMA = T.StructType([T.StructField("last_touch", T.StringType())])
+
+
+def _attr_state_fn(key, pdf_iter, state):
+    """Streaming last-touch attribution: every purchase is credited to
+    the user's most recent earlier non-purchase event_type (from the
+    state store when the touch happened in an earlier micro-batch),
+    'direct' when the user has never touched. Deterministic and batch-
+    expressible -> full oracle (the batch window-frame form)."""
+    import pandas as pd
+
+    last = state.get[0] if state.exists else ""
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    ts_us = ((pdf["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)).tolist()
+    out = []
+    for t, eid, et in zip(ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist()):
+        if et == "purchase":
+            out.append((key[0], int(eid), int(t), last or "direct"))
+        else:
+            last = et
+    state.update((last,))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us", "channel"])
+
+
+def _stream_attribution(ev: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _attr_state_fn,
+        outputStructType=_ATTR_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of features.attribution.feat_attribution_touch's
+    per-purchase credit assignment: the last-touch channel is resolved
+    AS EVENTS ARRIVE from per-user state instead of a window over the
+    at-rest table. State is one string per user — O(|users|) store."""
+    return _drain_to_memory(_stream_attribution(_events_stream(spark, sf_dir)), "update")
+
+
+def stream_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_attribution over 4 chronological micro-batches: a
+    purchase whose most recent touch happened in an EARLIER batch must
+    pull the channel from the state store — the cross-batch handoff the
+    single-batch form never exercises. Same batch oracle."""
+    return _drain_to_memory(
+        _stream_attribution(_events_stream_multi(spark, sf_dir)),
+        "update",
+        min_batches=2,
+    )
+
+
+_ATTR_STREAM_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {epoch_us_sql('ts')} AS ts_us
+  FROM events),
+touched AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM e)
+SELECT user_id, event_id, ts_us, COALESCE(last_touch, 'direct') AS channel
+FROM touched WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream_error_burst": stream_error_burst,
     "stream_error_burst_multi": stream_error_burst_multi,
+    "stream_attribution": stream_attribution,
+    "stream_attribution_multi": stream_attribution_multi,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session_window": stream_session_window,
@@ -857,6 +942,8 @@ if HAVE_PROTOBUF:  # pragma: no cover - container lacks protobuf
 ORACLE = {
     "stream_error_burst": _ERROR_BURST_STREAM_SQL,
     "stream_error_burst_multi": _ERROR_BURST_STREAM_SQL,
+    "stream_attribution": _ATTR_STREAM_SQL,
+    "stream_attribution_multi": _ATTR_STREAM_SQL,
     "stream_tumbling": _TUMBLING_SQL,
     "stream_sliding": _SLIDING_SQL,
     "stream_session_window": _SESSION_SQL,

@@ -1261,3 +1261,59 @@ def test_exemplars_minimize_centroid_distance(spark, sf_dir):
             dist[(label, vec_id)],
             best[label],
         )
+
+
+# ---------- batch-3: bigram LM / t-test / changepoint ----------
+
+
+def test_bigram_logprob_penalizes_novel_sequences(spark, tmp_path):
+    from cortana_intelligence_customer360_spark.llmops.scoring import (
+        text_bigram_logprob,
+    )
+
+    rep = " ".join(["x y"] * 20)                      # one hot bigram
+    uniq = " ".join(f"t{i}" for i in range(40))       # every bigram unique
+    docs = spark.createDataFrame(
+        [(0, rep, "en", "src0", len(rep)), (1, uniq, "en", "src0", len(uniq))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "bg")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in text_bigram_logprob(spark, d).collect()}
+    assert out[0]["n_bigrams"] == 39 and out[1]["n_bigrams"] == 39
+    assert out[0]["avg_surprisal"] < out[1]["avg_surprisal"]
+
+
+def test_ab_ttest_sign_and_df_bounds(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        agg_ab_ttest,
+    )
+
+    r = agg_ab_ttest(spark, sf_dir).collect()[0]
+    if r["mean_a"] != r["mean_b"]:
+        assert (r["t_stat"] > 0) == (r["mean_a"] > r["mean_b"])
+    assert min(r["n_a"], r["n_b"]) - 1 <= r["df_welch"] <= r["n_a"] + r["n_b"] - 2
+
+
+def test_changepoint_finds_planted_level_shift(spark, tmp_path):
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_changepoint_split,
+    )
+
+    t0 = dt.datetime(2024, 1, 5)
+    rows = [
+        (i, 1, t0 + dt.timedelta(minutes=i), "view", 1.0 if i < 10 else 9.0, "{}")
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "cp")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = ts_changepoint_split(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_before"] == 10 and r["n_after"] == 10
+    assert r["delta"] == pytest.approx(8.0, abs=1e-6)

@@ -41,6 +41,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.llmops.scoring",
     "cortana_intelligence_customer360_spark.llmops.embeddings",
     "cortana_intelligence_customer360_spark.streaming.ops",
+    "cortana_intelligence_customer360_spark.sources.lakehouse",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from ..compat import bcount, dsum, dsum_sql, epoch_us_sql
 from ..operators.scans import _EVENTS_RAW_SCHEMA, scratch_dir
-from ..sources.tables import ensure_session_confs, raw_ts_to_timestamp
+from ..sources.tables import ensure_session_confs, load_table, raw_ts_to_timestamp
 
 _SEQ = itertools.count(1)  # single next() call is atomic under CPython
 
@@ -915,11 +915,192 @@ FROM touched WHERE event_type = 'purchase'
 """
 
 
+# -- streaming CDC apply into the manifest table ----------------------------
+
+_CDC_FILES = 4
+_CDC_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("new_bal", T.DoubleType()),
+    ]
+)
+
+
+def _cdc_multifile_src(spark: SparkSession, sf_dir: str) -> str:
+    """The batch CDC log (operators.merge._cdc_log) laid out as
+    _CDC_FILES seq-range parquet files with ascending mtimes, so a
+    maxFilesPerTrigger=1 replay delivers strictly increasing seq
+    ranges — later micro-batches always hold higher seqs, which is
+    what makes per-batch last-writer-wins compose into the global
+    last-writer-wins the oracle computes."""
+    from ..operators.merge import _cdc_log
+
+    src = scratch_dir("cdc_multifile", sf_dir)
+    if not os.path.isdir(os.path.join(src, "_done")):
+        log = _cdc_log(spark, sf_dir)
+        log.repartitionByRange(_CDC_FILES, "seq").write.mode("overwrite").parquet(src)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        parts = glob.glob(os.path.join(src, "part-*.parquet"))
+
+        def min_seq(path: str) -> int:
+            md = pq.read_metadata(path)
+            idx = md.schema.names.index("seq")
+            return min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+
+        base = int(os.path.getmtime(parts[0]))
+        for k, p in enumerate(sorted(parts, key=min_seq)):
+            os.utime(p, (base + k, base + k))
+        os.makedirs(os.path.join(src, "_done"), exist_ok=True)
+    return src
+
+
+def _run_stream_cdc(spark: SparkSession, sf_dir: str, qid: str, multi: bool) -> DataFrame:
+    """foreachBatch CDC upsert into a ManifestTable: every micro-batch
+    reads the current snapshot, applies its last-writer-wins winners
+    (tombstoning deletes so a later-seq update can revive a base row
+    with its original attributes), and commits the new state as an
+    overwrite version — each micro-batch becomes a snapshot-isolated
+    table version, so the CDC history is time-travelable for free.
+    Final read must equal the one-shot batch apply (cdc_apply_log's
+    oracle): streaming order composes because batch seq ranges ascend."""
+    import shutil
+
+    from ..sources.lakehouse import ManifestTable
+
+    src = _cdc_multifile_src(spark, sf_dir)
+    root = scratch_dir(qid, sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManifestTable(root)
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.lit(True).alias("from_base"),
+            F.lit(False).alias("touched"),
+            F.lit(False).alias("deleted"),
+        )
+    )
+    table.commit(base, "key")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("key", "op", "new_bal")
+        )
+        cur = table.read(sp)
+        j = cur.join(latest, "key", "full")
+        is_del = F.col("op") == "D"
+        merged = j.select(
+            "key",
+            F.col("name"),
+            F.col("mktsegment"),
+            F.when(F.col("op").isNull() | is_del, F.col("acctbal"))
+            .otherwise(F.col("new_bal"))
+            .alias("acctbal"),
+            F.coalesce("from_base", F.lit(False)).alias("from_base"),
+            (F.coalesce("touched", F.lit(False)) | F.col("op").isNotNull()).alias(
+                "touched"
+            ),
+            F.when(F.col("op").isNull(), F.coalesce("deleted", F.lit(False)))
+            .otherwise(is_del)
+            .alias("deleted"),
+        )
+        table.commit(merged, "key", mode="overwrite")
+
+    reader = spark.readStream.schema(_CDC_LOG_SCHEMA)
+    if multi:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src)
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    if multi and table.latest_version() < _CDC_FILES:
+        raise AssertionError(
+            f"expected {_CDC_FILES} CDC micro-batches, got {table.latest_version()}"
+        )
+    final = table.read(spark)
+    return final.where(~F.col("deleted")).select(
+        "key",
+        F.coalesce(F.col("name"), F.concat(F.lit("cdc#"), F.col("key"))).alias("name"),
+        F.coalesce(F.col("mktsegment"), F.lit("CDC")).alias("mktsegment"),
+        F.round(F.col("acctbal"), 6).alias("acctbal"),
+        F.when(~F.col("touched"), F.lit("kept"))
+        .when(F.col("from_base"), F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("change"),
+    )
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (single availableNow batch) — the Debezium
+    consumer shape: change log in, versioned upserted table out."""
+    return _run_stream_cdc(spark, sf_dir, "stream_cdc_apply", multi=False)
+
+
+def stream_cdc_apply_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply over 4 ascending-seq micro-batches: a key
+    deleted in one batch and updated in a later one must revive from
+    the tombstone with its base attributes — the cross-batch semantics
+    the single-batch form never exercises. Same oracle as the batch
+    cdc_apply_log-style apply."""
+    return _run_stream_cdc(spark, sf_dir, "stream_cdc_apply_multi", multi=True)
+
+
+_STREAM_CDC_SQL_SUFFIX = """
+latest AS (
+  SELECT * FROM log QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) = 1),
+joined AS (
+  SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
+         b.c_mktsegment AS mktsegment, b.c_acctbal AS acctbal,
+         l.op, l.new_bal
+  FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.key)
+SELECT key,
+       COALESCE(name, 'cdc#' || key) AS name,
+       COALESCE(mktsegment, 'CDC') AS mktsegment,
+       round(COALESCE(new_bal, acctbal), 6) AS acctbal,
+       CASE WHEN op IS NULL THEN 'kept'
+            WHEN acctbal IS NULL THEN 'inserted'
+            ELSE 'updated' END AS change
+FROM joined WHERE op IS NULL OR op <> 'D'
+"""
+
+
+def _stream_cdc_sql() -> str:
+    from ..operators.merge import _CDC_INS_OFFSET
+
+    return f"""
+WITH log AS (
+  SELECT o_orderkey AS seq,
+         CAST(CASE WHEN o_orderkey % 13 = 0
+                   THEN o_custkey + {_CDC_INS_OFFSET} ELSE o_custkey END
+              AS BIGINT) AS key,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'D'
+              WHEN o_orderkey % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+         round(o_totalprice / 100.0, 6) AS new_bal
+  FROM orders),
+{_STREAM_CDC_SQL_SUFFIX}"""
+
+
 QUERIES = {
     "stream_error_burst": stream_error_burst,
     "stream_error_burst_multi": stream_error_burst_multi,
     "stream_attribution": stream_attribution,
     "stream_attribution_multi": stream_attribution_multi,
+    "stream_cdc_apply": stream_cdc_apply,
+    "stream_cdc_apply_multi": stream_cdc_apply_multi,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session_window": stream_session_window,
@@ -944,6 +1125,8 @@ ORACLE = {
     "stream_error_burst_multi": _ERROR_BURST_STREAM_SQL,
     "stream_attribution": _ATTR_STREAM_SQL,
     "stream_attribution_multi": _ATTR_STREAM_SQL,
+    "stream_cdc_apply": _stream_cdc_sql(),
+    "stream_cdc_apply_multi": _stream_cdc_sql(),
     "stream_tumbling": _TUMBLING_SQL,
     "stream_sliding": _SLIDING_SQL,
     "stream_session_window": _SESSION_SQL,

@@ -204,3 +204,23 @@ def test_transform_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_cdc_apply_versions_and_time_travel(spark, sf_dir):
+    """Every CDC micro-batch must land as its own snapshot-isolated
+    table version (v0 = the base load), and v0 must still read as the
+    untouched customer base after all four batches applied."""
+    from cortana_intelligence_customer360_spark.operators.scans import scratch_dir
+    from cortana_intelligence_customer360_spark.sources.lakehouse import ManifestTable
+    from cortana_intelligence_customer360_spark.streaming import ops
+
+    out = ops.stream_cdc_apply_multi(spark, sf_dir)
+    changes = {r["change"] for r in out.select("change").distinct().collect()}
+    # 'kept' only appears at SFs where some customer has no orders
+    assert {"updated", "inserted"} <= changes
+    t = ManifestTable(scratch_dir("stream_cdc_apply_multi", sf_dir))
+    assert t.latest_version() == ops._CDC_FILES  # v0 + one per batch
+    n_base = load_table(spark, sf_dir, "customer").count()
+    v0 = t.read(spark, version=0)
+    assert v0.count() == n_base
+    assert v0.where(F.col("touched")).count() == 0

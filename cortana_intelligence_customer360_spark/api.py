@@ -62,6 +62,24 @@ def query_ids() -> list[str]:
     return sorted(registry.build()[0])
 
 
+def manifest_table(root: str):
+    """Open (or create) a manifest-format table at ``root`` — the
+    from-scratch lakehouse surface (sources/lakehouse.py): immutable
+    append/overwrite commits, snapshot-isolated time travel, and
+    min/max file skipping. See ManifestTable for the full contract."""
+    from .sources.lakehouse import ManifestTable
+
+    return ManifestTable(root)
+
+
+def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch channel attribution for every purchase — the
+    marketer-facing conversion-credit table (features/attribution.py)."""
+    from .features.attribution import feat_attribution_touch
+
+    return feat_attribution_touch(spark, sf_dir)
+
+
 # Corpus-size threshold where exact brute-force top-k stops being the
 # right physical strategy for ANN (one fold per probe x corpus row).
 EXACT_KNN_MAX_CORPUS = 1_000_000

@@ -539,8 +539,93 @@ FROM b
 """
 
 
+_WINNOW_K = 3  # tokens per k-gram
+_WINNOW_W = 4  # hashes per winnowing window
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document sketches (the MOSS local fingerprinting
+    algorithm): hash every token 3-gram, slide a window of 4 hashes,
+    keep each window's minimum — guaranteeing any shared substring of
+    length >= k+w-1 tokens contributes a shared fingerprint, at ~1/w
+    the storage of the full hash set. All array lambdas (JVM, map-only,
+    no shuffle); the sketch is emitted as a count + md5 so the oracle
+    hash-verifies the exact selected-hash SET. Short docs (< k+w-1
+    tokens) fall back to the full hash set, the standard degenerate
+    case."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    n = F.size("toks")
+    kg = F.transform(
+        F.sequence(F.lit(1), n - (_WINNOW_K - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at("toks", i + off) for off in range(_WINNOW_K)],
+        ),
+    )
+    docs = docs.withColumn(
+        "hs",
+        F.when(n >= _WINNOW_K, kg).otherwise(F.array().cast("array<string>")),
+    ).withColumn(
+        "hs",
+        F.transform(
+            "hs", lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        ),
+    )
+    nh = F.size("hs")
+    mins = F.transform(
+        F.sequence(F.lit(1), nh - (_WINNOW_W - 1)),
+        lambda j: F.array_min(F.slice("hs", j, _WINNOW_W)),
+    )
+    docs = docs.withColumn(
+        "sel",
+        F.sort_array(
+            F.array_distinct(F.when(nh >= _WINNOW_W, mins).otherwise(F.col("hs")))
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        nh.cast("long").alias("n_kgrams"),
+        F.size("sel").cast("long").alias("n_selected"),
+        F.md5(
+            F.array_join(F.transform("sel", lambda x: x.cast("string")), ",")
+        ).alias("sketch_fp"),
+    )
+
+
+_WINNOW_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+kg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_WINNOW_K}
+              THEN list_transform(range(1, len(t) - {_WINNOW_K - 2}),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END AS g
+  FROM d),
+h AS (
+  SELECT doc_id,
+         list_transform(g, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+  FROM kg),
+s AS (
+  SELECT doc_id, hs,
+         CASE WHEN len(hs) >= {_WINNOW_W}
+              THEN list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+                                  j -> list_min(hs[j:j+{_WINNOW_W - 1}]))
+              ELSE hs END AS mins
+  FROM h)
+SELECT doc_id,
+       CAST(len(hs) AS BIGINT) AS n_kgrams,
+       CAST(len(list_distinct(mins)) AS BIGINT) AS n_selected,
+       md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS sketch_fp
+FROM s
+"""
+
+
 QUERIES = {
     "text_pii_redact": text_pii_redact,
+    "text_winnowing": text_winnowing,
     "text_token_count": text_token_count,
     "text_repetition_ratio": text_repetition_ratio,
     "text_tfidf_topk": text_tfidf_topk,
@@ -555,6 +640,7 @@ QUERIES = {
 
 ORACLE = {
     "text_pii_redact": _PII_SQL,
+    "text_winnowing": _WINNOW_SQL,
     "text_token_count": _TOKEN_COUNT_SQL,
     "text_repetition_ratio": _REPETITION_SQL,
     "text_tfidf_topk": _TFIDF_SQL,

@@ -1317,3 +1317,81 @@ def test_changepoint_finds_planted_level_shift(spark, tmp_path):
     r = out[0]
     assert r["n_before"] == 10 and r["n_after"] == 10
     assert r["delta"] == pytest.approx(8.0, abs=1e-6)
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark, tmp_path):
+    """Winnowing's core guarantee: any shared token run of length
+    >= k+w-1 (= 6 here) yields at least one shared selected hash,
+    regardless of surrounding context. Disjoint docs share nothing."""
+    from cortana_intelligence_customer360_spark.llmops import text as tx
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    a = "left context words " + shared + " tail a"
+    b = "completely different prefix here " + shared
+    c = "no overlap with anything at all whatsoever truly"
+    docs = spark.createDataFrame(
+        [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b)), (2, c, "en", "s", len(c))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "win")
+    docs.write.parquet(f"{d}/documents.parquet")
+    # recompute selected sets directly for the overlap assertion
+    out = {r["doc_id"]: r for r in tx.text_winnowing(spark, d).collect()}
+    assert out[0]["n_selected"] <= out[0]["n_kgrams"]
+    # same sketch_fp iff same selected set; overlap needs the sets -
+    # rebuild them via the same op on single-doc tables
+    sets = {}
+    for did, txt in ((0, a), (1, b), (2, c)):
+        one = spark.createDataFrame(
+            [(did, txt, "en", "s", len(txt))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        p = str(tmp_path / f"w{did}")
+        one.write.parquet(f"{p}/documents.parquet")
+        row = tx.text_winnowing(spark, p).collect()[0]
+        sets[did] = row["sketch_fp"]
+    # a and b share the 8-token run: their full-doc sketches differ,
+    # but the shared-substring guarantee is on selected HASHES; verify
+    # via the pair's n_selected sum vs the union on a combined corpus
+    both = spark.createDataFrame(
+        [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pboth = str(tmp_path / "wboth")
+    both.write.parquet(f"{pboth}/documents.parquet")
+    rows = {r["doc_id"]: r for r in tx.text_winnowing(spark, pboth).collect()}
+    # distinct-union bound: if no hash were shared the md5 sketches
+    # would be independent; assert overlap by recomputing hash sets
+    # with a tiny helper frame
+    from pyspark.sql import functions as SF
+
+    def sel_set(txt: str) -> set:
+        one = spark.createDataFrame([(0, txt)], "doc_id long, text string")
+        toks = SF.split("text", " ")
+        df = one.select(SF.explode(SF.sequence(SF.lit(1), SF.size(toks) - 2)).alias("i"), toks.alias("t"))
+        df = df.select(
+            SF.conv(
+                SF.substring(
+                    SF.md5(
+                        SF.concat_ws(
+                            " ",
+                            SF.element_at("t", SF.col("i")),
+                            SF.element_at("t", SF.col("i") + 1),
+                            SF.element_at("t", SF.col("i") + 2),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        )
+        hs = [r["h"] for r in df.collect()]
+        return {min(hs[j : j + 4]) for j in range(len(hs) - 3)}
+
+    sa, sb, sc = sel_set(a), sel_set(b), sel_set(c)
+    assert sa & sb, "shared 8-token run must share a winnowed fingerprint"
+    assert not (sa & sc) and not (sb & sc)

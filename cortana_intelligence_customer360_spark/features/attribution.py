@@ -72,20 +72,39 @@ def feat_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    last_agg = purchases.groupBy(F.col("last_touch").alias("channel")).agg(
-        bcount().alias("n_last_touch"), dsum("value").alias("rev_last_touch")
-    )
-    first_agg = purchases.groupBy(F.col("first_touch").alias("channel")).agg(
-        bcount().alias("n_first_touch"), dsum("value").alias("rev_first_touch")
-    )
+    # Unpivot (kind, channel) so ONE pass over the window output feeds
+    # a single channel-keyed aggregate — the window is computed once
+    # and there is no aggregate-vs-aggregate join at all (plan audit:
+    # 5 exchanges + SortMergeJoin in the two-aggregate form, 3 and no
+    # join here).
+    long = purchases.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last").alias("kind"),
+                    F.col("last_touch").alias("channel"),
+                    F.col("value"),
+                ),
+                F.struct(
+                    F.lit("first").alias("kind"),
+                    F.col("first_touch").alias("channel"),
+                    F.col("value"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    is_last = F.col("kind") == "last"
     return (
-        last_agg.join(first_agg, "channel", "full_outer")
-        .select(
-            "channel",
-            F.coalesce("n_last_touch", F.lit(0)).cast("long").alias("n_last_touch"),
-            F.coalesce("rev_last_touch", F.lit(0.0)).alias("rev_last_touch"),
-            F.coalesce("n_first_touch", F.lit(0)).cast("long").alias("n_first_touch"),
-            F.coalesce("rev_first_touch", F.lit(0.0)).alias("rev_first_touch"),
+        long.groupBy("channel")
+        .agg(
+            F.count(F.when(is_last, 1)).cast("long").alias("n_last_touch"),
+            F.coalesce(dsum(F.when(is_last, F.col("value"))), F.lit(0.0)).alias(
+                "rev_last_touch"
+            ),
+            F.count(F.when(~is_last, 1)).cast("long").alias("n_first_touch"),
+            F.coalesce(dsum(F.when(~is_last, F.col("value"))), F.lit(0.0)).alias(
+                "rev_first_touch"
+            ),
         )
         .orderBy("channel")
     )
@@ -187,15 +206,36 @@ def feat_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate joined broadcast-style afterwards.
     """
     ev = load_table(spark, sf_dir, "events")
-    aud = ev.select("user_id", "event_type").distinct()
-    sizes = aud.groupBy("event_type").agg(bcount().alias("n_users"))
-    a = aud.select("user_id", F.col("event_type").alias("type_a"))
-    b = aud.select("user_id", F.col("event_type").alias("type_b"))
-    pairs = (
-        a.join(b, "user_id")
-        .where(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(bcount().alias("n_both"))
+    # ONE scan: per-user sorted type set (collect_set is the distinct),
+    # then a map-only combination expansion — no aud⋈aud self-join and
+    # no recomputed distincts (the naive self-join plan executed the
+    # events-distinct three times). The per-user set is <= 5 elements,
+    # so the expansion is bounded at C(5,2) structs per user.
+    # localCheckpoint: both the pair expansion and the audience sizes
+    # read this users-cardinality frame; without it the events-scan
+    # aggregate executes twice (once per consumer).
+    sets = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("ts"))
+        .localCheckpoint()
+    )
+    combos = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice("ts", i + 2, F.greatest(F.size("ts") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    exploded = sets.select("user_id", F.explode(combos).alias("p"))
+    pairs = exploded.groupBy(
+        F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b")
+    ).agg(bcount().alias("n_both"))
+    sizes = (
+        sets.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(bcount().alias("n_users"))
     )
     sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
     sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..compat import bcount, dsum, dsum_sql, dsum_where_sql, epoch_us, epoch_us_sql
 from ..sources.tables import load_table
+from .core import ORDERS_ANCHOR
 
 # Events span [2024-01-01, 2024-01-31) (FIXTURES.md). The churn split
 # gives a 23-day observation window and a 7-day label window.
@@ -497,8 +498,184 @@ FROM c
 """
 
 
+_SURV_CENSOR_DAYS = 90
+
+
+def feat_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve per market segment over
+    customer engagement lifetime (days between first and last order).
+    A customer whose last order is within _SURV_CENSOR_DAYS of the
+    dataset horizon is right-CENSORED (still alive): they leave the
+    risk set at their observed duration without contributing a death —
+    the bookkeeping that makes naive churn averages wrong and survival
+    estimators right. Everything is counting arithmetic: n_at_risk via
+    a descending-duration running sum, per-time hazard d/n rounded at
+    6 dp, and the cumulative hazard an exact DECIMAL running sum of
+    those rounded increments (no product estimator, no exp/log — fully
+    hash-stable cross-engine). Shuffles: one orders→customer aggregate,
+    one segment-keyed window."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    horizon = F.lit(ORDERS_ANCHOR).cast("date")
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            .cast("long")
+            .alias("t"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+        .withColumn(
+            "event",
+            (F.datediff(horizon, F.col("last_d")) > _SURV_CENSOR_DAYS)
+            .cast("long"),
+        )
+    )
+    seg = life.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    )
+    per_t = seg.groupBy("c_mktsegment", "t").agg(
+        bcount().alias("n_at_t"), F.sum("event").cast("long").alias("d_at_t")
+    )
+    w_desc = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum("n_at_t").over(w_desc).cast("long")
+    )
+    hz = F.round(F.col("d_at_t") / F.col("n_risk").cast("double"), 6)
+    w_asc = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        at_risk.where(F.col("d_at_t") > 0)
+        .select(
+            "c_mktsegment",
+            "t",
+            "n_risk",
+            "d_at_t",
+            hz.alias("hazard"),
+            F.round(
+                F.sum(hz.cast("decimal(30,6)")).over(w_asc).cast("double"), 6
+            ).alias("cum_hazard"),
+        )
+    )
+
+
+def _survival_sql() -> str:
+    return f"""
+WITH life AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                        MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS t,
+         CAST(CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                                  DATE '{ORDERS_ANCHOR}') > {_SURV_CENSOR_DAYS}
+                   THEN 1 ELSE 0 END AS BIGINT) AS event
+  FROM orders GROUP BY o_custkey),
+seg AS (
+  SELECT c_mktsegment, t, event
+  FROM life JOIN customer ON o_custkey = c_custkey),
+per_t AS (
+  SELECT c_mktsegment, t, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+         CAST(SUM(event) AS BIGINT) AS d_at_t
+  FROM seg GROUP BY c_mktsegment, t),
+risk AS (
+  SELECT *, CAST(SUM(n_at_t) OVER (PARTITION BY c_mktsegment ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+  FROM per_t),
+hz AS (
+  SELECT c_mktsegment, t, n_risk, d_at_t,
+         ROUND(d_at_t / CAST(n_risk AS DOUBLE), 6) AS hazard
+  FROM risk)
+SELECT c_mktsegment, t, n_risk, d_at_t, hazard,
+       ROUND(CAST(SUM(CAST(hazard AS DECIMAL(30,6)))
+                  OVER (PARTITION BY c_mktsegment ORDER BY t ASC
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cum_hazard
+FROM hz
+QUALIFY d_at_t > 0
+"""
+
+
+def agg_chisq_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of segment × purchase-conversion —
+    "does conversion depend on segment?" in one row. The 5×2
+    contingency table comes from the same user-collapse as
+    agg_conversion_ci; observed/expected arithmetic then runs on the
+    10-cell aggregate only. dof = (r-1)(c-1) = 4."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    conv = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    cells = (
+        conv.join(cust, conv.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "converted")
+        .agg(bcount().alias("o"))
+    )
+    tot = Window.partitionBy()
+    row_t = Window.partitionBy("c_mktsegment")
+    col_t = Window.partitionBy("converted")
+    with_e = cells.select(
+        "o",
+        (
+            F.sum("o").over(row_t).cast("double")
+            * F.sum("o").over(col_t).cast("double")
+            / F.sum("o").over(tot).cast("double")
+        ).alias("e"),
+    )
+    chi = with_e.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                    / F.col("e"),
+                    6,
+                ).cast("decimal(30,6)")
+            ).cast("double"),
+            6,
+        ).alias("chi2"),
+        bcount().alias("n_cells"),
+    )
+    return chi.select(
+        "chi2", "n_cells", F.lit(4).cast("long").alias("dof")
+    )
+
+
+_CHISQ_SQL = """
+WITH conv AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id),
+cells AS (
+  SELECT c_mktsegment, converted, CAST(COUNT(*) AS BIGINT) AS o
+  FROM conv JOIN customer ON user_id = c_custkey
+  GROUP BY c_mktsegment, converted),
+e AS (
+  SELECT o,
+         CAST(SUM(o) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+           * CAST(SUM(o) OVER (PARTITION BY converted) AS DOUBLE)
+           / CAST(SUM(o) OVER () AS DOUBLE) AS e
+  FROM cells)
+SELECT ROUND(CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6)
+                          AS DECIMAL(30,6))) AS DOUBLE), 6) AS chi2,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(4 AS BIGINT) AS dof
+FROM e
+"""
+
+
 QUERIES = {
     "feat_attribution_touch": feat_attribution_touch,
+    "feat_survival_hazard": feat_survival_hazard,
+    "agg_chisq_segments": agg_chisq_segments,
     "agg_ab_ttest": agg_ab_ttest,
     "feat_churn_label": feat_churn_label,
     "feat_audience_overlap": feat_audience_overlap,
@@ -508,6 +685,8 @@ QUERIES = {
 
 ORACLE = {
     "feat_attribution_touch": _ATTRIBUTION_SQL,
+    "feat_survival_hazard": _survival_sql(),
+    "agg_chisq_segments": _CHISQ_SQL,
     "agg_ab_ttest": _ab_ttest_sql(),
     "feat_churn_label": _churn_sql(),
     "feat_audience_overlap": _AUDIENCE_SQL,

@@ -455,9 +455,93 @@ QUALIFY rank <= {_EXEMPLAR_K}
 """
 
 
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the cluster-
+    quality score sklearn calls silhouette with the O(n·k) centroid
+    approximation instead of O(n²) pairwise: a = distance to own
+    centroid, b = min distance to any OTHER centroid,
+    s = (b−a)/max(a,b), averaged per label. Centroids are rounded
+    before distances (compat rule); the per-vector k-way distance table
+    is label-cardinality-bounded (k=10 centroids broadcast), so the
+    whole thing is one posexplode scan + a k-way broadcast join at any
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(F.sum("v") / F.count("v"), 6).alias("c")
+    )
+    cent_all = cent.select(
+        F.col("label").alias("cent_label"), "pos", "c"
+    )
+    dists = (
+        flat.join(F.broadcast(cent_all), "pos")
+        .groupBy("vec_id", "label", "cent_label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))),
+                6,
+            ).alias("dist")
+        )
+    )
+    per_vec = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("cent_label") == F.col("label"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("cent_label") != F.col("label"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    s = F.round(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 6
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            bcount().alias("n_vectors"),
+            F.round(
+                F.sum(s.cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+_SILHOUETTE_SQL = """
+WITH flat AS (
+  SELECT vec_id, label, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
+cent AS (
+  SELECT label AS cent_label, pos, round(SUM(v) / COUNT(v), 6) AS c
+  FROM flat GROUP BY label, pos),
+dists AS (
+  SELECT f.vec_id, f.label, c.cent_label,
+         round(sqrt(SUM((f.v - c.c) * (f.v - c.c))), 6) AS dist
+  FROM flat f JOIN cent c ON f.pos = c.pos
+  GROUP BY f.vec_id, f.label, c.cent_label),
+per_vec AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN cent_label = label THEN dist END) AS a,
+         MIN(CASE WHEN cent_label <> label THEN dist END) AS b
+  FROM dists GROUP BY vec_id, label)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(CAST(SUM(CAST(round((b - a) / greatest(a, b), 6)
+                           AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_silhouette
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "sim_knn_exact": sim_knn_exact,
     "emb_exemplar_topk": emb_exemplar_topk,
+    "emb_silhouette": emb_silhouette,
     "sim_lsh_ann": sim_lsh_ann,
     "ann_ivf_build": ann_ivf_build,
     "sim_ivf_ann": sim_ivf_ann,
@@ -469,6 +553,7 @@ QUERIES = {
 ORACLE = {
     "sim_knn_exact": _KNN_SQL,
     "emb_exemplar_topk": _EXEMPLAR_SQL,
+    "emb_silhouette": _SILHOUETTE_SQL,
     # sim_lsh_ann / sim_ivf_ann / sim_knn_rewritten: R-tier
     # (randomized/model-dependent; recall@5 and clustered-fixture
     # equality asserted vs sim_knn_exact in tests). ann_ivf_build's

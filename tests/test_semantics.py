@@ -1395,3 +1395,61 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark, tmp_path
     sa, sb, sc = sel_set(a), sel_set(b), sel_set(c)
     assert sa & sb, "shared 8-token run must share a winnowed fingerprint"
     assert not (sa & sc) and not (sb & sc)
+
+
+# ---------- batch-4: survival / chi-square / silhouette ----------
+
+
+def test_survival_hazard_monotone_and_bounded(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        feat_survival_hazard,
+    )
+
+    rows = feat_survival_hazard(spark, sf_dir).collect()
+    assert rows
+    by_seg = {}
+    for r in rows:
+        assert 0 < r["hazard"] <= 1.0
+        assert r["d_at_t"] <= r["n_risk"]
+        by_seg.setdefault(r["c_mktsegment"], []).append((r["t"], r["cum_hazard"]))
+    for seg, pts in by_seg.items():
+        pts.sort()
+        cums = [c for _, c in pts]
+        assert cums == sorted(cums), seg  # cumulative hazard non-decreasing
+
+
+def test_chisq_nonnegative_and_cells(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        agg_chisq_segments,
+    )
+
+    r = agg_chisq_segments(spark, sf_dir).collect()[0]
+    assert r["chi2"] >= 0.0 and r["dof"] == 4
+    assert r["n_cells"] <= 10
+
+
+def test_silhouette_high_on_clustered_low_on_uniform(spark, sf_dir, tmp_path):
+    """Tightly clustered vectors must score near 1; the driver's
+    metric-uniform embeddings must score near 0 — the discriminating
+    behavior that makes the metric useful."""
+    import numpy as np
+
+    from cortana_intelligence_customer360_spark.llmops.similarity import (
+        emb_silhouette,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)) * 5
+    pts = centers[np.arange(200) % 4] + 0.1 * rng.normal(size=(200, 16))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]], int(i % 4)) for i in range(200)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path / "sil")
+    emb.write.parquet(f"{d}/embeddings.parquet")
+    clustered = [r["mean_silhouette"] for r in emb_silhouette(spark, d).collect()]
+    assert min(clustered) > 0.8, clustered
+    uniform = [
+        r["mean_silhouette"] for r in emb_silhouette(spark, sf_dir).collect()
+    ]
+    assert max(uniform) < 0.3, uniform

@@ -672,8 +672,69 @@ FROM e
 """
 
 
+def feat_next_best_offer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-best-action per user: the globally most popular event type
+    the user has NOT done yet (popularity-ranked recommendation
+    fallback — the cold-start baseline every recommender ships under
+    the learned model). The global popularity ranking collapses to one
+    broadcast array row; each user's recommendation is then a map-side
+    array filter over their own collect_set — no per-user join against
+    the popularity table at all. Users who have done everything get
+    NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    pop = ev.groupBy("event_type").agg(bcount().alias("n"))
+    # one row: types sorted by (popularity desc, name asc) — the
+    # sortable struct makes sort_array do the ordering JVM-side
+    ranked = pop.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("ranked_types")
+    )
+    seen = ev.groupBy("user_id").agg(F.collect_set("event_type").alias("seen"))
+    return (
+        seen.crossJoin(F.broadcast(ranked))
+        .select(
+            "user_id",
+            F.size("seen").cast("long").alias("n_seen"),
+            # F.get is null-on-out-of-bounds (ANSI-safe for the
+            # seen-everything user whose filtered array is empty)
+            F.get(
+                F.filter(
+                    "ranked_types",
+                    lambda t: ~F.array_contains(F.col("seen"), t),
+                ),
+                0,
+            ).alias("recommend"),
+        )
+    )
+
+
+_NEXT_BEST_SQL = """
+WITH pop AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+seen AS (
+  SELECT DISTINCT user_id, event_type FROM events),
+users AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_seen FROM seen GROUP BY 1),
+cand AS (
+  SELECT u.user_id, p.event_type,
+         ROW_NUMBER() OVER (PARTITION BY u.user_id
+                            ORDER BY p.n DESC, p.event_type ASC) AS rn
+  FROM users u CROSS JOIN pop p
+  WHERE NOT EXISTS (SELECT 1 FROM seen s
+                    WHERE s.user_id = u.user_id
+                      AND s.event_type = p.event_type))
+SELECT u.user_id, u.n_seen, c.event_type AS recommend
+FROM users u LEFT JOIN cand c ON u.user_id = c.user_id AND c.rn = 1
+"""
+
+
 QUERIES = {
     "feat_attribution_touch": feat_attribution_touch,
+    "feat_next_best_offer": feat_next_best_offer,
     "feat_survival_hazard": feat_survival_hazard,
     "agg_chisq_segments": agg_chisq_segments,
     "agg_ab_ttest": agg_ab_ttest,
@@ -685,6 +746,7 @@ QUERIES = {
 
 ORACLE = {
     "feat_attribution_touch": _ATTRIBUTION_SQL,
+    "feat_next_best_offer": _NEXT_BEST_SQL,
     "feat_survival_hazard": _survival_sql(),
     "agg_chisq_segments": _CHISQ_SQL,
     "agg_ab_ttest": _ab_ttest_sql(),

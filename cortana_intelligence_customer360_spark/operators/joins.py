@@ -370,6 +370,158 @@ LIMIT 15
 """
 
 
+def feat_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the part-type baskets: support,
+    confidence (both directions) and lift for every co-bought type
+    pair — the full market-basket readout on top of
+    feat_basket_affinity's raw counts. The distinct (order, type)
+    frame is checkpointed once (pair expansion AND single-type counts
+    read it); every derived table is vocabulary-bounded, so all the
+    rule arithmetic runs on aggregates of <= |types|² rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ot = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_orders = ot.select("l_orderkey").distinct().count()
+    singles = ot.groupBy("p_type").agg(bcount().alias("n_single"))
+    a = ot.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_a"))
+    b = ot.select(F.col("l_orderkey").alias("k2"), F.col("p_type").alias("type_b"))
+    pairs = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(bcount().alias("n_ab"))
+    )
+    sa = singles.select(F.col("p_type").alias("type_a"), F.col("n_single").alias("n_a"))
+    sb = singles.select(F.col("p_type").alias("type_b"), F.col("n_single").alias("n_b"))
+    n = F.lit(n_orders).cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") / n, 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias("conf_a_b"),
+            F.round(F.col("n_ab") / F.col("n_b").cast("double"), 6).alias("conf_b_a"),
+            F.round(
+                F.col("n_ab") * n / (F.col("n_a") * F.col("n_b")).cast("double"), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("type_a").asc(), F.col("type_b").asc())
+    )
+
+
+_BASKET_RULES_SQL = """
+WITH ot AS (
+  SELECT DISTINCT l_orderkey, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM ot),
+singles AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_single FROM ot GROUP BY p_type),
+pairs AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ot a JOIN ot b ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab,
+       sa.n_single AS n_a, sb.n_single AS n_b,
+       ROUND(n_ab / n_orders, 6) AS support,
+       ROUND(n_ab / CAST(sa.n_single AS DOUBLE), 6) AS conf_a_b,
+       ROUND(n_ab / CAST(sb.n_single AS DOUBLE), 6) AS conf_b_a,
+       ROUND(n_ab * n_orders / CAST(sa.n_single * sb.n_single AS DOUBLE), 6)
+         AS lift
+FROM pairs
+JOIN singles sa ON sa.p_type = type_a
+JOIN singles sb ON sb.p_type = type_b
+CROSS JOIN n
+ORDER BY lift DESC, type_a ASC, type_b ASC
+"""
+
+
+_ASOF_TOL_US = 30 * 86_400_000_000  # 30-day merge_asof tolerance, µs
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 30-day tolerance (merge_asof(tolerance=...)):
+    the most recent prior order still matches ONLY if it happened
+    within the window — stale matches null out, which is what a
+    leakage-safe feature wants from months-old context. Same union-
+    merge single-shuffle shape as join_asof, carrying the matched
+    order's own timestamp forward so the tolerance check is a map-side
+    filter on the merged timeline."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        epoch_us("o_orderdate").alias("t_us"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = events.select(
+        "user_id",
+        epoch_us("ts").alias("t_us"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.col("event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o.unionByName(e).select(
+        "user_id",
+        "t_us",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("mk"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("mp"),
+        F.last(F.when(F.col("is_event") == 0, F.col("t_us")), ignorenulls=True)
+        .over(w)
+        .alias("mt"),
+    )
+    in_tol = F.col("t_us") - F.col("mt") <= _ASOF_TOL_US
+    return merged.where(F.col("is_event") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t_us").alias("ts_us"),
+        F.when(in_tol, F.col("mk")).alias("asof_orderkey"),
+        F.when(in_tol, F.col("mp")).alias("asof_totalprice"),
+    )
+
+
+_ASOF_TOL_SQL = f"""
+WITH matched AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         o.o_orderkey, o.o_totalprice, epoch_us(o.o_orderdate) AS od_us,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN ts_us - od_us <= {_ASOF_TOL_US} THEN o_orderkey END
+         AS asof_orderkey,
+       CASE WHEN ts_us - od_us <= {_ASOF_TOL_US} THEN o_totalprice END
+         AS asof_totalprice
+FROM matched WHERE rn = 1
+UNION ALL
+SELECT e.event_id, e.user_id, epoch_us(e.ts), NULL, NULL
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+"""
+
+
 def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue per region through the full star. The
     two big tables sort-merge on their keys; the three dims broadcast
@@ -712,6 +864,8 @@ QUERIES = {
     "join_star_multiway": join_star_multiway,
     "join_bucketed": join_bucketed,
     "feat_basket_affinity": feat_basket_affinity,
+    "feat_basket_rules": feat_basket_rules,
+    "join_asof_tolerance": join_asof_tolerance,
 }
 
 ORACLE = {
@@ -735,4 +889,6 @@ ORACLE = {
     "join_star_multiway": _STAR_SQL,
     "join_bucketed": _BUCKETED_SQL,
     "feat_basket_affinity": _BASKET_SQL,
+    "feat_basket_rules": _BASKET_RULES_SQL,
+    "join_asof_tolerance": _ASOF_TOL_SQL,
 }

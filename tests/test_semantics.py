@@ -1453,3 +1453,85 @@ def test_silhouette_high_on_clustered_low_on_uniform(spark, sf_dir, tmp_path):
         r["mean_silhouette"] for r in emb_silhouette(spark, sf_dir).collect()
     ]
     assert max(uniform) < 0.3, uniform
+
+
+# ---------- batch-5: basket rules / nbo / asof tolerance ----------
+
+
+def test_basket_rules_consistent_with_affinity(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.joins import (
+        feat_basket_affinity,
+        feat_basket_rules,
+    )
+
+    aff = {
+        (r["type_a"], r["type_b"]): r["n_orders"]
+        for r in feat_basket_affinity(spark, sf_dir).collect()
+    }
+    rules = {
+        (r["type_a"], r["type_b"]): r
+        for r in feat_basket_rules(spark, sf_dir).collect()
+    }
+    for pair, n in aff.items():
+        assert rules[pair]["n_ab"] == n
+    for r in rules.values():
+        assert 0 < r["support"] <= 1
+        assert 0 < r["conf_a_b"] <= 1 and 0 < r["conf_b_a"] <= 1
+        assert r["lift"] > 0
+
+
+def test_next_best_offer_never_recommends_seen(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        feat_next_best_offer,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    seen = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    ):
+        seen.setdefault(r["user_id"], set()).add(r["event_type"])
+    for r in feat_next_best_offer(spark, sf_dir).collect():
+        if r["recommend"] is None:
+            assert len(seen[r["user_id"]]) == 5  # saw every type
+        else:
+            assert r["recommend"] not in seen[r["user_id"]]
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    """Every tolerance-join match must also be a plain as-of match
+    within 30 days; every plain match older than 30 days must be
+    nulled; within-tolerance matches are identical."""
+    from cortana_intelligence_customer360_spark.operators.joins import (
+        _ASOF_TOL_US,
+        join_asof,
+        join_asof_tolerance,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+    from cortana_intelligence_customer360_spark.compat import epoch_us
+
+    plain = {
+        r["event_id"]: (r["asof_orderkey"], r["ts_us"])
+        for r in join_asof(spark, sf_dir).collect()
+    }
+    odate = {
+        r["o_orderkey"]: r["od_us"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", epoch_us("o_orderdate").alias("od_us"))
+        .collect()
+    }
+    tol = {
+        r["event_id"]: r["asof_orderkey"]
+        for r in join_asof_tolerance(spark, sf_dir).collect()
+    }
+    assert set(tol) == set(plain)
+    for eid, (pk, ts_us) in plain.items():
+        if pk is None:
+            assert tol[eid] is None
+        elif ts_us - odate[pk] <= _ASOF_TOL_US:
+            assert tol[eid] == pk
+        else:
+            assert tol[eid] is None

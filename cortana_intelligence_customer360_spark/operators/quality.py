@@ -212,12 +212,84 @@ FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
 """
 
 
+_PSI_SPLIT = "1998-01-01"
+_PSI_BAND = 50_000.0  # price-band width for the 10-bucket histogram
+
+
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution
+    between the pre/post-{split} periods — the standard "did my
+    feature drift?" monitor a model-serving pipeline runs per release.
+    Values bucket into fixed 50k bands (capped at band 9); counts are
+    Laplace-smoothed (+1) so empty bands contribute finite terms;
+    per-band terms round at 6 dp before the exact DECIMAL total. One
+    conditional-aggregate scan — both periods come from one pass, not
+    two filtered scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_PSI_SPLIT).cast("date")
+    bucket = F.least(F.floor(F.col("o_totalprice") / _PSI_BAND), F.lit(9)).cast(
+        "long"
+    )
+    in_a = F.col("o_orderdate").cast("date") < split
+    per_bucket = orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.when(in_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(~in_a, 1)).cast("long").alias("n_b"),
+    )
+    tot = per_bucket.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+        bcount().alias("n_buckets"),
+    )
+    j = per_bucket.crossJoin(F.broadcast(tot))
+    p = (F.col("n_a") + 1).cast("double") / (
+        F.col("tot_a") + F.col("n_buckets")
+    ).cast("double")
+    q = (F.col("n_b") + 1).cast("double") / (
+        F.col("tot_b") + F.col("n_buckets")
+    ).cast("double")
+    term = F.round((p - q) * F.log(p / q), 6)
+    return j.agg(
+        F.round(F.sum(term.cast("decimal(30,6)")).cast("double"), 6).alias("psi"),
+        F.max("tot_a").alias("n_a"),
+        F.max("tot_b").alias("n_b"),
+        F.max("n_buckets").alias("n_buckets"),
+    )
+
+
+_DRIFT_SQL = f"""
+WITH per_bucket AS (
+  SELECT CAST(least(floor(o_totalprice / {_PSI_BAND}), 9) AS BIGINT) AS bucket,
+         CAST(COUNT(*) FILTER (WHERE CAST(o_orderdate AS DATE)
+                               < DATE '{_PSI_SPLIT}') AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (WHERE CAST(o_orderdate AS DATE)
+                               >= DATE '{_PSI_SPLIT}') AS BIGINT) AS n_b
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a, CAST(SUM(n_b) AS BIGINT) AS tot_b,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM per_bucket),
+terms AS (
+  SELECT ROUND((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_buckets AS DOUBLE)
+                - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_buckets AS DOUBLE))
+               * ln((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_buckets AS DOUBLE))
+                    / (CAST(n_b + 1 AS DOUBLE)
+                       / CAST(tot_b + n_buckets AS DOUBLE))), 6) AS term,
+         tot_a, tot_b, n_buckets
+  FROM per_bucket CROSS JOIN tot)
+SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(30,6))) AS DOUBLE), 6) AS psi,
+       MAX(tot_a) AS n_a, MAX(tot_b) AS n_b, MAX(n_buckets) AS n_buckets
+FROM terms
+"""
+
+
 QUERIES = {
+    "dq_distribution_drift": dq_distribution_drift,
     "dq_checks": dq_checks,
     "dq_anomaly": dq_anomaly,
     "dq_referential_integrity": dq_referential_integrity,
 }
 ORACLE = {
+    "dq_distribution_drift": _DRIFT_SQL,
     "dq_checks": _DQ_SQL,
     "dq_anomaly": _DQ_ANOMALY_SQL,
     "dq_referential_integrity": _DQ_RI_SQL,

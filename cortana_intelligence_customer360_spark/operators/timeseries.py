@@ -448,8 +448,68 @@ WHERE rn = 1
 """
 
 
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values per user (the classical
+    "is this series momentum or noise?" statistic): r1 =
+    Σ(x_t−m)(x_{t+1}−m) / Σ(x_t−m)² with the user mean m from an exact
+    DECIMAL sum. Both the numerator's cross terms and the denominator's
+    squares are rounded at 6 dp per row and summed in DECIMAL, so
+    accumulation order cannot move the quotient. One user window (lead)
+    + one aggregate on the same key — a single exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("ts_us"), "value"
+    )
+    m = ev.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*")).alias("m")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dev = (
+        ev.join(m, "user_id")
+        .withColumn("d", F.col("value") - F.col("m"))
+        .withColumn("d_next", F.lead("d").over(w))
+    )
+    cross = F.round(F.col("d") * F.col("d_next"), 6)
+    sq = F.round(F.col("d") * F.col("d"), 6)
+    agg = dev.groupBy("user_id").agg(
+        bcount().alias("n_events"),
+        F.sum(cross.cast(_DEC)).cast("double").alias("num"),
+        F.sum(sq.cast(_DEC)).cast("double").alias("den"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("den") > 0, F.round(F.col("num") / F.col("den"), 6)).alias(
+            "r1"
+        ),
+    )
+
+
+_ACF_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, {epoch_us_sql('ts')} AS ts_us, value FROM events),
+m AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM e GROUP BY user_id),
+dev AS (
+  SELECT e.user_id, value - m AS d,
+         LEAD(value - m) OVER (PARTITION BY e.user_id
+                               ORDER BY ts_us, event_id) AS d_next
+  FROM e JOIN m ON e.user_id = m.user_id),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(ROUND(d * d_next, 6) AS DECIMAL(30,6))) AS DOUBLE) AS num,
+         CAST(SUM(CAST(ROUND(d * d, 6) AS DECIMAL(30,6))) AS DOUBLE) AS den
+  FROM dev GROUP BY user_id)
+SELECT user_id, n_events,
+       CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS r1
+FROM agg
+"""
+
+
 QUERIES = {
     "ts_resample_ohlc": ts_resample_ohlc,
+    "ts_autocorr_lag1": ts_autocorr_lag1,
     "ts_anomaly_mad": ts_anomaly_mad,
     "ts_changepoint_split": ts_changepoint_split,
     "ts_gap_fill": ts_gap_fill,
@@ -459,6 +519,7 @@ QUERIES = {
 
 ORACLE = {
     "ts_resample_ohlc": _OHLC_SQL,
+    "ts_autocorr_lag1": _ACF_SQL,
     "ts_anomaly_mad": _MAD_SQL,
     "ts_changepoint_split": _CHANGEPOINT_SQL,
     "ts_gap_fill": _GAP_FILL_SQL,

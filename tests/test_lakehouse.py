@@ -75,3 +75,27 @@ def test_manifest_stats_match_data(spark, sf_dir, tmp_path):
     hi = max(f["key_max"] for f in man["files"])
     row = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
     assert (lo, hi) == (row[0], row[1])
+
+
+def test_incremental_mv_reads_only_commit_deltas(spark, sf_dir, tmp_path):
+    """new_files_in(v) must return exactly the files commit v added;
+    summing partial aggregates over the deltas must equal the full
+    table aggregate (the MV refresh invariant)."""
+    from cortana_intelligence_customer360_spark.sources.lakehouse import (
+        ManifestTable,
+        new_files_in,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    orders = load_table(spark, sf_dir, "orders")
+    for m in (0, 1, 2):
+        t.commit(orders.where(F.col("o_orderkey") % 3 == m), "o_orderkey")
+    all_paths = {f["path"] for f in t.manifest()["files"]}
+    deltas = [new_files_in(t, v) for v in range(3)]
+    delta_paths = [p["path"] for d in deltas for p in d]
+    assert sorted(delta_paths) == sorted(all_paths)  # disjoint + complete
+    assert len(set(delta_paths)) == len(delta_paths)
+    n = sum(
+        spark.read.parquet(*[f["path"] for f in d]).count() for d in deltas
+    )
+    assert n == orders.count()

@@ -1535,3 +1535,66 @@ def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
             assert tol[eid] == pk
         else:
             assert tol[eid] is None
+
+
+def test_psi_zero_on_identical_split_and_positive_on_shift(spark, tmp_path):
+    """A 50/50 random split of one distribution gives PSI ~ 0; a
+    shifted second period gives a clearly positive PSI."""
+    import datetime as _dt
+
+    from cortana_intelligence_customer360_spark.operators.quality import (
+        dq_distribution_drift,
+        _PSI_SPLIT,
+    )
+
+    split = _dt.datetime.fromisoformat(_PSI_SPLIT)
+    before = split - _dt.timedelta(days=30)
+    after = split + _dt.timedelta(days=30)
+    same = [
+        (i, i % 1000, "F", float((i * 37) % 400000) + 1000.0, before if i % 2 else after, "1-URGENT")
+        for i in range(4000)
+    ]
+    shifted = [
+        (i, i % 1000, "F",
+         float((i * 37) % 400000) + 1000.0 if i % 2 else float((i * 37) % 50000) + 1000.0,
+         before if i % 2 else after, "1-URGENT")
+        for i in range(4000)
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    for name, rows, check in (
+        ("same", same, lambda v: abs(v) < 0.01),
+        ("shift", shifted, lambda v: v > 0.5),
+    ):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).write.parquet(f"{d}/orders.parquet")
+        psi = dq_distribution_drift(spark, d).collect()[0]["psi"]
+        assert check(psi), (name, psi)
+
+
+def test_autocorr_sign_on_constructed_series(spark, tmp_path):
+    """Alternating series -> r1 near -1; trending series -> r1 > 0."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_autocorr_lag1,
+    )
+
+    t0 = dt.datetime(2024, 1, 5)
+    rows = [
+        (i, 1, t0 + dt.timedelta(minutes=i), "view", 10.0 if i % 2 else 1.0, "{}")
+        for i in range(40)
+    ] + [
+        (100 + i, 2, t0 + dt.timedelta(minutes=i), "view", float(i), "{}")
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "acf")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = {r["user_id"]: r["r1"] for r in ts_autocorr_lag1(spark, d).collect()}
+    assert out[1] < -0.9
+    assert out[2] > 0.9

@@ -732,8 +732,155 @@ FROM users u LEFT JOIN cand c ON u.user_id = c.user_id AND c.rn = 1
 """
 
 
+def agg_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve at fixed percentile marks:
+    what share of customers carries 50/80/90/95% of total revenue —
+    the "how top-heavy is my business" readout. Customers aggregate
+    first (one row each), one global revenue-descending running sum
+    (range-partitioned sort on an already customer-sized frame), then
+    four threshold lookups on the tiny marks frame. Cumulative shares
+    are DECIMAL-exact so the threshold crossings are engine-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec")
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("o_custkey").asc())
+    tot = per_cust.agg(
+        F.sum("rev_dec").alias("tot_dec"), bcount().alias("n_cust")
+    )
+    ranked = (
+        per_cust.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_dec",
+            F.sum("rev_dec").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    marks = [0.5, 0.8, 0.9, 0.95]
+    outs = []
+    for mk in marks:
+        # first rank whose cumulative revenue reaches the mark
+        hit = (
+            ranked.where(
+                F.col("cum_dec")
+                >= (F.col("tot_dec") * F.lit(mk)).cast("decimal(30,6)")
+            )
+            .agg(F.min("rn").alias("n_top"), F.max("n_cust").alias("n_cust"))
+            .select(
+                F.lit(mk).alias("rev_share"),
+                "n_top",
+                "n_cust",
+                F.round(F.col("n_top") / F.col("n_cust").cast("double"), 6).alias(
+                    "cust_share"
+                ),
+            )
+        )
+        outs.append(hit)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _pareto_sql() -> str:
+    marks_sql = []
+    for mk in (0.5, 0.8, 0.9, 0.95):
+        marks_sql.append(f"""
+SELECT CAST({mk} AS DOUBLE) AS rev_share, MIN(rn) AS n_top,
+       MAX(n_cust) AS n_cust,
+       ROUND(MIN(rn) / CAST(MAX(n_cust) AS DOUBLE), 6) AS cust_share
+FROM ranked
+WHERE cum_dec >= CAST(tot_dec * {mk} AS DECIMAL(30,6))""")
+    body = "\nUNION ALL\n".join(marks_sql)
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_dec
+  FROM orders GROUP BY o_custkey),
+tot AS (
+  SELECT SUM(rev_dec) AS tot_dec, CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM per_cust),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev_dec DESC, o_custkey ASC)
+              AS BIGINT) AS rn,
+         SUM(rev_dec) OVER (ORDER BY rev_dec DESC, o_custkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_dec,
+         tot_dec, n_cust
+  FROM per_cust CROSS JOIN tot)
+{body}
+"""
+
+
+_CALIB_BINS = 10
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration curve (model monitoring): bucket a
+    deterministic churn-propensity proxy — the recency-decayed
+    activity score squashed through a logistic — into deciles of its
+    value range and compare mean predicted probability against the
+    ACTUAL churn rate (feat_churn_label's leakage-safe label) per bin.
+    The well-calibrated-model diagnostic, fully deterministic: no
+    trained model, so the whole curve carries a DuckDB oracle. One
+    user-collapse scan + a 10-row bin aggregate."""
+    labels = feat_churn_label(spark, sf_dir).select("user_id", "churned", "v_obs")
+    # logistic of (scaled obs-value): a monotone deterministic proxy
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("v_obs") / F.lit(-1000.0))), 6
+    )
+    binned = labels.select(
+        "user_id",
+        "churned",
+        score.alias("p"),
+        F.least(F.floor(score * _CALIB_BINS), F.lit(_CALIB_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            bcount().alias("n_users"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_predicted"),
+            F.round(
+                F.sum("churned").cast("double") / F.count(F.lit(1)), 6
+            ).alias("actual_churn_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _calibration_sql() -> str:
+    churn = _churn_sql().strip()
+    return f"""
+WITH churn AS ({churn}),
+scored AS (
+  SELECT user_id, churned,
+         ROUND(1.0 / (1.0 + exp(v_obs / -1000.0)), 6) AS p
+  FROM churn),
+binned AS (
+  SELECT user_id, churned, p,
+         CAST(least(floor(p * {_CALIB_BINS}), {_CALIB_BINS - 1}) AS BIGINT)
+           AS bin
+  FROM scored)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(p AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_predicted,
+       ROUND(SUM(churned) / CAST(COUNT(*) AS DOUBLE), 6) AS actual_churn_rate
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "feat_attribution_touch": feat_attribution_touch,
+    "agg_pareto_revenue": agg_pareto_revenue,
+    "ml_calibration_bins": ml_calibration_bins,
     "feat_next_best_offer": feat_next_best_offer,
     "feat_survival_hazard": feat_survival_hazard,
     "agg_chisq_segments": agg_chisq_segments,
@@ -746,6 +893,8 @@ QUERIES = {
 
 ORACLE = {
     "feat_attribution_touch": _ATTRIBUTION_SQL,
+    "agg_pareto_revenue": _pareto_sql(),
+    "ml_calibration_bins": _calibration_sql(),
     "feat_next_best_offer": _NEXT_BEST_SQL,
     "feat_survival_hazard": _survival_sql(),
     "agg_chisq_segments": _CHISQ_SQL,

@@ -623,8 +623,45 @@ FROM s
 """
 
 
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/RefinedWeb
+    quality signal (machine-generated/boilerplate text compresses far
+    better than natural prose). zlib lives Python-side, so this is the
+    one text op on the Pandas path: mapInPandas over Arrow batches
+    (vectorized transfer, no per-row pickling), map-only, no shuffle.
+    R-tier: DuckDB has no zlib, so the driver records rows-only;
+    determinism (fixed level 6) and the repetitive<random ordering are
+    pinned in pytest."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            comp = pdf["text"].map(
+                lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": pdf["n_chars"],
+                    "n_compressed": comp,
+                    "ratio": (comp / pdf["n_chars"]).round(6),
+                }
+            )
+
+    return docs.mapInPandas(
+        batches, "doc_id long, n_chars long, n_compressed long, ratio double"
+    )
+
+
 QUERIES = {
     "text_pii_redact": text_pii_redact,
+    "text_compression_ratio": text_compression_ratio,
     "text_winnowing": text_winnowing,
     "text_token_count": text_token_count,
     "text_repetition_ratio": text_repetition_ratio,

@@ -1598,3 +1598,22 @@ def test_autocorr_sign_on_constructed_series(spark, tmp_path):
     out = {r["user_id"]: r["r1"] for r in ts_autocorr_lag1(spark, d).collect()}
     assert out[1] < -0.9
     assert out[2] > 0.9
+
+
+def test_compression_ratio_discriminates_and_is_deterministic(spark, tmp_path):
+    from cortana_intelligence_customer360_spark.llmops import text as tx
+
+    rep = "spark join " * 50
+    rand = " ".join(f"w{i * 7919 % 104729}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(0, rep, "en", "s", len(rep)), (1, rand, "en", "s", len(rand))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "cr")
+    docs.write.parquet(f"{d}/documents.parquet")
+    a = {r["doc_id"]: r for r in tx.text_compression_ratio(spark, d).collect()}
+    b = {r["doc_id"]: r for r in tx.text_compression_ratio(spark, d).collect()}
+    assert a[0]["ratio"] == b[0]["ratio"] and a[1]["ratio"] == b[1]["ratio"]
+    assert a[0]["ratio"] < 0.5 * a[1]["ratio"]  # boilerplate compresses far better
+    for r in a.values():
+        assert 0 < r["n_compressed"] and 0 < r["ratio"]

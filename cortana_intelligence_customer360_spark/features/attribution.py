@@ -877,9 +877,121 @@ ORDER BY bin
 """
 
 
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    inequality complement to agg_pareto_revenue's curve:
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted revenue.
+    Both Σ run in DECIMAL (i·xᵢ stays within DECIMAL(30,6) at any SF),
+    so G is a single IEEE division of identical operands. One
+    customer-collapse + one range-partitioned sort of the
+    customer-sized frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec")
+    )
+    w = Window.orderBy(F.col("rev_dec").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.agg(
+        bcount().alias("n_cust"),
+        F.sum("rev_dec").cast("double").alias("sum_x"),
+        F.sum((F.col("i") * F.col("rev_dec")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_ix"),
+    )
+    n = F.col("n_cust").cast("double")
+    gini = (F.lit(2.0) * F.col("sum_ix") - (n + F.lit(1.0)) * F.col("sum_x")) / (
+        n * F.col("sum_x")
+    )
+    return agg.select("n_cust", F.round(gini, 6).alias("gini"))
+
+
+_GINI_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_dec
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT rev_dec,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev_dec ASC, o_custkey ASC)
+              AS BIGINT) AS i
+  FROM per_cust),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(rev_dec) AS DOUBLE) AS sum_x,
+         CAST(SUM(CAST(i * rev_dec AS DECIMAL(30,6))) AS DOUBLE) AS sum_ix
+  FROM ranked)
+SELECT n_cust,
+       ROUND((2.0 * sum_ix - (CAST(n_cust AS DOUBLE) + 1.0) * sum_x)
+             / (CAST(n_cust AS DOUBLE) * sum_x), 6) AS gini
+FROM agg
+"""
+
+
+def win_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per user: the share of their 30-min-gap sessions
+    containing exactly ONE event (the classic engagement-quality
+    metric). Same gaps-and-islands session ids as feat_sessionize
+    (strict >30min starts a new session), then two aggregates on the
+    same user key — the exchange is planned once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    is_start = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
+        1,
+    ).otherwise(0)
+    sessioned = ev.withColumn(
+        "session_id",
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        bcount().alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        bcount().alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).cast("long").alias("n_bounces"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)) / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )
+
+
+_BOUNCE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, {epoch_us_sql('ts')} AS ts_us FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+numbered AS (
+  SELECT user_id,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY user_id, session_id)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+       ROUND(COUNT(*) FILTER (WHERE n_events = 1) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS bounce_rate
+FROM per_session
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "feat_attribution_touch": feat_attribution_touch,
     "agg_pareto_revenue": agg_pareto_revenue,
+    "agg_gini_revenue": agg_gini_revenue,
+    "win_session_bounce": win_session_bounce,
     "ml_calibration_bins": ml_calibration_bins,
     "feat_next_best_offer": feat_next_best_offer,
     "feat_survival_hazard": feat_survival_hazard,
@@ -894,6 +1006,8 @@ QUERIES = {
 ORACLE = {
     "feat_attribution_touch": _ATTRIBUTION_SQL,
     "agg_pareto_revenue": _pareto_sql(),
+    "agg_gini_revenue": _GINI_SQL,
+    "win_session_bounce": _BOUNCE_SQL,
     "ml_calibration_bins": _calibration_sql(),
     "feat_next_best_offer": _NEXT_BEST_SQL,
     "feat_survival_hazard": _survival_sql(),

@@ -170,11 +170,87 @@ FROM nodes GROUP BY node
 """
 
 
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"  # standard geohash base32
+_GH_BITS = 15  # bits per dimension -> 6 base32 chars
+
+
+def _spread15_sql(expr: str) -> str:
+    x = f"(({expr}) & 32767)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding of the customer point cloud: each dimension
+    min/max-scales to 15 bits, bit-interleaves (x on even bits), and
+    the 30-bit cell id renders as 6 base32 chars — the string whose
+    PREFIX property (shared prefix ⟺ nearby cell) makes range scans
+    and prefix joins do spatial locality on ordinary string indexes.
+    Pure bit arithmetic + substring lookups (whole-stage codegen, no
+    UDF); same mask-shift spread as sort_zorder, base32 instead of a
+    sort key. gh3 (3-char prefix) is included as the coarse bucket a
+    locality groupBy would key on."""
+    from .setops import _spread16, scale16
+
+    pts = _points(spark, sf_dir)
+    gx = scale16(F.col("x"), F.lit(0), F.lit(_GRID - 1)).bitwiseAND(
+        F.lit(0xFFFF)
+    ) / F.lit(2)
+    # 16-bit scale then halve -> 15 bits; floor via long cast of exact .0/.5
+    gx = F.floor(gx).cast("long")
+    gy = F.floor(
+        scale16(F.col("y"), F.lit(0), F.lit(_GRID - 1)) / F.lit(2)
+    ).cast("long")
+    z = _spread16(gx).bitwiseOR(F.shiftleft(_spread16(gy), 1))
+    chars = [
+        F.substring(
+            F.lit(_GH_ALPHABET),
+            (F.shiftright(z, 25 - 5 * k).bitwiseAND(F.lit(31)) + 1).cast("int"),
+            1,
+        )
+        for k in range(6)
+    ]
+    gh = F.concat(*chars)
+    return pts.select(
+        "pid", "x", "y", gh.alias("geohash"), F.substring(gh, 1, 3).alias("gh3")
+    )
+
+
+def _geohash_sql() -> str:
+    def scale15(expr: str) -> str:
+        s16 = f"CAST(floor((({expr}) - 0) * 65535 / ({_GRID - 1} - 0)) AS BIGINT)"
+        return f"CAST(floor(({s16} & 65535) / 2) AS BIGINT)"
+
+    z = (
+        f"({_spread15_sql(scale15('x'))}"
+        f" | ({_spread15_sql(scale15('y'))} << 1))"
+    )
+    chars = " || ".join(
+        f"substr('{_GH_ALPHABET}', CAST((({z} >> {25 - 5 * k}) & 31) + 1 AS INT), 1)"
+        for k in range(6)
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 8))::BIGINT
+           % {_GRID} AS x,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))::BIGINT
+           % {_GRID} AS y
+  FROM customer)
+SELECT pid, x, y, {chars} AS geohash,
+       substr({chars}, 1, 3) AS gh3
+FROM pts
+"""
+
+
 QUERIES = {
     "join_spatial_grid": join_spatial_grid,
     "graph_triangle_count": graph_triangle_count,
+    "fn_geohash": fn_geohash,
 }
 ORACLE = {
     "join_spatial_grid": _SPATIAL_SQL,
     "graph_triangle_count": _TRIANGLE_SQL,
+    "fn_geohash": _geohash_sql(),
 }

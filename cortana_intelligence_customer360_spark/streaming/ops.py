@@ -1059,6 +1059,35 @@ def stream_cdc_apply_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_cdc(spark, sf_dir, "stream_cdc_apply_multi", multi=True)
 
 
+def stream_sliding_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_sliding over 4 chronological micro-batches: overlapping
+    sliding-window state must accumulate batch-over-batch (a window
+    spanning a batch boundary merges counts from both); complete mode
+    emits the final agreement with the batch oracle."""
+    ev = _events_stream_multi(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    out = agg.select(
+        F.unix_micros(F.col("window.start")).cast("long").alias("win_start_us"),
+        F.unix_micros(F.col("window.end")).cast("long").alias("win_end_us"),
+        "n_events",
+    )
+    return _drain_to_memory(out, "complete", min_batches=2)
+
+
+def stream_dedup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_dedup over 4 chronological micro-batches: every event
+    arrives twice within its batch while the dedup state store ticks
+    across batches (watermark-evicted keys must never re-emit in later
+    batches — the multi form proves eviction doesn't double-count)."""
+    a = _events_stream_multi(spark, sf_dir)
+    b = _events_stream_multi(spark, sf_dir)
+    doubled = a.unionByName(b).withWatermark("ts", "10 minutes")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select("event_id")
+    return _drain_to_memory(deduped, "append", min_batches=2)
+
+
 _STREAM_CDC_SQL_SUFFIX = """
 latest AS (
   SELECT * FROM log QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) = 1),
@@ -1101,6 +1130,8 @@ QUERIES = {
     "stream_attribution_multi": stream_attribution_multi,
     "stream_cdc_apply": stream_cdc_apply,
     "stream_cdc_apply_multi": stream_cdc_apply_multi,
+    "stream_sliding_multi": stream_sliding_multi,
+    "stream_dedup_multi": stream_dedup_multi,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session_window": stream_session_window,
@@ -1127,6 +1158,8 @@ ORACLE = {
     "stream_attribution_multi": _ATTR_STREAM_SQL,
     "stream_cdc_apply": _stream_cdc_sql(),
     "stream_cdc_apply_multi": _stream_cdc_sql(),
+    "stream_sliding_multi": _SLIDING_SQL,
+    "stream_dedup_multi": _DEDUP_SQL,
     "stream_tumbling": _TUMBLING_SQL,
     "stream_sliding": _SLIDING_SQL,
     "stream_session_window": _SESSION_SQL,

@@ -987,8 +987,53 @@ GROUP BY user_id
 """
 
 
+def feat_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity feature (0 = single-minded, ln 5 ≈ 1.609 = uniform over
+    the five types). One (user, type) count aggregate, then the
+    -Σ p·ln p fold per user with per-term 6-dp rounding into an exact
+    DECIMAL sum (accumulation order can't wiggle the hash). Two
+    aggregates on the same user key — one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(bcount().alias("n"))
+    w_tot = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(w_tot).cast("double")
+    term = F.round(-p * F.log(p), 6)
+    return (
+        per_type.select("user_id", F.col("n"), term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            bcount().alias("n_types"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(30,6)")).cast("double"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+_ENTROPY_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+terms AS (
+  SELECT user_id, n,
+         ROUND(-(n / CAST(SUM(n) OVER (PARTITION BY user_id) AS DOUBLE))
+               * ln(n / CAST(SUM(n) OVER (PARTITION BY user_id) AS DOUBLE)),
+               6) AS term
+  FROM per_type)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(30,6))) AS DOUBLE), 6) AS entropy
+FROM terms
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "feat_attribution_touch": feat_attribution_touch,
+    "feat_behavior_entropy": feat_behavior_entropy,
     "agg_pareto_revenue": agg_pareto_revenue,
     "agg_gini_revenue": agg_gini_revenue,
     "win_session_bounce": win_session_bounce,
@@ -1005,6 +1050,7 @@ QUERIES = {
 
 ORACLE = {
     "feat_attribution_touch": _ATTRIBUTION_SQL,
+    "feat_behavior_entropy": _ENTROPY_SQL,
     "agg_pareto_revenue": _pareto_sql(),
     "agg_gini_revenue": _GINI_SQL,
     "win_session_bounce": _BOUNCE_SQL,

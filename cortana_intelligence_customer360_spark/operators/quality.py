@@ -282,14 +282,70 @@ FROM terms
 """
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+def dq_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over orders (the df.summary()/
+    dbt-style profile a pipeline publishes per batch): per numeric
+    column — row count, nulls, distinct count, 6-dp mean, min, max —
+    computed as ONE aggregate (all stats in a single scan, Catalyst
+    plans the count-distincts through one Expand), then unpivoted to
+    a row per column. Never N scans for N columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            F.count(F.when(F.col(c).isNull(), 1)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+            F.round(davg(F.col(c).cast("double")), 6).alias(f"{c}__mean"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__mean").alias("mean"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       ROUND({davg_sql(f'CAST({c} AS DOUBLE)')}, 6) AS mean,
+       MIN(CAST({c} AS DOUBLE)) AS min_val,
+       MAX(CAST({c} AS DOUBLE)) AS max_val
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "dq_distribution_drift": dq_distribution_drift,
+    "dq_profile_summary": dq_profile_summary,
     "dq_checks": dq_checks,
     "dq_anomaly": dq_anomaly,
     "dq_referential_integrity": dq_referential_integrity,
 }
 ORACLE = {
     "dq_distribution_drift": _DRIFT_SQL,
+    "dq_profile_summary": _profile_sql(),
     "dq_checks": _DQ_SQL,
     "dq_anomaly": _DQ_ANOMALY_SQL,
     "dq_referential_integrity": _DQ_RI_SQL,

@@ -244,13 +244,80 @@ FROM pts
 """
 
 
+_EARTH_KM = 6371.0
+
+
+def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance between each customer point
+    and its key-successor — the geodesic primitive under store-radius /
+    delivery-range queries. Grid coordinates map affinely to
+    lat ∈ [-85, 85], lon ∈ [-180, 180); the trig chain runs the
+    identical IEEE/libm expression on identical operands in both
+    engines and the result rounds at 3 dp (km) — coarse enough that a
+    1-ulp libm wobble can never flip a digit. Map-side self-join on
+    key+1 (co-partitioned equi join, no range blowup)."""
+    pts = _points(spark, sf_dir)
+    lat = (F.col("y") * (170.0 / (_GRID - 1)) - 85.0) * (3.141592653589793 / 180.0)
+    lon = (F.col("x") * (360.0 / _GRID) - 180.0) * (3.141592653589793 / 180.0)
+    p = pts.select("pid", lat.alias("lat"), lon.alias("lon"))
+    q = p.select(
+        (F.col("pid") - 1).alias("pid"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    )
+    j = p.join(q, "pid")
+    dlat = (F.col("lat2") - F.col("lat")) / 2.0
+    dlon = (F.col("lon2") - F.col("lon")) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos("lat") * F.cos("lat2") * F.sin(
+        dlon
+    ) * F.sin(dlon)
+    d = F.lit(2.0 * _EARTH_KM) * F.asin(F.sqrt(a))
+    return j.select(
+        "pid",
+        F.round(F.col("lat") * (180.0 / 3.141592653589793), 6).alias("lat_deg"),
+        F.round(F.col("lon") * (180.0 / 3.141592653589793), 6).alias("lon_deg"),
+        F.round(d, 3).alias("dist_next_km"),
+    )
+
+
+def _haversine_sql() -> str:
+    pi = "3.141592653589793"
+    coords = f"""
+pts AS (
+  SELECT c_custkey AS pid,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 8))::BIGINT
+           % {_GRID} AS x,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))::BIGINT
+           % {_GRID} AS y
+  FROM customer),
+p AS (
+  SELECT pid,
+         (y * (170.0 / {_GRID - 1}) - 85.0) * ({pi} / 180.0) AS lat,
+         (x * (360.0 / {_GRID}) - 180.0) * ({pi} / 180.0) AS lon
+  FROM pts)"""
+    return f"""
+WITH {coords}
+SELECT a.pid,
+       ROUND(a.lat * (180.0 / {pi}), 6) AS lat_deg,
+       ROUND(a.lon * (180.0 / {pi}), 6) AS lon_deg,
+       ROUND(2.0 * {_EARTH_KM} * asin(sqrt(
+         sin((b.lat - a.lat) / 2.0) * sin((b.lat - a.lat) / 2.0)
+         + cos(a.lat) * cos(b.lat)
+           * sin((b.lon - a.lon) / 2.0) * sin((b.lon - a.lon) / 2.0))), 3)
+         AS dist_next_km
+FROM p a JOIN p b ON b.pid = a.pid + 1
+"""
+
+
 QUERIES = {
     "join_spatial_grid": join_spatial_grid,
     "graph_triangle_count": graph_triangle_count,
     "fn_geohash": fn_geohash,
+    "fn_haversine": fn_haversine,
 }
 ORACLE = {
     "join_spatial_grid": _SPATIAL_SQL,
     "graph_triangle_count": _TRIANGLE_SQL,
     "fn_geohash": _geohash_sql(),
+    "fn_haversine": _haversine_sql(),
 }

@@ -732,32 +732,68 @@ FROM users u LEFT JOIN cand c ON u.user_id = c.user_id AND c.rn = 1
 """
 
 
+def _global_ranked_cumsum(df: DataFrame, value_col: str, order_cols) -> DataFrame:
+    """Global rank + running DECIMAL sum WITHOUT the single-partition
+    collapse a partitionless window causes: range-repartition on the
+    ordering, rank/accumulate LOCALLY per partition, then add the
+    broadcast per-partition offsets (row counts and decimal sums of
+    all preceding partitions — an n_partitions-row frame). Identical
+    result to a global window; the data-sized sort stays distributed,
+    and only the tiny offset table ever sees one partition. The
+    ordering must be a total order (unique tiebreak) so ranks are
+    boundary-independent."""
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = df.repartitionByRange(n_parts, *order_cols)
+    wl = Window.partitionBy("pid").orderBy(*order_cols)
+    local = (
+        part.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(wl).cast("long"))
+        .withColumn(
+            "lcum",
+            F.sum(value_col).over(
+                wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    totals = local.groupBy("pid").agg(
+        F.max("lrn").alias("cnt"), F.sum(value_col).alias("psum")
+    )
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).cast("long").alias("rn_off"),
+        F.coalesce(
+            F.sum("psum").over(wo), F.lit(0).cast("decimal(30,6)")
+        ).alias("cum_off"),
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        *df.columns,
+        (F.col("lrn") + F.col("rn_off")).cast("long").alias("rn"),
+        (F.col("lcum") + F.col("cum_off")).cast("decimal(30,6)").alias("cum_dec"),
+    )
+
+
 def agg_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Pareto) curve at fixed percentile marks:
     what share of customers carries 50/80/90/95% of total revenue —
     the "how top-heavy is my business" readout. Customers aggregate
-    first (one row each), one global revenue-descending running sum
-    (range-partitioned sort on an already customer-sized frame), then
-    four threshold lookups on the tiny marks frame. Cumulative shares
-    are DECIMAL-exact so the threshold crossings are engine-stable."""
+    first (one row each); the global revenue-descending rank + running
+    sum uses the DISTRIBUTED ranking pattern (_global_ranked_cumsum —
+    a partitionless window would drag every row into one partition);
+    then four threshold lookups on the tiny marks frame. Cumulative
+    shares are DECIMAL-exact so threshold crossings are engine-stable."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec")
     )
-    w = Window.orderBy(F.col("rev_dec").desc(), F.col("o_custkey").asc())
     tot = per_cust.agg(
         F.sum("rev_dec").alias("tot_dec"), bcount().alias("n_cust")
     )
-    ranked = (
-        per_cust.withColumn("rn", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "cum_dec",
-            F.sum("rev_dec").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .crossJoin(F.broadcast(tot))
-    )
+    ranked = _global_ranked_cumsum(
+        per_cust,
+        "rev_dec",
+        [F.col("rev_dec").desc(), F.col("o_custkey").asc()],
+    ).crossJoin(F.broadcast(tot))
     marks = [0.5, 0.8, 0.9, 0.95]
     outs = []
     for mk in marks:
@@ -882,15 +918,16 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality complement to agg_pareto_revenue's curve:
     G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted revenue.
     Both Σ run in DECIMAL (i·xᵢ stays within DECIMAL(30,6) at any SF),
-    so G is a single IEEE division of identical operands. One
-    customer-collapse + one range-partitioned sort of the
-    customer-sized frame."""
+    so G is a single IEEE division of identical operands. Ranks come
+    from the distributed ranking pattern (_global_ranked_cumsum), not
+    a single-partition global window."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec")
     )
-    w = Window.orderBy(F.col("rev_dec").asc(), F.col("o_custkey").asc())
-    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+    ranked = _global_ranked_cumsum(
+        per_cust, "rev_dec", [F.col("rev_dec").asc(), F.col("o_custkey").asc()]
+    ).withColumnRenamed("rn", "i")
     agg = ranked.agg(
         bcount().alias("n_cust"),
         F.sum("rev_dec").cast("double").alias("sum_x"),

@@ -412,3 +412,18 @@ def test_zorder_query_is_take_ordered(spark, sf_dir):
     (per-partition heap + driver merge), never a full global sort."""
     plan = plan_string(setops.sort_zorder(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_global_ranking_is_range_partitioned_not_single_window(spark, sf_dir):
+    """agg_pareto_revenue / agg_gini_revenue must rank via the
+    distributed pattern: a RangePartitioning exchange of the data frame
+    plus per-partition windows — never a partitionless window that
+    drags every row into one task."""
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        agg_gini_revenue,
+        agg_pareto_revenue,
+    )
+
+    for fn in (agg_pareto_revenue, agg_gini_revenue):
+        plan = plan_string(fn(spark, sf_dir))
+        assert "rangepartitioning" in plan.lower(), fn.__name__

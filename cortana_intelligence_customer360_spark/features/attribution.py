@@ -1068,8 +1068,51 @@ GROUP BY user_id
 """
 
 
+def feat_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week order seasonality per market segment: counts and
+    within-segment revenue share by weekday — the basic calendar
+    profile under staffing/campaign timing. One join + one aggregate;
+    the weekday convention is pinned to DuckDB's 0=Sunday (Spark's
+    dayofweek is 1=Sunday — the cross-engine trap NOTES.md records)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    per = j.groupBy(
+        "c_mktsegment",
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).cast("long").alias(
+            "dow"
+        ),
+    ).agg(bcount().alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy("c_mktsegment")
+    return per.select(
+        "c_mktsegment",
+        "dow",
+        "n_orders",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w), 6
+        ).alias("rev_share"),
+    )
+
+
+_SEASONALITY_SQL = f"""
+WITH per AS (
+  SELECT c_mktsegment,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {dsum_sql('o_totalprice')} AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment, dow, n_orders, revenue,
+       ROUND(revenue / SUM(revenue) OVER (PARTITION BY c_mktsegment), 6)
+         AS rev_share
+FROM per
+"""
+
+
 QUERIES = {
     "feat_attribution_touch": feat_attribution_touch,
+    "feat_seasonality_dow": feat_seasonality_dow,
     "feat_behavior_entropy": feat_behavior_entropy,
     "agg_pareto_revenue": agg_pareto_revenue,
     "agg_gini_revenue": agg_gini_revenue,
@@ -1088,6 +1131,7 @@ QUERIES = {
 ORACLE = {
     "feat_attribution_touch": _ATTRIBUTION_SQL,
     "feat_behavior_entropy": _ENTROPY_SQL,
+    "feat_seasonality_dow": _SEASONALITY_SQL,
     "agg_pareto_revenue": _pareto_sql(),
     "agg_gini_revenue": _GINI_SQL,
     "win_session_bounce": _BOUNCE_SQL,

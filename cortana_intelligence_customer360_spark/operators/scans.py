@@ -487,8 +487,47 @@ FROM events GROUP BY 1
 """
 
 
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recursiveFileLookup ingestion over an arbitrarily nested landing
+    zone (the date-tree dumps upstream systems produce when they are
+    NOT partitioned tables): events written under depth-varying
+    subdirectories, read back with one recursive scan and aggregated.
+    The directory names carry no partition semantics — that is the
+    point; scan_partition_pruned covers the partition-discovery path."""
+    root = scratch_dir("scan_recursive_glob", sf_dir)
+    if not os.path.isdir(os.path.join(root, "_done")):
+        ev = load_table(spark, sf_dir, "events")
+        for bucket, sub in [
+            (0, "a/2024/01"),
+            (1, "a/2024/02x"),
+            (2, "b/deep/er/still"),
+            (3, "c"),
+        ]:
+            ev.where(F.col("event_id") % 4 == bucket).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, "data", sub))
+        os.makedirs(os.path.join(root, "_done"), exist_ok=True)
+    df = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(root, "data")
+    )
+    return df.groupBy("event_type").agg(
+        bcount().alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+_RECURSIVE_GLOB_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "scan_csv_malformed": scan_csv_malformed,
+    "scan_recursive_glob": scan_recursive_glob,
     "scan_text_lines": scan_text_lines,
     "sink_parquet_zstd": sink_parquet_zstd,
     "maint_compact_small_files": maint_compact_small_files,
@@ -507,6 +546,7 @@ QUERIES = {
 
 ORACLE = {
     "scan_csv_malformed": _CSV_MALFORMED_SQL,
+    "scan_recursive_glob": _RECURSIVE_GLOB_SQL,
     "scan_text_lines": _SCAN_TEXT_SQL,
     "sink_parquet_zstd": _SINK_ZSTD_SQL,
     "maint_compact_small_files": _COMPACT_SQL,

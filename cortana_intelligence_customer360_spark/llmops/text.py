@@ -574,10 +574,16 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     nh = F.size("hs")
-    mins = F.transform(
-        F.sequence(F.lit(1), nh - (_WINNOW_W - 1)),
-        lambda j: F.array_min(F.slice("hs", j, _WINNOW_W)),
-    )
+    # Window minima via shifted-slice zip_with chains, NOT a per-window
+    # slice lambda: projection collapse inlines the hs expression into
+    # lambda bodies, so slice-per-window re-derives the md5 array for
+    # every window (measured 27x wall for 10x docs). Four O(n) slices +
+    # three zip_with folds reference hs a constant number of times.
+    nw = nh - (_WINNOW_W - 1)  # number of windows
+    shifted = [F.slice("hs", k + 1, nw) for k in range(_WINNOW_W)]
+    mins = shifted[0]
+    for sh in shifted[1:]:
+        mins = F.zip_with(mins, sh, lambda a, b: F.least(a, b))
     docs = docs.withColumn(
         "sel",
         F.sort_array(

@@ -351,14 +351,92 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def compact(t: ManifestTable, spark: SparkSession, n_files: int) -> int:
+    """Compaction commit: rewrite the CURRENT file list into ``n_files``
+    via one repartitionByRange on the key (keeps min/max stats tight for
+    the pruned-read path) and publish as an overwrite version. History
+    stays readable — compaction is just another immutable commit, which
+    is exactly how lakehouse OPTIMIZE works."""
+    key = t.manifest()["key_col"]
+    cur = t.read(spark).repartitionByRange(n_files, key)
+    return t.commit(cur, key, mode="overwrite")
+
+
+def vacuum(t: ManifestTable, keep_last: int = 1) -> dict:
+    """Remove data files no manifest in the kept window references.
+    Keeps the last ``keep_last`` versions' files (a file referenced by
+    ANY kept version is never touched); older manifests remain as
+    metadata but their exclusive files are gone — the standard
+    retention trade (VACUUM breaks time travel past the horizon, never
+    the live table)."""
+    latest = t.latest_version()
+    if latest is None:
+        return {"removed": 0, "kept": 0}
+    keep_versions = range(max(0, latest - keep_last + 1), latest + 1)
+    keep_files = {
+        f["path"] for v in keep_versions for f in t.manifest(v)["files"]
+    }
+    all_files = {
+        f["path"]
+        for v in range(latest + 1)
+        for f in t.manifest(v)["files"]
+    }
+    removed = 0
+    for p in sorted(all_files - keep_files):
+        try:
+            os.remove(p)
+            removed += 1
+        except FileNotFoundError:
+            pass
+    return {"removed": removed, "kept": len(keep_files)}
+
+
+def lake_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the table format: three small append commits
+    fragment the table, a compaction commit rewrites the live file list
+    into 4 range-partitioned files (fewer files, tight per-file key
+    stats), and the result aggregate proves bit-identical content. The
+    file-count drop and pre-compaction time travel are pinned in
+    tests/test_lakehouse.py."""
+    qid = "lake_compact"
+    root = _scratch(qid, sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    for m in (0, 1, 2):
+        t.commit(
+            orders.where(F.col("o_orderkey") % 3 == m).repartition(8),
+            "o_orderkey",
+        )
+    compact(t, spark, 4)
+    back = t.read(spark)
+    return back.groupBy("o_orderstatus").agg(
+        bcount().alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_LAKE_COMPACT_SQL = f"""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_pruned_scan": lake_pruned_scan,
     "lake_incremental_mv": lake_incremental_mv,
+    "lake_compact": lake_compact,
 }
 
 ORACLE = {
     "lake_time_travel": _TIME_TRAVEL_SQL,
     "lake_pruned_scan": _PRUNED_SCAN_SQL,
     "lake_incremental_mv": _INCREMENTAL_MV_SQL,
+    "lake_compact": _LAKE_COMPACT_SQL,
 }

@@ -99,3 +99,35 @@ def test_incremental_mv_reads_only_commit_deltas(spark, sf_dir, tmp_path):
         spark.read.parquet(*[f["path"] for f in d]).count() for d in deltas
     )
     assert n == orders.count()
+
+
+def test_compact_shrinks_files_and_vacuum_respects_horizon(spark, sf_dir, tmp_path):
+    from cortana_intelligence_customer360_spark.sources.lakehouse import (
+        ManifestTable,
+        compact,
+        vacuum,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    orders = load_table(spark, sf_dir, "orders")
+    for m in (0, 1, 2):
+        t.commit(
+            orders.where(F.col("o_orderkey") % 3 == m).repartition(8),
+            "o_orderkey",
+        )
+    n_before = len(t.select_files())
+    n_rows = t.read(spark).count()
+    v = compact(t, spark, 4)
+    assert v == 3
+    assert len(t.select_files()) < n_before
+    assert t.read(spark).count() == n_rows
+    # pre-compaction version still time-travels before vacuum
+    assert t.read(spark, version=2).count() == n_rows
+    stats = vacuum(t, keep_last=1)
+    assert stats["removed"] > 0
+    # live table intact after vacuum; old exclusive files are gone
+    assert t.read(spark).count() == n_rows
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.read(spark, version=0).count()

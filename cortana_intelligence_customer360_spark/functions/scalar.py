@@ -602,6 +602,73 @@ GROUP BY o_orderstatus
 """
 
 
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|>): the linear FROM-first dataflow
+    form of a filter→join→aggregate→order query — semantically
+    identical to nested SQL, so the oracle is the classic form. Pins
+    that the pipe parser path produces the same plans as everything
+    else in this engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_pipe")
+    return spark.sql(
+        """
+FROM orders_pipe
+|> WHERE o_totalprice > 100000
+|> JOIN cust_pipe ON o_custkey = c_custkey
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS revenue
+   GROUP BY c_mktsegment
+|> ORDER BY c_mktsegment
+"""
+    )
+
+
+_SQL_PIPE_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 100000
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE / SET VARIABLE): the
+    scripting-state surface — a threshold computed by one statement
+    parameterizes the next without any client-side string splicing.
+    The variable value is deterministic (a fixed quantile-ish constant
+    anchored to the data), so the oracle inlines the same expression."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_var")
+    spark.sql("DECLARE OR REPLACE VARIABLE c360_price_thr DOUBLE DEFAULT 0.0")
+    spark.sql(
+        "SET VARIABLE c360_price_thr = "
+        "(SELECT MAX(o_totalprice) / 2.0 FROM orders_var)"
+    )
+    return spark.sql(
+        """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       MIN(o_totalprice) AS min_above
+FROM orders_var
+WHERE o_totalprice > c360_price_thr
+GROUP BY o_orderstatus
+"""
+    )
+
+
+_SQL_VARS_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       MIN(o_totalprice) AS min_above
+FROM orders
+WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2.0 FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
 def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML extraction with the xpath function family (xpath_string /
     xpath_long / xpath_double / xpath count form). The document is
@@ -699,6 +766,8 @@ QUERIES = {
     "fn_string2": fn_string2,
     "fn_make_datetime": fn_make_datetime,
     "sql_parameterized": sql_parameterized,
+    "sql_pipe_syntax": sql_pipe_syntax,
+    "sql_session_variables": sql_session_variables,
     "fn_xml": fn_xml,
     "fn_try_arith": fn_try_arith,
     "fn_array_sets": fn_array_sets,
@@ -723,6 +792,8 @@ ORACLE = {
     "fn_string2": _FN_STRING2_SQL,
     "fn_make_datetime": _FN_MAKE_SQL,
     "sql_parameterized": _SQL_PARAM_SQL,
+    "sql_pipe_syntax": _SQL_PIPE_SQL,
+    "sql_session_variables": _SQL_VARS_SQL,
     "fn_xml": _FN_XML_SQL,
     "fn_try_arith": _FN_TRY_SQL,
     "fn_array_sets": _FN_ARRAY_SETS_SQL,

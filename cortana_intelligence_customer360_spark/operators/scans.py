@@ -329,6 +329,106 @@ FROM rows GROUP BY bucket
 """
 
 
+_PYSTREAM_BATCHES = 4
+_PYSTREAM_ROWS = 250
+
+
+def _make_synth_stream_source():
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked synthetic stream: batch b yields rows
+        [b*R, (b+1)*R); after _PYSTREAM_BATCHES the offset stops
+        advancing (caught up). Replays between offsets are exact —
+        the recovery contract of the simple-reader API."""
+
+        def initialOffset(self):
+            return {"b": 0}
+
+        def _rows(self, b):
+            base = b * _PYSTREAM_ROWS
+            return [
+                (base + i, (base + i) * 7 % 31) for i in range(_PYSTREAM_ROWS)
+            ]
+
+        def read(self, start):
+            b = start["b"]
+            if b >= _PYSTREAM_BATCHES:
+                return iter([]), {"b": b}
+            return iter(self._rows(b)), {"b": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for b in range(start["b"], end["b"]):
+                out.extend(self._rows(b))
+            return iter(out)
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "c360_synth_stream"
+
+        def schema(self):
+            return "id bigint, bucket bigint"
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader()
+
+    return SynthStreamSource
+
+
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python STREAMING Data Source (SimpleDataSourceStreamReader):
+    the custom streaming-connector extension point — an offset-tracked
+    Python reader (the Kafka-less feed/API-poller shape) driven through
+    real micro-batch execution. The source does not support
+    Trigger.AvailableNow (verified: Spark falls back to one batch), so
+    the drain runs a processingTime trigger until the deterministic
+    row budget arrives, asserting the data really crossed >= 2
+    micro-batch commits. Aggregated through the ordinary Catalyst
+    pipeline; the oracle reproduces the synthetic rows in closed form."""
+    import time as _time
+
+    try:
+        spark.dataSource.register(_make_synth_stream_source())
+    except Exception:
+        pass  # already registered this session
+    name = f"c360_pystream_{next(_STREAM_SEQ)}"
+    df = spark.readStream.format("c360_synth_stream").load()
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    want = _PYSTREAM_BATCHES * _PYSTREAM_ROWS
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table(name).count() >= want:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    if n_batches < 2:
+        raise AssertionError(f"expected >= 2 micro-batches, got {n_batches}")
+    got = spark.table(name)
+    return got.groupBy("bucket").agg(
+        bcount().alias("n"), F.sum("id").cast("long").alias("sum_id")
+    )
+
+
+_PYSTREAM_SQL = f"""
+WITH rows AS (
+  SELECT r.range AS id, (r.range * 7) % 31 AS bucket
+  FROM range({_PYSTREAM_BATCHES * _PYSTREAM_ROWS}) r)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(id) AS BIGINT) AS sum_id
+FROM rows GROUP BY bucket
+"""
+
+
 def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text source (one row per line): write each document's text
     prefixed with its id as plain lines, read back with spark.read.text
@@ -533,6 +633,7 @@ QUERIES = {
     "maint_compact_small_files": maint_compact_small_files,
     "scan_parquet": scan_parquet,
     "source_python_datasource": source_python_datasource,
+    "source_python_stream": source_python_stream,
     "scan_project_pushdown": scan_project_pushdown,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_json_roundtrip": scan_json_roundtrip,
@@ -552,6 +653,7 @@ ORACLE = {
     "maint_compact_small_files": _COMPACT_SQL,
     "scan_parquet": _SCAN_PARQUET_SQL,
     "source_python_datasource": _PYDS_SQL,
+    "source_python_stream": _PYSTREAM_SQL,
     "scan_project_pushdown": _SCAN_PUSHDOWN_SQL,
     "scan_csv_roundtrip": "SELECT * FROM region",
     "scan_json_roundtrip": "SELECT * FROM nation",

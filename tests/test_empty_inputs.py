@@ -169,3 +169,55 @@ def test_error_burst_none_below_threshold(spark):
     with tempfile.TemporaryDirectory() as d:
         ev.write.parquet(f"{d}/events.parquet")
         assert win_error_burst(spark, d).count() == 0
+
+
+def test_round3_ops_on_single_event(spark, tmp_path):
+    """Degenerate one-event universe: every round-3 event operator must
+    return sane output (not crash, not divide by zero) when a user has
+    a single purchase and nothing else."""
+    import datetime as dt
+
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        feat_attribution_touch,
+        feat_audience_overlap,
+        feat_behavior_entropy,
+        feat_churn_label,
+        feat_time_to_convert,
+        win_session_bounce,
+    )
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_anomaly_mad,
+        ts_autocorr_lag1,
+        ts_changepoint_split,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 7, dt.datetime(2024, 1, 5), "purchase", 9.0, "{}")],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "one")
+    ev.write.parquet(f"{d}/events.parquet")
+
+    attr = feat_attribution_touch(spark, d).collect()
+    assert [r["channel"] for r in attr] == ["direct"]
+
+    churn = feat_churn_label(spark, d).collect()
+    assert churn[0]["churned"] == 1 and churn[0]["n_obs"] == 1
+
+    assert feat_audience_overlap(spark, d).count() == 0  # no pairs
+    assert feat_time_to_convert(spark, d).count() == 0  # no view
+
+    ent = feat_behavior_entropy(spark, d).collect()[0]
+    assert ent["entropy"] == 0.0 and ent["n_types"] == 1
+
+    bounce = win_session_bounce(spark, d).collect()[0]
+    assert bounce["n_sessions"] == 1 and bounce["bounce_rate"] == 1.0
+
+    mad = ts_anomaly_mad(spark, d).collect()[0]
+    assert mad["mad"] == 0.0 and mad["n_anomalies"] == 0
+
+    assert ts_changepoint_split(spark, d).count() == 0  # < 2*min_side
+
+    acf = ts_autocorr_lag1(spark, d).collect()[0]
+    assert acf["r1"] is None  # zero denominator -> null, not error

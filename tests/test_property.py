@@ -81,3 +81,33 @@ def test_asof_matches_reference(spark, event_days, order_days):
 
     for i, d in enumerate(event_days):
         assert got[i] == ref(d), (i, d, got[i], ref(d))
+
+
+def test_zorder_key_roundtrip_property(spark):
+    """Property: zorder_key is a bijection of (a, b) 16-bit pairs —
+    deinterleaving the Spark-computed key in Python recovers exactly
+    the inputs, for a deterministic spread of edge and random values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.operators.setops import zorder_key
+
+    rng = random.Random(42)
+    pairs = [(0, 0), (0xFFFF, 0xFFFF), (0xFFFF, 0), (0, 0xFFFF), (1, 2)]
+    pairs += [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    )
+
+    def unspread(z: int) -> int:
+        x = z & 0x55555555
+        x = (x | (x >> 1)) & 0x33333333
+        x = (x | (x >> 2)) & 0x0F0F0F0F
+        x = (x | (x >> 4)) & 0x00FF00FF
+        x = (x | (x >> 8)) & 0x0000FFFF
+        return x
+
+    for r in df.collect():
+        assert unspread(r["z"]) == r["a"], r
+        assert unspread(r["z"] >> 1) == r["b"], r

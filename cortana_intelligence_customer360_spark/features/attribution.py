@@ -1110,8 +1110,103 @@ FROM per
 """
 
 
+_KFOLDS = 5
+
+
+def ml_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation harness: users assign to
+    5 folds by md5(user_id) (reproducible across engines/runs/retries —
+    the split every leakage audit wants to re-derive), and each fold
+    reports its test-side count and the mean squared error of the
+    logistic churn proxy against the actual label. No randomness, no
+    trained model — this pins the SPLIT and EVAL machinery, which is
+    where CV pipelines actually go wrong at scale (skewed folds,
+    train/test leakage). One user-collapse + one 5-row aggregate."""
+    labels = feat_churn_label(spark, sf_dir).select("user_id", "churned", "v_obs")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _KFOLDS
+    )
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("v_obs") / F.lit(-1000.0))), 6
+    )
+    err = F.round((p - F.col("churned")) * (p - F.col("churned")), 6)
+    return (
+        labels.select(fold.alias("fold"), err.alias("sq_err"), "churned")
+        .groupBy("fold")
+        .agg(
+            bcount().alias("n_test"),
+            F.sum("churned").cast("long").alias("n_churned"),
+            F.round(
+                F.sum(F.col("sq_err").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("test_mse"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _kfold_sql() -> str:
+    churn = _churn_sql().strip()
+    return f"""
+WITH churn AS ({churn}),
+scored AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_KFOLDS} AS fold,
+         churned,
+         ROUND((ROUND(1.0 / (1.0 + exp(v_obs / -1000.0)), 6) - churned)
+               * (ROUND(1.0 / (1.0 + exp(v_obs / -1000.0)), 6) - churned),
+               6) AS sq_err
+  FROM churn)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(churned) AS BIGINT) AS n_churned,
+       ROUND(CAST(SUM(CAST(sq_err AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+         AS test_mse
+FROM scored
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+def feat_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical lag-feature block for sequence models: per event,
+    the user's previous 1/2/3 values and the delta to lag-1 — one
+    window pass over the same user_id exchange everything else uses.
+    NULLs at each user's history head are the correct right answer
+    (imputation is the model's decision, not the feature store's)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        F.lag("value", 3).over(w).alias("lag3"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("d1"),
+    )
+
+
+_LAG_FEATURES_SQL = f"""
+SELECT event_id, user_id, {epoch_us_sql('ts')} AS ts_us, value,
+       LAG(value, 1) OVER w AS lag1,
+       LAG(value, 2) OVER w AS lag2,
+       LAG(value, 3) OVER w AS lag3,
+       ROUND(value - LAG(value, 1) OVER w, 6) AS d1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {epoch_us_sql('ts')}, event_id)
+"""
+
+
 QUERIES = {
     "feat_attribution_touch": feat_attribution_touch,
+    "ml_kfold_splits": ml_kfold_splits,
+    "feat_lag_features": feat_lag_features,
     "feat_seasonality_dow": feat_seasonality_dow,
     "feat_behavior_entropy": feat_behavior_entropy,
     "agg_pareto_revenue": agg_pareto_revenue,
@@ -1132,6 +1227,8 @@ ORACLE = {
     "feat_attribution_touch": _ATTRIBUTION_SQL,
     "feat_behavior_entropy": _ENTROPY_SQL,
     "feat_seasonality_dow": _SEASONALITY_SQL,
+    "ml_kfold_splits": _kfold_sql(),
+    "feat_lag_features": _LAG_FEATURES_SQL,
     "agg_pareto_revenue": _pareto_sql(),
     "agg_gini_revenue": _GINI_SQL,
     "win_session_bounce": _BOUNCE_SQL,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..compat import bcount, dsum, dsum_sql
 from ..sources.tables import EVENT_TYPES, MKT_SEGMENTS, load_table
 from .core import profile_frame
 
@@ -155,13 +156,78 @@ def ml_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per segment — linear regression trained the way
+    it actually scales: ONE partial-aggregable pass accumulating the
+    exact sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² as
+    DECIMAL(30,6) — order-free, map-side-combinable), then
+    slope/intercept/R² by arithmetic on the driver-size result. No
+    iteration, no MLlib, no Python — and unlike gradient descent the
+    answer is bit-reproducible, which is why this is the full-oracle
+    ML entry (ml_train_score's RF stays the R-tier one).
+
+    Fit: l_extendedprice ~ l_quantity within each l_returnflag.
+    DECIMAL(30,6) bounds: Σy² terms are ~1e10; headroom to ~1e23 rows
+    per group before precision-38 sum overflow — beyond any real SF.
+    The final slope arithmetic runs in doubles from identical exact
+    sums on both engines, so r6 emission hashes exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    g = li.groupBy("l_returnflag").agg(
+        bcount().alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+_LINREG_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('l_quantity')} AS sx,
+         {dsum_sql('l_extendedprice')} AS sy,
+         {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+         {dsum_sql('l_quantity * l_quantity')} AS sxx,
+         {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "feat_onehot_bucketize": feat_onehot_bucketize,
     "feat_onehot_mllib": feat_onehot_mllib,
+    "ml_linreg_closed_form": ml_linreg_closed_form,
     "ml_train_score": ml_train_score,
 }
 
 ORACLE = {
     "feat_onehot_bucketize": _onehot_sql(),
+    "ml_linreg_closed_form": _LINREG_SQL,
     # feat_onehot_mllib, ml_train_score: R-tier (MLlib outputs).
 }

@@ -100,11 +100,79 @@ def pca_model(spark: SparkSession, sf_dir: str):
     return PCA(k=_PCA_K, inputCol="features", outputCol="pc").fit(vecs)
 
 
+_MRL_K = 8
+
+
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``_MRL_K`` dims of
+    each embedding and L2-renormalize — the "cheap tier" of an MRL
+    index (store a short prefix for coarse search, full vector for
+    re-rank). Map-only like the quantizer: prefix via ``slice``, the
+    sum of squares via a JVM ``aggregate`` fold into DECIMAL(30,6)
+    (order-free exact, compat rule 1), posexplode in place — zero
+    shuffles at any corpus size.
+
+    Cross-engine: components are divided by the RAW norm (sqrt of the
+    exact decimal sum cast to double — one IEEE op chain, identical
+    both engines) and only rounded at emission (compat rule 3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = F.slice("embedding", 1, _MRL_K)
+    sumsq = F.aggregate(
+        head,
+        F.lit("0").cast("decimal(30,6)"),
+        lambda acc, x: (
+            acc
+            + F.round(x.cast("double") * x.cast("double"), 6).cast(
+                "decimal(30,6)"
+            )
+        ).cast("decimal(30,6)"),
+    )
+    df = emb.select(
+        "vec_id",
+        head.alias("h"),
+        F.sqrt(sumsq.cast("double")).alias("norm_raw"),
+    )
+    return df.select(
+        "vec_id",
+        F.posexplode("h").alias("pos", "x"),
+        "norm_raw",
+    ).select(
+        "vec_id",
+        "pos",
+        F.when(
+            F.col("norm_raw") > 0,
+            F.round(F.col("x").cast("double") / F.col("norm_raw"), 6),
+        ).alias("comp"),
+        F.round("norm_raw", 6).alias("norm"),
+    )
+
+
+_MATRYOSHKA_SQL = f"""
+WITH s AS (
+  SELECT vec_id, list_slice(embedding, 1, {_MRL_K}) AS h FROM embeddings),
+n AS (
+  SELECT vec_id, h,
+         sqrt(CAST(list_sum(list_transform(h,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                     AS DECIMAL(30,6)))) AS DOUBLE)) AS norm_raw
+  FROM s),
+flat AS (
+  SELECT vec_id, norm_raw, r.i AS pos, CAST(h[r.i + 1] AS DOUBLE) AS x
+  FROM n, LATERAL (SELECT UNNEST(range(len(n.h))) AS i) r)
+SELECT vec_id, CAST(pos AS INT) AS pos,
+       CASE WHEN norm_raw > 0 THEN round(x / norm_raw, 6) END AS comp,
+       round(norm_raw, 6) AS norm
+FROM flat
+"""
+
+
 QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
+    "emb_matryoshka_truncate": emb_matryoshka_truncate,
     "emb_pca_reduce": emb_pca_reduce,
 }
 
 ORACLE = {
     "emb_quantize_int8": _QUANTIZE_SQL,
+    "emb_matryoshka_truncate": _MATRYOSHKA_SQL,
 }

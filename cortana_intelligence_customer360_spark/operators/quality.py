@@ -336,7 +336,78 @@ FROM orders""")
     return "\nUNION ALL\n".join(parts)
 
 
+# Benford first-digit expected frequencies log10(1 + 1/d), pinned as
+# 9-dp literals so both engines use the IDENTICAL constant (no reliance
+# on cross-library log10 ulp agreement).
+_BENFORD_EXP = {d: round(__import__("math").log10(1.0 + 1.0 / d), 9) for d in range(1, 10)}
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on ``o_totalprice``: observed first-digit
+    frequencies vs the Benford expectation, with the per-digit
+    chi-square contribution — the classic synthetic-data / fraud /
+    data-entry-quality detector.
+
+    The first digit comes from the STRING form of the integer part
+    (floor -> bigint -> substr), never from log10 — float boundaries
+    like 1000.0 would mis-bucket under log10 in either engine. One
+    9-row aggregate; the global total via a window over those 9 rows
+    (driver-size, not data-size)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        bcount().alias("n_obs")
+    )
+    exp_map = F.create_map(
+        *[F.lit(v) for kv in _BENFORD_EXP.items() for v in kv]
+    )
+    w = Window.partitionBy()
+    res = counts.withColumn("total", F.sum("n_obs").over(w)).withColumn(
+        "exp_freq", exp_map[F.col("digit")]
+    )
+    obs = F.col("n_obs") / F.col("total")
+    dev = obs - F.col("exp_freq")
+    return res.select(
+        "digit",
+        "n_obs",
+        F.round(obs, 6).alias("obs_freq"),
+        "exp_freq",
+        F.round(
+            F.col("total") * dev * dev / F.col("exp_freq"), 6
+        ).alias("chi2_contrib"),
+    )
+
+
+def _benford_sql() -> str:
+    # CAST the literal: a bare decimal literal is DECIMAL in DuckDB,
+    # DOUBLE in Spark's F.lit — schema/arith must agree.
+    pairs = ", ".join(
+        f"({d}, CAST({v} AS DOUBLE))" for d, v in _BENFORD_EXP.items()
+    )
+    return f"""
+WITH exp(digit, exp_freq) AS (VALUES {pairs}),
+c AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1),
+t AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS total FROM c)
+SELECT t.digit, t.n_obs,
+       round(t.n_obs / t.total, 6) AS obs_freq,
+       exp.exp_freq,
+       round(t.total * (t.n_obs / t.total - exp.exp_freq)
+             * (t.n_obs / t.total - exp.exp_freq) / exp.exp_freq,
+             6) AS chi2_contrib
+FROM t JOIN exp USING (digit)
+"""
+
+
 QUERIES = {
+    "dq_benford": dq_benford,
     "dq_distribution_drift": dq_distribution_drift,
     "dq_profile_summary": dq_profile_summary,
     "dq_checks": dq_checks,
@@ -344,6 +415,7 @@ QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
 }
 ORACLE = {
+    "dq_benford": _benford_sql(),
     "dq_distribution_drift": _DRIFT_SQL,
     "dq_profile_summary": _profile_sql(),
     "dq_checks": _DQ_SQL,

@@ -293,7 +293,42 @@ FROM runs WHERE n_errors >= 3
 """
 
 
+def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of ``value`` over the last 5 events per
+    user (robust smoother — the median analogue of win_running_sum's
+    mean). Spark's ``percentile`` aggregate runs as a true window
+    function over the ROWS frame; both engines use the same
+    lower+(upper-lower)*frac interpolation on an identically-ordered
+    frame (ts, event_id tiebreak — compat rule 7), so the doubles
+    match without rounding tricks; r6 only at emission.
+
+    Scale: one hash partition by user_id, per-user sort — the same
+    single-shuffle shape as every window op here; the frame holds at
+    most 5 values regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med5"),
+    )
+
+
+_MEDIAN_SLIDING_SQL = """
+SELECT event_id, user_id,
+       round(quantile_cont(value, 0.5)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+FROM events
+"""
+
+
 QUERIES = {
+    "win_median_sliding": win_median_sliding,
     "win_nth_value": win_nth_value,
     "win_error_burst": win_error_burst,
     "win_rank_dense": win_rank_dense,
@@ -307,6 +342,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_median_sliding": _MEDIAN_SLIDING_SQL,
     "win_nth_value": _NTH_VALUE_SQL,
     "win_error_burst": _ERROR_BURST_SQL,
     "win_rank_dense": _RANK_SQL,

@@ -1617,3 +1617,102 @@ def test_compression_ratio_discriminates_and_is_deterministic(spark, tmp_path):
     assert a[0]["ratio"] < 0.5 * a[1]["ratio"]  # boilerplate compresses far better
     for r in a.values():
         assert 0 < r["n_compressed"] and 0 < r["ratio"]
+
+
+def test_benford_expectations_and_chi2(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.quality import (
+        _BENFORD_EXP,
+        dq_benford,
+    )
+
+    assert abs(sum(_BENFORD_EXP.values()) - 1.0) < 1e-6
+    rows = dq_benford(spark, sf_dir).collect()
+    assert rows, "no digits observed"
+    for r in rows:
+        assert 1 <= r.digit <= 9
+        assert r.chi2_contrib >= 0.0
+        assert 0.0 < r.obs_freq <= 1.0
+
+
+def test_matryoshka_prefix_is_unit_norm(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.llmops.embeddings import (
+        emb_matryoshka_truncate,
+    )
+
+    out = emb_matryoshka_truncate(spark, sf_dir)
+    norms = (
+        out.groupBy("vec_id")
+        .agg(F.sum(F.col("comp") * F.col("comp")).alias("ss"))
+        .collect()
+    )
+    assert norms
+    for r in norms:
+        assert abs(r.ss - 1.0) < 1e-3, f"vec {r.vec_id}: |x|^2={r.ss}"
+
+
+def test_sliding_median_within_frame_bounds(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.windows import (
+        win_median_sliding,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    frame = ev.select(
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.col("value").alias("v"),
+    )
+    joined = win_median_sliding(spark, sf_dir).join(frame, "event_id")
+    bad = joined.where(
+        (F.col("med5") < F.col("lo") - 1e-9) | (F.col("med5") > F.col("hi") + 1e-9)
+    ).count()
+    assert bad == 0
+    # A frame of one row IS that row.
+    first = joined.where(F.col("k") == 1).where(
+        F.abs(F.col("med5") - F.round(F.col("v"), 6)) > 1e-6
+    )
+    assert first.count() == 0
+
+
+def test_linreg_closed_form_satisfies_normal_equations(spark, sf_dir):
+    """The OLS fit is DEFINED by residual orthogonality: Σe = 0 and
+    Σx·e = 0 within each group. Verifying that on the actual lineitem
+    data proves the sufficient-statistic arithmetic, independent of
+    whether the synthetic data has any real x→y relation (it doesn't:
+    r² ≈ 0 here, which is itself asserted as a sanity pin)."""
+    from cortana_intelligence_customer360_spark.features.ml import (
+        ml_linreg_closed_form,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    fit = ml_linreg_closed_form(spark, sf_dir)
+    rows = fit.collect()
+    assert {r.l_returnflag for r in rows} >= {"A", "N", "R"}
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0 + 1e-9
+
+    li = load_table(spark, sf_dir, "lineitem")
+    resid = (
+        li.join(F.broadcast(fit), "l_returnflag")
+        .withColumn(
+            "e",
+            F.col("l_extendedprice")
+            - (F.col("slope") * F.col("l_quantity") + F.col("intercept")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg("e").alias("me"),
+            F.avg(F.col("l_quantity") * F.col("e")).alias("mxe"),
+            F.avg(F.abs(F.col("e"))).alias("mae"),
+        )
+        .collect()
+    )
+    for r in resid:
+        # Tolerance scales with the residual magnitude (~1e5 here);
+        # the only slack is the 6-dp rounding of slope/intercept.
+        assert abs(r.me) <= max(1.0, 1e-6 * r.mae), r
+        assert abs(r.mxe) <= max(50.0, 1e-4 * r.mae), r

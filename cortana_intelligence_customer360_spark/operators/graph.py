@@ -380,7 +380,157 @@ QUALIFY rank <= {_RESERVOIR_K}
 """
 
 
+# Link prediction over the part co-purchase graph. Every node keeps
+# only its _CN_ADJ_CAP STRONGEST neighbors (edge weight = number of
+# shared orders, tiebreak by neighbor key) — strength-ranked adjacency
+# truncation, the standard way to bound Σ deg² wedge volume on
+# co-occurrence graphs. The truncation rule is deterministic and
+# mirrored bit-for-bit in the oracle, so the compare stays exact even
+# where the cap binds (it does: natural degree here is ~90).
+_CN_ADJ_CAP = 24
+_CN_TOPK = 50
+
+
+def _copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected weighted part–part edges (pa < pb), weight =
+    co-purchase order count. The per-order pair fan-out is bounded by
+    basket width (~4), so this grows linearly with the fact table."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(bcount().alias("w"))
+    )
+
+
+def _truncated_adjacency(und: DataFrame) -> DataFrame:
+    """Mutual top-k adjacency: each node ranks its neighbors by edge
+    strength (weight desc, neighbor key tiebreak) and an edge survives
+    only if BOTH endpoints keep it in their top ``_CN_ADJ_CAP`` — the
+    standard mutual-kNN sparsification. Symmetric by construction, so
+    in-degree == out-degree <= cap and every wedge/degree invariant
+    (n_common <= min deg, jaccard <= 1) holds exactly."""
+    sym = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).union(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
+    wr = Window.partitionBy("src").orderBy(
+        F.col("w").desc(), F.col("dst").asc()
+    )
+    kept = (
+        sym.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= _CN_ADJ_CAP)
+        .select("src", "dst")
+    )
+    rev = kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return kept.join(rev, ["src", "dst"], "left_semi")
+
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction: the top non-adjacent part pairs
+    ranked by how many co-purchase partners they share (plus the
+    Jaccard overlap of their truncated neighborhoods) — "these two
+    parts are never bought together but live in the same baskets", the
+    classic second-order recommender signal.
+
+    Shape at scale: wedges come from ONE self-join of the truncated
+    symmetric edge list on the middle vertex — both sides share the
+    src partitioning, so a pre-partitioned edge table makes it
+    co-located — and the adjacency cap bounds the wedge count at
+    nodes·cap² regardless of how skewed the raw degree distribution
+    is. Adjacent pairs leave via one anti-join; the final top-k is
+    driver-bounded."""
+    und = _copurchase_und(spark, sf_dir)
+    e = _truncated_adjacency(und)
+    deg = e.groupBy("src").agg(bcount().alias("deg"))
+    wedges = (
+        e.select(F.col("src").alias("m"), F.col("dst").alias("a"))
+        .join(
+            e.select(F.col("src").alias("m"), F.col("dst").alias("b")),
+            "m",
+        )
+        .where(F.col("a") < F.col("b"))
+    )
+    cn = wedges.groupBy("a", "b").agg(bcount().alias("n_common"))
+    # Non-adjacency is tested against the FULL graph: an edge truncated
+    # out of an adjacency list is still a real co-purchase.
+    nonadj = cn.join(
+        und.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_common").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(_CN_TOPK)
+
+
+_COMMON_NEIGHBORS_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+sym AS (
+  SELECT pa AS src, pb AS dst, w FROM und
+  UNION ALL SELECT pb AS src, pa AS dst, w FROM und),
+kept AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY w DESC, dst ASC) AS rk
+    FROM sym)
+  WHERE rk <= {_CN_ADJ_CAP}),
+e AS (
+  SELECT k.src, k.dst FROM kept k
+  WHERE EXISTS (SELECT 1 FROM kept r
+                WHERE r.src = k.dst AND r.dst = k.src)),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+cn AS (
+  SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM und
+                    WHERE und.pa = cn.a AND und.pb = cn.b))
+SELECT a, b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+       round(n_common / (da.deg + db.deg - n_common), 6) AS jaccard
+FROM nonadj
+JOIN deg da ON da.src = nonadj.a
+JOIN deg db ON db.src = nonadj.b
+ORDER BY n_common DESC, a ASC, b ASC
+LIMIT {_CN_TOPK}
+"""
+
+
 QUERIES = {
+    "graph_common_neighbors": graph_common_neighbors,
     "sql_recursive_cte": sql_recursive_cte,
     "sample_reservoir_per_group": sample_reservoir_per_group,
     "graph_pagerank": graph_pagerank,
@@ -391,6 +541,7 @@ QUERIES = {
     "sample_bernoulli_seeded": sample_bernoulli_seeded,
 }
 ORACLE = {
+    "graph_common_neighbors": _COMMON_NEIGHBORS_SQL,
     "sql_recursive_cte": _RCTE_SQL,
     "sample_reservoir_per_group": _RESERVOIR_SQL,
     "graph_pagerank": _pagerank_sql(),

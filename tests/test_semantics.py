@@ -1716,3 +1716,35 @@ def test_linreg_closed_form_satisfies_normal_equations(spark, sf_dir):
         # the only slack is the 6-dp rounding of slope/intercept.
         assert abs(r.me) <= max(1.0, 1e-6 * r.mae), r
         assert abs(r.mxe) <= max(50.0, 1e-4 * r.mae), r
+
+
+def test_common_neighbors_nonadjacent_and_bounded(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators import graph as g
+
+    out = g.graph_common_neighbors(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "no predicted links"
+    for r in rows:
+        assert r.a < r.b
+        assert 0 < r.n_common <= min(r.deg_a, r.deg_b)
+        assert 0.0 < r.jaccard <= 1.0
+    # Predicted pairs must NOT be edges of the full co-purchase graph.
+    und = g._copurchase_und(spark, sf_dir)
+    adj = {(x.pa, x.pb) for x in und.select("pa", "pb").collect()}
+    for r in rows:
+        assert (r.a, r.b) not in adj, f"adjacent pair predicted: {r}"
+
+
+def test_item_similarity_cosine_bounds_and_cap(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features import recsys
+
+    rows = recsys.feat_item_similarity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.i < r.j
+        assert 0 < r.cooc <= min(r.n_i, r.n_j)
+        assert 0.0 < r.cosine <= 1.0 + 1e-9
+    # The capped incidence respects the per-customer bound.
+    ui = recsys._capped_incidence(spark, sf_dir)
+    mx = ui.groupBy("cust").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= recsys._UI_ITEM_CAP

@@ -743,7 +743,101 @@ QUALIFY rank <= {_N_TOP_PATHS}
 """
 
 
+# Funnel patterns evaluated against whole-session paths. Kept to
+# regex constructs with identical semantics in Java regex and RE2
+# (literals, '.', '*', alternation — no backrefs, no lookaround).
+_PATH_PATTERNS = [
+    ("view_to_purchase", "view.*purchase"),
+    ("signup_then_purchase", "signup.*purchase"),
+    ("error_retry", "error.*error"),
+    ("bounce_click", "^click$"),
+]
+
+
+def feat_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex funnels over session paths — the MATCH_RECOGNIZE-lite
+    primitive: how many gap-based sessions match each behavioral
+    pattern (e.g. "a view eventually followed by a purchase in the
+    same session"). The path table is aggregate-sized (one row per
+    session); evaluating K patterns is a K-row literal explode against
+    it, so the whole op is the sessionize shuffle plus one driver-size
+    aggregate."""
+    ev = sessionized(load_table(spark, sf_dir, "events"))
+    paths = ev.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    pats = F.array(
+        *[
+            F.struct(F.lit(n).alias("pattern_name"), F.lit(p).alias("pattern"))
+            for n, p in _PATH_PATTERNS
+        ]
+    )
+    tagged = paths.select(
+        "path", F.explode(pats).alias("p")
+    ).select("path", "p.pattern_name", "p.pattern")
+    return (
+        tagged.groupBy("pattern_name", "pattern")
+        .agg(
+            bcount().alias("n_sessions"),
+            F.sum(
+                F.when(F.expr("path rlike pattern"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matched"),
+        )
+        .select(
+            "pattern_name",
+            "pattern",
+            "n_sessions",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_sessions"), 6).alias(
+                "match_share"
+            ),
+        )
+    )
+
+
+def _path_regex_sql() -> str:
+    pats = ", ".join(f"('{n}', '{p}')" for n, p in _PATH_PATTERNS)
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {epoch_us_sql('ts')} AS ts_us FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+numbered AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM numbered GROUP BY user_id, session_id),
+pat(pattern_name, pattern) AS (VALUES {pats})
+SELECT pattern_name, pattern,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN regexp_matches(path, pattern) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       round(SUM(CASE WHEN regexp_matches(path, pattern) THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS match_share
+FROM paths, pat
+GROUP BY pattern_name, pattern
+"""
+
+
 QUERIES = {
+    "feat_path_regex": feat_path_regex,
     "feat_purchase_gap_label": feat_purchase_gap_label,
     "feat_rfm_segments": feat_rfm_segments,
     "feat_session_paths": feat_session_paths,
@@ -765,6 +859,7 @@ ORACLE = {
     "feat_purchase_gap_label": _PURCHASE_GAP_SQL,
     "feat_rfm_segments": _rfm_segments_sql(),
     "feat_session_paths": _SESSION_PATHS_SQL,
+    "feat_path_regex": _path_regex_sql(),
     "feat_markov_transitions": _MARKOV_SQL,
     "feat_funnel_conversion": _FUNNEL_SQL,
     "feat_activity_streak": _STREAK_SQL,

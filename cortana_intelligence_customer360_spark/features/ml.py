@@ -219,15 +219,111 @@ ORDER BY l_returnflag
 """
 
 
+def ml_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimate — the causal-ish
+    uplift table a Customer-360 team builds before an A/B test exists:
+    treatment = "user ever signed up", outcome = total purchase value,
+    stratified on an activity bucket (the observed confounder). Per
+    stratum: propensity, treated/control outcome means, and the
+    stratum's ATE term (n_b/N · mean-difference) — summing the terms
+    gives the classic stratification estimator, equivalent to IPW with
+    a discrete propensity.
+
+    Scale: one user-level aggregate (shuffle moves a row per user),
+    then a ≤10-row stratum aggregate; the grand total rides a window
+    over those 10 rows. All float paths are exact decimal sums divided
+    by exact counts — identical IEEE on both engines (compat rule 1)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        bcount().alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("treated"),
+        dsum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0)
+        ).alias("y"),
+    )
+    strata = (
+        users.withColumn(
+            "bucket", F.least(F.expr("n_ev DIV 5"), F.lit(9)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            bcount().alias("n_users"),
+            F.sum("treated").cast("long").alias("n_treated"),
+            dsum(F.when(F.col("treated") == 1, F.col("y"))).alias("sum_y_t"),
+            dsum(F.when(F.col("treated") == 0, F.col("y"))).alias("sum_y_c"),
+        )
+    )
+    w = Window.partitionBy()
+    n_ctrl = F.col("n_users") - F.col("n_treated")
+    ybar_t = F.when(
+        F.col("n_treated") > 0, F.col("sum_y_t") / F.col("n_treated")
+    )
+    ybar_c = F.when(n_ctrl > 0, F.col("sum_y_c") / n_ctrl)
+    return strata.withColumn("n_total", F.sum("n_users").over(w)).select(
+        "bucket",
+        "n_users",
+        "n_treated",
+        F.round(F.col("n_treated") / F.col("n_users"), 6).alias("propensity"),
+        F.round(ybar_t, 6).alias("ybar_treated"),
+        F.round(ybar_c, 6).alias("ybar_control"),
+        F.round(
+            (F.col("n_users") / F.col("n_total")) * (ybar_t - ybar_c), 6
+        ).alias("ate_term"),
+    )
+
+
+_ATE_SQL = f"""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS treated,
+         {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS y
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT CAST(least(n_ev // 5, 9) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(treated) AS BIGINT) AS n_treated,
+         CAST(SUM(CAST(CASE WHEN treated = 1 THEN y END AS DECIMAL(30,6)))
+              AS DOUBLE) AS sum_y_t,
+         CAST(SUM(CAST(CASE WHEN treated = 0 THEN y END AS DECIMAL(30,6)))
+              AS DOUBLE) AS sum_y_c
+  FROM u GROUP BY 1),
+t AS (SELECT s.*, SUM(n_users) OVER () AS n_total FROM s)
+SELECT bucket, n_users, n_treated,
+       round(n_treated / n_users, 6) AS propensity,
+       round(CASE WHEN n_treated > 0 THEN sum_y_t / n_treated END, 6)
+         AS ybar_treated,
+       round(CASE WHEN n_users - n_treated > 0
+                  THEN sum_y_c / (n_users - n_treated) END, 6)
+         AS ybar_control,
+       round((n_users / n_total)
+             * (CASE WHEN n_treated > 0 THEN sum_y_t / n_treated END
+                - CASE WHEN n_users - n_treated > 0
+                       THEN sum_y_c / (n_users - n_treated) END), 6)
+         AS ate_term
+FROM t
+"""
+
+
 QUERIES = {
     "feat_onehot_bucketize": feat_onehot_bucketize,
     "feat_onehot_mllib": feat_onehot_mllib,
+    "ml_ate_stratified": ml_ate_stratified,
     "ml_linreg_closed_form": ml_linreg_closed_form,
     "ml_train_score": ml_train_score,
 }
 
 ORACLE = {
     "feat_onehot_bucketize": _onehot_sql(),
+    "ml_ate_stratified": _ATE_SQL,
     "ml_linreg_closed_form": _LINREG_SQL,
     # feat_onehot_mllib, ml_train_score: R-tier (MLlib outputs).
 }

@@ -80,6 +80,61 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(TABLE_SCHEMAS["nation"]).json(out)
 
 
+def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion: write per-user records with a nested
+    struct (``stats``) and an array (``event_types``) as JSON lines,
+    re-read with an EXPLICIT nested schema (no sampling inference —
+    at 100 TB schema inference is a full extra pass), then flatten.
+    The aggregate totals are rounded to 6 dp BEFORE serialization so
+    the decimal text round-trips to the identical double.
+
+    Oracle: the flattening is semantically the identity over the
+    per-user aggregate, so the oracle computes it straight from the
+    events table."""
+    out = scratch_dir("scan_jsonl_nested", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.groupBy("user_id").agg(
+        F.struct(
+            bcount().alias("n"),
+            F.round(dsum("value"), 6).alias("total"),
+        ).alias("stats"),
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+    )
+    nested.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField(
+                "stats",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("total", T.DoubleType()),
+                    ]
+                ),
+            ),
+            T.StructField("event_types", T.ArrayType(T.StringType())),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.select(
+        "user_id",
+        F.col("stats.n").alias("n_events"),
+        F.col("stats.total").alias("total_value"),
+        F.array_join("event_types", ",").alias("types"),
+    )
+
+
+_JSONL_NESTED_SQL = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round({dsum_sql('value')}, 6) AS total_value,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+FROM events
+GROUP BY user_id
+"""
+
+
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write supplier as ORC (the other columnar format the HDInsight
     reference stack speaks), re-read and verify against the source."""
@@ -627,6 +682,7 @@ FROM events GROUP BY event_type
 
 QUERIES = {
     "scan_csv_malformed": scan_csv_malformed,
+    "scan_jsonl_nested": scan_jsonl_nested,
     "scan_recursive_glob": scan_recursive_glob,
     "scan_text_lines": scan_text_lines,
     "sink_parquet_zstd": sink_parquet_zstd,
@@ -657,6 +713,7 @@ ORACLE = {
     "scan_project_pushdown": _SCAN_PUSHDOWN_SQL,
     "scan_csv_roundtrip": "SELECT * FROM region",
     "scan_json_roundtrip": "SELECT * FROM nation",
+    "scan_jsonl_nested": _JSONL_NESTED_SQL,
     "scan_orc_roundtrip": "SELECT * FROM supplier",
     "sink_parquet_partitioned": _SINK_PARTITIONED_SQL,
     "scan_partition_pruned": _SCAN_PRUNED_SQL,

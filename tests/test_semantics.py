@@ -1748,3 +1748,27 @@ def test_item_similarity_cosine_bounds_and_cap(spark, sf_dir):
     ui = recsys._capped_incidence(spark, sf_dir)
     mx = ui.groupBy("cust").count().agg(F.max("count")).collect()[0][0]
     assert mx <= recsys._UI_ITEM_CAP
+
+
+def test_path_regex_shares_and_counts(spark, sf_dir):
+    rows = feat.feat_path_regex(spark, sf_dir).collect()
+    names = {r.pattern_name for r in rows}
+    assert names == {p[0] for p in feat._PATH_PATTERNS}
+    n_sessions = {r.n_sessions for r in rows}
+    assert len(n_sessions) == 1  # every pattern sees the same sessions
+    for r in rows:
+        assert 0 <= r.n_matched <= r.n_sessions
+        assert abs(r.match_share - round(r.n_matched / r.n_sessions, 6)) < 1e-9
+
+
+def test_ate_stratified_terms_consistent(spark, sf_dir):
+    rows = fml.ml_ate_stratified(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.n_users for r in rows)
+    for r in rows:
+        assert 0 <= r.n_treated <= r.n_users
+        assert 0.0 <= r.propensity <= 1.0
+        if r.ate_term is not None:
+            expect = (r.n_users / n_total) * (r.ybar_treated - r.ybar_control)
+            # both sides rounded; 6-dp slack on the recomposition
+            assert abs(r.ate_term - expect) < 5e-5, r

@@ -665,7 +665,58 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ttr_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical-diversity profile: vocabulary size (distinct
+    tokens), type–token ratio, and hapax-legomena share — the standard
+    "is this document natural language or boilerplate" screen in a
+    training-corpus curation pass (low TTR = template/repetition, high
+    hapax share = natural prose or noise).
+
+    Shape: explode -> (doc_id, token) count -> per-doc aggregate. The
+    per-(doc, token) groupBy gets map-side partial aggregation and is
+    keyed by doc_id first, so at 100 TB the shuffle is bounded by the
+    distinct-token volume (far below raw token volume on natural text)
+    and never concentrates a hot key — doc_id leads the key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(bcount().alias("n"))
+    n_types = bcount()
+    n_tokens = F.sum("n").cast("long")
+    n_hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long")
+    return per_tok.groupBy("doc_id").agg(
+        n_types.alias("n_types"),
+        n_tokens.alias("n_tokens"),
+        n_hapax.alias("n_hapax"),
+        F.round(n_types.cast("double") / n_tokens.cast("double"), 6).alias(
+            "ttr"
+        ),
+        F.round(n_hapax.cast("double") / n_types.cast("double"), 6).alias(
+            "hapax_ratio"
+        ),
+    )
+
+
+_TTR_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+pt AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ttr,
+       round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+FROM pt GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_ttr_vocab": text_ttr_vocab,
     "text_pii_redact": text_pii_redact,
     "text_compression_ratio": text_compression_ratio,
     "text_winnowing": text_winnowing,
@@ -682,6 +733,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_ttr_vocab": _TTR_SQL,
     "text_pii_redact": _PII_SQL,
     "text_winnowing": _WINNOW_SQL,
     "text_token_count": _TOKEN_COUNT_SQL,

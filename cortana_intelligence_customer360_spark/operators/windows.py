@@ -327,7 +327,87 @@ FROM events
 """
 
 
+def win_decline_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style run detection without a pattern engine:
+    per customer, the longest streak of consecutive orders (by order
+    date) with strictly declining totals — gaps-and-islands via
+    lag + running sum, the declarative form of `PATTERN (A B+)` with
+    `B.total < PREV(B.total)`.
+
+    Totals compare as exact integer cents, so the strict `<` agrees
+    bit-for-bit with the oracle. One window pass + two keyed
+    aggregates, all partitioned by custkey — no global shuffle beyond
+    the window's hash partition, and map-side combine on both
+    groupBys."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey", "o_orderdate", "o_orderkey", cents.alias("cents")
+    ).select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            F.lag("cents").over(w).isNotNull()
+            & (F.col("cents") < F.lag("cents").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("decline"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum(1 - F.col("decline")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        per_island.groupBy("o_custkey")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_orders"),
+            F.max("run_len").alias("best_streak"),
+            (F.sum("run_len") - F.count(F.lit(1))).cast("long").alias(
+                "n_declines"
+            ),
+        )
+        .where(F.col("best_streak") >= 3)
+    )
+
+
+_DECLINE_STREAK_SQL = """
+WITH f AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CASE WHEN lag(cents) OVER w IS NOT NULL
+               AND cents < lag(cents) OVER w THEN 1 ELSE 0 END AS decline
+  FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+i AS (
+  SELECT o_custkey,
+         SUM(1 - decline) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS island
+  FROM f),
+runs AS (
+  SELECT o_custkey, island, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM i GROUP BY o_custkey, island),
+agg AS (
+  SELECT o_custkey,
+         CAST(SUM(run_len) AS BIGINT) AS n_orders,
+         MAX(run_len) AS best_streak,
+         CAST(SUM(run_len) - COUNT(*) AS BIGINT) AS n_declines
+  FROM runs GROUP BY o_custkey)
+SELECT * FROM agg WHERE best_streak >= 3
+"""
+
+
 QUERIES = {
+    "win_decline_streak": win_decline_streak,
     "win_median_sliding": win_median_sliding,
     "win_nth_value": win_nth_value,
     "win_error_burst": win_error_burst,
@@ -342,6 +422,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_decline_streak": _DECLINE_STREAK_SQL,
     "win_median_sliding": _MEDIAN_SLIDING_SQL,
     "win_nth_value": _NTH_VALUE_SQL,
     "win_error_burst": _ERROR_BURST_SQL,

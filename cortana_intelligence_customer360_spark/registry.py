@@ -29,6 +29,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.operators.spatial",
     "cortana_intelligence_customer360_spark.operators.timeseries",
     "cortana_intelligence_customer360_spark.functions.scalar",
+    "cortana_intelligence_customer360_spark.functions.network",
     "cortana_intelligence_customer360_spark.functions.udfs",
     "cortana_intelligence_customer360_spark.features.core",
     "cortana_intelligence_customer360_spark.features.attribution",

@@ -1772,3 +1772,67 @@ def test_ate_stratified_terms_consistent(spark, sf_dir):
             expect = (r.n_users / n_total) * (r.ybar_treated - r.ybar_control)
             # both sides rounded; 6-dp slack on the recomposition
             assert abs(r.ate_term - expect) < 5e-5, r
+
+
+def test_ttr_vocab_invariants(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.llmops import text as tx
+
+    rows = tx.text_ttr_vocab(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_types <= r.n_tokens
+        assert 0 <= r.n_hapax <= r.n_types
+        assert 0.0 < r.ttr <= 1.0
+        assert 0.0 <= r.hapax_ratio <= 1.0
+    # Cross-check one doc against a driver-side recount.
+    doc = load_table(spark, sf_dir, "documents").limit(1).collect()[0]
+    toks = doc.text.split(" ")
+    from collections import Counter
+
+    c = Counter(toks)
+    got = next(r for r in rows if r.doc_id == doc.doc_id)
+    assert got.n_tokens == len(toks)
+    assert got.n_types == len(c)
+    assert got.n_hapax == sum(1 for v in c.values() if v == 1)
+
+
+def test_ip_cidr_partition_of_events(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.functions import network
+
+    rows = network.fn_ip_cidr(spark, sf_dir).collect()
+    total = sum(r.n_events for r in rows)
+    n_ev = load_table(spark, sf_dir, "events").count()
+    assert total == n_ev  # blocks + unassigned partition the event set
+    by_label = {r.net_label: r for r in rows}
+    for label, lo, hi in network._CIDR_BLOCKS:
+        if label in by_label:
+            r = by_label[label]
+            assert lo <= r.min_ip <= r.max_ip <= hi
+    if "unassigned" in by_label:
+        top = network._CIDR_BLOCKS[-1][2]
+        assert by_label["unassigned"].min_ip > top
+
+
+def test_decline_streak_recount_one_customer(spark, sf_dir):
+    out = windows.win_decline_streak(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "no customer with a >=3 decline streak at this sf"
+    for r in rows:
+        assert 3 <= r.best_streak <= r.n_orders
+        assert 0 <= r.n_declines < r.n_orders
+    # Recount the best streak for one flagged customer driver-side.
+    pick = rows[0].o_custkey
+    hist = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") == pick)
+        .orderBy("o_orderdate", "o_orderkey")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        .collect()
+    )
+    best = cur = 1
+    for prev, nxt in zip(hist, hist[1:]):
+        cur = cur + 1 if nxt.c < prev.c else 1
+        best = max(best, cur)
+    got = next(r for r in rows if r.o_custkey == pick)
+    assert got.best_streak == best
+    assert got.n_orders == len(hist)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import bcount, dsum, dsum_sql
+from ..compat import _DEC, bcount, dsum, dsum_sql
 from ..sources.tables import EVENT_TYPES, MKT_SEGMENTS, load_table
 from .core import profile_frame
 
@@ -313,7 +313,148 @@ FROM t
 """
 
 
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes, trained and scored entirely as
+    relational aggregates — no MLlib, no iteration, full DuckDB
+    oracle. Class = c_mktsegment, features = the user's event-type
+    count vector, deterministic train/test split on user_id % 5.
+
+    Laplace-smoothed log-likelihoods ln((n_ct+1)/(n_c+V)) and log
+    priors are rounded to 6 dp at the TERM level (the repo's libm
+    discipline — see text_unigram_logprob), so the per-(user, class)
+    decimal sum is exact and order-independent, and the argmax
+    (score desc, segment asc tiebreak) is bit-stable across engines.
+
+    Scale posture: the model (|segments| x |event types| + priors,
+    ~35 rows) is broadcast; scoring is one shuffle keyed by
+    (user, class) with map-side combine, then a per-user window over
+    |classes| rows. Events never move twice; the 100 TB cost is the
+    one groupBy(user_id, event_type)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    counts = (
+        ev.join(cust, "user_id")
+        .groupBy("user_id", "seg", "event_type")
+        .agg(bcount().alias("n_ut"))
+    )
+    is_test = F.col("user_id") % 5 == 0
+    train = counts.where(~is_test)
+    test = counts.where(is_test)
+
+    # --- model: priors + smoothed per-class token log-likelihoods ---
+    v = train.select("event_type").distinct().count()  # vocabulary size
+    class_tok = train.groupBy("seg", "event_type").agg(
+        F.sum("n_ut").cast("long").alias("n_ct")
+    )
+    class_tot = class_tok.groupBy("seg").agg(
+        F.sum("n_ct").cast("long").alias("n_c")
+    )
+    loglik = (
+        class_tok.join(class_tot, "seg")
+        .select(
+            F.col("seg").alias("cls"),
+            "event_type",
+            F.round(
+                F.log(
+                    (F.col("n_ct") + 1).cast("double")
+                    / (F.col("n_c") + F.lit(v)).cast("double")
+                ),
+                6,
+            ).alias("ll"),
+        )
+    )
+    tr_users = train.select("user_id", "seg").distinct()
+    n_train = tr_users.count()
+    prior = tr_users.groupBy("seg").agg(
+        F.round(
+            F.log(bcount().cast("double") / F.lit(float(n_train))), 6
+        ).alias("log_prior")
+    ).select(F.col("seg").alias("cls"), "log_prior")
+
+    # --- score: test token counts x every class's log-likelihood ---
+    terms = test.join(F.broadcast(loglik), "event_type").select(
+        "user_id",
+        F.col("seg").alias("actual"),
+        "cls",
+        (F.col("n_ut") * F.col("ll").cast(_DEC)).alias("term"),
+    )
+    scores = (
+        terms.groupBy("user_id", "actual", "cls")
+        .agg(F.sum("term").cast("double").alias("sum_ll"))
+        .join(F.broadcast(prior), "cls")
+        .select(
+            "user_id",
+            "actual",
+            "cls",
+            F.round(F.col("sum_ll") + F.col("log_prior"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("cls").alias("predicted"),
+            "actual",
+            "score",
+            (F.col("cls") == F.col("actual")).alias("hit"),
+        )
+    )
+
+
+_NB_SQL = """
+WITH counts AS (
+  SELECT e.user_id, c.c_mktsegment AS seg, e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_ut
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2, 3),
+train AS (SELECT * FROM counts WHERE user_id % 5 <> 0),
+test AS (SELECT * FROM counts WHERE user_id % 5 = 0),
+v AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS v FROM train),
+ct AS (
+  SELECT seg AS cls, event_type, CAST(SUM(n_ut) AS BIGINT) AS n_ct
+  FROM train GROUP BY 1, 2),
+tot AS (SELECT cls, CAST(SUM(n_ct) AS BIGINT) AS n_c FROM ct GROUP BY 1),
+loglik AS (
+  SELECT ct.cls, ct.event_type,
+         round(ln(CAST(n_ct + 1 AS DOUBLE) / CAST(n_c + v.v AS DOUBLE)), 6)
+           AS ll
+  FROM ct JOIN tot USING (cls) CROSS JOIN v),
+tru AS (SELECT DISTINCT user_id, seg FROM train),
+prior AS (
+  SELECT seg AS cls,
+         round(ln(CAST(COUNT(*) AS DOUBLE)
+                  / (SELECT CAST(COUNT(*) AS DOUBLE) FROM tru)), 6)
+           AS log_prior
+  FROM tru GROUP BY 1),
+terms AS (
+  SELECT t.user_id, t.seg AS actual, l.cls,
+         t.n_ut * CAST(l.ll AS DECIMAL(30,6)) AS term
+  FROM test t JOIN loglik l USING (event_type)),
+scores AS (
+  SELECT user_id, actual, cls,
+         round(CAST(SUM(term) AS DOUBLE) + ANY_VALUE(p.log_prior), 6)
+           AS score
+  FROM terms JOIN prior p USING (cls)
+  GROUP BY user_id, actual, cls),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY score DESC, cls ASC) AS rk
+  FROM scores)
+SELECT user_id, cls AS predicted, actual, score,
+       cls = actual AS hit
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
+    "ml_naive_bayes": ml_naive_bayes,
     "feat_onehot_bucketize": feat_onehot_bucketize,
     "feat_onehot_mllib": feat_onehot_mllib,
     "ml_ate_stratified": ml_ate_stratified,
@@ -322,6 +463,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ml_naive_bayes": _NB_SQL,
     "feat_onehot_bucketize": _onehot_sql(),
     "ml_ate_stratified": _ATE_SQL,
     "ml_linreg_closed_form": _LINREG_SQL,

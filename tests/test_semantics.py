@@ -1836,3 +1836,48 @@ def test_decline_streak_recount_one_customer(spark, sf_dir):
     got = next(r for r in rows if r.o_custkey == pick)
     assert got.best_streak == best
     assert got.n_orders == len(hist)
+
+
+def test_hll_custom_error_and_merge(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators import sketches
+
+    rows = {r.event_type: r for r in sketches.agg_hll_custom(spark, sf_dir).collect()}
+    assert "__all__" in rows
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    # m=256 -> sigma ~= 6.5%; assert 3-sigma plus slack for small n.
+    for et, n in exact.items():
+        est = rows[et].hll_estimate
+        assert abs(est - n) <= max(3, 0.25 * n), (et, est, n)
+    for r in rows.values():
+        assert 0 < r.n_buckets <= 256
+        assert r.n_empty == 256 - r.n_buckets
+    # Merge never reports fewer buckets than any component sketch.
+    assert rows["__all__"].n_buckets >= max(
+        r.n_buckets for k, r in rows.items() if k != "__all__"
+    )
+
+
+def test_naive_bayes_contract(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.sources.tables import MKT_SEGMENTS
+
+    out = fml.ml_naive_bayes(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    ids = [r.user_id for r in rows]
+    assert len(ids) == len(set(ids))  # one prediction per test user
+    segs = set(MKT_SEGMENTS)
+    for r in rows:
+        assert r.user_id % 5 == 0
+        assert r.predicted in segs and r.actual in segs
+        assert r.hit == (r.predicted == r.actual)
+        assert r.score < 0.0  # log-probabilities
+    # Determinism: re-running yields identical predictions.
+    again = {r.user_id: r.predicted for r in fml.ml_naive_bayes(spark, sf_dir).collect()}
+    assert all(again[r.user_id] == r.predicted for r in rows)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import bcount, dsum, dsum_sql, epoch_us, epoch_us_sql
+from ..compat import _DEC, bcount, dsum, dsum_sql, epoch_us, epoch_us_sql
 from ..sources.tables import load_table
 
 _DEC = "decimal(30,6)"
@@ -507,7 +507,209 @@ FROM agg
 """
 
 
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = 7-day centered moving average, seasonal = weekday
+    mean of the detrended series, residual = observed - trend -
+    seasonal. Only days with a FULL 7-day window are emitted, so the
+    trend is never edge-biased.
+
+    Determinism: daily revenue is an exact integer-cents sum; the
+    centered MA is an exact-integer sum / 7 (one double divide);
+    detrended values are rounded to 6 dp before the weekday mean's
+    DECIMAL sum (libm discipline), so every emitted number is
+    bit-identical cross-engine.
+
+    Scale posture: the raw scan collapses to ~one row per day in the
+    FIRST aggregate (map-side combined); every window after that runs
+    over the day-level series, which is driver-size for any horizon a
+    trend window makes sense on (40 years = 15k rows). The weekday
+    profile is a 7-row broadcast join back onto the series."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (
+        o.select(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+            cents.alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    wd = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = (
+        daily.withColumn("n_win", F.count(F.lit(1)).over(wd))
+        .withColumn("trend_c", F.avg("rev_cents").over(wd))
+        .where(F.col("n_win") == 7)
+        .select(
+            "day",
+            (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+            F.round(F.col("trend_c") / 100.0, 6).alias("trend"),
+            F.round(
+                (F.col("rev_cents") - F.col("trend_c")) / 100.0, 6
+            ).alias("detrended"),
+            (F.dayofweek("day") - 1).cast("long").alias("dow"),
+        )
+    )
+    seasonal = trended.groupBy("dow").agg(
+        F.round(
+            F.sum(F.col("detrended").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("seasonal")
+    )
+    # day emitted as ISO string: DuckDB DATE arrives in pandas as a
+    # midnight timestamp and would canon differently from Spark's date.
+    return trended.join(F.broadcast(seasonal), "dow").select(
+        F.col("day").cast("string").alias("day"),
+        "revenue",
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("detrended") - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT day, rev_cents,
+         COUNT(*) OVER w AS n_win,
+         AVG(rev_cents) OVER w AS trend_c
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+trended AS (
+  SELECT day,
+         CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+         round(trend_c / 100.0, 6) AS trend,
+         round((rev_cents - trend_c) / 100.0, 6) AS detrended,
+         CAST(dayofweek(day) AS BIGINT) AS dow
+  FROM t WHERE n_win = 7),
+seasonal AS (
+  SELECT dow,
+         round(CAST(SUM(CAST(detrended AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*), 6) AS seasonal
+  FROM trended GROUP BY dow)
+SELECT CAST(day AS VARCHAR) AS day, revenue, trend, seasonal.seasonal,
+       round(detrended - seasonal.seasonal, 6) AS residual
+FROM trended JOIN seasonal USING (dow)
+"""
+
+
+_TSEN_CAP = 30  # pairwise slopes over the first K events per user
+
+
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per user: the median of all pairwise
+    slopes (v_j - v_i)/(t_j - t_i) over the user's first K=30 events —
+    the estimator that shrugs off the outliers that wreck OLS
+    (compare ml_linreg_closed_form).
+
+    The median is pinned by construction: slopes are ranked
+    (slope, i, j) and the median is the mean of the two middle ranks
+    (equal for odd counts) — no reliance on either engine's
+    median/quantile interpolation.
+
+    Scale posture: the per-user prefix cap makes pair generation
+    O(K²/2) per user (435 pairs at K=30), independent of corpus size;
+    the self-join and both windows are all keyed by user_id, so the
+    whole plan is one hash partitioning reused end-to-end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TSEN_CAP)
+        .select(
+            "user_id",
+            "rn",
+            epoch_us("ts").alias("t"),
+            "value",
+        )
+    )
+    a = capped.select(
+        "user_id",
+        F.col("rn").alias("i"),
+        F.col("t").alias("ti"),
+        F.col("value").alias("vi"),
+    )
+    b = capped.select(
+        "user_id",
+        F.col("rn").alias("j"),
+        F.col("t").alias("tj"),
+        F.col("value").alias("vj"),
+    )
+    slopes = (
+        a.join(b, "user_id")
+        .where((F.col("i") < F.col("j")) & (F.col("ti") < F.col("tj")))
+        .select(
+            "user_id",
+            "i",
+            "j",
+            (
+                (F.col("vj") - F.col("vi"))
+                / ((F.col("tj") - F.col("ti")) / F.lit(1_000_000.0))
+            ).alias("slope"),
+        )
+    )
+    ws = Window.partitionBy("user_id").orderBy("slope", "i", "j")
+    ranked = slopes.select(
+        "user_id",
+        "slope",
+        F.row_number().over(ws).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    mid = ranked.where(
+        (F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rk") == F.floor(F.col("n") / 2) + 1)
+    )
+    return mid.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_slopes"),
+        F.round(
+            F.sum("slope") / F.count(F.lit(1)), 9
+        ).alias("theil_sen_slope"),
+    )
+
+
+def _tsen_sql() -> str:
+    return f"""
+WITH capped AS (
+  SELECT user_id, rn, t, value
+  FROM (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               {epoch_us_sql('ts')} AS t
+        FROM events)
+  WHERE rn <= {_TSEN_CAP}),
+slopes AS (
+  SELECT a.user_id, a.rn AS i, b.rn AS j,
+         (b.value - a.value)
+           / ((b.t - a.t) / CAST(1000000 AS DOUBLE)) AS slope
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.rn < b.rn AND a.t < b.t),
+ranked AS (
+  SELECT user_id, slope, i, j,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY slope, i, j) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM slopes)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_slopes,
+       round(SUM(slope) / COUNT(*), 9) AS theil_sen_slope
+FROM ranked
+WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "ts_seasonal_decompose": ts_seasonal_decompose,
+    "ts_theil_sen": ts_theil_sen,
     "ts_resample_ohlc": ts_resample_ohlc,
     "ts_autocorr_lag1": ts_autocorr_lag1,
     "ts_anomaly_mad": ts_anomaly_mad,
@@ -518,6 +720,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ts_seasonal_decompose": _SEASONAL_SQL,
+    "ts_theil_sen": _tsen_sql(),
     "ts_resample_ohlc": _OHLC_SQL,
     "ts_autocorr_lag1": _ACF_SQL,
     "ts_anomaly_mad": _MAD_SQL,

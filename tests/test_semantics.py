@@ -1881,3 +1881,88 @@ def test_naive_bayes_contract(spark, sf_dir):
     # Determinism: re-running yields identical predictions.
     again = {r.user_id: r.predicted for r in fml.ml_naive_bayes(spark, sf_dir).collect()}
     assert all(again[r.user_id] == r.predicted for r in rows)
+
+
+def test_identity_resolution_households(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features import identity
+
+    rows = identity.feat_identity_resolution(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    n_cust = cust.count()
+    assert len(rows) == 3 * n_cust  # three records per customer
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert len(members) == members[0].n_records
+        assert cid == min(m.record_id for m in members)
+        custs = {m.custkey for m in members}
+        assert len(custs) == members[0].n_custkeys
+        assert len(custs) in (1, 2)  # singleton or household
+        if len(custs) == 2:
+            a, b = sorted(custs)
+            assert b == a + 1 and b % identity._HOUSEHOLD_MOD == 1
+    # Every expected household merged (custkey%40==1 with a predecessor).
+    want = {
+        r.c_custkey
+        for r in cust.select("c_custkey").collect()
+        if r.c_custkey % identity._HOUSEHOLD_MOD == 1 and r.c_custkey > 0
+    }
+    got = {
+        max(m.custkey for m in mem)
+        for mem in by_cluster.values()
+        if len({m.custkey for m in mem}) == 2
+    }
+    assert got == want
+
+
+def test_seasonal_decompose_recomposes(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_seasonal_decompose,
+    )
+
+    rows = ts_seasonal_decompose(spark, sf_dir).collect()
+    assert rows
+    seasonals = {}
+    for r in rows:
+        assert abs(r.revenue - r.trend - r.seasonal - r.residual) < 2e-5, r
+        import datetime as _dt
+
+        d = _dt.date.fromisoformat(r.day)
+        seasonals.setdefault(d.isoweekday() % 7, set()).add(r.seasonal)
+    assert len(seasonals) == 7  # every weekday present
+    for dow, vals in seasonals.items():
+        assert len(vals) == 1, f"dow {dow} has {len(vals)} seasonal values"
+
+
+def test_theil_sen_recount_one_user(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        _TSEN_CAP,
+        ts_theil_sen,
+    )
+
+    out = ts_theil_sen(spark, sf_dir).collect()
+    assert out
+    cap_pairs = _TSEN_CAP * (_TSEN_CAP - 1) // 2
+    for r in out:
+        assert 0 < r.n_slopes <= cap_pairs
+    pick = out[0].user_id
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") == pick)
+        .orderBy("ts", "event_id")
+        .limit(_TSEN_CAP)
+        .select(F.unix_micros("ts").alias("t"), "value")
+        .collect()
+    )
+    slopes = sorted(
+        (b.value - a.value) / ((b.t - a.t) / 1e6)
+        for i, a in enumerate(ev)
+        for b in ev[i + 1 :]
+        if b.t > a.t
+    )
+    n = len(slopes)
+    med = (slopes[(n + 1) // 2 - 1] + slopes[n // 2]) / 2
+    got = next(r for r in out if r.user_id == pick)
+    assert got.n_slopes == n
+    assert abs(got.theil_sen_slope - med) < 1e-6

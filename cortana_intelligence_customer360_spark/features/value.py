@@ -1,0 +1,284 @@
+"""Customer-value analytics: heuristic lifetime value and a fully
+relational Newton-iterated logistic regression.
+
+Reference parity: the upstream Customer-360 solution's stated outputs
+are customer value scores and propensity models (SURVEY.md §1.1;
+reference checkout empty, §0). Both operators here carry full DuckDB
+oracles — including the logistic regression, whose three Newton steps
+are term-rounded + DECIMAL-summed so every coefficient is
+bit-reproducible cross-engine (the same libm discipline as
+text_unigram_logprob).
+
+Scale posture (100 TB): LTV is one orders aggregate keyed by custkey.
+The regression aggregates the ORDER DATA ONCE into a per-customer
+feature frame (localCheckpoint'd), then each Newton step is a single
+5-term aggregate over that frame with the 2-vector coefficient state
+on the driver — O(1) driver state, never O(data), exactly the
+pagerank-style iterate-with-checkpoint shape.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import _DEC, bcount
+from ..sources.tables import load_table
+
+_LTV_HORIZON_M = 24  # projection horizon, months
+
+# Observation/label split for the conversion regression: orders span
+# 1995-01..2001-08, so 2000-01-01 gives a 60-month observation window
+# and a 20-month label window.
+_LR_SPLIT = "2000-01-01 00:00:00"
+_LR_ITERS = 3
+
+
+def feat_ltv_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic customer lifetime value: average order value x
+    monthly purchase frequency x retention share x a fixed horizon —
+    the standard marketer's CLV first cut (no survival model; see
+    feat_survival_hazard for the hazard-based view).
+
+    Month arithmetic uses integer year*12+month (months_between is
+    fractional and engine-divergent). One aggregate keyed by custkey;
+    every emitted double derives from exact integer sums through a
+    fixed multiply order."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    per = (
+        o.select("o_custkey", cents.alias("cents"), ym.alias("ym"))
+        .groupBy("o_custkey")
+        .agg(
+            bcount().alias("n_orders"),
+            F.sum("cents").cast("long").alias("tot_cents"),
+            F.min("ym").alias("first_m"),
+            F.max("ym").alias("last_m"),
+            F.countDistinct("ym").cast("long").alias("active_months"),
+        )
+    )
+    span = (F.col("last_m") - F.col("first_m") + 1).cast("double")
+    aov = F.col("tot_cents") / F.lit(100.0) / F.col("n_orders")
+    freq = F.col("n_orders") / span
+    retention = F.col("active_months") / span
+    return per.select(
+        "o_custkey",
+        "n_orders",
+        (F.col("last_m") - F.col("first_m") + 1).alias("span_months"),
+        "active_months",
+        F.round(aov, 6).alias("aov"),
+        F.round(freq, 6).alias("orders_per_month"),
+        F.round(retention, 6).alias("retention"),
+        F.round(
+            aov * freq * retention * F.lit(float(_LTV_HORIZON_M)), 6
+        ).alias("ltv_24m"),
+    )
+
+
+_LTV_SQL = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS tot_cents,
+         CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+           AS first_m,
+         CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+           AS last_m,
+         CAST(COUNT(DISTINCT year(o_orderdate) * 12 + month(o_orderdate))
+              AS BIGINT) AS active_months
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, n_orders,
+       last_m - first_m + 1 AS span_months,
+       active_months,
+       round(tot_cents / CAST(100 AS DOUBLE) / n_orders, 6) AS aov,
+       round(n_orders / CAST(last_m - first_m + 1 AS DOUBLE), 6)
+         AS orders_per_month,
+       round(active_months / CAST(last_m - first_m + 1 AS DOUBLE), 6)
+         AS retention,
+       round(tot_cents / CAST(100 AS DOUBLE) / n_orders
+             * (n_orders / CAST(last_m - first_m + 1 AS DOUBLE))
+             * (active_months / CAST(last_m - first_m + 1 AS DOUBLE))
+             * CAST({_LTV_HORIZON_M} AS DOUBLE), 6) AS ltv_24m
+FROM per
+"""
+
+
+def _r6(v: float) -> float:
+    """round(double, 6) with Spark/DuckDB semantics: HALF_UP on the
+    EXACT binary value of the double (Python's round() is
+    banker's-rounding on the shortest repr — wrong on ties)."""
+    return float(Decimal(v).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+_LR_XCAP = 30  # integer feature cap (outlier guard + exact arithmetic)
+
+
+def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, x, y): x = obs-window order count capped at 30
+    (INTEGER — see ml_logreg_newton's exactness note), y = 1 if the
+    customer ordered in the label window."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(_LR_SPLIT).cast("timestamp")
+    obs = (
+        o.where(F.col("o_orderdate") < split)
+        .groupBy("o_custkey")
+        .agg(bcount().alias("n_obs"))
+    )
+    lab = (
+        o.where(F.col("o_orderdate") >= split)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    return (
+        cust.join(obs, cust.custkey == obs.o_custkey, "left")
+        .drop("o_custkey")
+        .join(lab, cust.custkey == lab.o_custkey, "left")
+        .drop("o_custkey")
+        .select(
+            "custkey",
+            F.least(F.coalesce("n_obs", F.lit(0)), F.lit(_LR_XCAP))
+            .cast("long")
+            .alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+
+
+def ml_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression P(convert | order history) via three
+    exact-arithmetic Newton-Raphson steps — iterative ML as pure
+    relational aggregates with a FULL cross-engine oracle (contrast
+    ml_train_score, whose RF is R-tier by nature).
+
+    Exactness scheme: the only float per row is the sigmoid, pinned
+    to an INTEGER P = round(1e6 * sigmoid(b0 + b1 x)). With x also an
+    integer, all five sufficient statistics (gradient + 2x2 Hessian)
+    are EXACT integer sums — no per-term decimal rounding, and
+    therefore none of the 6-dp half-tie hazards that products of
+    rounded doubles create (the trap NOTES.md documents). The
+    closed-form 2x2 solve runs on the driver (O(1) state) on doubles
+    derived from those exact integers, in the same operation order
+    the oracle uses, and coefficients round to 6 dp per step. Returns
+    one row per iteration (iter, b0, b1)."""
+    feats = _lr_features(spark, sf_dir).localCheckpoint()
+    dec38 = "decimal(38,0)"
+    b0, b1 = 0.0, 0.0
+    out = []
+    for it in range(1, _LR_ITERS + 1):
+        z = F.lit(b0) + F.lit(b1) * F.col("x")
+        p_i = F.round(
+            F.lit(1_000_000.0) / (F.lit(1.0) + F.exp(-z))
+        ).cast("long")
+        tmp = feats.select(
+            "x", "y", p_i.alias("p")
+        ).select(
+            (F.col("y") * 1_000_000 - F.col("p")).alias("t_g0"),
+            ((F.col("y") * 1_000_000 - F.col("p")) * F.col("x")).alias(
+                "t_g1"
+            ),
+            (F.col("p") * (1_000_000 - F.col("p"))).alias("t_h00"),
+            (F.col("p") * (1_000_000 - F.col("p")) * F.col("x")).alias(
+                "t_h01"
+            ),
+            (
+                F.col("p")
+                * (1_000_000 - F.col("p"))
+                * F.col("x")
+                * F.col("x")
+            ).alias("t_h11"),
+        )
+        row = tmp.select(
+            *[
+                F.sum(F.col(c).cast(dec38)).alias(c[2:])
+                for c in ["t_g0", "t_g1", "t_h00", "t_h01", "t_h11"]
+            ]
+        ).first()
+        g0 = float(row.g0) / 1e6
+        g1 = float(row.g1) / 1e6
+        h00 = float(row.h00) / 1e12
+        h01 = float(row.h01) / 1e12
+        h11 = float(row.h11) / 1e12
+        det = h00 * h11 - h01 * h01
+        b0 = _r6(b0 + (h11 * g0 - h01 * g1) / det)
+        b1 = _r6(b1 + (h00 * g1 - h01 * g0) / det)
+        out.append((it, b0, b1))
+    return spark.createDataFrame(out, "iter int, b0 double, b1 double")
+
+
+def _logreg_iter_sql(prev: str, it: int) -> str:
+    """One unrolled Newton step reading coefficients from CTE *prev*.
+
+    Sufficient statistics are exact DECIMAL(38,0) integer sums scaled
+    to doubles only at the 2x2 solve — mirroring the Spark/driver
+    arithmetic operation-for-operation."""
+    return f"""
+a{it} AS (
+  SELECT
+    CAST(SUM(CAST(y * 1000000 - p AS DECIMAL(38,0))) AS DOUBLE)
+      / 1e6 AS g0,
+    CAST(SUM(CAST((y * 1000000 - p) * x AS DECIMAL(38,0))) AS DOUBLE)
+      / 1e6 AS g1,
+    CAST(SUM(CAST(p * (1000000 - p) AS DECIMAL(38,0))) AS DOUBLE)
+      / 1e12 AS h00,
+    CAST(SUM(CAST(p * (1000000 - p) * x AS DECIMAL(38,0))) AS DOUBLE)
+      / 1e12 AS h01,
+    CAST(SUM(CAST(p * (1000000 - p) * x * x AS DECIMAL(38,0))) AS DOUBLE)
+      / 1e12 AS h11
+  FROM (SELECT y, x,
+               CAST(round(CAST(1000000 AS DOUBLE)
+                          / (1.0 + exp(-(b.b0 + b.b1 * x)))) AS BIGINT)
+                 AS p
+        FROM feats CROSS JOIN {prev} b)),
+it{it} AS (
+  SELECT {it} AS iter,
+         round(b.b0 + (a.h11 * a.g0 - a.h01 * a.g1)
+               / (a.h00 * a.h11 - a.h01 * a.h01), 6) AS b0,
+         round(b.b1 + (a.h00 * a.g1 - a.h01 * a.g0)
+               / (a.h00 * a.h11 - a.h01 * a.h01), 6) AS b1
+  FROM a{it} a CROSS JOIN {prev} b)"""
+
+
+def _logreg_sql() -> str:
+    steps = ",".join(
+        _logreg_iter_sql("it0" if i == 1 else f"it{i - 1}", i)
+        for i in range(1, _LR_ITERS + 1)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST(iter AS INT) AS iter, b0, b1 FROM it{i}"
+        for i in range(1, _LR_ITERS + 1)
+    )
+    return f"""
+WITH feats AS (
+  SELECT c.c_custkey,
+         CAST(LEAST(COALESCE(o.n_obs, 0), {_LR_XCAP}) AS BIGINT) AS x,
+         CAST(CASE WHEN l.o_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS y
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_obs
+             FROM orders WHERE o_orderdate < TIMESTAMP '{_LR_SPLIT}'
+             GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '{_LR_SPLIT}') l
+    ON c.c_custkey = l.o_custkey),
+it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+{steps}
+{selects}
+"""
+
+
+QUERIES = {
+    "feat_ltv_heuristic": feat_ltv_heuristic,
+    "ml_logreg_newton": ml_logreg_newton,
+}
+ORACLE = {
+    "feat_ltv_heuristic": _LTV_SQL,
+    "ml_logreg_newton": _logreg_sql(),
+}

@@ -138,9 +138,117 @@ FROM agg
 """
 
 
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+
+
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch count-min sketch (Cormode & Muthukrishnan 2005)
+    over event_type frequencies, with the point-estimate readback and
+    the exact count side-by-side — overestimate-only error visible in
+    the output. Like agg_hll_custom, hashing is md5-derived, so the
+    sketch is bit-reproducible and carries a full DuckDB oracle.
+
+    Scale posture: the sketch build is ONE groupBy over (row, bucket)
+    — at most d*w = 1024 cells survive regardless of input size, and
+    map-side combine collapses almost everything executor-locally
+    (the d-fold explode multiplies rows before combine, never across
+    the wire). The readback joins the distinct-key table against the
+    broadcast cell table. Sketches from different partitions/days
+    merge by cellwise addition — the property the 1024-cell shape
+    exists for."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    cells = (
+        ev.select("event_type", rows)
+        .select(
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(":", F.col("r"), F.col("event_type"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CMS_W
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(bcount().alias("cnt"))
+    )
+    keys = ev.groupBy("event_type").agg(bcount().alias("exact_count"))
+    probes = keys.select(
+        "event_type",
+        "exact_count",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r"),
+    ).select(
+        "event_type",
+        "exact_count",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("r"), F.col("event_type"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("event_type", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "event_type",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+def _cms_sql() -> str:
+    rows = ", ".join(f"({r})" for r in range(_CMS_D))
+    return f"""
+WITH r(r) AS (VALUES {rows}),
+hashed AS (
+  SELECT r.r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || event_type),
+                         1, 8))::BIGINT % {_CMS_W} AS bucket
+  FROM events CROSS JOIN r),
+cells AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY r, bucket),
+keys AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY event_type),
+probes AS (
+  SELECT k.event_type, k.exact_count, r.r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || k.event_type),
+                         1, 8))::BIGINT % {_CMS_W} AS bucket
+  FROM keys k CROSS JOIN r)
+SELECT p.event_type, p.exact_count,
+       MIN(c.cnt) AS cms_estimate,
+       MIN(c.cnt) - p.exact_count AS overcount
+FROM probes p JOIN cells c USING (r, bucket)
+GROUP BY p.event_type, p.exact_count
+"""
+
+
 QUERIES = {
     "agg_hll_custom": agg_hll_custom,
+    "agg_count_min": agg_count_min,
 }
 ORACLE = {
     "agg_hll_custom": _hll_sql(),
+    "agg_count_min": _cms_sql(),
 }

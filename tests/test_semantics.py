@@ -1966,3 +1966,63 @@ def test_theil_sen_recount_one_user(spark, sf_dir):
     got = next(r for r in out if r.user_id == pick)
     assert got.n_slopes == n
     assert abs(got.theil_sen_slope - med) < 1e-6
+
+
+def test_count_min_overestimates_only(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators import sketches
+
+    rows = sketches.agg_count_min(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.exact_count for r in rows)
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count  # CMS never undercounts
+        assert r.overcount == r.cms_estimate - r.exact_count
+        # e/w bound with d rows: overcount <= e*N/w with high prob;
+        # assert the loose structural bound.
+        assert r.overcount <= n_total
+
+
+def test_ltv_recomposes_and_bounds(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.value import (
+        feat_ltv_heuristic,
+    )
+
+    rows = feat_ltv_heuristic(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.active_months <= r.span_months
+        assert r.aov > 0 and r.orders_per_month > 0
+        assert 0.0 < r.retention <= 1.0
+        # Recomposition from the ROUNDED columns: 6-dp error in the
+        # rate factors scales by aov, so the tolerance is relative.
+        expect = r.aov * r.orders_per_month * r.retention * 24
+        assert abs(r.ltv_24m - expect) <= max(1e-3, 1e-4 * abs(expect)), r
+
+
+def test_logreg_newton_converges(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.value import (
+        _LR_ITERS,
+        ml_logreg_newton,
+    )
+
+    rows = sorted(ml_logreg_newton(spark, sf_dir).collect(), key=lambda r: r.iter)
+    assert [r.iter for r in rows] == list(range(1, _LR_ITERS + 1))
+    import math
+
+    for r in rows:
+        assert math.isfinite(r.b0) and math.isfinite(r.b1)
+    for r in rows:
+        assert abs(r.b0) < 20 and abs(r.b1) < 20  # no divergence
+    # The intercept moves toward the base-rate logit from iteration 1.
+    from cortana_intelligence_customer360_spark.features.value import (
+        _lr_features,
+    )
+
+    f = _lr_features(spark, sf_dir).agg(
+        F.avg("y").alias("rate")
+    ).collect()[0]
+    base_logit = math.log(f.rate / (1 - f.rate))
+    assert (rows[0].b0 > 0) == (base_logit > 0)
+    # Determinism across runs.
+    again = sorted(ml_logreg_newton(spark, sf_dir).collect(), key=lambda r: r.iter)
+    assert [(r.b0, r.b1) for r in again] == [(r.b0, r.b1) for r in rows]

@@ -274,11 +274,110 @@ it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
 """
 
 
+def feat_category_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-concentration profile per customer: the Herfindahl–
+    Hirschman index over part-type revenue shares (1 = all spend in
+    one category, 1/k = evenly spread over k) plus the dominant
+    category — the diversification feature cross-sell targeting keys
+    on.
+
+    Exactness: HHI = Σ cents_t² / (Σ cents_t)² is computed as ONE
+    double division of two exact DECIMAL(38,0) integers (squares of
+    per-category cent sums), sidestepping per-share rounding
+    entirely. Dominant category ties break lexicographically.
+
+    Scale posture: lineitem joins the part dim (broadcast-eligible)
+    and collapses to (custkey, p_type) in the first aggregate —
+    map-side combined; everything after runs on ≤ |types| rows per
+    customer, keyed by custkey throughout."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_type = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "p_type", cents.alias("cents"))
+        .groupBy("o_custkey", "p_type")
+        .agg(F.sum("cents").cast("long").alias("c_t"))
+    )
+    agg = per_type.groupBy("o_custkey").agg(
+        bcount().alias("n_categories"),
+        F.sum(F.col("c_t").cast("decimal(38,0)")).alias("tot"),
+        F.sum(
+            (F.col("c_t").cast("decimal(38,0)") * F.col("c_t")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ssq"),
+    )
+    # Arg-max with a deterministic string tiebreak: join back on
+    # (custkey, max c_t) and take the min type name among ties.
+    mx = per_type.groupBy("o_custkey").agg(F.max("c_t").alias("mc"))
+    pt2 = per_type.select(
+        F.col("o_custkey").alias("ck"), "p_type", "c_t"
+    )
+    dom_type = (
+        pt2.join(
+            mx, (pt2.ck == mx.o_custkey) & (pt2.c_t == mx.mc)
+        )
+        .groupBy("ck")
+        .agg(F.min("p_type").alias("dominant_type"))
+    )
+    return (
+        agg.select(
+            "o_custkey",
+            "n_categories",
+            F.round(
+                F.col("ssq").cast("double")
+                / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+        .join(dom_type, agg.o_custkey == dom_type.ck)
+        .select("o_custkey", "n_categories", "hhi", "dominant_type")
+    )
+
+
+_HHI_SQL = """
+WITH per_type AS (
+  SELECT o.o_custkey, p.p_type,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS c_t
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+agg AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_categories,
+         SUM(CAST(c_t AS DECIMAL(38,0))) AS tot,
+         SUM(CAST(c_t AS DECIMAL(38,0)) * c_t) AS ssq
+  FROM per_type GROUP BY 1),
+mx AS (SELECT o_custkey, MAX(c_t) AS mc FROM per_type GROUP BY 1),
+dom AS (
+  SELECT pt.o_custkey, MIN(pt.p_type) AS dominant_type
+  FROM per_type pt JOIN mx ON pt.o_custkey = mx.o_custkey
+                          AND pt.c_t = mx.mc
+  GROUP BY 1)
+SELECT agg.o_custkey, agg.n_categories,
+       round(CAST(ssq AS DOUBLE)
+             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+       dom.dominant_type
+FROM agg JOIN dom USING (o_custkey)
+"""
+
+
 QUERIES = {
     "feat_ltv_heuristic": feat_ltv_heuristic,
+    "feat_category_hhi": feat_category_hhi,
     "ml_logreg_newton": ml_logreg_newton,
 }
 ORACLE = {
     "feat_ltv_heuristic": _LTV_SQL,
+    "feat_category_hhi": _HHI_SQL,
     "ml_logreg_newton": _logreg_sql(),
 }

@@ -128,6 +128,92 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+_CONTAIN_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(src→dst) = |src ∩ dst| / |src|
+    — the near-dup measure Jaccard misses: a short document pasted
+    verbatim inside a longer one scores C ≈ 1 while J stays tiny
+    (Broder's containment, the sub-document-duplication screen every
+    pretraining pipeline needs alongside symmetric dedup).
+
+    Same frequency-capped inverted index as dedup_ngram_jaccard (the
+    df ≤ SHINGLE_DF_CAP contract and its linearity guarantee carry
+    over verbatim); the pair direction with the SMALLER shingle set is
+    the source. Exact integer ratio — bit-identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_all = shingle_frame(docs)
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_all.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    paired = common.join(sa, "a_id").join(sb, "b_id")
+    src_id = F.when(F.col("na") <= F.col("nb"), F.col("a_id")).otherwise(
+        F.col("b_id")
+    )
+    dst_id = F.when(F.col("na") <= F.col("nb"), F.col("b_id")).otherwise(
+        F.col("a_id")
+    )
+    n_src = F.least("na", "nb")
+    cont = F.col("n_common").cast("double") / n_src.cast("double")
+    return (
+        paired.select(
+            src_id.alias("src_id"),
+            dst_id.alias("dst_id"),
+            F.col("n_common"),
+            n_src.alias("n_src"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= _CONTAIN_THRESHOLD)
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH sh_all AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_transform(range(len(l) - 2),
+                          i -> concat_ws(' ', l[i+1], l[i+2], l[i+3])))) AS shingle
+  FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents)),
+rare AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+paired AS (
+  SELECT a_id, b_id, n_common, sa.n_sh AS na, sb.n_sh AS nb
+  FROM common
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id)
+SELECT CASE WHEN na <= nb THEN a_id ELSE b_id END AS src_id,
+       CASE WHEN na <= nb THEN b_id ELSE a_id END AS dst_id,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(LEAST(na, nb) AS BIGINT) AS n_src,
+       CAST(n_common AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE)
+         AS containment
+FROM paired
+WHERE CAST(n_common AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE)
+      >= {_CONTAIN_THRESHOLD}
+"""
+
+
 _NGRAM_JACCARD_SQL = f"""
 WITH sh_all AS (
   SELECT doc_id, UNNEST(list_distinct(
@@ -722,6 +808,7 @@ FROM lab JOIN canon USING (cluster_id)
 
 QUERIES = {
     "dedup_canonical_pick": dedup_canonical_pick,
+    "dedup_containment": dedup_containment,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
@@ -734,6 +821,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_canonical_pick": _canonical_sql(),
+    "dedup_containment": _CONTAINMENT_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash": _minhash_oracle_sql(),

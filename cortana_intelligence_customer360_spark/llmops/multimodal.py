@@ -412,7 +412,84 @@ FROM f
 """
 
 
+# PNG signature / RIFF....WAVE — the two container magics the real
+# codecs in llmops.codecs emit, plus a no-magic fallthrough.
+_PNG_MAGIC = "89504E470D0A1A0A"
+_RIFF_MAGIC = "52494646"
+_WAVE_TAG = "57415645"
+
+
+def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type detection from leading magic bytes over an opaque
+    BINARY column — the triage step a multimodal ingest runs before
+    routing payloads to the right decoder. The mixed corpus is built
+    in-plan (doc_id % 3 selects a PNG-signed, WAV-signed, or bare
+    payload); sniffing is pure column expressions on the hex prefix
+    (JVM-side, codegen'd — no Python in the classify path), and the
+    rollup is one tiny aggregate keyed by the detected type."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit(_PNG_MAGIC)))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.unhex(F.lit(_RIFF_MAGIC)),
+                F.unhex(F.lit("00000000")),
+                F.unhex(F.lit(_WAVE_TAG)),
+            ),
+        )
+        .otherwise(F.unhex(F.lit("")))
+    )
+    payload = F.concat(magic, F.encode("text", "utf-8"))
+    b = docs.select("doc_id", payload.alias("payload"))
+    hx = F.hex(F.col("payload"))
+    mime = (
+        F.when(F.substring(hx, 1, 16) == _PNG_MAGIC, "image/png")
+        .when(
+            (F.substring(hx, 1, 8) == _RIFF_MAGIC)
+            & (F.substring(hx, 17, 8) == _WAVE_TAG),
+            "audio/wav",
+        )
+        .otherwise("application/octet-stream")
+    )
+    return (
+        b.select(mime.alias("mime"), "doc_id", "payload")
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.octet_length("payload")).cast("long").alias(
+                "total_bytes"
+            ),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+_MIME_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN from_hex('{_PNG_MAGIC}') || encode(text)
+           WHEN 1 THEN from_hex('{_RIFF_MAGIC}') || from_hex('00000000')
+                       || from_hex('{_WAVE_TAG}') || encode(text)
+           ELSE encode(text) END AS payload
+  FROM documents),
+h AS (SELECT doc_id, payload, hex(payload) AS hx FROM b)
+SELECT CASE WHEN substring(hx, 1, 16) = '{_PNG_MAGIC}' THEN 'image/png'
+            WHEN substring(hx, 1, 8) = '{_RIFF_MAGIC}'
+                 AND substring(hx, 17, 8) = '{_WAVE_TAG}' THEN 'audio/wav'
+            ELSE 'application/octet-stream' END AS mime,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM h GROUP BY 1
+"""
+
+
 QUERIES = {
+    "multimodal_mime_sniff": multimodal_mime_sniff,
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_decode_png": multimodal_decode_png,
     "multimodal_decode_wav": multimodal_decode_wav,
@@ -420,6 +497,7 @@ QUERIES = {
     "multimodal_audio_framesample": multimodal_audio_framesample,
 }
 ORACLE = {
+    "multimodal_mime_sniff": _MIME_SQL,
     "multimodal_decode_meta": _DECODE_META_SQL,
     "multimodal_decode_png": _DECODE_PNG_SQL,
     "multimodal_decode_wav": _DECODE_WAV_SQL,

@@ -2026,3 +2026,53 @@ def test_logreg_newton_converges(spark, sf_dir):
     # Determinism across runs.
     again = sorted(ml_logreg_newton(spark, sf_dir).collect(), key=lambda r: r.iter)
     assert [(r.b0, r.b1) for r in again] == [(r.b0, r.b1) for r in rows]
+
+
+def test_containment_vs_jaccard(spark, sf_dir):
+    rows = dedup.dedup_containment(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.8 <= r.containment <= 1.0 + 1e-9
+        assert r.n_common <= r.n_src
+        assert r.src_id != r.dst_id
+    # Containment is a superset signal: every Jaccard>=thr pair whose
+    # smaller side is mostly covered must appear here too.
+    jac = {
+        (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    cont = {
+        (min(r.src_id, r.dst_id), max(r.src_id, r.dst_id)) for r in rows
+    }
+    assert jac <= cont  # J>=0.9 implies C>=0.9 on the smaller side
+
+
+def test_category_hhi_bounds(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.value import (
+        feat_category_hhi,
+    )
+
+    rows = feat_category_hhi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_categories
+        lo = 1.0 / r.n_categories
+        assert lo - 1e-9 <= r.hhi <= 1.0 + 1e-9, r
+        if r.n_categories == 1:
+            assert abs(r.hhi - 1.0) < 1e-9
+
+
+def test_mime_sniff_partitions_corpus(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.llmops.multimodal import (
+        multimodal_mime_sniff,
+    )
+
+    rows = {r.mime: r for r in multimodal_mime_sniff(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert sum(r.n_docs for r in rows.values()) == n
+    assert set(rows) == {"image/png", "audio/wav", "application/octet-stream"}
+    # Magic prefixes add 8 (PNG) / 12 (RIFF+size+WAVE) bytes per doc.
+    base = docs.select(F.sum(F.length("text"))).collect()[0][0]
+    total = sum(r.total_bytes for r in rows.values())
+    assert total == base + 8 * rows["image/png"].n_docs + 12 * rows["audio/wav"].n_docs

@@ -335,10 +335,15 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("seg"),
     )
+    # Materialized once: train stats, the prior, AND test scoring all
+    # read this frame — without the checkpoint the events join would
+    # re-execute four times (the plan-audit finding that motivated the
+    # same fix in feat_audience_overlap).
     counts = (
         ev.join(cust, "user_id")
         .groupBy("user_id", "seg", "event_type")
         .agg(bcount().alias("n_ut"))
+        .localCheckpoint()
     )
     is_test = F.col("user_id") % 5 == 0
     train = counts.where(~is_test)

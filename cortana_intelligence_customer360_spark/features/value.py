@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from decimal import ROUND_HALF_UP, Decimal
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import _DEC, bcount
@@ -305,7 +305,15 @@ def feat_category_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "p_type")
         .agg(F.sum("cents").cast("long").alias("c_t"))
     )
-    agg = per_type.groupBy("o_custkey").agg(
+    # Dominant type via a rank-1 window on the SAME custkey
+    # partitioning the final aggregate uses — per_type is computed
+    # once and lineitem is scanned once (a join-back arg-max would
+    # re-derive the 3-table join per reference).
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("c_t").desc(), F.col("p_type").asc()
+    )
+    ranked = per_type.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy("o_custkey").agg(
         bcount().alias("n_categories"),
         F.sum(F.col("c_t").cast("decimal(38,0)")).alias("tot"),
         F.sum(
@@ -313,32 +321,19 @@ def feat_category_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,0)"
             )
         ).alias("ssq"),
+        F.max(F.when(F.col("rk") == 1, F.col("p_type"))).alias(
+            "dominant_type"
+        ),
     )
-    # Arg-max with a deterministic string tiebreak: join back on
-    # (custkey, max c_t) and take the min type name among ties.
-    mx = per_type.groupBy("o_custkey").agg(F.max("c_t").alias("mc"))
-    pt2 = per_type.select(
-        F.col("o_custkey").alias("ck"), "p_type", "c_t"
-    )
-    dom_type = (
-        pt2.join(
-            mx, (pt2.ck == mx.o_custkey) & (pt2.c_t == mx.mc)
-        )
-        .groupBy("ck")
-        .agg(F.min("p_type").alias("dominant_type"))
-    )
-    return (
-        agg.select(
-            "o_custkey",
-            "n_categories",
-            F.round(
-                F.col("ssq").cast("double")
-                / (F.col("tot").cast("double") * F.col("tot").cast("double")),
-                6,
-            ).alias("hhi"),
-        )
-        .join(dom_type, agg.o_custkey == dom_type.ck)
-        .select("o_custkey", "n_categories", "hhi", "dominant_type")
+    return agg.select(
+        "o_custkey",
+        "n_categories",
+        F.round(
+            F.col("ssq").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+            6,
+        ).alias("hhi"),
+        "dominant_type",
     )
 
 
@@ -351,23 +346,18 @@ WITH per_type AS (
   JOIN part p ON l.l_partkey = p.p_partkey
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   GROUP BY 1, 2),
-agg AS (
-  SELECT o_custkey,
-         CAST(COUNT(*) AS BIGINT) AS n_categories,
-         SUM(CAST(c_t AS DECIMAL(38,0))) AS tot,
-         SUM(CAST(c_t AS DECIMAL(38,0)) * c_t) AS ssq
-  FROM per_type GROUP BY 1),
-mx AS (SELECT o_custkey, MAX(c_t) AS mc FROM per_type GROUP BY 1),
-dom AS (
-  SELECT pt.o_custkey, MIN(pt.p_type) AS dominant_type
-  FROM per_type pt JOIN mx ON pt.o_custkey = mx.o_custkey
-                          AND pt.c_t = mx.mc
-  GROUP BY 1)
-SELECT agg.o_custkey, agg.n_categories,
-       round(CAST(ssq AS DOUBLE)
-             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
-       dom.dominant_type
-FROM agg JOIN dom USING (o_custkey)
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY c_t DESC, p_type ASC) AS rk
+  FROM per_type)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_categories,
+       round(CAST(SUM(CAST(c_t AS DECIMAL(38,0)) * c_t) AS DOUBLE)
+             / (CAST(SUM(CAST(c_t AS DECIMAL(38,0))) AS DOUBLE)
+                * CAST(SUM(CAST(c_t AS DECIMAL(38,0))) AS DOUBLE)), 6)
+         AS hhi,
+       MAX(CASE WHEN rk = 1 THEN p_type END) AS dominant_type
+FROM ranked GROUP BY o_custkey
 """
 
 

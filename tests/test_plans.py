@@ -427,3 +427,50 @@ def test_global_ranking_is_range_partitioned_not_single_window(spark, sf_dir):
     for fn in (agg_pareto_revenue, agg_gini_revenue):
         plan = plan_string(fn(spark, sf_dir))
         assert "rangepartitioning" in plan.lower(), fn.__name__
+
+
+def test_ip_cidr_dim_is_broadcast(spark, sf_dir):
+    """The CIDR block table must ride a broadcast range join — a
+    shuffled theta join here would move the full event stream."""
+    from cortana_intelligence_customer360_spark.functions.network import (
+        fn_ip_cidr,
+    )
+
+    plan = plan_string(fn_ip_cidr(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_category_hhi_scans_lineitem_once(spark, sf_dir):
+    """Dominant-category arg-max shares the per_type frame (window +
+    aggregate on one custkey partitioning); a join-back form would
+    re-derive the 3-table join and scan lineitem 3x."""
+    from cortana_intelligence_customer360_spark.features.value import (
+        feat_category_hhi,
+    )
+
+    plan = plan_string(feat_category_hhi(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan  # part dim broadcast
+
+
+def test_naive_bayes_model_tables_broadcast(spark, sf_dir):
+    """Scoring joins the (|classes| x |types|) log-likelihood table and
+    the prior by broadcast — the corpus-side shuffle is the only one."""
+    from cortana_intelligence_customer360_spark.features.ml import (
+        ml_naive_bayes,
+    )
+
+    plan = plan_string(ml_naive_bayes(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_ttr_vocab_is_two_phase_aggregate(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_ttr_vocab,
+    )
+
+    plan = plan_string(text_ttr_vocab(spark, sf_dir))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    # doc_id leads the shuffle key: token-level skew never concentrates.
+    assert "hashpartitioning(doc_id" in plan.lower(), plan

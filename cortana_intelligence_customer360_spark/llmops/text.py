@@ -672,29 +672,62 @@ def text_ttr_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-corpus curation pass (low TTR = template/repetition, high
     hapax share = natural prose or noise).
 
-    Shape: explode -> (doc_id, token) count -> per-doc aggregate. The
-    per-(doc, token) groupBy gets map-side partial aggregation and is
-    keyed by doc_id first, so at 100 TB the shuffle is bounded by the
-    distinct-token volume (far below raw token volume on natural text)
-    and never concentrates a hot key — doc_id leads the key."""
+    Shape: MAP-ONLY. Per-doc stats never need a shuffle: sort the
+    token array in place and compare each token with its neighbors —
+    a duplicate run of length k contributes k-1 equal-to-next
+    positions (n_types = n - Σ), and a hapax is equal to neither
+    neighbor. Zero Exchange in the plan (asserted in test_plans): at
+    100 TB this runs at scan speed, where the explode + (doc, token)
+    groupBy form measured 2x-superlinear at 40x from shuffle spill.
+    The oracle keeps the relational unnest + GROUP BY form — the two
+    implementations cross-check each other.
+
+    Arrays are compared only via whole-array zip_with/aggregate
+    (constant slice count per row), never element_at inside a lambda
+    — projection collapse would inline and re-derive the sorted
+    array per element (the winnowing trap, NOTES.md)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    s = F.sort_array(F.split("text", " "))
+    frame = docs.select("doc_id", s.alias("s"), F.size(s).alias("n"))
+    nxt = F.slice(F.col("s"), 2, F.greatest(F.col("n") - 1, F.lit(0)))
+    prv = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(F.col("s"), 1, F.greatest(F.col("n") - 1, F.lit(0))),
     )
-    per_tok = toks.groupBy("doc_id", "tok").agg(bcount().alias("n"))
-    n_types = bcount()
-    n_tokens = F.sum("n").cast("long")
-    n_hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long")
-    return per_tok.groupBy("doc_id").agg(
-        n_types.alias("n_types"),
-        n_tokens.alias("n_tokens"),
-        n_hapax.alias("n_hapax"),
-        F.round(n_types.cast("double") / n_tokens.cast("double"), 6).alias(
-            "ttr"
-        ),
-        F.round(n_hapax.cast("double") / n_types.cast("double"), 6).alias(
-            "hapax_ratio"
-        ),
+    eq = lambda x, y: F.when(y.isNull() | (x != y), 0).otherwise(1)  # noqa: E731
+    flagged = frame.select(
+        "doc_id",
+        "n",
+        F.zip_with(F.col("s"), nxt, eq).alias("eq_next"),
+        F.zip_with(F.col("s"), prv, eq).alias("eq_prev"),
+    )
+    asum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0), lambda acc, x: acc + x
+    )
+    hapax_flags = F.zip_with(
+        F.col("eq_prev"),
+        F.col("eq_next"),
+        lambda p, q: F.when((p == 0) & (q == 0), 1).otherwise(0),
+    )
+    stats = flagged.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (F.col("n") - asum(F.col("eq_next"))).cast("long").alias("n_types"),
+        asum(hapax_flags).cast("long").alias("n_hapax"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_types",
+        "n_tokens",
+        "n_hapax",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_ratio"),
     )
 
 

@@ -465,12 +465,13 @@ def test_naive_bayes_model_tables_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
-def test_ttr_vocab_is_two_phase_aggregate(spark, sf_dir):
+def test_ttr_vocab_is_map_only(spark, sf_dir):
+    """Per-doc lexical stats via sorted-array neighbor comparison:
+    ZERO Exchange — runs at scan speed at any corpus size (the
+    explode + groupBy form measured 2x-superlinear at 40x)."""
     from cortana_intelligence_customer360_spark.llmops.text import (
         text_ttr_vocab,
     )
 
     plan = plan_string(text_ttr_vocab(spark, sf_dir))
-    assert "partial_count" in plan or "partial" in plan.lower(), plan
-    # doc_id leads the shuffle key: token-level skew never concentrates.
-    assert "hashpartitioning(doc_id" in plan.lower(), plan
+    assert "Exchange" not in plan, plan

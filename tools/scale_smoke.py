@@ -116,6 +116,21 @@ HEAVY = [
     "agg_window_tvf",
     "diff_snapshots",
     "udf_map_in_arrow",
+    # round-3 fourth-session additions
+    "feat_identity_resolution",
+    "ml_naive_bayes",
+    "ml_logreg_newton",
+    "dedup_containment",
+    "ts_theil_sen",
+    "ts_seasonal_decompose",
+    "text_ttr_vocab",
+    "feat_category_hhi",
+    "feat_ltv_heuristic",
+    "agg_hll_custom",
+    "agg_count_min",
+    "fn_ip_cidr",
+    "win_decline_streak",
+    "multimodal_mime_sniff",
 ]
 
 

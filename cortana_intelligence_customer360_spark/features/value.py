@@ -361,13 +361,212 @@ FROM ranked GROUP BY o_custkey
 """
 
 
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def _km_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, x1, x2): integer features — account balance in cents
+    and order count (0 for never-ordered customers)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x1"),
+    )
+    n_ord = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(bcount().alias("n"))
+    )
+    return (
+        cust.join(n_ord, cust.c_custkey == n_ord.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "x1",
+            F.coalesce("n", F.lit(0)).cast("long").alias("x2"),
+        )
+    )
+
+
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 iterations) with a FULL cross-engine
+    oracle — iterative clustering as relational aggregates, the
+    companion piece to ml_logreg_newton.
+
+    Determinism: integer features; init = the k points ranked first
+    by md5(custkey); assignment is a MAP-ONLY nested-CASE argmin over
+    k inlined centroid literals with <=-comparisons so distance ties
+    go to the lowest cluster id; centroid updates are exact DECIMAL
+    sums / counts rounded to 6 dp; empty clusters keep their previous
+    centroid. (x - c) is exact in a double (41 bits needed, 53
+    available), so dist² is the identically-rounded IEEE product in
+    both engines.
+
+    Scale posture: each iteration is ONE aggregate over the
+    checkpointed point frame (assignment never shuffles — no points x
+    centroids join); driver state is k 2-vectors."""
+    pts = _km_points(spark, sf_dir).localCheckpoint()
+    # Init selection via orderBy().limit(k): TakeOrderedAndProject
+    # (per-partition heap + driver merge) — never a partitionless
+    # row_number window dragging every point into one task.
+    init = (
+        pts.select(
+            "x1", "x2", F.md5(F.col("custkey").cast("string")).alias("h"),
+            "custkey",
+        )
+        .orderBy("h", "custkey")
+        .limit(_KM_K)
+        .collect()
+    )
+    cents = {
+        i + 1: (float(r.x1), float(r.x2)) for i, r in enumerate(init)
+    }  # cid -> (c1, c2)
+    out = []
+    for it in range(1, _KM_ITERS + 1):
+        d = {
+            cid: (F.col("x1") - F.lit(c1)) * (F.col("x1") - F.lit(c1))
+            + (F.col("x2") - F.lit(c2)) * (F.col("x2") - F.lit(c2))
+            for cid, (c1, c2) in sorted(cents.items())
+        }
+        assigned = F.lit(_KM_K)
+        for cid in range(_KM_K - 1, 0, -1):
+            cond = None
+            for other in range(cid + 1, _KM_K + 1):
+                c = d[cid] <= d[other]
+                cond = c if cond is None else (cond & c)
+            assigned = F.when(cond, F.lit(cid)).otherwise(assigned)
+        stats = (
+            pts.select(assigned.alias("cid"), "x1", "x2")
+            .groupBy("cid")
+            .agg(
+                bcount().alias("n_points"),
+                F.round(
+                    F.sum(F.col("x1").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("c1"),
+                F.round(
+                    F.sum(F.col("x2").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("c2"),
+            )
+            .collect()
+        )
+        got = {r.cid: r for r in stats}
+        for cid in range(1, _KM_K + 1):
+            if cid in got:
+                cents[cid] = (got[cid].c1, got[cid].c2)
+                n = got[cid].n_points
+            else:
+                n = 0  # empty cluster: centroid unchanged
+            out.append((it, cid, n, cents[cid][0], cents[cid][1]))
+    return spark.createDataFrame(
+        out, "iter int, cluster_id int, n_points long, c1 double, c2 double"
+    )
+
+
+def _km_assign_sql(prev: str) -> str:
+    """Nested-CASE argmin matching the Spark when-chain (lowest cid
+    wins ties via <=)."""
+    dists = {
+        cid: (
+            f"((p.x1 - c.c1_{cid}) * (p.x1 - c.c1_{cid})"
+            f" + (p.x2 - c.c2_{cid}) * (p.x2 - c.c2_{cid}))"
+        )
+        for cid in range(1, _KM_K + 1)
+    }
+    cases = []
+    for cid in range(1, _KM_K):
+        conds = " AND ".join(
+            f"{dists[cid]} <= {dists[o]}" for o in range(cid + 1, _KM_K + 1)
+        )
+        cases.append(f"WHEN {conds} THEN {cid}")
+    case = "CASE " + " ".join(cases) + f" ELSE {_KM_K} END"
+    return f"SELECT {case} AS cid, p.x1, p.x2 FROM pts p CROSS JOIN {prev} c"
+
+
+def _km_iter_sql(prev: str, it: int) -> str:
+    # prev is referenced ONCE per CTE (a 1-row CROSS JOIN) — a scalar
+    # subquery per centroid column would re-execute the whole previous
+    # iteration per reference (measured: 20 s -> ~1 s on DuckDB).
+    prev_cols = ", ".join(
+        f"p.c1_{cid}, p.c2_{cid}" for cid in range(1, _KM_K + 1)
+    )
+    stats = f"""
+st{it} AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+         round(CAST(SUM(CAST(x1 AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*), 6) AS c1,
+         round(CAST(SUM(CAST(x2 AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*), 6) AS c2
+  FROM ({_km_assign_sql(prev)}) GROUP BY cid)"""
+    wide = ", ".join(
+        f"COALESCE(MAX(CASE WHEN cid = {cid} THEN c1 END), p.c1_{cid})"
+        f" AS c1_{cid},"
+        f" COALESCE(MAX(CASE WHEN cid = {cid} THEN c2 END), p.c2_{cid})"
+        f" AS c2_{cid},"
+        f" COALESCE(MAX(CASE WHEN cid = {cid} THEN n_points END), 0)"
+        f" AS n_{cid}"
+        for cid in range(1, _KM_K + 1)
+    )
+    return (
+        f"{stats},\nit{it} AS (SELECT {wide} FROM st{it}"
+        f" CROSS JOIN {prev} p GROUP BY {prev_cols})"
+    )
+
+
+def _kmeans_sql() -> str:
+    steps = ",".join(
+        _km_iter_sql("it0" if i == 1 else f"it{i - 1}", i)
+        for i in range(1, _KM_ITERS + 1)
+    )
+    emits = []
+    for it in range(1, _KM_ITERS + 1):
+        picks = " ".join(
+            f"WHEN {cid} THEN w.{{col}}_{cid}" for cid in range(1, _KM_K + 1)
+        )
+        c1_case = "CASE v.cluster_id " + picks.format(col="c1") + " END"
+        c2_case = "CASE v.cluster_id " + picks.format(col="c2") + " END"
+        n_case = "CASE v.cluster_id " + picks.format(col="n") + " END"
+        emits.append(
+            f"SELECT {it} AS iter, v.cluster_id,"
+            f" CAST({n_case} AS BIGINT) AS n_points,"
+            f" {c1_case} AS c1, {c2_case} AS c2"
+            f" FROM (VALUES {', '.join(f'({c})' for c in range(1, _KM_K + 1))})"
+            f" v(cluster_id) CROSS JOIN it{it} w"
+        )
+    init_cols = ", ".join(
+        f"MAX(CASE WHEN rn = {cid} THEN CAST(x1 AS DOUBLE) END) AS c1_{cid},"
+        f" MAX(CASE WHEN rn = {cid} THEN CAST(x2 AS DOUBLE) END) AS c2_{cid}"
+        for cid in range(1, _KM_K + 1)
+    )
+    return f"""
+WITH pts AS (
+  SELECT c.c_custkey AS custkey,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS x1,
+         CAST(COALESCE(o.n, 0) AS BIGINT) AS x2
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders
+             GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey),
+ranked AS (
+  SELECT x1, x2, row_number() OVER (
+    ORDER BY md5(CAST(custkey AS VARCHAR)), custkey) AS rn
+  FROM pts),
+it0 AS (SELECT {init_cols} FROM ranked WHERE rn <= {_KM_K}),
+{steps}
+{" UNION ALL ".join(emits)}
+"""
+
+
 QUERIES = {
     "feat_ltv_heuristic": feat_ltv_heuristic,
     "feat_category_hhi": feat_category_hhi,
     "ml_logreg_newton": ml_logreg_newton,
+    "ml_kmeans_lloyd": ml_kmeans_lloyd,
 }
 ORACLE = {
     "feat_ltv_heuristic": _LTV_SQL,
     "feat_category_hhi": _HHI_SQL,
     "ml_logreg_newton": _logreg_sql(),
+    "ml_kmeans_lloyd": _kmeans_sql(),
 }

@@ -707,7 +707,137 @@ GROUP BY user_id
 """
 
 
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per user over the same capped 30-event
+    prefix as ts_theil_sen: S = Σ sign(v_j - v_i) over ordered pairs,
+    plus Kendall's tau-a = S / n_pairs — the non-parametric "is there
+    a monotonic trend" screen (pure integers + one exact division, so
+    the whole statistic is bit-identical cross-engine; the slope
+    MAGNITUDE lives in ts_theil_sen)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TSEN_CAP)
+        .select("user_id", "rn", epoch_us("ts").alias("t"), "value")
+    )
+    a = capped.select(
+        "user_id", F.col("rn").alias("i"), F.col("t").alias("ti"),
+        F.col("value").alias("vi"),
+    )
+    b = capped.select(
+        "user_id", F.col("rn").alias("j"), F.col("t").alias("tj"),
+        F.col("value").alias("vj"),
+    )
+    pairs = a.join(b, "user_id").where(
+        (F.col("i") < F.col("j")) & (F.col("ti") < F.col("tj"))
+    )
+    sgn = F.signum(F.col("vj") - F.col("vi")).cast("long")
+    return (
+        pairs.select("user_id", sgn.alias("s"))
+        .groupBy("user_id")
+        .agg(
+            bcount().alias("n_pairs"),
+            F.sum("s").cast("long").alias("mk_s"),
+        )
+        .select(
+            "user_id",
+            "n_pairs",
+            "mk_s",
+            F.round(
+                F.col("mk_s").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("tau_a"),
+        )
+    )
+
+
+def _mk_sql() -> str:
+    return f"""
+WITH capped AS (
+  SELECT user_id, rn, t, value
+  FROM (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               {epoch_us_sql('ts')} AS t
+        FROM events)
+  WHERE rn <= {_TSEN_CAP}),
+pairs AS (
+  SELECT a.user_id, CAST(sign(b.value - a.value) AS BIGINT) AS s
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.rn < b.rn AND a.t < b.t)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(s) AS BIGINT) AS mk_s,
+       round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS tau_a
+FROM pairs GROUP BY user_id
+"""
+
+
+def ts_next_purchase_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-purchase ETA per customer: mean inter-order gap (exact
+    integer day diffs, DECIMAL mean) projected from the last order —
+    the "when do we expect them back" operational feature (and its
+    overdue flag relative to the dataset's end). Integer day
+    arithmetic throughout; the ETA emits as an ISO date string."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = o.select(
+        "o_custkey",
+        "d",
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap"),
+    )
+    per = gaps.groupBy("o_custkey").agg(
+        bcount().alias("n_orders"),
+        F.max("d").alias("last_d"),
+        F.round(
+            F.sum(F.col("gap").cast(_DEC)).cast("double")
+            / F.count("gap"),
+            6,
+        ).alias("mean_gap_days"),
+    )
+    return per.where(F.col("n_orders") >= 2).select(
+        "o_custkey",
+        "n_orders",
+        F.col("last_d").cast("string").alias("last_order_day"),
+        "mean_gap_days",
+        F.date_add(
+            F.col("last_d"), F.round(F.col("mean_gap_days")).cast("int")
+        )
+        .cast("string")
+        .alias("eta_day"),
+    )
+
+
+_ETA_SQL = """
+WITH g AS (
+  SELECT o_custkey, d,
+         datediff('day', lag(d) OVER (PARTITION BY o_custkey ORDER BY d),
+                  d) AS gap
+  FROM (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders)),
+per AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         MAX(d) AS last_d,
+         round(CAST(SUM(CAST(gap AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(gap), 6) AS mean_gap_days
+  FROM g GROUP BY o_custkey)
+SELECT o_custkey, n_orders,
+       CAST(last_d AS VARCHAR) AS last_order_day,
+       mean_gap_days,
+       CAST(last_d + CAST(round(mean_gap_days) AS INT) AS VARCHAR)
+         AS eta_day
+FROM per WHERE n_orders >= 2
+"""
+
+
 QUERIES = {
+    "ts_mann_kendall": ts_mann_kendall,
+    "ts_next_purchase_eta": ts_next_purchase_eta,
     "ts_seasonal_decompose": ts_seasonal_decompose,
     "ts_theil_sen": ts_theil_sen,
     "ts_resample_ohlc": ts_resample_ohlc,
@@ -720,6 +850,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ts_mann_kendall": _mk_sql(),
+    "ts_next_purchase_eta": _ETA_SQL,
     "ts_seasonal_decompose": _SEASONAL_SQL,
     "ts_theil_sen": _tsen_sql(),
     "ts_resample_ohlc": _OHLC_SQL,

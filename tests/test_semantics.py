@@ -2076,3 +2076,65 @@ def test_mime_sniff_partitions_corpus(spark, sf_dir):
     base = docs.select(F.sum(F.length("text"))).collect()[0][0]
     total = sum(r.total_bytes for r in rows.values())
     assert total == base + 8 * rows["image/png"].n_docs + 12 * rows["audio/wav"].n_docs
+
+
+def test_kmeans_lloyd_invariants(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.value import (
+        _KM_ITERS,
+        _KM_K,
+        _km_points,
+        ml_kmeans_lloyd,
+    )
+
+    rows = ml_kmeans_lloyd(spark, sf_dir).collect()
+    assert len(rows) == _KM_ITERS * _KM_K
+    n_pts = _km_points(spark, sf_dir).count()
+    by_iter = {}
+    for r in rows:
+        by_iter.setdefault(r.iter, []).append(r)
+    for it, members in by_iter.items():
+        assert sum(m.n_points for m in members) == n_pts  # partition
+    # Determinism.
+    again = ml_kmeans_lloyd(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_mann_kendall_agrees_with_theil_sen_sign(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_mann_kendall,
+        ts_theil_sen,
+    )
+
+    mk = {r.user_id: r for r in ts_mann_kendall(spark, sf_dir).collect()}
+    slopes = {r.user_id: r for r in ts_theil_sen(spark, sf_dir).collect()}
+    assert set(mk) == set(slopes)
+    strong_disagree = 0
+    for uid, r in mk.items():
+        assert -r.n_pairs <= r.mk_s <= r.n_pairs
+        assert abs(r.tau_a) <= 1.0 + 1e-9
+        # A strongly positive tau should not pair with a negative
+        # Theil-Sen slope (and vice versa).
+        if abs(r.tau_a) > 0.3:
+            if r.tau_a * slopes[uid].theil_sen_slope < 0:
+                strong_disagree += 1
+    assert strong_disagree == 0
+
+
+def test_next_purchase_eta_dates(spark, sf_dir):
+    import datetime as _dt
+
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_next_purchase_eta,
+    )
+
+    rows = ts_next_purchase_eta(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        last = _dt.date.fromisoformat(r.last_order_day)
+        eta = _dt.date.fromisoformat(r.eta_day)
+        assert r.n_orders >= 2
+        assert r.mean_gap_days > 0
+        # HALF_UP like both engines' round(), not Python's banker's.
+        import math as _math
+
+        assert (eta - last).days == _math.floor(r.mean_gap_days + 0.5)

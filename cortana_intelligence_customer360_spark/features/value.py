@@ -558,15 +558,106 @@ it0 AS (SELECT {init_cols} FROM ranked WHERE rn <= {_KM_K}),
 """
 
 
+_BRIDGE_Y0, _BRIDGE_Y1 = 1997, 1998
+
+
+def agg_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge per market segment: the
+    Δrevenue between two years decomposed into a VOLUME effect
+    ((n1−n0)·aov0) and a PRICE/MIX effect (n1·(aov1−aov0)) — the
+    waterfall every revenue review starts from; the two effects sum
+    exactly to the delta by construction.
+
+    Counts and cent sums are exact integers; the two effects are
+    mirrored-order double products rounded at emission. One fact
+    aggregate keyed by (segment, year); the bridge arithmetic runs on
+    the |segments|-row result."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    yr = F.year("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (
+        o.where(yr.isin(_BRIDGE_Y0, _BRIDGE_Y1))
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", yr.alias("y"), cents.alias("cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("y") == _BRIDGE_Y0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("y") == _BRIDGE_Y1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(
+                F.when(F.col("y") == _BRIDGE_Y0, F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev0_c"),
+            F.sum(
+                F.when(F.col("y") == _BRIDGE_Y1, F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev1_c"),
+        )
+    )
+    aov0 = F.col("rev0_c").cast("double") / F.col("n0")
+    aov1 = F.col("rev1_c").cast("double") / F.col("n1")
+    return per.select(
+        "c_mktsegment",
+        "n0",
+        "n1",
+        "rev0_c",
+        "rev1_c",
+        (F.col("rev1_c") - F.col("rev0_c")).alias("delta_c"),
+        F.round((F.col("n1") - F.col("n0")) * aov0 / 100.0, 6).alias(
+            "volume_effect"
+        ),
+        F.round(F.col("n1") * (aov1 - aov0) / 100.0, 6).alias(
+            "price_effect"
+        ),
+    )
+
+
+_BRIDGE_SQL = f"""
+WITH per AS (
+  SELECT c.c_mktsegment,
+         CAST(SUM(CASE WHEN year(o.o_orderdate) = {_BRIDGE_Y0}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN year(o.o_orderdate) = {_BRIDGE_Y1}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN year(o.o_orderdate) = {_BRIDGE_Y0}
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev0_c,
+         CAST(SUM(CASE WHEN year(o.o_orderdate) = {_BRIDGE_Y1}
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev1_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE year(o.o_orderdate) IN ({_BRIDGE_Y0}, {_BRIDGE_Y1})
+  GROUP BY 1)
+SELECT c_mktsegment, n0, n1, rev0_c, rev1_c,
+       rev1_c - rev0_c AS delta_c,
+       round((n1 - n0) * (CAST(rev0_c AS DOUBLE) / n0)
+             / CAST(100 AS DOUBLE), 6) AS volume_effect,
+       round(n1 * (CAST(rev1_c AS DOUBLE) / n1
+                   - CAST(rev0_c AS DOUBLE) / n0)
+             / CAST(100 AS DOUBLE), 6) AS price_effect
+FROM per
+"""
+
+
 QUERIES = {
     "feat_ltv_heuristic": feat_ltv_heuristic,
     "feat_category_hhi": feat_category_hhi,
+    "agg_revenue_bridge": agg_revenue_bridge,
     "ml_logreg_newton": ml_logreg_newton,
     "ml_kmeans_lloyd": ml_kmeans_lloyd,
 }
 ORACLE = {
     "feat_ltv_heuristic": _LTV_SQL,
     "feat_category_hhi": _HHI_SQL,
+    "agg_revenue_bridge": _BRIDGE_SQL,
     "ml_logreg_newton": _logreg_sql(),
     "ml_kmeans_lloyd": _kmeans_sql(),
 }

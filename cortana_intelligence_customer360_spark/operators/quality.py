@@ -406,7 +406,81 @@ FROM t JOIN exp USING (digit)
 """
 
 
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen per event_type: quartiles (continuous
+    interpolation, the engine-shared definition win_median_sliding
+    already pins), IQR fences at 1.5x, and the count/share of values
+    outside them — the complement of the MAD screen in dq_anomaly.
+    The quartiles are rounded to 6 dp BEFORE the fence arithmetic, so
+    the fence doubles are identical cross-engine and every comparison
+    agrees bit-for-bit. One aggregate to the |types|-row quartile
+    table (broadcast back), one counting pass."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
+    )
+    fenced = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    joined = ev.join(F.broadcast(fenced), "event_type")
+    out = F.when(
+        (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        joined.select("event_type", "q1", "q3", "lo", "hi", out.alias("o"))
+        .groupBy("event_type", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o").cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "q1",
+            "q3",
+            F.round("lo", 6).alias("lo_fence"),
+            F.round("hi", 6).alias("hi_fence"),
+            "n",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("outlier_share"),
+        )
+    )
+
+
+_IQR_SQL = """
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS q1,
+         round(quantile_cont(value, 0.75), 6) AS q3
+  FROM events GROUP BY event_type),
+f AS (
+  SELECT event_type, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM q)
+SELECT e.event_type, f.q1, f.q3,
+       round(f.lo, 6) AS lo_fence,
+       round(f.hi, 6) AS hi_fence,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS outlier_share
+FROM events e JOIN f USING (event_type)
+GROUP BY e.event_type, f.q1, f.q3, f.lo, f.hi
+"""
+
+
 QUERIES = {
+    "dq_outlier_iqr": dq_outlier_iqr,
     "dq_benford": dq_benford,
     "dq_distribution_drift": dq_distribution_drift,
     "dq_profile_summary": dq_profile_summary,
@@ -415,6 +489,7 @@ QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
 }
 ORACLE = {
+    "dq_outlier_iqr": _IQR_SQL,
     "dq_benford": _benford_sql(),
     "dq_distribution_drift": _DRIFT_SQL,
     "dq_profile_summary": _profile_sql(),

@@ -309,14 +309,99 @@ FROM p a JOIN p b ON b.pid = a.pid + 1
 """
 
 
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the proximity graph:
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close each node's
+    neighborhood is to a clique (the community-structure signal next
+    to raw triangle counts). Exact integer T and deg feed ONE double
+    division, so the coefficient is bit-identical cross-engine; nodes
+    with deg < 2 report cc = 0 by convention.
+
+    Scale posture: reuses the grid-bucketed proximity pairs (never
+    all-pairs) and the a<b wedge-join triangle enumeration; degrees
+    come from one symmetric-edge aggregate. All joins keyed by node
+    id."""
+    e = _pairs_within(_points(spark, sf_dir), _TRI_R).select(
+        F.col("pid_a").alias("a"), F.col("pid_b").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    wedges = e.select(F.col("a"), F.col("b")).join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    tcount = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    cc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            2.0
+            * F.coalesce("n_triangles", F.lit(0)).cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tcount, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+        cc.alias("clustering_coeff"),
+    )
+
+
+_CLUSTERING_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+e AS (
+  SELECT a.pid AS a, b.pid AS b
+  FROM pts a JOIN pts b
+    ON a.pid < b.pid
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_TRI_R * _TRI_R}),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tc AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT deg.node, deg.deg,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.deg >= 2
+            THEN round(2.0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE)
+                       / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN tc USING (node)
+"""
+
+
 QUERIES = {
     "join_spatial_grid": join_spatial_grid,
+    "graph_clustering_coeff": graph_clustering_coeff,
     "graph_triangle_count": graph_triangle_count,
     "fn_geohash": fn_geohash,
     "fn_haversine": fn_haversine,
 }
 ORACLE = {
     "join_spatial_grid": _SPATIAL_SQL,
+    "graph_clustering_coeff": _CLUSTERING_SQL,
     "graph_triangle_count": _TRIANGLE_SQL,
     "fn_geohash": _geohash_sql(),
     "fn_haversine": _haversine_sql(),

@@ -2138,3 +2138,52 @@ def test_next_purchase_eta_dates(spark, sf_dir):
         import math as _math
 
         assert (eta - last).days == _math.floor(r.mean_gap_days + 0.5)
+
+
+def test_clustering_coeff_bounds(spark, sf001_dir):
+    # sf0.01: the proximity graph at sf0.001 has too few points for
+    # any within-radius pair (the usual cardinality floor).
+    from cortana_intelligence_customer360_spark.operators.spatial import (
+        graph_clustering_coeff,
+    )
+
+    rows = graph_clustering_coeff(spark, sf001_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.deg >= 1
+        assert 0.0 <= r.clustering_coeff <= 1.0 + 1e-9
+        if r.deg >= 2:
+            max_tri = r.deg * (r.deg - 1) // 2
+            assert r.n_triangles <= max_tri
+        else:
+            assert r.clustering_coeff == 0.0
+
+
+def test_revenue_bridge_decomposes_exactly(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.value import (
+        agg_revenue_bridge,
+    )
+
+    rows = agg_revenue_bridge(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_c == r.rev1_c - r.rev0_c
+        # volume + price effects sum to the delta (dollars).
+        recomposed = r.volume_effect + r.price_effect
+        assert abs(recomposed - r.delta_c / 100.0) < 1e-3, r
+
+
+def test_iqr_outlier_share_consistent(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.quality import (
+        dq_outlier_iqr,
+    )
+
+    rows = dq_outlier_iqr(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.q1 <= r.q3
+        assert r.lo_fence <= r.q1 and r.q3 <= r.hi_fence
+        assert 0 <= r.n_outliers <= r.n
+        assert abs(r.outlier_share - round(r.n_outliers / r.n, 6)) < 1e-9
+        # Tukey fences at 1.5 IQR keep the bulk: < 10% flagged.
+        assert r.outlier_share < 0.1

@@ -131,6 +131,11 @@ HEAVY = [
     "fn_ip_cidr",
     "win_decline_streak",
     "multimodal_mime_sniff",
+    "ml_kmeans_lloyd",
+    "ts_mann_kendall",
+    "graph_clustering_coeff",
+    "agg_revenue_bridge",
+    "dq_outlier_iqr",
 ]
 
 

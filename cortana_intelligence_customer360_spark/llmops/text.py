@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import bcount, davg_sql
+from ..compat import _DEC, bcount, davg_sql
 from ..sources.tables import load_table
 
 # Tiny per-language marker vocabularies for the n-gram/stopword
@@ -748,7 +748,105 @@ FROM pt GROUP BY doc_id
 """
 
 
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift: Jensen–Shannon divergence (log2, so
+    0 ≤ JS ≤ 1) between each source's unigram distribution and the
+    whole corpus — the standard "which ingest feed changed character"
+    monitor for a pretraining mixture.
+
+    The q-side KL sum runs over the FULL vocabulary; tokens absent
+    from a source have m = q/2, so their term is exactly q·log2(2)=q
+    and the absent-token mass folds in as (1 − Σ_present q) without
+    ever materializing a vocab × sources grid. Transcendental terms
+    round to 6 dp before exact DECIMAL summation (libm discipline);
+    the global token table is broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tok_src = toks.groupBy("source", "tok").agg(bcount().alias("n_st"))
+    tot_src = tok_src.groupBy("source").agg(
+        F.sum("n_st").cast("long").alias("n_s"),
+        bcount().alias("vocab_s"),
+    )
+    tok_glob = toks.groupBy("tok").agg(bcount().alias("n_t"))
+    n_total = toks.select(bcount().alias("n")).first()["n"]
+    j = tok_src.join(F.broadcast(tok_glob), "tok").join(
+        F.broadcast(tot_src.select("source", "n_s")), "source"
+    )
+    p = F.col("n_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("n_t").cast("double") / F.lit(float(n_total))
+    m = (p + q) / 2
+    terms = j.select(
+        "source",
+        F.round(p * F.log2(p / m), 6).alias("tp"),
+        F.round(q * F.log2(q / m), 6).alias("tq"),
+        F.round(q, 6).alias("qr"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum(F.col("tp").cast(_DEC)).cast("double").alias("p_sum"),
+        F.sum(F.col("tq").cast(_DEC)).cast("double").alias("qp_sum"),
+        F.sum(F.col("qr").cast(_DEC)).cast("double").alias("q_mass"),
+    )
+    js = F.round(
+        0.5
+        * (
+            F.col("p_sum")
+            + (F.col("qp_sum") + (F.lit(1.0) - F.col("q_mass")))
+        ),
+        6,
+    )
+    return agg.join(tot_src, "source").select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        F.col("vocab_s").alias("vocab"),
+        js.alias("js_divergence"),
+    )
+
+
+_JS_SQL = """
+WITH toks AS (
+  SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents),
+tok_src AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_st
+  FROM toks GROUP BY source, tok),
+tot_src AS (
+  SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s,
+         CAST(COUNT(*) AS BIGINT) AS vocab_s
+  FROM tok_src GROUP BY source),
+tok_glob AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+terms AS (
+  SELECT ts.source,
+         round((CAST(ts.n_st AS DOUBLE) / t.n_s)
+               * log2((CAST(ts.n_st AS DOUBLE) / t.n_s)
+                      / ((CAST(ts.n_st AS DOUBLE) / t.n_s
+                          + CAST(g.n_t AS DOUBLE) / n.n) / 2)), 6) AS tp,
+         round((CAST(g.n_t AS DOUBLE) / n.n)
+               * log2((CAST(g.n_t AS DOUBLE) / n.n)
+                      / ((CAST(ts.n_st AS DOUBLE) / t.n_s
+                          + CAST(g.n_t AS DOUBLE) / n.n) / 2)), 6) AS tq,
+         round(CAST(g.n_t AS DOUBLE) / n.n, 6) AS qr
+  FROM tok_src ts
+  JOIN tok_glob g USING (tok)
+  JOIN tot_src t USING (source)
+  CROSS JOIN n),
+agg AS (
+  SELECT source,
+         CAST(SUM(CAST(tp AS DECIMAL(30,6))) AS DOUBLE) AS p_sum,
+         CAST(SUM(CAST(tq AS DECIMAL(30,6))) AS DOUBLE) AS qp_sum,
+         CAST(SUM(CAST(qr AS DECIMAL(30,6))) AS DOUBLE) AS q_mass
+  FROM terms GROUP BY source)
+SELECT agg.source, t.n_s AS n_tokens, t.vocab_s AS vocab,
+       round(0.5 * (p_sum + (qp_sum + (1.0 - q_mass))), 6)
+         AS js_divergence
+FROM agg JOIN tot_src t USING (source)
+"""
+
+
 QUERIES = {
+    "text_js_divergence": text_js_divergence,
     "text_ttr_vocab": text_ttr_vocab,
     "text_pii_redact": text_pii_redact,
     "text_compression_ratio": text_compression_ratio,
@@ -766,6 +864,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_js_divergence": _JS_SQL,
     "text_ttr_vocab": _TTR_SQL,
     "text_pii_redact": _PII_SQL,
     "text_winnowing": _WINNOW_SQL,

@@ -479,7 +479,51 @@ GROUP BY e.event_type, f.q1, f.q3, f.lo, f.hi
 """
 
 
+
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest freshness per event_type: each type's latest event vs
+    the dataset watermark (global max ts), as a minutes-behind lag —
+    the "is feed X stalled" check every streaming ingest dashboard
+    leads with. Exact integer µs arithmetic; one tiny aggregate plus
+    a broadcast of the 1-row watermark."""
+    from ..compat import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    per = ev.groupBy("event_type").agg(
+        F.max(epoch_us("ts")).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wm = per.agg(F.max("last_us").alias("wm_us"))
+    return per.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        "n_events",
+        "last_us",
+        F.round(
+            (F.col("wm_us") - F.col("last_us")).cast("double") / 60000000.0,
+            6,
+        ).alias("lag_minutes"),
+    )
+
+
+def _freshness_sql() -> str:
+    from ..compat import epoch_us_sql
+
+    return f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(MAX({epoch_us_sql('ts')}) AS BIGINT) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type),
+wm AS (SELECT MAX(last_us) AS wm_us FROM per)
+SELECT event_type, n_events, last_us,
+       round(CAST(wm.wm_us - per.last_us AS DOUBLE)
+             / CAST(60000000 AS DOUBLE), 6) AS lag_minutes
+FROM per CROSS JOIN wm
+"""
+
+
 QUERIES = {
+    "dq_freshness_lag": dq_freshness_lag,
     "dq_outlier_iqr": dq_outlier_iqr,
     "dq_benford": dq_benford,
     "dq_distribution_drift": dq_distribution_drift,
@@ -489,6 +533,7 @@ QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
 }
 ORACLE = {
+    "dq_freshness_lag": _freshness_sql(),
     "dq_outlier_iqr": _IQR_SQL,
     "dq_benford": _benford_sql(),
     "dq_distribution_drift": _DRIFT_SQL,

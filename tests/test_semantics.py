@@ -2187,3 +2187,40 @@ def test_iqr_outlier_share_consistent(spark, sf_dir):
         assert abs(r.outlier_share - round(r.n_outliers / r.n, 6)) < 1e-9
         # Tukey fences at 1.5 IQR keep the bulk: < 10% flagged.
         assert r.outlier_share < 0.1
+
+
+def test_js_divergence_bounds_and_self_zero(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_js_divergence,
+    )
+
+    rows = text_js_divergence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # JS with log2 lives in [0, 1]; small slack for term rounding.
+        assert -1e-3 <= r.js_divergence <= 1.0 + 1e-3, r
+        assert 0 < r.vocab <= r.n_tokens
+    # A single-source corpus diverges ~0 from itself.
+    docs = load_table(spark, sf_dir, "documents")
+    one = docs.withColumn("source", F.lit("only"))
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    one.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    solo = text_js_divergence(spark, d).collect()
+    assert len(solo) == 1
+    assert abs(solo[0].js_divergence) < 1e-3
+
+
+def test_freshness_lag_watermark(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.quality import (
+        dq_freshness_lag,
+    )
+
+    rows = dq_freshness_lag(spark, sf_dir).collect()
+    assert rows
+    lags = [r.lag_minutes for r in rows]
+    assert min(lags) == 0.0  # the freshest type IS the watermark
+    for r in rows:
+        assert r.lag_minutes >= 0.0
+        assert r.n_events > 0

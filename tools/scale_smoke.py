@@ -136,6 +136,7 @@ HEAVY = [
     "graph_clustering_coeff",
     "agg_revenue_bridge",
     "dq_outlier_iqr",
+    "text_js_divergence",
 ]
 
 

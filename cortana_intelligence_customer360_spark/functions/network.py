@@ -87,9 +87,92 @@ GROUP BY 1
 """
 
 
+
+_UA_TEMPLATES = [
+    ("Mozilla/5.0 (Windows NT 10.0) Chrome/{v}.0.0 Safari/537.36", "chrome"),
+    ("Mozilla/5.0 (Macintosh) Version/{v}.1 Safari/605.1.15", "safari"),
+    ("Mozilla/5.0 (X11; Linux) Firefox/{v}.0", "firefox"),
+    ("curl/{v}.8.0", "curl"),
+]
+_UA_VER_RE = "(Chrome|Firefox|curl|Version)/([0-9]+)"
+
+
+def fn_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent family + major-version extraction and rollup. The
+    UA string is synthesized in-plan (user_id selects a template,
+    version derives from user_id), then parsed back with contains()
+    classification and a single RE2-safe regexp_extract (no
+    lookaheads — Spark's Java regex and DuckDB's RE2 must agree).
+    Classification and extraction are pure codegen'd column exprs;
+    one small rollup keyed by family."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    v = (F.col("user_id") % 30 + 70).cast("long")
+    pick = F.col("user_id") % 4
+
+    def tpl_expr(i):
+        head, tail = _UA_TEMPLATES[i][0].split("{v}")
+        return F.concat(F.lit(head), v.cast("string"), F.lit(tail))
+
+    ua = (
+        F.when(pick == 0, tpl_expr(0))
+        .when(pick == 1, tpl_expr(1))
+        .when(pick == 2, tpl_expr(2))
+        .otherwise(tpl_expr(3))
+    )
+    b = ev.select("user_id", ua.alias("ua"))
+    family = (
+        F.when(F.col("ua").contains("Chrome/"), "chrome")
+        .when(F.col("ua").contains("Firefox/"), "firefox")
+        .when(F.col("ua").contains("curl/"), "curl")
+        .otherwise("safari")
+    )
+    major = F.regexp_extract("ua", _UA_VER_RE, 2).cast("long")
+    return (
+        b.select(family.alias("family"), major.alias("major"), "user_id")
+        .groupBy("family")
+        .agg(
+            bcount().alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("major").alias("min_major"),
+            F.max("major").alias("max_major"),
+        )
+    )
+
+
+def _ua_sql() -> str:
+    cases = []
+    for i, (tpl, _) in enumerate(_UA_TEMPLATES):
+        head, tail = tpl.split("{v}")
+        cases.append(
+            f"WHEN user_id % 4 = {i} THEN "
+            f"'{head}' || CAST(user_id % 30 + 70 AS VARCHAR) || '{tail}'"
+        )
+    case = "CASE " + " ".join(cases) + " ELSE '' END"
+    return f"""
+WITH b AS (SELECT user_id, {case} AS ua FROM events),
+parsed AS (
+  SELECT user_id,
+         CASE WHEN contains(ua, 'Chrome/') THEN 'chrome'
+              WHEN contains(ua, 'Firefox/') THEN 'firefox'
+              WHEN contains(ua, 'curl/') THEN 'curl'
+              ELSE 'safari' END AS family,
+         CAST(regexp_extract(ua, '{_UA_VER_RE}', 2) AS BIGINT) AS major
+  FROM b)
+SELECT family,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(major) AS min_major,
+       MAX(major) AS max_major
+FROM parsed GROUP BY family
+"""
+
+
+
 QUERIES = {
     "fn_ip_cidr": fn_ip_cidr,
+    "fn_ua_parse": fn_ua_parse,
 }
 ORACLE = {
     "fn_ip_cidr": _ip_cidr_sql(),
+    "fn_ua_parse": _ua_sql(),
 }

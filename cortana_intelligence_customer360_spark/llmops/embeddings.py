@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..compat import _DEC
 from ..sources.tables import load_table
 
 _PCA_K = 8
@@ -166,13 +167,72 @@ FROM flat
 """
 
 
+
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene screen per label: L2-norm distribution
+    (min/mean/max) and the count of non-unit vectors — the first
+    check before any cosine-based pipeline (an unnormalized feed
+    silently breaks dot-product == cosine assumptions).
+
+    The norm is a LEFT FOLD over the array (F.aggregate ↔ DuckDB
+    list_reduce, same evaluation order) so the float sum is
+    bit-identical; per-vector norms round to 6 dp before the DECIMAL
+    mean. Map-only per vector + one label-keyed aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ss = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    per = emb.select(
+        "label", F.round(F.sqrt(ss), 6).alias("norm")
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("norm").alias("min_norm"),
+        F.max("norm").alias("max_norm"),
+        F.round(
+            F.sum(F.col("norm").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_norm"),
+        F.sum(
+            F.when(F.abs(F.col("norm") - 1.0) > 0.01, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_nonunit"),
+    )
+
+
+_NORM_SQL = """
+WITH per AS (
+  SELECT label,
+         round(sqrt(list_reduce(
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             (a, b) -> a + b)), 6) AS norm
+  FROM embeddings)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(norm) AS min_norm,
+       MAX(norm) AS max_norm,
+       round(CAST(SUM(CAST(norm AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_norm,
+       CAST(SUM(CASE WHEN abs(norm - 1.0) > 0.01 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nonunit
+FROM per GROUP BY label
+"""
+
+
 QUERIES = {
+    "emb_norm_stats": emb_norm_stats,
     "emb_quantize_int8": emb_quantize_int8,
     "emb_matryoshka_truncate": emb_matryoshka_truncate,
     "emb_pca_reduce": emb_pca_reduce,
 }
 
 ORACLE = {
+    "emb_norm_stats": _NORM_SQL,
     "emb_quantize_int8": _QUANTIZE_SQL,
     "emb_matryoshka_truncate": _MATRYOSHKA_SQL,
 }

@@ -845,7 +845,91 @@ FROM agg JOIN tot_src t USING (source)
 """
 
 
+
+_ZIPF_TOPN = 100
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: OLS of ln(freq) on ln(rank)
+    for the top-100 tokens — natural language sits near slope −1;
+    template/synthetic corpora drift off it (a one-number corpus
+    authenticity check). Rank ties break by token text; the five OLS
+    sufficient sums are 6-dp-rounded transcendental terms summed as
+    DECIMAL; the closed-form slope/intercept mirrors
+    ml_linreg_closed_form's arithmetic shape.
+
+    Scale posture: the token count is one map-side-combined
+    aggregate; the top-100 selection is a TakeOrdered-sized sort and
+    the regression runs on 100 rows."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(bcount().alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(
+        _ZIPF_TOPN
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.orderBy(F.col("n").desc(), F.col("tok").asc())
+        ),
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+
+    def d6(c):
+        return F.sum(F.round(c, 6).cast(_DEC)).cast("double")
+
+    agg = ranked.select(
+        d6(x).alias("sx"),
+        d6(y).alias("sy"),
+        d6(x * y).alias("sxy"),
+        d6(x * x).alias("sxx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+  FROM counts ORDER BY n DESC, tok ASC LIMIT {_ZIPF_TOPN}),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(round(ln(CAST(rank AS DOUBLE)), 6)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(ln(CAST(ranked.n AS DOUBLE)), 6)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(ln(CAST(rank AS DOUBLE))
+                             * ln(CAST(ranked.n AS DOUBLE)), 6)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(ln(CAST(rank AS DOUBLE))
+                             * ln(CAST(rank AS DOUBLE)), 6)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS zipf_intercept
+FROM agg
+"""
+
+
 QUERIES = {
+    "text_zipf_fit": text_zipf_fit,
     "text_js_divergence": text_js_divergence,
     "text_ttr_vocab": text_ttr_vocab,
     "text_pii_redact": text_pii_redact,
@@ -864,6 +948,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_zipf_fit": _ZIPF_SQL,
     "text_js_divergence": _JS_SQL,
     "text_ttr_vocab": _TTR_SQL,
     "text_pii_redact": _PII_SQL,

@@ -406,7 +406,58 @@ SELECT * FROM agg WHERE best_streak >= 3
 """
 
 
+
+def win_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per market segment: the BI
+    staple. Aggregate-then-window: the lag runs over the tiny
+    (segment, month) aggregate, never the fact table; cents stay
+    exact integers and the percent change is one double division
+    rounded at emission. First month per segment emits NULL pct."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", ym.alias("ym"), cents.alias("cents"))
+        .groupBy("c_mktsegment", "ym")
+        .agg(F.sum("cents").cast("long").alias("rev_c"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("ym")
+    prev = F.lag("rev_c").over(w)
+    return per.select(
+        "c_mktsegment",
+        "ym",
+        "rev_c",
+        F.round(
+            (F.col("rev_c") - prev).cast("double") / prev.cast("double")
+            * 100.0,
+            6,
+        ).alias("mom_pct"),
+    )
+
+
+_MOM_SQL = """
+WITH per AS (
+  SELECT c.c_mktsegment,
+         CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
+           AS ym,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment, ym, rev_c,
+       round(CAST(rev_c - lag(rev_c) OVER w AS DOUBLE)
+             / CAST(lag(rev_c) OVER w AS DOUBLE) * 100.0, 6) AS mom_pct
+FROM per
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY ym)
+"""
+
+
 QUERIES = {
+    "win_mom_change": win_mom_change,
     "win_decline_streak": win_decline_streak,
     "win_median_sliding": win_median_sliding,
     "win_nth_value": win_nth_value,
@@ -422,6 +473,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_mom_change": _MOM_SQL,
     "win_decline_streak": _DECLINE_STREAK_SQL,
     "win_median_sliding": _MEDIAN_SLIDING_SQL,
     "win_nth_value": _NTH_VALUE_SQL,

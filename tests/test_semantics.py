@@ -2224,3 +2224,59 @@ def test_freshness_lag_watermark(spark, sf_dir):
     for r in rows:
         assert r.lag_minutes >= 0.0
         assert r.n_events > 0
+
+
+def test_emb_norm_stats_units(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.llmops.embeddings import (
+        emb_norm_stats,
+    )
+
+    rows = emb_norm_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.min_norm <= r.mean_norm <= r.max_norm
+        assert 0 <= r.n_nonunit <= r.n_vecs
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_zipf_fit,
+    )
+
+    rows = text_zipf_fit(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_tokens_fit > 10
+    assert r.zipf_slope < 0  # frequency decays with rank, always
+    assert r.zipf_intercept > 0
+
+
+def test_mom_change_recomputes(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.windows import (
+        win_mom_change,
+    )
+
+    rows = win_mom_change(spark, sf_dir).collect()
+    assert rows
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg, ms in by_seg.items():
+        ms.sort(key=lambda r: r.ym)
+        assert ms[0].mom_pct is None  # first month has no predecessor
+        for prev, cur in zip(ms, ms[1:]):
+            expect = round((cur.rev_c - prev.rev_c) / prev.rev_c * 100.0, 6)
+            assert abs(cur.mom_pct - expect) < 1e-6
+
+
+def test_ua_parse_families_partition(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.functions.network import (
+        fn_ua_parse,
+    )
+
+    rows = {r.family: r for r in fn_ua_parse(spark, sf_dir).collect()}
+    n_ev = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows.values()) == n_ev
+    assert set(rows) <= {"chrome", "safari", "firefox", "curl"}
+    for r in rows.values():
+        assert 70 <= r.min_major <= r.max_major <= 99

@@ -647,7 +647,74 @@ FROM per
 """
 
 
+
+def feat_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into NEW (first-ever purchase that month)
+    vs RETURNING customers — the acquisition-vs-retention lens every
+    growth review opens with. A customer's first month comes from one
+    min-aggregate; the month rollup is exact integer cents with a
+    derived new-revenue share."""
+    o = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select("o_custkey", ym.alias("ym"), cents.alias("cents"))
+    first = base.groupBy("o_custkey").agg(F.min("ym").alias("first_ym"))
+    j = base.join(first, "o_custkey")
+    is_new = F.col("ym") == F.col("first_ym")
+    per = j.groupBy("ym").agg(
+        F.countDistinct(F.when(is_new, F.col("o_custkey"))).cast("long").alias(
+            "new_customers"
+        ),
+        F.countDistinct(F.when(~is_new, F.col("o_custkey")))
+        .cast("long")
+        .alias("returning_customers"),
+        F.sum(F.when(is_new, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("new_rev_c"),
+        F.sum(F.when(~is_new, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("ret_rev_c"),
+    )
+    total = F.col("new_rev_c") + F.col("ret_rev_c")
+    return per.select(
+        "ym",
+        "new_customers",
+        "returning_customers",
+        "new_rev_c",
+        "ret_rev_c",
+        F.round(
+            F.col("new_rev_c").cast("double") / total.cast("double"), 6
+        ).alias("new_rev_share"),
+    )
+
+
+_NVR_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+           AS ym,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+first AS (SELECT o_custkey, MIN(ym) AS first_ym FROM base GROUP BY 1),
+j AS (SELECT b.*, f.first_ym FROM base b JOIN first f USING (o_custkey))
+SELECT ym,
+       CAST(COUNT(DISTINCT CASE WHEN ym = first_ym THEN o_custkey END)
+            AS BIGINT) AS new_customers,
+       CAST(COUNT(DISTINCT CASE WHEN ym <> first_ym THEN o_custkey END)
+            AS BIGINT) AS returning_customers,
+       CAST(SUM(CASE WHEN ym = first_ym THEN cents ELSE 0 END) AS BIGINT)
+         AS new_rev_c,
+       CAST(SUM(CASE WHEN ym <> first_ym THEN cents ELSE 0 END) AS BIGINT)
+         AS ret_rev_c,
+       round(CAST(SUM(CASE WHEN ym = first_ym THEN cents ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE), 6) AS new_rev_share
+FROM j GROUP BY ym
+"""
+
+
 QUERIES = {
+    "feat_new_vs_returning": feat_new_vs_returning,
     "feat_ltv_heuristic": feat_ltv_heuristic,
     "feat_category_hhi": feat_category_hhi,
     "agg_revenue_bridge": agg_revenue_bridge,
@@ -655,6 +722,7 @@ QUERIES = {
     "ml_kmeans_lloyd": ml_kmeans_lloyd,
 }
 ORACLE = {
+    "feat_new_vs_returning": _NVR_SQL,
     "feat_ltv_heuristic": _LTV_SQL,
     "feat_category_hhi": _HHI_SQL,
     "agg_revenue_bridge": _BRIDGE_SQL,

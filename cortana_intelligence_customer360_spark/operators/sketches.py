@@ -38,13 +38,15 @@ _HLL_M = 256  # 2^8 buckets: first hex byte of the md5
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # bias constant, m >= 128
 
 
-def _registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, bucket, reg): per-group HLL register table.
+def registers_from(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, reg): HLL register table from any
+    (event_type, user_id) frame — batch or a micro-batch (the
+    streaming merge in streaming.ops.stream_hll_merge reuses this,
+    relying on max-merge idempotence).
 
     bucket = first md5 byte; rank = leading-zeros+1 of the next 32
     hash bits, computed via length(bin(x)) — pure integer, no log2
     rounding hazard."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     h = F.md5(F.col("user_id").cast("string"))
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     x = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
@@ -58,6 +60,11 @@ def _registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").cast("int").alias("reg"))
     )
+
+
+def _registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return registers_from(ev)
 
 
 def _estimate(regs: DataFrame, key: str) -> DataFrame:
@@ -86,13 +93,9 @@ def _estimate(regs: DataFrame, key: str) -> DataFrame:
     )
 
 
-def agg_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-user HLL estimate per event_type PLUS the merged
-    '__all__' sketch, where merge = bucketwise register max over the
-    per-group register table — demonstrating the property that makes
-    HLL the 100-TB distinct-count answer (partial sketches union
-    losslessly without re-reading data)."""
-    regs = _registers(spark, sf_dir)
+def hll_output(regs: DataFrame) -> DataFrame:
+    """Per-group estimates + the '__all__' bucketwise-max merge from
+    any register table (shared with the streaming merge path)."""
     per_group = _estimate(regs, "event_type")
     merged_regs = (
         regs.groupBy("bucket")
@@ -101,6 +104,15 @@ def agg_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = _estimate(merged_regs, "event_type")
     return per_group.unionByName(merged)
+
+
+def agg_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user HLL estimate per event_type PLUS the merged
+    '__all__' sketch, where merge = bucketwise register max over the
+    per-group register table — demonstrating the property that makes
+    HLL the 100-TB distinct-count answer (partial sketches union
+    losslessly without re-reading data)."""
+    return hll_output(_registers(spark, sf_dir))
 
 
 def _hll_sql() -> str:

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from ..compat import bcount, dsum, dsum_sql, epoch_us_sql
 from ..operators.scans import _EVENTS_RAW_SCHEMA, scratch_dir
+from ..operators.sketches import _hll_sql
 from ..sources.tables import ensure_session_confs, load_table, raw_ts_to_timestamp
 
 _SEQ = itertools.count(1)  # single next() call is atomic under CPython
@@ -1123,7 +1124,57 @@ WITH log AS (
 {_STREAM_CDC_SQL_SUFFIX}"""
 
 
+
+def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count via MERGEABLE HLL sketches: each
+    micro-batch folds its events into a (event_type, bucket) register
+    table and foreachBatch max-merges it into the persistent sketch
+    state — the canonical "incremental distinct users at 100 TB"
+    pattern (state is O(types x 256) REGARDLESS of cardinality, vs
+    the unbounded key set dropDuplicates-style exact counting needs).
+
+    Because register max-merge is associative/commutative/idempotent,
+    the merged sketch is BIT-IDENTICAL to the one-shot batch sketch no
+    matter how the maxFilesPerTrigger=1 replay slices the source — so
+    this streaming op carries agg_hll_custom's FULL oracle."""
+    from ..operators.sketches import hll_output, registers_from
+
+    sink = scratch_dir("stream_hll_merge", sf_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        regs = registers_from(batch_df.select("event_type", "user_id"))
+        try:
+            existing = spark_l.read.parquet(sink)
+        except Exception:
+            existing = None
+        if existing is not None:
+            regs = (
+                existing.unionByName(regs)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("reg").cast("int").alias("reg"))
+            )
+        regs.write.mode("overwrite").parquet(sink + ".tmp")
+        spark_l.read.parquet(sink + ".tmp").write.mode("overwrite").parquet(
+            sink
+        )
+
+    import shutil
+
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(sink + ".tmp", ignore_errors=True)
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hll_output(spark.read.parquet(sink))
+
+
 QUERIES = {
+    "stream_hll_merge": stream_hll_merge,
     "stream_error_burst": stream_error_burst,
     "stream_error_burst_multi": stream_error_burst_multi,
     "stream_attribution": stream_attribution,
@@ -1152,6 +1203,7 @@ if HAVE_PROTOBUF:  # pragma: no cover - container lacks protobuf
     QUERIES["stream_transform_state_multi"] = stream_transform_state_multi
 
 ORACLE = {
+    "stream_hll_merge": _hll_sql(),
     "stream_error_burst": _ERROR_BURST_STREAM_SQL,
     "stream_error_burst_multi": _ERROR_BURST_STREAM_SQL,
     "stream_attribution": _ATTR_STREAM_SQL,

@@ -2280,3 +2280,27 @@ def test_ua_parse_families_partition(spark, sf_dir):
     assert set(rows) <= {"chrome", "safari", "firefox", "curl"}
     for r in rows.values():
         assert 70 <= r.min_major <= r.max_major <= 99
+
+
+def test_new_vs_returning_shares(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.value import (
+        feat_new_vs_returning,
+    )
+
+    rows = sorted(
+        feat_new_vs_returning(spark, sf_dir).collect(), key=lambda r: r.ym
+    )
+    assert rows
+    # The first month of the dataset is 100% new by definition.
+    assert rows[0].returning_customers == 0
+    assert abs(rows[0].new_rev_share - 1.0) < 1e-9
+    total_new = sum(r.new_customers for r in rows)
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total_new == n_cust  # every buyer is new exactly once
+    for r in rows:
+        assert 0.0 <= r.new_rev_share <= 1.0 + 1e-9

@@ -224,3 +224,29 @@ def test_stream_cdc_apply_versions_and_time_travel(spark, sf_dir):
     v0 = t.read(spark, version=0)
     assert v0.count() == n_base
     assert v0.where(F.col("touched")).count() == 0
+
+
+def test_stream_hll_merge_equals_batch_sketch(spark, sf_dir):
+    """Max-merge across micro-batches must be BIT-identical to the
+    one-shot batch sketch (associative/commutative/idempotent)."""
+    from cortana_intelligence_customer360_spark.operators.sketches import (
+        agg_hll_custom,
+    )
+    from cortana_intelligence_customer360_spark.streaming.ops import (
+        stream_hll_merge,
+    )
+
+    batch = {
+        r.event_type: r for r in agg_hll_custom(spark, sf_dir).collect()
+    }
+    streamed = {
+        r.event_type: r for r in stream_hll_merge(spark, sf_dir).collect()
+    }
+    assert set(batch) == set(streamed)
+    for et, b in batch.items():
+        s = streamed[et]
+        assert (b.n_buckets, b.n_empty, b.hll_estimate) == (
+            s.n_buckets,
+            s.n_empty,
+            s.hll_estimate,
+        ), et

@@ -713,7 +713,165 @@ FROM j GROUP BY ym
 """
 
 
+
+def ml_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part-type log-log price elasticity: OLS slope of
+    ln(quantity) on ln(unit price) over lineitems — the demand-curve
+    first cut pricing teams ask for. Same determinism scheme as
+    text_zipf_fit: transcendental terms rounded to 6 dp, DECIMAL
+    sufficient sums, closed-form slope; one fact aggregate keyed by
+    type (part dim broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    y = F.log(F.col("l_quantity"))
+
+    def d6(c):
+        return F.sum(F.round(c, 6).cast(_DEC)).cast("double")
+
+    agg = j.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d6(x).alias("sx"),
+        d6(y).alias("sy"),
+        d6(x * y).alias("sxy"),
+        d6(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "p_type",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+_ELASTICITY_SQL = """
+WITH j AS (
+  SELECT p.p_type,
+         ln(l.l_extendedprice / l.l_quantity) AS x,
+         ln(l.l_quantity) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+agg AS (
+  SELECT p_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(round(x, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(y, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(30,6))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(30,6))) AS DOUBLE)
+           AS sxx
+  FROM j GROUP BY p_type)
+SELECT p_type,
+       CAST(n AS BIGINT) AS n_lines,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept
+FROM agg
+"""
+
+
+_SEG_BOUNDS = [(0, "none"), (1, "light"), (3, "mid"), (6, "heavy")]
+
+
+def feat_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-segment migration matrix across the 2000-01-01 split:
+    each customer's order count in the before/after periods maps to a
+    deterministic tier (none / light 1-2 / mid 3-5 / heavy 6+), and
+    the matrix counts every (from, to) flow — the churn/upgrade
+    waterfall a lifecycle team watches. Pure integer thresholds; two
+    count aggregates + one outer join on custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    split = F.lit(_LR_SPLIT).cast("timestamp")
+
+    def tier(n):
+        return (
+            F.when(n >= 6, "heavy")
+            .when(n >= 3, "mid")
+            .when(n >= 1, "light")
+            .otherwise("none")
+        )
+
+    def period(cond, name):
+        return (
+            o.where(cond)
+            .groupBy("o_custkey")
+            .agg(bcount().alias(name))
+        )
+
+    p0 = period(F.col("o_orderdate") < split, "n0")
+    p1 = period(F.col("o_orderdate") >= split, "n1")
+    j = (
+        cust.join(p0, cust.ck == p0.o_custkey, "left")
+        .drop("o_custkey")
+        .join(p1, cust.ck == p1.o_custkey, "left")
+        .drop("o_custkey")
+        .select(
+            tier(F.coalesce("n0", F.lit(0))).alias("seg_before"),
+            tier(F.coalesce("n1", F.lit(0))).alias("seg_after"),
+        )
+    )
+    out = j.groupBy("seg_before", "seg_after").agg(
+        bcount().alias("n_customers")
+    )
+    w = Window.partitionBy("seg_before")
+    return out.select(
+        "seg_before",
+        "seg_after",
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(w).cast("double"),
+            6,
+        ).alias("row_share"),
+    )
+
+
+_MIGRATION_SQL = f"""
+WITH p0 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n0 FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_LR_SPLIT}' GROUP BY 1),
+p1 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n1 FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_LR_SPLIT}' GROUP BY 1),
+t AS (
+  SELECT CASE WHEN COALESCE(p0.n0, 0) >= 6 THEN 'heavy'
+              WHEN COALESCE(p0.n0, 0) >= 3 THEN 'mid'
+              WHEN COALESCE(p0.n0, 0) >= 1 THEN 'light'
+              ELSE 'none' END AS seg_before,
+         CASE WHEN COALESCE(p1.n1, 0) >= 6 THEN 'heavy'
+              WHEN COALESCE(p1.n1, 0) >= 3 THEN 'mid'
+              WHEN COALESCE(p1.n1, 0) >= 1 THEN 'light'
+              ELSE 'none' END AS seg_after
+  FROM customer c
+  LEFT JOIN p0 ON c.c_custkey = p0.o_custkey
+  LEFT JOIN p1 ON c.c_custkey = p1.o_custkey),
+m AS (
+  SELECT seg_before, seg_after, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM t GROUP BY 1, 2)
+SELECT seg_before, seg_after, n_customers,
+       round(CAST(n_customers AS DOUBLE)
+             / CAST(SUM(n_customers) OVER (PARTITION BY seg_before)
+                    AS DOUBLE), 6) AS row_share
+FROM m
+"""
+
+
 QUERIES = {
+    "ml_price_elasticity": ml_price_elasticity,
+    "feat_segment_migration": feat_segment_migration,
     "feat_new_vs_returning": feat_new_vs_returning,
     "feat_ltv_heuristic": feat_ltv_heuristic,
     "feat_category_hhi": feat_category_hhi,
@@ -722,6 +880,8 @@ QUERIES = {
     "ml_kmeans_lloyd": ml_kmeans_lloyd,
 }
 ORACLE = {
+    "ml_price_elasticity": _ELASTICITY_SQL,
+    "feat_segment_migration": _MIGRATION_SQL,
     "feat_new_vs_returning": _NVR_SQL,
     "feat_ltv_heuristic": _LTV_SQL,
     "feat_category_hhi": _HHI_SQL,

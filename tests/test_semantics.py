@@ -2304,3 +2304,35 @@ def test_new_vs_returning_shares(spark, sf_dir):
     assert total_new == n_cust  # every buyer is new exactly once
     for r in rows:
         assert 0.0 <= r.new_rev_share <= 1.0 + 1e-9
+
+
+def test_price_elasticity_finite(spark, sf_dir):
+    import math
+
+    from cortana_intelligence_customer360_spark.features.value import (
+        ml_price_elasticity,
+    )
+
+    rows = ml_price_elasticity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_lines > 2
+        assert math.isfinite(r.elasticity) and math.isfinite(r.intercept)
+
+
+def test_segment_migration_is_stochastic_matrix(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.features.value import (
+        feat_segment_migration,
+    )
+
+    rows = feat_segment_migration(spark, sf_dir).collect()
+    assert rows
+    tiers = {"none", "light", "mid", "heavy"}
+    by_from = {}
+    for r in rows:
+        assert r.seg_before in tiers and r.seg_after in tiers
+        by_from.setdefault(r.seg_before, []).append(r)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    for seg, ms in by_from.items():
+        assert abs(sum(m.row_share for m in ms) - 1.0) < 1e-4, seg

@@ -35,6 +35,11 @@ _CIDR_BLOCKS = [
 
 # Knuth multiplicative hash: spreads sequential user ids over the full
 # 32-bit space deterministically (same arithmetic in the oracle).
+# The multiply is split 16/16: (uid mod 2^32) * _KNUTH would overflow
+# int64 for uid near 2^32 (Spark non-ANSI wraps silently, DuckDB
+# raises), so both engines compute
+#   ((hi*K mod 2^16) << 16 | low 16 bits) form below, whose partial
+# products stay < 2^48 — identical value, no overflow at any uid.
 _KNUTH = 2654435761
 _IP_SPACE = 2**32
 
@@ -47,7 +52,13 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unassigned addresses (no covering block) fall out of the left join
     as NULL and are reported under the 'unassigned' label."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    ip = (F.col("user_id") * F.lit(_KNUTH)) % F.lit(_IP_SPACE)
+    uid = F.col("user_id") % F.lit(_IP_SPACE)
+    lo16 = uid % F.lit(65536)
+    hi16 = ((uid - lo16) / F.lit(65536)).cast("long")
+    ip = (
+        ((hi16 * F.lit(_KNUTH)) % F.lit(65536)) * F.lit(65536)
+        + lo16 * F.lit(_KNUTH)
+    ) % F.lit(_IP_SPACE)
     ips = ev.select(F.col("user_id"), ip.alias("ip32"))
     dim = spark.createDataFrame(_CIDR_BLOCKS, "label string, lo long, hi long")
     joined = ips.join(
@@ -75,8 +86,16 @@ def _ip_cidr_sql() -> str:
     vals = ", ".join(f"('{l}', {lo}, {hi})" for l, lo, hi in _CIDR_BLOCKS)
     return f"""
 WITH dim(label, lo, hi) AS (VALUES {vals}),
+u AS (
+  SELECT user_id, (user_id % {_IP_SPACE}) % 65536 AS lo16,
+         CAST(((user_id % {_IP_SPACE}) - (user_id % {_IP_SPACE}) % 65536)
+              / 65536 AS BIGINT) AS hi16
+  FROM events),
 ips AS (
-  SELECT user_id, (user_id * {_KNUTH}) % {_IP_SPACE} AS ip32 FROM events)
+  SELECT user_id,
+         (((hi16 * {_KNUTH}) % 65536) * 65536 + lo16 * {_KNUTH})
+           % {_IP_SPACE} AS ip32
+  FROM u)
 SELECT COALESCE(dim.label, 'unassigned') AS net_label,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

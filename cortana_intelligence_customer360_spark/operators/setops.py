@@ -276,12 +276,20 @@ def zorder_key(a: Column, b: Column) -> Column:
 
 def scale16(col: Column, mn: Column, mx: Column) -> Column:
     """Min/max-scale a key to the full 16-bit domain (exact IEEE floor
-    of an exact-integer product/quotient — cross-engine stable)."""
-    return F.floor(((col - mn) * 65535) / (mx - mn)).cast("long")
+    of an exact-integer product/quotient — cross-engine stable).
+    A degenerate (constant) dimension scales to 0 rather than 0/0,
+    whose NaN/null handling is engine-dependent."""
+    return F.when(mx == mn, F.lit(0).cast("long")).otherwise(
+        F.floor(((col - mn) * 65535) / (mx - mn)).cast("long")
+    )
 
 
 def _scale16_sql(expr: str, mn: str, mx: str) -> str:
-    return f"CAST(floor((({expr}) - {mn}) * 65535 / ({mx} - {mn})) AS BIGINT)"
+    return (
+        f"CASE WHEN {mx} = {mn} THEN 0 ELSE "
+        f"CAST(floor((({expr}) - {mn}) * 65535 / ({mx} - {mn})) AS BIGINT)"
+        f" END"
+    )
 
 
 _ZORDER_TOPN = 200

@@ -93,6 +93,24 @@ _DRIVER_RECORDED = frozenset({
     "tpch_q3_shipping_priority", "tpch_q4_order_priority",
     "tpch_q5_local_supplier", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "win_error_burst", "win_nth_value",
+    # r03 ids (CORRECTNESS_r03.json):
+    "cdc_apply_log", "diff_snapshots", "dq_benford", "dq_distribution_drift",
+    "dq_freshness_lag", "dq_outlier_iqr", "dq_profile_summary",
+    "feat_basket_rules", "fn_geohash", "fn_haversine", "graph_bfs_hops",
+    "graph_clustering_coeff", "graph_common_neighbors", "graph_pagerank",
+    "graph_triangle_count", "join_asof_tolerance", "join_spatial_grid",
+    "merge_upsert", "mv_incremental_refresh", "sample_bernoulli_seeded",
+    "sample_hash_pct", "sample_reservoir_per_group", "sample_stratified",
+    "scan_jsonl_nested", "scan_recursive_glob", "scd2_history",
+    "scd2_pointintime_join", "sort_zorder", "source_python_stream",
+    "sql_recursive_cte", "tpcds_yoy_growth", "tpch_q11_important_parts",
+    "tpch_q13_order_distribution", "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity", "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit", "ts_anomaly_mad", "ts_autocorr_lag1",
+    "ts_changepoint_split", "ts_mann_kendall", "ts_next_purchase_eta",
+    "ts_resample_ohlc", "ts_seasonal_decompose", "ts_theil_sen",
+    "win_decline_streak", "win_median_sliding", "win_mom_change",
 })
 
 

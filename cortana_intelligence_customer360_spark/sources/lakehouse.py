@@ -149,10 +149,19 @@ class ManifestTable:
         stats can intersect [key_min, key_max] — pure metadata, the
         skipped files are never opened."""
         files = self.manifest(version)["files"]
+        # Files whose key column was entirely NULL carry null stats:
+        # non-prunable, always kept (the row-level predicate in read()
+        # still applies) — same contract as real format data skipping.
         if key_min is not None:
-            files = [f for f in files if f["key_max"] >= key_min]
+            files = [
+                f for f in files
+                if f["key_max"] is None or f["key_max"] >= key_min
+            ]
         if key_max is not None:
-            files = [f for f in files if f["key_min"] <= key_max]
+            files = [
+                f for f in files
+                if f["key_min"] is None or f["key_min"] <= key_max
+            ]
         return files
 
     def read(
@@ -162,6 +171,12 @@ class ManifestTable:
         key_min: int | None = None,
         key_max: int | None = None,
     ) -> DataFrame:
+        # Pin the snapshot ONCE: with version=None, resolving the
+        # latest pointer separately for select_files and the key_col
+        # lookup could straddle a concurrent commit and mix file list
+        # and key_col from different snapshots.
+        if version is None:
+            version = self.latest_version()
         files = self.select_files(version, key_min, key_max)
         if not files:
             raise FileNotFoundError("no files survive pruning")

@@ -936,10 +936,22 @@ def _cdc_multifile_src(spark: SparkSession, sf_dir: str) -> str:
     ranges — later micro-batches always hold higher seqs, which is
     what makes per-batch last-writer-wins compose into the global
     last-writer-wins the oracle computes."""
+    import hashlib
+    import inspect
+
     from ..operators.merge import _cdc_log
 
     src = scratch_dir("cdc_multifile", sf_dir)
-    if not os.path.isdir(os.path.join(src, "_done")):
+    # Marker is fingerprinted on the log derivation's source: if
+    # operators.merge._cdc_log ever changes, the cached layout is
+    # invalidated instead of silently feeding stale files while the
+    # oracle reflects the new derivation.
+    fp = hashlib.md5(inspect.getsource(_cdc_log).encode()).hexdigest()[:12]
+    marker = os.path.join(src, f"_done-{fp}")
+    if not os.path.isdir(marker):
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
         log = _cdc_log(spark, sf_dir)
         log.repartitionByRange(_CDC_FILES, "seq").write.mode("overwrite").parquet(src)
         import glob
@@ -959,7 +971,7 @@ def _cdc_multifile_src(spark: SparkSession, sf_dir: str) -> str:
         base = int(os.path.getmtime(parts[0]))
         for k, p in enumerate(sorted(parts, key=min_seq)):
             os.utime(p, (base + k, base + k))
-        os.makedirs(os.path.join(src, "_done"), exist_ok=True)
+        os.makedirs(marker, exist_ok=True)
     return src
 
 

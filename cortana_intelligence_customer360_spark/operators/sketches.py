@@ -28,7 +28,7 @@ small-range correction) is formula-mirrored and rounded to 6 dp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import bcount
@@ -256,11 +256,150 @@ GROUP BY p.event_type, p.exact_count
 """
 
 
+# -- mergeable quantile sketch (bottom-k / KMV sample) ----------------------
+
+_QSK_K = 256  # sample size per group
+_QSK_SHARDS = 64  # stage-1 fan-out; scale with cluster size, not data
+_QSK_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def _qsk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, price, rk): every lineitem row with its
+    deterministic md5 priority over the unique (orderkey, linenumber)
+    row key — the KMV 'uniform random draw' both engines can replay."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rk = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        rk.alias("rk"),
+    )
+
+
+def bottomk_sample(rows: DataFrame, two_level: bool) -> DataFrame:
+    """Keep the _QSK_K rows with smallest md5 priority per group.
+
+    ``two_level=True`` is the mergeable/distributed form: stage 1 keeps
+    the k smallest per (group, shard) — _QSK_SHARDS fine shards, so the
+    heavy sort is spread evenly and each shard emits <= k rows — and
+    stage 2 merges shard sketches by re-taking the k smallest of the
+    union. min-k is associative, so this equals the direct single-level
+    bottom-k EXACTLY (pinned by tests and by sharing one oracle)."""
+    if two_level:
+        shard = F.pmod(F.xxhash64("rk"), F.lit(_QSK_SHARDS))
+        w1 = Window.partitionBy("l_returnflag", "shard").orderBy("rk")
+        rows = (
+            rows.withColumn("shard", shard)
+            .withColumn("rn1", F.row_number().over(w1))
+            .where(F.col("rn1") <= _QSK_K)
+            .drop("rn1", "shard")
+        )
+    w2 = Window.partitionBy("l_returnflag").orderBy("rk")
+    return (
+        rows.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _QSK_K)
+        .drop("rn")
+    )
+
+
+def quantiles_from_sample(sample: DataFrame) -> DataFrame:
+    """Quantile readback: element at position ceil(q*n) of the kept
+    sample ordered by (value, priority) — a pure element pick, no
+    interpolation, so cross-engine equality is exact."""
+    wv = Window.partitionBy("l_returnflag").orderBy("price", "rk")
+    wn = Window.partitionBy("l_returnflag")
+    pos = sample.withColumn("vn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    qcols = [
+        F.max(
+            F.when(
+                F.col("vn")
+                == F.greatest(
+                    F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("long")
+                ),
+                F.col("price"),
+            )
+        ).alias(f"q{int(q * 100)}")
+        for q in _QSK_QS
+    ]
+    return pos.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_sample"), *qcols
+    )
+
+
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch per group: a deterministic bottom-k
+    (KMV-style) sample — keep the _QSK_K rows with the smallest md5
+    priority — then read quantiles off the kept sample.
+
+    Completes the md5-deterministic sketch triad (distinct =
+    agg_hll_custom, frequency = agg_count_min, quantile = this): like
+    those, every step is an exact integer/string function of the input,
+    so unlike native approx_percentile (R-tier) this carries a FULL
+    DuckDB oracle.
+
+    Mergeability is not just claimed — the query RUNS the merged form:
+    stage 1 computes independent per-shard sketches (the per-partition/
+    per-day sketches a 100 TB pipeline would persist), stage 2 merges
+    them by re-taking the k smallest priorities of the shard union.
+    min-k associativity makes that bit-identical to the direct
+    single-level sample, which is what the oracle computes and what
+    tests/test_property.py pins Spark-vs-Spark.
+
+    Scale posture: stage 1's window partitions by (group, shard) —
+    _QSK_SHARDS spreads the sort evenly (no 3-partition skew wall) and
+    caps stage-1 output at groups x shards x k rows; stage 2 sorts only
+    that bounded set. Error: a k-sample gives quantile rank error
+    ~1/sqrt(k) (~6% at k=256), independent of data size."""
+    sample = bottomk_sample(_qsk_rows(spark, sf_dir), two_level=True)
+    return quantiles_from_sample(sample)
+
+
+def _qsk_sql() -> str:
+    qcols = ",\n       ".join(
+        f"MAX(CASE WHEN vn = GREATEST(1, CAST(ceil({q} * n) AS BIGINT)) "
+        f"THEN price END) AS q{int(q * 100)}"
+        for q in _QSK_QS
+    )
+    return f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DOUBLE) AS price,
+         md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+             CAST(l_linenumber AS VARCHAR)) AS rk
+  FROM lineitem),
+keep AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY rk)
+              AS rn
+    FROM base)
+  WHERE rn <= {_QSK_K}),
+pos AS (
+  SELECT l_returnflag, price,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY price, rk) AS vn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM keep)
+SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_sample,
+       {qcols}
+FROM pos GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_hll_custom": agg_hll_custom,
     "agg_count_min": agg_count_min,
+    "agg_quantile_sketch": agg_quantile_sketch,
 }
 ORACLE = {
     "agg_hll_custom": _hll_sql(),
     "agg_count_min": _cms_sql(),
+    "agg_quantile_sketch": _qsk_sql(),
 }

@@ -111,3 +111,24 @@ def test_zorder_key_roundtrip_property(spark):
     for r in df.collect():
         assert unspread(r["z"]) == r["a"], r
         assert unspread(r["z"] >> 1) == r["b"], r
+
+
+def test_quantile_sketch_merge_associativity(spark, sf_dir):
+    """Property: the two-level (per-shard sketch -> merge) bottom-k
+    sample equals the direct single-level bottom-k exactly — min-k
+    associativity, the contract that lets per-day sketches merge
+    without re-reading history. Full frames compared, not just
+    quantiles."""
+    from cortana_intelligence_customer360_spark.operators.sketches import (
+        _qsk_rows,
+        bottomk_sample,
+        quantiles_from_sample,
+    )
+
+    rows = _qsk_rows(spark, sf_dir)
+    direct = quantiles_from_sample(bottomk_sample(rows, two_level=False))
+    merged = quantiles_from_sample(bottomk_sample(rows, two_level=True))
+    d = {r["l_returnflag"]: r.asDict() for r in direct.collect()}
+    m = {r["l_returnflag"]: r.asDict() for r in merged.collect()}
+    assert d == m
+    assert all(v["n_sample"] >= 1 for v in d.values())

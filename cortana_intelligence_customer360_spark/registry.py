@@ -40,6 +40,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.features.value",
     "cortana_intelligence_customer360_spark.llmops.text",
     "cortana_intelligence_customer360_spark.llmops.dedup",
+    "cortana_intelligence_customer360_spark.llmops.incremental",
     "cortana_intelligence_customer360_spark.llmops.similarity",
     "cortana_intelligence_customer360_spark.llmops.multimodal",
     "cortana_intelligence_customer360_spark.llmops.pipeline",

@@ -475,3 +475,20 @@ def test_ttr_vocab_is_map_only(spark, sf_dir):
 
     plan = plan_string(text_ttr_vocab(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_incremental_dedup_reads_history_via_index_only(spark, sf_dir):
+    """dedup_incremental's probe must read history ONLY through the
+    persisted band/sig index parquet: the probe plan contains the index
+    paths and NO scan of documents.parquet (the new batch's signatures
+    are materialized before probing, so at 100 TB each ingest touches
+    an O(|history| x B) two-column index, never historical text)."""
+    from cortana_intelligence_customer360_spark.llmops.incremental import (
+        dedup_incremental,
+    )
+
+    df = dedup_incremental(spark, sf_dir)
+    plan = plan_string(df)
+    assert "documents.parquet" not in plan, plan[:2000]
+    assert "dedup_incremental" in plan  # the scratch index root
+    assert "bands" in plan and "sigs" in plan

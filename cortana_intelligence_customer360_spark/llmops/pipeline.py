@@ -301,8 +301,124 @@ LEFT JOIN near ON near.doc_id = b.doc_id
 """
 
 
+# -- training-mix / token-budget sampler ------------------------------------
+
+_MIX_FRAC = 0.5  # overall token budget = this fraction of corpus tokens
+
+
+def data_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampler: given per-source weights w_i and a total
+    token budget B (= _MIX_FRAC of corpus tokens), deterministically
+    sample each source to w_i/Σw of B — the data-mixture op every
+    pretraining pipeline runs before tokenization.
+
+    Selection is by md5(doc_id) priority: docs are 'admitted' in hash
+    order until the source's running token sum reaches its budget; the
+    first doc crossing the line is included, so the budget is met
+    within one document per source, and re-runs reproduce the exact
+    same sample (no RNG state — reshardable, resumable).
+
+    Scale posture: no global sort. The running sum is two-phase —
+    priorities are range-bucketed by their first hash byte (256 ordered
+    buckets), per-(source, bucket) token sums roll up to a tiny offsets
+    table whose prefix sum is windowed at sources x 256 rows, and the
+    row-level running sum windows only WITHIN a (source, bucket) (≤
+    1/256 of a source per sort). Weights here derive from the source
+    name (w = src# % 4 + 1) so the oracle can replay them; production
+    would broadcast-join a weights dim instead.
+
+    Output per source: weight, floored token budget, docs/tokens
+    admitted, and sum(doc_id) pinning the exact selection."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+        )
+        .withColumn("pri", F.md5(F.col("doc_id").cast("string")))
+        .withColumn(
+            "bucket", F.conv(F.substring("pri", 1, 2), 16, 10).cast("int")
+        )
+        .withColumn(
+            "w",
+            (F.substring("source", 4, 10).cast("int") % 4 + 1).cast("long"),
+        )
+    )
+    srcs = base.groupBy("source", "w").agg(F.sum("toks").alias("src_toks"))
+    totals = srcs.agg(
+        F.sum("src_toks").alias("total"), F.sum("w").alias("wsum")
+    )
+    budgets = srcs.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "w",
+        (
+            F.lit(_MIX_FRAC)
+            * (F.col("total") * F.col("w")).cast("double")
+            / F.col("wsum").cast("double")
+        ).alias("budget"),
+    )
+    per_bucket = base.groupBy("source", "bucket").agg(
+        F.sum("toks").alias("bsum")
+    )
+    wb = Window.partitionBy("source").orderBy("bucket")
+    offsets = per_bucket.withColumn(
+        "off", F.sum("bsum").over(wb) - F.col("bsum")
+    ).select("source", "bucket", "off")
+    wr = Window.partitionBy("source", "bucket").orderBy("pri")
+    run = base.join(F.broadcast(offsets), ["source", "bucket"]).withColumn(
+        "run", F.sum("toks").over(wr) + F.col("off")
+    )
+    sel = run.join(F.broadcast(budgets), ["source", "w"]).where(
+        (F.col("run") - F.col("toks")).cast("double") < F.col("budget")
+    )
+    return sel.groupBy("source", "w").agg(
+        F.floor(F.max("budget")).cast("long").alias("token_budget"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("tokens_kept"),
+        F.sum("doc_id").cast("long").alias("sel_checksum"),
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
+         md5(CAST(doc_id AS VARCHAR)) AS pri,
+         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+  FROM documents),
+srcs AS (
+  SELECT source, MAX(w) AS w, SUM(toks) AS src_toks
+  FROM base GROUP BY source),
+tot AS (SELECT SUM(src_toks) AS total, SUM(w) AS wsum FROM srcs),
+budgets AS (
+  SELECT source, w,
+         {_MIX_FRAC} * CAST(total * w AS DOUBLE) / CAST(wsum AS DOUBLE)
+           AS budget
+  FROM srcs CROSS JOIN tot),
+cum AS (
+  SELECT doc_id, source, toks,
+         SUM(toks) OVER (PARTITION BY source ORDER BY pri
+                         ROWS UNBOUNDED PRECEDING) AS run
+  FROM base),
+sel AS (
+  SELECT c.doc_id, c.source, c.toks, b.w, b.budget
+  FROM cum c JOIN budgets b USING (source)
+  WHERE CAST(c.run - c.toks AS DOUBLE) < b.budget)
+SELECT source, w,
+       CAST(floor(MAX(budget)) AS BIGINT) AS token_budget,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS tokens_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sel_checksum
+FROM sel GROUP BY source, w
+"""
+
+
 QUERIES = {
     "pipeline_corpus_curation": pipeline_corpus_curation,
+    "data_source_mixture": data_source_mixture,
     "text_contamination": text_contamination,
     "text_chunk_overlap": text_chunk_overlap,
     "text_pack_sequences": text_pack_sequences,
@@ -310,6 +426,7 @@ QUERIES = {
 
 ORACLE = {
     "pipeline_corpus_curation": _curation_sql(),
+    "data_source_mixture": _MIXTURE_SQL,
     "text_contamination": _CONTAM_SQL,
     "text_chunk_overlap": _CHUNK_SQL,
     "text_pack_sequences": _PACK_SQL,

@@ -65,3 +65,39 @@ def test_full_customer360_pipeline(spark, sf_dir, tmp_path):
     served = spark.read.parquet(out)
     assert served.count() == customer.count()
     assert served.where(F.col("prediction").isNull()).count() == 0
+
+
+def test_source_mixture_budget_within_one_doc(spark, sf_dir):
+    """Each source's admitted tokens reach its budget and overshoot by
+    less than one document (the crossing doc is included), unless the
+    source ran out of docs; the selection is deterministic across runs
+    (same checksum)."""
+    import duckdb
+
+    from cortana_intelligence_customer360_spark.llmops.pipeline import (
+        data_source_mixture,
+    )
+
+    rows = {r["source"]: r.asDict() for r in
+            data_source_mixture(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    truth = {
+        s: (int(n), int(t))
+        for s, n, t in con.execute(
+            f"SELECT source, COUNT(*), SUM(len(str_split(text, ' ')))"
+            f" FROM read_parquet('{sf_dir}/documents.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(rows) == set(truth)
+    for s, r in rows.items():
+        n_all, toks_all = truth[s]
+        if r["n_docs"] == n_all:
+            # source exhausted before (or exactly at) its budget
+            assert r["tokens_kept"] == toks_all
+        else:
+            assert r["tokens_kept"] > r["token_budget"] - 1
+            # overshoot bounded by the largest possible single doc
+            assert r["tokens_kept"] - (r["token_budget"] + 1) < toks_all
+    again = {r["source"]: r["sel_checksum"] for r in
+             data_source_mixture(spark, sf_dir).collect()}
+    assert again == {s: r["sel_checksum"] for s, r in rows.items()}

@@ -843,7 +843,197 @@ FROM l JOIN r ON l.code IS NOT DISTINCT FROM r.rcode
 """
 
 
+# -- runtime-filtered and AQE-skew-handled joins ----------------------------
+
+
+def _conf_scope(spark: SparkSession, confs: dict, fn):
+    """Run ``fn`` (which must EXECUTE its plan — confs are read at
+    action time, not DataFrame-build time) under temporary session
+    confs, restoring previous values after."""
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        return fn()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join whose execution join_bloom_runtime materializes —
+    exposed so tests can pin the bloom filter's presence in the plan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size") <= 5
+    ).select("p_partkey", "p_brand")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            bcount().alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join executed under Spark's runtime bloom-filter injection:
+    the selective dim predicate (p_size <= 5) builds a bloom filter
+    that is pushed into the FACT side's scan stage, so at 100 TB the
+    fact table sheds non-matching rows before the join shuffle instead
+    of shuffling all of it (broadcast is disabled here precisely to
+    exercise the shuffle-join path the filter protects). The plan's
+    might_contain() presence is pinned in tests/test_plans.py; this
+    query pins the OTHER half — the runtime filter must not change the
+    answer (plain-SQL oracle). Executed to scratch parquet inside the
+    conf scope because runtime filters are planned at action time."""
+    from .scans import scratch_dir
+
+    out = scratch_dir("join_bloom_runtime", sf_dir)
+    df = bloom_star_join(spark, sf_dir)
+    _conf_scope(
+        spark, BLOOM_CONFS, lambda: df.write.mode("overwrite").parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+_BLOOM_SQL = f"""
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {dsum_sql('l_extendedprice')} AS revenue,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 5
+GROUP BY p_brand
+"""
+
+
+SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+_SKEW_REP = 50  # fact-side replication so the hot partition exceeds
+# the (scaled-down) skew thresholds even at sf0.001
+_SKEW_MAPPERS = 16  # pre-join map tasks: AQE splits a skewed reducer
+# partition at MAPPER granularity, so a single-mapper stage (one small
+# parquet file) is structurally unsplittable — exactly what a
+# 1000-executor scan never is, recreated here via repartition
+
+
+def skewed_fact_dim(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Planted-skew fixture: ~80% of (replicated) event rows collapse
+    onto join key 0 (user_id % 10 < 8); the dim side is plain filtered
+    customer rows plus a literal row for the hot key — deliberately
+    aggregation-free, because OptimizeSkewedJoin pattern-matches
+    SMJ(Sort(stage), Sort(stage)) and any operator between the Sort
+    and the shuffle stage (an aggregate, a union-exchange) vetoes the
+    rewrite. Deterministic, so the oracle replays it."""
+    hot = F.when(F.col("user_id") % 10 < 8, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    fact = (
+        load_table(spark, sf_dir, "events")
+        .select(hot.alias("skew_key"), "event_type", "event_id")
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(_SKEW_REP))))
+        .repartition(_SKEW_MAPPERS)
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 >= 8)
+        .select(
+            F.col("c_custkey").alias("skew_key"),
+            F.col("c_acctbal").alias("dim_val"),
+        )
+        .unionAll(
+            spark.range(1).select(
+                F.lit(0).cast("long").alias("skew_key"),
+                F.lit(0.0).alias("dim_val"),
+            )
+        )
+    )
+    return fact, dim
+
+
+def aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joined+aggregated frame join_skew_aqe materializes."""
+    fact, dim = skewed_fact_dim(spark, sf_dir)
+    return (
+        fact.join(dim, "skew_key")
+        .groupBy("event_type")
+        .agg(
+            bcount().alias("n_rows"),
+            dsum("dim_val").alias("sum_dim_val"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE-native skew handling on a planted 80%-hot-key join: with
+    the skew thresholds scaled to the test data, AQE splits the hot
+    shuffle partition into multiple reducer tasks and replicates the
+    matching dim partition — the runtime complement to the manual
+    join_salted_skew. tests/test_plans.py asserts the executed plan
+    shows a skew-split AQEShuffleRead; this query pins answer
+    equivalence via the plain-SQL oracle (the downstream aggregate is
+    on a DIFFERENT key than the join, so the skew split's partition
+    duplication is legal and re-shuffled away). Materialized to
+    scratch inside the conf scope — AQE decides splits at runtime."""
+    from .scans import scratch_dir
+
+    out = scratch_dir("join_skew_aqe", sf_dir)
+    df = aqe_skew_join(spark, sf_dir)
+    _conf_scope(
+        spark, SKEW_CONFS, lambda: df.write.mode("overwrite").parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+_SKEW_AQE_SQL = f"""
+WITH fact AS (
+  SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS skew_key,
+         event_type, event_id
+  FROM events CROSS JOIN range({_SKEW_REP})),
+dim AS (
+  SELECT c_custkey AS skew_key, c_acctbal AS dim_val
+  FROM customer WHERE c_custkey % 10 >= 8
+  UNION ALL SELECT 0, 0.0)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum_sql('dim_val')} AS sum_dim_val,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM fact JOIN dim USING (skew_key)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "join_bloom_runtime": join_bloom_runtime,
+    "join_skew_aqe": join_skew_aqe,
     "join_nullsafe_equi": join_nullsafe_equi,
     "join_asof_nearest": join_asof_nearest,
     "join_inner_equi": join_inner_equi,
@@ -869,6 +1059,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_bloom_runtime": _BLOOM_SQL,
+    "join_skew_aqe": _SKEW_AQE_SQL,
     "join_nullsafe_equi": _NULLSAFE_JOIN_SQL,
     "join_asof_nearest": _ASOF_NEAREST_SQL,
     "join_inner_equi": _INNER_SQL,

@@ -492,3 +492,47 @@ def test_incremental_dedup_reads_history_via_index_only(spark, sf_dir):
     assert "documents.parquet" not in plan, plan[:2000]
     assert "dedup_incremental" in plan  # the scratch index root
     assert "bands" in plan and "sigs" in plan
+
+
+def test_bloom_runtime_filter_in_registered_star_join(spark, sf_dir):
+    """join_bloom_runtime's join shape must actually get the runtime
+    bloom filter injected into the fact side under its conf scope."""
+    from cortana_intelligence_customer360_spark.operators.joins import (
+        BLOOM_CONFS,
+        _conf_scope,
+        bloom_star_join,
+    )
+
+    def run():
+        df = bloom_star_join(spark, sf_dir)
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan = _conf_scope(spark, BLOOM_CONFS, run)
+    assert "might_contain" in plan or "bloom_filter_agg" in plan, plan[:2000]
+
+
+def test_aqe_skew_split_fires_on_planted_skew(spark, sf_dir):
+    """join_skew_aqe's planted 80%-hot-key join must trigger AQE's
+    skew-partition split under its conf scope: the executed plan's
+    shuffle read shows skew-split partitions (the runtime complement
+    to the manual join_salted_skew; answer equality is pinned by the
+    driver oracle)."""
+    from cortana_intelligence_customer360_spark.operators.joins import (
+        SKEW_CONFS,
+        _conf_scope,
+        skewed_fact_dim,
+    )
+
+    def run():
+        fact, dim = skewed_fact_dim(spark, sf_dir)
+        j = fact.join(dim, "skew_key")
+        j.collect()
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    plan = _conf_scope(spark, SKEW_CONFS, run)
+    skew_reads = [
+        l for l in plan.splitlines()
+        if "AQEShuffleRead" in l and "skewed" in l
+    ]
+    assert skew_reads, plan[:2000]

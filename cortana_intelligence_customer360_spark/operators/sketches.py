@@ -393,13 +393,164 @@ FROM pos GROUP BY l_returnflag
 """
 
 
+# -- mergeable Bloom membership sketch --------------------------------------
+
+_BF_M = 1024  # bits
+_BF_K = 3  # hash functions
+
+
+def _bf_pos(i: int, col: str):
+    """md5-derived bit position i for a key column — same arithmetic
+    the oracle replays (CMS-style seeded digest slices)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(i)), F.col(col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BF_M
+    )
+
+
+def agg_bloom_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch mergeable Bloom filter per event_type over the
+    type's user set, plus the '__all__' merged filter (merge = bit OR
+    = set union of positions — executed, not claimed), probed with
+    every customer key so the one-sided error is visible in the
+    output: n_bloom >= n_exact always (no false negatives, pinned in
+    tests), and n_false_pos shows the FP cost of m=1024/k=3.
+
+    Completes the deterministic sketch quartet (distinct = HLL,
+    frequency = count-min, quantile = bottom-k, membership = this);
+    like its siblings, md5-derived positions make every step an exact
+    function of the input, so a FULL DuckDB oracle applies.
+
+    Scale posture: the build is distinct + explode(k) + distinct —
+    at most |types| x m position rows survive, map-side combine does
+    the heavy lifting; the probe side joins against the BROADCAST
+    position table (a real pipeline ships exactly this tiny bit table
+    to prune a 100 TB scan — the manual form of join_bloom_runtime's
+    engine-injected filter)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    users = ev.select("user_id").distinct()
+    pos_arr = F.array(*[_bf_pos(i, "user_id") for i in range(_BF_K)])
+    bits0 = ev.select(
+        "event_type", F.explode(pos_arr).alias("pos")
+    ).distinct()
+    bits = bits0.unionByName(
+        bits0.select(F.lit("__all__").alias("event_type"), "pos").distinct()
+    )
+    n_bits = bits.groupBy("event_type").agg(bcount().alias("n_bits_set"))
+
+    types = bits.select("event_type").distinct()
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+        .crossJoin(F.broadcast(types))
+    )
+    ppos = probes.select(
+        "user_id", "event_type", F.explode(pos_arr).alias("pos")
+    )
+    nhit = (
+        ppos.join(F.broadcast(bits), ["event_type", "pos"], "left_semi")
+        .groupBy("user_id", "event_type")
+        .agg(bcount().alias("nhit"))
+    )
+    ev_ext = ev.unionByName(
+        users.select(F.lit("__all__").alias("event_type"), "user_id")
+    ).withColumn("is_member", F.lit(1))
+    flags = (
+        probes.join(nhit, ["user_id", "event_type"], "left")
+        .join(ev_ext, ["user_id", "event_type"], "left")
+        .select(
+            "event_type",
+            F.coalesce("is_member", F.lit(0)).alias("exact"),
+            F.when(F.coalesce("nhit", F.lit(0)) == _BF_K, 1)
+            .otherwise(0)
+            .alias("bloom"),
+        )
+    )
+    agg = flags.groupBy("event_type").agg(
+        bcount().alias("n_probes"),
+        F.sum("exact").cast("long").alias("n_exact"),
+        F.sum("bloom").cast("long").alias("n_bloom"),
+        (F.sum("bloom") - F.sum("exact")).cast("long").alias("n_false_pos"),
+    )
+    return agg.join(n_bits, "event_type")
+
+
+def _bloom_sql() -> str:
+    ivals = ", ".join(f"({i})" for i in range(_BF_K))
+    pos = (
+        "('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || "
+        f"CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {_BF_M}"
+    )
+    return f"""
+WITH i(i) AS (VALUES {ivals}),
+ev AS (SELECT DISTINCT event_type, user_id FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+bits0 AS (
+  SELECT DISTINCT event_type, {pos} AS pos FROM ev CROSS JOIN i),
+bits AS (
+  SELECT event_type, pos FROM bits0
+  UNION
+  SELECT '__all__', pos FROM bits0),
+nbits AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bits_set
+  FROM bits GROUP BY event_type),
+types AS (SELECT DISTINCT event_type FROM bits),
+probes AS (
+  SELECT c_custkey AS user_id, event_type FROM customer CROSS JOIN types),
+ppos AS (
+  SELECT user_id, event_type, {pos} AS pos FROM probes CROSS JOIN i),
+nhit AS (
+  SELECT pp.user_id, pp.event_type, CAST(COUNT(*) AS BIGINT) AS nhit
+  FROM ppos pp
+  WHERE EXISTS (SELECT 1 FROM bits b
+                WHERE b.event_type = pp.event_type AND b.pos = pp.pos)
+  GROUP BY 1, 2),
+ev_ext AS (
+  SELECT event_type, user_id FROM ev
+  UNION
+  SELECT '__all__', user_id FROM users),
+flags AS (
+  SELECT p.event_type,
+         CASE WHEN e.user_id IS NOT NULL THEN 1 ELSE 0 END AS exact,
+         CASE WHEN COALESCE(h.nhit, 0) = {_BF_K} THEN 1 ELSE 0 END AS bloom
+  FROM probes p
+  LEFT JOIN nhit h ON h.user_id = p.user_id AND h.event_type = p.event_type
+  LEFT JOIN ev_ext e ON e.user_id = p.user_id AND e.event_type = p.event_type)
+SELECT f.event_type, CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(exact) AS BIGINT) AS n_exact,
+       CAST(SUM(bloom) AS BIGINT) AS n_bloom,
+       CAST(SUM(bloom) - SUM(exact) AS BIGINT) AS n_false_pos,
+       MAX(nb.n_bits_set) AS n_bits_set
+FROM flags f JOIN nbits nb ON nb.event_type = f.event_type
+GROUP BY f.event_type
+"""
+
+
 QUERIES = {
     "agg_hll_custom": agg_hll_custom,
     "agg_count_min": agg_count_min,
     "agg_quantile_sketch": agg_quantile_sketch,
+    "agg_bloom_custom": agg_bloom_custom,
 }
 ORACLE = {
     "agg_hll_custom": _hll_sql(),
     "agg_count_min": _cms_sql(),
     "agg_quantile_sketch": _qsk_sql(),
+    "agg_bloom_custom": _bloom_sql(),
 }

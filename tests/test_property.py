@@ -132,3 +132,24 @@ def test_quantile_sketch_merge_associativity(spark, sf_dir):
     m = {r["l_returnflag"]: r.asDict() for r in merged.collect()}
     assert d == m
     assert all(v["n_sample"] >= 1 for v in d.values())
+
+
+def test_bloom_sketch_one_sided_error(spark, sf_dir):
+    """Property: the Bloom sketch never false-negatives (every exact
+    member passes the filter) and the merged '__all__' filter accepts
+    at least whatever any per-type filter accepts for its members."""
+    from cortana_intelligence_customer360_spark.operators.sketches import (
+        _BF_M,
+        agg_bloom_custom,
+    )
+
+    rows = {r["event_type"]: r.asDict()
+            for r in agg_bloom_custom(spark, sf_dir).collect()}
+    assert "__all__" in rows
+    for t, r in rows.items():
+        assert r["n_bloom"] >= r["n_exact"], (t, r)
+        assert r["n_false_pos"] == r["n_bloom"] - r["n_exact"]
+        assert 0 < r["n_bits_set"] <= _BF_M
+    per_type_exact = sum(v["n_exact"] for t, v in rows.items()
+                         if t != "__all__")
+    assert rows["__all__"]["n_exact"] <= per_type_exact

@@ -1185,8 +1185,118 @@ def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_output(spark.read.parquet(sink))
 
 
+def stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable QUANTILE sketch: each chronological
+    micro-batch (maxFilesPerTrigger=1 replay) folds its events into a
+    per-type bottom-k (KMV) sample by md5(event_id) priority, and
+    foreachBatch merges it into the persistent sample state by
+    re-taking the k smallest of state ∪ batch — O(types x k) state
+    regardless of stream length, the quantile sibling of
+    stream_hll_merge's register max-merge.
+
+    min-k merge is associative/commutative/idempotent, so the final
+    sample is BIT-IDENTICAL to the one-shot batch bottom-k no matter
+    how the replay slices the source — the streaming op carries a FULL
+    direct-sample oracle (same lattice as agg_quantile_sketch, on the
+    events stream)."""
+    from ..operators.sketches import _QSK_K, _QSK_QS
+
+    sink = scratch_dir("stream_quantile_merge", sf_dir)
+
+    def bottomk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("rk")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _QSK_K)
+            .drop("rn")
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        sample = bottomk(
+            batch_df.select(
+                "event_type",
+                F.col("value").cast("double").alias("val"),
+                F.md5(F.col("event_id").cast("string")).alias("rk"),
+            )
+        )
+        try:
+            existing = spark_l.read.parquet(sink)
+        except Exception:
+            existing = None
+        if existing is not None:
+            sample = bottomk(existing.unionByName(sample))
+        sample.write.mode("overwrite").parquet(sink + ".tmp")
+        spark_l.read.parquet(sink + ".tmp").write.mode("overwrite").parquet(
+            sink
+        )
+
+    import shutil
+
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(sink + ".tmp", ignore_errors=True)
+    q = (
+        _events_stream_multi(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sample = spark.read.parquet(sink)
+    wv = Window.partitionBy("event_type").orderBy("val", "rk")
+    wn = Window.partitionBy("event_type")
+    pos = sample.withColumn("vn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    qcols = [
+        F.max(
+            F.when(
+                F.col("vn")
+                == F.greatest(
+                    F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("long")
+                ),
+                F.col("val"),
+            )
+        ).alias(f"q{int(q * 100)}")
+        for q in _QSK_QS
+    ]
+    return pos.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_sample"), *qcols
+    )
+
+
+def _stream_quantile_sql() -> str:
+    from ..operators.sketches import _QSK_K, _QSK_QS
+
+    qcols = ",\n       ".join(
+        f"MAX(CASE WHEN vn = GREATEST(1, CAST(ceil({q} * n) AS BIGINT)) "
+        f"THEN val END) AS q{int(q * 100)}"
+        for q in _QSK_QS
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS val,
+         md5(CAST(event_id AS VARCHAR)) AS rk
+  FROM events),
+keep AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY rk) AS rn
+    FROM base)
+  WHERE rn <= {_QSK_K}),
+pos AS (
+  SELECT event_type, val,
+         row_number() OVER (PARTITION BY event_type ORDER BY val, rk) AS vn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM keep)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sample,
+       {qcols}
+FROM pos GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_hll_merge": stream_hll_merge,
+    "stream_quantile_merge": stream_quantile_merge,
     "stream_error_burst": stream_error_burst,
     "stream_error_burst_multi": stream_error_burst_multi,
     "stream_attribution": stream_attribution,
@@ -1216,6 +1326,7 @@ if HAVE_PROTOBUF:  # pragma: no cover - container lacks protobuf
 
 ORACLE = {
     "stream_hll_merge": _hll_sql(),
+    "stream_quantile_merge": _stream_quantile_sql(),
     "stream_error_burst": _ERROR_BURST_STREAM_SQL,
     "stream_error_burst_multi": _ERROR_BURST_STREAM_SQL,
     "stream_attribution": _ATTR_STREAM_SQL,

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import bcount
+from ..operators.scans import scratch_dir
 from ..sources.tables import load_table
 
 N_PROBES = 10  # probe set: vec_id < 10 (bounded so exact stays cheap)
@@ -538,7 +539,133 @@ ORDER BY label
 """
 
 
+# -- incremental IVF index maintenance --------------------------------------
+
+_UPSERT_MOD = 8  # new-ingest batch = vec_id % _UPSERT_MOD == 0
+_UPSERT_K = 16
+
+
+def assign_frozen(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign vectors to their nearest FROZEN centroid (squared
+    euclidean, cell tiebreak) via a broadcast of the k-row centroid
+    table — one map pass, no re-clustering, no history read. This is
+    how a 100 TB index absorbs a daily ingest: the coarse quantizer is
+    fixed; only assignment runs."""
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def _upsert_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """(hist_indexed_dir, centroids_dir, delta_dir): a history-only IVF
+    index (built once, marker-cached) plus the new batch assigned with
+    the frozen quantizer and written as a delta commit."""
+    import inspect
+
+    root = scratch_dir("ann_ivf_upsert", sf_dir)
+    hist_dir = os.path.join(root, "indexed")
+    cent_dir = os.path.join(root, "centroids")
+    delta_dir = os.path.join(root, "delta")
+    fp = hashlib.md5(
+        (inspect.getsource(assign_frozen) + str((_UPSERT_MOD, _UPSERT_K))).encode()
+    ).hexdigest()[:12]
+    marker = os.path.join(root, f"_built-{fp}")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not os.path.isdir(marker):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        shutil.rmtree(root, ignore_errors=True)
+        hist = emb.where(F.col("vec_id") % _UPSERT_MOD != 0)
+        vec = hist.withColumn(
+            "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        model = KMeans(
+            k=_UPSERT_K, seed=42, featuresCol="vec", predictionCol="cell"
+        ).fit(vec.limit(_IVF_FIT_SAMPLE))
+        model.transform(vec).select("vec_id", "embedding", "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(hist_dir)
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cent_dir)
+        os.makedirs(marker, exist_ok=True)
+    new = emb.where(F.col("vec_id") % _UPSERT_MOD == 0).localCheckpoint()
+    centroids = spark.read.parquet(cent_dir)
+    assign_frozen(new, centroids).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(delta_dir)
+    return hist_dir, cent_dir, delta_dir
+
+
+def ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: absorb a new-vector batch into the
+    persisted index WITHOUT re-clustering or re-reading history — new
+    vectors are assigned with the frozen coarse quantizer (broadcast
+    centroid map pass) and land as a cell-partitioned delta commit;
+    the serving index is history ∪ delta.
+
+    The oracle pins the model-independent facts of the upserted index
+    (total/new vector counts, dim, list count, vec_id checksum — i.e.
+    exactly the right vectors ended up indexed, none lost or
+    duplicated); tests/test_embeddings.py pins the model-dependent
+    half: the upserted index's assignments equal assigning the UNION
+    corpus with the same frozen centroids, and history text never
+    appears in the combined read's plan."""
+    hist_dir, cent_dir, delta_dir = _upsert_index(spark, sf_dir)
+    combined = spark.read.parquet(hist_dir).unionByName(
+        spark.read.parquet(delta_dir)
+    )
+    delta_n = spark.read.parquet(delta_dir).agg(
+        bcount().alias("n_new")
+    )
+    facts = combined.agg(
+        bcount().alias("n_vectors"),
+        F.min(F.size("embedding")).cast("int").alias("dim"),
+        F.sum("vec_id").cast("long").alias("vec_id_checksum"),
+    )
+    lists = spark.read.parquet(cent_dir).agg(bcount().alias("n_lists"))
+    return (
+        facts.crossJoin(F.broadcast(delta_n))
+        .crossJoin(F.broadcast(lists))
+        .select("n_vectors", "n_new", "dim", "n_lists", "vec_id_checksum")
+    )
+
+
+_ANN_UPSERT_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN vec_id % {_UPSERT_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(MIN(len(embedding)) AS INT) AS dim,
+       CAST({_UPSERT_K} AS BIGINT) AS n_lists,
+       CAST(SUM(vec_id) AS BIGINT) AS vec_id_checksum
+FROM embeddings
+"""
+
+
 QUERIES = {
+    "ann_ivf_upsert": ann_ivf_upsert,
     "sim_knn_exact": sim_knn_exact,
     "emb_exemplar_topk": emb_exemplar_topk,
     "emb_silhouette": emb_silhouette,
@@ -559,6 +686,7 @@ ORACLE = {
     # equality asserted vs sim_knn_exact in tests). ann_ivf_build's
     # corpus facts ARE deterministic, so it carries a full oracle.
     "ann_ivf_build": _ANN_BUILD_SQL,
+    "ann_ivf_upsert": _ANN_UPSERT_SQL,
     "sim_centroid_by_label": _CENTROID_SQL,
     "multimodal_join": _MULTIMODAL_SQL,
 }

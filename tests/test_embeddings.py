@@ -48,3 +48,33 @@ def test_pca_variance_ordering_and_shape(spark, sf_dir):
     # deterministic across invocations (same data, same solver)
     again = emb_pca_reduce(spark, sf_dir)
     assert out.exceptAll(again).count() == 0
+
+
+def test_ivf_upsert_equals_frozen_union_assignment(spark, sf_dir):
+    """The upserted index (history index ∪ frozen-quantizer delta)
+    must hold exactly the assignments you'd get by assigning the WHOLE
+    union corpus with the same frozen centroids; and the serving read
+    touches only index parquet (no embeddings scan)."""
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.llmops.similarity import (
+        _upsert_index,
+        assign_frozen,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    hist_dir, cent_dir, delta_dir = _upsert_index(spark, sf_dir)
+    combined = spark.read.parquet(hist_dir).unionByName(
+        spark.read.parquet(delta_dir)
+    )
+    plan = combined._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = spark.read.parquet(cent_dir)
+    direct = assign_frozen(emb, centroids)
+    got = {r["vec_id"]: r["cell"] for r in combined.select("vec_id", "cell").collect()}
+    want = {r["vec_id"]: r["cell"] for r in direct.select("vec_id", "cell").collect()}
+    # history cells come from the KMeans transform (euclidean argmin with
+    # its own tie order); frozen re-assignment must agree on every vector
+    assert got == want

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..compat import bcount
 from ..sources.tables import load_table
 
 # Word-n-gram order for contamination matching. 3 is right for this
@@ -416,9 +417,120 @@ FROM sel GROUP BY source, w
 """
 
 
+# -- content-defined chunking -----------------------------------------------
+
+_CDC_DIV = 8  # boundary divisor: md5(token) % _CDC_DIV == 0 ends a chunk
+
+
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS/FastCDC idea on tokens):
+    a chunk boundary falls AFTER any token whose md5 lands in the
+    boundary class (≈1/_CDC_DIV of tokens, so ~8-token chunks). Unlike
+    fixed windows, boundaries are functions of CONTENT alone — insert
+    a sentence into a doc and every untouched chunk keeps its exact
+    fingerprint, which is what makes CDC the partial-overlap dedup
+    primitive (exact dedup misses edited copies; shingle Jaccard costs
+    an index). Output per doc: token/chunk counts plus how many of its
+    chunks (and tokens) also appear verbatim in other docs.
+
+    Scale posture: chunking is one doc-keyed shuffle (posexplode +
+    prefix-sum window + chunk groupBy all share the doc_id key);
+    the fingerprint-sharing pass groups by chunk fp (bounded by corpus
+    chunk count) and joins back slim (fp, n_docs) rows. No all-pairs
+    anything."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = cdc_chunk_frame(docs)
+    fp_docs = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    lab = chunks.join(fp_docs, "fp")
+    return lab.groupBy("doc_id").agg(
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        bcount().alias("n_chunks"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_chunks"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("shared_tokens"),
+    )
+
+
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, n_tok, fp) content-defined chunks of any
+    (doc_id, text) frame — shared by the registered query and the
+    edit-stability property test."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    flag = F.when(
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        % _CDC_DIV
+        == 0,
+        1,
+    ).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn("flag", flag).withColumn(
+        "chunk_id", F.coalesce(F.sum("flag").over(w), F.lit(0)).cast("long")
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        bcount().alias("n_tok"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+            )
+        ).alias("fp"),
+    )
+
+
+_CDC_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(range(len(l))) AS pos, UNNEST(l) AS token
+  FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents)),
+flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN ('0x' || substr(md5(token), 1, 8))::BIGINT
+                   % {_CDC_DIV} = 0 THEN 1 ELSE 0 END AS flag
+  FROM tok),
+chunked AS (
+  SELECT doc_id, pos, token,
+         COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM flagged),
+chunks AS (
+  SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         md5(string_agg(token, ' ' ORDER BY pos)) AS fp
+  FROM chunked GROUP BY doc_id, chunk_id),
+fp_docs AS (
+  SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM chunks GROUP BY fp)
+SELECT c.doc_id,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS shared_tokens
+FROM chunks c JOIN fp_docs USING (fp)
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = {
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "data_source_mixture": data_source_mixture,
+    "text_cdc_chunks": text_cdc_chunks,
     "text_contamination": text_contamination,
     "text_chunk_overlap": text_chunk_overlap,
     "text_pack_sequences": text_pack_sequences,
@@ -427,6 +539,7 @@ QUERIES = {
 ORACLE = {
     "pipeline_corpus_curation": _curation_sql(),
     "data_source_mixture": _MIXTURE_SQL,
+    "text_cdc_chunks": _CDC_SQL,
     "text_contamination": _CONTAM_SQL,
     "text_chunk_overlap": _CHUNK_SQL,
     "text_pack_sequences": _PACK_SQL,

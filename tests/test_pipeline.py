@@ -101,3 +101,30 @@ def test_source_mixture_budget_within_one_doc(spark, sf_dir):
     again = {r["source"]: r["sel_checksum"] for r in
              data_source_mixture(spark, sf_dir).collect()}
     assert again == {s: r["sel_checksum"] for s, r in rows.items()}
+
+
+def test_cdc_chunks_survive_prefix_edit(spark):
+    """The CDC property fixed-size windows lack: prepending text to a
+    document changes at most the chunks up to the first boundary after
+    the edit — every later chunk keeps its exact fingerprint, so an
+    edited near-copy still shares most chunk fps with the original."""
+    from cortana_intelligence_customer360_spark.llmops.pipeline import (
+        cdc_chunk_frame,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten")
+    edited = "INserted PREfix tokens " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunk_frame(docs).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fp"])
+    shared = fps[1] & fps[2]
+    n1 = len(fps[1])
+    # all but the first chunk (plus possible fp-dup collisions) shared
+    assert len(shared) >= n1 - 2, (n1, len(shared))
+    assert fps[1] != fps[2]

@@ -234,6 +234,69 @@ FROM hashed
 """
 
 
+_N_EPOCHS = 3
+
+
+def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-EPOCH deterministic training shuffle: epoch e's order is
+    md5(e || doc_id), so every epoch sees a different permutation
+    (decorrelated batch composition — the reason trainers reshuffle
+    per epoch) while each remains a pure function of (epoch, key):
+    reproducible across engines, runs, and mid-epoch restarts, and a
+    shard can be regenerated in isolation. Same per-shard dense
+    positions as data_global_shuffle; sorts stay per-(epoch, shard),
+    never global. Tests pin that the permutations actually differ
+    between epochs while each epoch's shard sizes stay balanced."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(_N_EPOCHS)])
+    ).alias("epoch")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = docs.select("doc_id", epochs).select(
+        "doc_id", "epoch", h.alias("h")
+    )
+    w = Window.partitionBy("epoch", F.col("h") % _N_SHARDS).orderBy(
+        "h", "doc_id"
+    )
+    return hashed.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "doc_id",
+        (F.col("h") % _N_SHARDS).cast("int").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    evals = ", ".join(f"({e})" for e in range(_N_EPOCHS))
+    return f"""
+WITH e(epoch) AS (VALUES {evals}),
+hashed AS (
+  SELECT epoch, doc_id,
+         ('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents CROSS JOIN e)
+SELECT CAST(epoch AS INT) AS epoch, doc_id,
+       CAST(h % {_N_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, h % {_N_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM hashed
+"""
+
+
 _LAMBDA = 0.8  # interpolation weight on the bigram term
 
 
@@ -338,6 +401,7 @@ QUERIES = {
     "text_bigram_logprob": text_bigram_logprob,
     "text_bm25_search": text_bm25_search,
     "data_global_shuffle": data_global_shuffle,
+    "data_epoch_shuffle": data_epoch_shuffle,
 }
 
 ORACLE = {
@@ -345,4 +409,5 @@ ORACLE = {
     "text_bigram_logprob": _BIGRAM_SQL,
     "text_bm25_search": _BM25_SQL,
     "data_global_shuffle": _SHUFFLE_SQL,
+    "data_epoch_shuffle": _epoch_shuffle_sql(),
 }

@@ -751,7 +751,43 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 listagg / string_agg with WITHIN GROUP ordering: the
+    SQL:2016 ordered string aggregation (region -> CSV of its nations,
+    plus each region's segment-diverse customer count as a sanity
+    column). Explicit ORDER BY inside the aggregate is what makes the
+    result deterministic and therefore full-oracle-able — an unordered
+    listagg would be R-tier by construction.
+
+    Citation: reference checkout is empty (SURVEY.md §0); §2.12
+    extension id."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    region.createOrReplaceTempView("v_region_la")
+    nation.createOrReplaceTempView("v_nation_la")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                 AS nations_csv,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM v_region_la r JOIN v_nation_la n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+_LISTAGG_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
+    "agg_listagg": agg_listagg,
     "agg_multi_distinct": agg_multi_distinct,
     "agg_mode_per_group": agg_mode_per_group,
     "agg_bitmap_distinct": agg_bitmap_distinct,
@@ -778,6 +814,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_listagg": _LISTAGG_SQL,
     "agg_multi_distinct": _AGG_MULTI_DISTINCT_SQL,
     "agg_mode_per_group": _mode_sql(),
     "agg_bitmap_distinct": _AGG_BITMAP_SQL,

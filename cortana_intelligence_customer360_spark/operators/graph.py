@@ -529,7 +529,78 @@ LIMIT {_CN_TOPK}
 """
 
 
+_LPA_ITERS = 3
+# argmax encoding: label that maximizes (count, then smallest label).
+# count < 1e7 (degree bound), label < 1e7 → key = count*1e7 - label is
+# an exact int64 total order both engines agree on.
+_LPA_KEY = 10_000_000
+
+
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (Raghavan
+    et al. 2007), 3 fixed rounds over the trade graph: every node
+    starts as its own label; each round it adopts its neighbors'
+    majority label, ties broken by smallest label — the deterministic
+    tie rule that makes fixed-round LPA fully oracle-able (classic LPA
+    breaks ties randomly and is R-tier by construction).
+
+    Scale posture: identical to PageRank's — the edge list is
+    materialized once, hash-partitioned on src, and each round
+    shuffles only the node-cardinality label table (join to edges on
+    src, count per (dst, label) with map-side combine, argmax per
+    dst). Rounds are a fixed constant, so the lineage stays bounded
+    (localCheckpoint per round like the BFS frontier)."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(_LPA_ITERS):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(bcount().alias("cnt"))
+        )
+        labels = counts.groupBy(F.col("node2").alias("node")).agg(
+            F.max_by(
+                "label", F.col("cnt") * _LPA_KEY - F.col("label")
+            ).alias("label")
+        ).localCheckpoint()
+    return labels.select("node", F.col("label").cast("long").alias("label"))
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+  FROM edges e JOIN {prev} l ON l.node = e.src GROUP BY 1, 2),
+l{i} AS (
+  SELECT node, arg_max(label, cnt * {_LPA_KEY} - label) AS label
+  FROM c{i} GROUP BY node)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{chain}
+SELECT node, CAST(label AS BIGINT) AS label FROM {prev}
+"""
+
+
 QUERIES = {
+    "graph_label_prop": graph_label_prop,
     "graph_common_neighbors": graph_common_neighbors,
     "sql_recursive_cte": sql_recursive_cte,
     "sample_reservoir_per_group": sample_reservoir_per_group,
@@ -541,6 +612,7 @@ QUERIES = {
     "sample_bernoulli_seeded": sample_bernoulli_seeded,
 }
 ORACLE = {
+    "graph_label_prop": _lpa_sql(),
     "graph_common_neighbors": _COMMON_NEIGHBORS_SQL,
     "sql_recursive_cte": _RCTE_SQL,
     "sample_reservoir_per_group": _RESERVOIR_SQL,

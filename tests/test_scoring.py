@@ -62,3 +62,29 @@ def test_global_shuffle_is_dense_permutation(spark, sf_dir):
     again = data_global_shuffle(spark, sf_dir)
     assert out.exceptAll(again).count() == 0
     out.unpersist()
+
+
+def test_epoch_shuffle_permutations_differ_and_balance(spark, sf_dir):
+    """Each epoch is a different deterministic permutation (shard+pos
+    assignments differ between epochs for a non-trivial fraction of
+    docs) and every epoch's shards stay hash-balanced."""
+    from cortana_intelligence_customer360_spark.llmops.scoring import (
+        _N_EPOCHS,
+        _N_SHARDS,
+        data_epoch_shuffle,
+    )
+
+    rows = data_epoch_shuffle(spark, sf_dir).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = (r["shard"], r["pos"])
+    assert set(by_epoch) == set(range(_N_EPOCHS))
+    n_docs = len(by_epoch[0])
+    assert all(len(v) == n_docs for v in by_epoch.values())
+    moved = sum(1 for d in by_epoch[0] if by_epoch[0][d] != by_epoch[1][d])
+    assert moved > n_docs // 2  # different permutation, not a re-label
+    for e, v in by_epoch.items():
+        sizes = [0] * _N_SHARDS
+        for s, _ in v.values():
+            sizes[s] += 1
+        assert min(sizes) > 0 and max(sizes) < 2 * (n_docs // _N_SHARDS + 1)

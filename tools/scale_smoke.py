@@ -128,6 +128,18 @@ HEAVY = [
     "feat_ltv_heuristic",
     "agg_hll_custom",
     "agg_count_min",
+    # round-4 additions
+    "dedup_incremental",
+    "data_source_mixture",
+    "text_cdc_chunks",
+    "agg_quantile_sketch",
+    "agg_bloom_custom",
+    "graph_label_prop",
+    "data_epoch_shuffle",
+    "ann_ivf_upsert",
+    "join_bloom_runtime",
+    "join_skew_aqe",
+    "stream_quantile_merge",
     "fn_ip_cidr",
     "win_decline_streak",
     "multimodal_mime_sniff",

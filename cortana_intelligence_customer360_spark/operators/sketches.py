@@ -285,13 +285,38 @@ def _qsk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bottomk_sample(rows: DataFrame, two_level: bool) -> DataFrame:
     """Keep the _QSK_K rows with smallest md5 priority per group.
 
-    ``two_level=True`` is the mergeable/distributed form: stage 1 keeps
-    the k smallest per (group, shard) — _QSK_SHARDS fine shards, so the
-    heavy sort is spread evenly and each shard emits <= k rows — and
-    stage 2 merges shard sketches by re-taking the k smallest of the
-    union. min-k is associative, so this equals the direct single-level
-    bottom-k EXACTLY (pinned by tests and by sharing one oracle)."""
+    ``two_level=True`` is the mergeable/distributed form, prefixed by a
+    KMV priority pre-filter: priorities are uniform hex strings, so the
+    true bottom-k of a group of n rows all but surely lie below the
+    16k/n priority quantile. A per-group threshold (hex-15 prefix of
+    ceil(2^60 * 16k / n), string-compared — lexicographic order on
+    lowercase hex IS numeric order) cuts the window input from n rows
+    to ~16k per group as a map-only broadcast-join filter, so the
+    bottom-k sorts never touch the fact table; the full scan only
+    computes md5 + one string compare per row. P(filter drops a true
+    bottom-k row) = P(Binomial(n, 16k/n) < k) < e^-2800 — zero at any
+    scale; groups under 32k rows skip the filter entirely ('g' sorts
+    above every hex digest). Stage 1 then keeps the k smallest per
+    (group, shard) — the per-shard sketches a partitioned pipeline
+    would persist — and stage 2 merges shard sketches by re-taking the
+    k smallest of the union. min-k is associative, so this equals the
+    direct single-level bottom-k EXACTLY (pinned by tests — the
+    two_level=False path runs UNfiltered, so the equality test also
+    proves the filter lossless — and by sharing one oracle)."""
     if two_level:
+        counts = rows.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("_n_g")
+        )
+        t60 = F.ceil(
+            F.lit(float(1 << 60)) * F.lit(16.0 * _QSK_K) / F.col("_n_g")
+        ).cast("long")
+        thr = F.when(
+            F.col("_n_g") <= F.lit(32 * _QSK_K), F.lit("g")
+        ).otherwise(F.lpad(F.lower(F.hex(t60)), 15, "0"))
+        rows = rows.join(
+            F.broadcast(counts.select("l_returnflag", thr.alias("_thr"))),
+            "l_returnflag",
+        ).where(F.col("rk") < F.col("_thr")).drop("_thr")
         shard = F.pmod(F.xxhash64("rk"), F.lit(_QSK_SHARDS))
         w1 = Window.partitionBy("l_returnflag", "shard").orderBy("rk")
         rows = (
@@ -353,10 +378,12 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-level sample, which is what the oracle computes and what
     tests/test_property.py pins Spark-vs-Spark.
 
-    Scale posture: stage 1's window partitions by (group, shard) —
-    _QSK_SHARDS spreads the sort evenly (no 3-partition skew wall) and
-    caps stage-1 output at groups x shards x k rows; stage 2 sorts only
-    that bounded set. Error: a k-sample gives quantile rank error
+    Scale posture: the KMV threshold pre-filter (see bottomk_sample)
+    reduces the fact table to ~16k rows per group map-only before any
+    window runs, so the only per-row work at data scale is md5 + one
+    string compare; stage 1's window then partitions the filtered
+    residue by (group, shard) and stage 2 sorts a set bounded by
+    groups x shards x k. Error: a k-sample gives quantile rank error
     ~1/sqrt(k) (~6% at k=256), independent of data size."""
     sample = bottomk_sample(_qsk_rows(spark, sf_dir), two_level=True)
     return quantiles_from_sample(sample)
@@ -542,15 +569,196 @@ GROUP BY f.event_type
 """
 
 
+# -- theta-sketch set algebra (KMV bottom-k over user sets) -----------------
+
+_TH_K = 64  # sketch size; estimator active once |A ∪ B| > k
+
+
+def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET ALGEBRA: distinct-user union and
+    intersection estimates for every event-type pair, computed only
+    from the per-type bottom-k sketches — the sketch operation that
+    answers "how many users did both X and Y" on a 100 TB event log
+    without a pairwise distinct-count over the raw data.
+
+    Math (Dasgupta et al., the Theta Sketch Framework): θ = k-th
+    smallest md5 priority in A∪B's combined sample. Below θ, sample
+    membership equals set membership (θ <= θ_A, θ_B), so
+    |A∪B| ≈ (k-1)/θ and |A∩B| ≈ |{h < θ: in both samples}|/θ. When
+    the union sample holds fewer than k users the sketches ARE the
+    sets and both estimates are exact — both engines branch on the
+    same condition. md5 priorities make every step deterministic, so
+    a FULL DuckDB oracle applies; the exact intersection is computed
+    alongside so the sketch error is visible in the output.
+
+    Scale posture: the only data-sized work is one distinct over
+    (event_type, user_id) (map-side combine) and one self-equi-join
+    on user_id for the exact column; every pairwise step runs on
+    |types| x k sampled rows. The per-type bottom-k window takes the
+    same KMV threshold pre-filter as bottomk_sample at scale."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", F.md5(F.col("user_id").cast("string")))
+    )
+    wt = Window.partitionBy("event_type").orderBy("h")
+    sample = (
+        ev.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= _TH_K)
+        .drop("rn")
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    sa = pairs.join(sample, sample.event_type == pairs.type_a).select(
+        "type_a", "type_b", "user_id", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    sb = pairs.join(sample, sample.event_type == pairs.type_b).select(
+        "type_a", "type_b", "user_id", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    u = (
+        sa.unionByName(sb)
+        .groupBy("type_a", "type_b", "user_id", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = u.withColumn("rn", F.row_number().over(wp))
+    t60 = F.conv(F.substring("h", 1, 15), 16, 10).cast("double")
+    two60 = float(1 << 60)
+    per_pair = ranked.groupBy("type_a", "type_b").agg(
+        bcount().alias("n_union_sample"),
+        F.max(F.when(F.col("rn") == _TH_K, t60)).alias("t60"),
+        F.sum(
+            F.when(
+                (F.col("rn") < _TH_K) & (F.col("in_a") + F.col("in_b") == 2), 1
+            ).otherwise(0)
+        ).cast("long").alias("rho"),
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("int"))
+        .cast("long")
+        .alias("inter_sample"),
+    )
+    est = per_pair.select(
+        "type_a",
+        "type_b",
+        "n_union_sample",
+        F.when(
+            F.col("n_union_sample") < _TH_K,
+            F.col("n_union_sample").cast("double"),
+        )
+        .otherwise(
+            F.round(F.lit(float(_TH_K - 1)) * two60 / F.col("t60"), 6)
+        )
+        .alias("union_est"),
+        F.when(
+            F.col("n_union_sample") < _TH_K,
+            F.col("inter_sample").cast("double"),
+        )
+        .otherwise(
+            F.round(F.col("rho").cast("double") * two60 / F.col("t60"), 6)
+        )
+        .alias("inter_est"),
+    )
+    ea = ev.select(F.col("event_type").alias("type_a"), "user_id")
+    eb = ev.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ea.join(eb, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(bcount().alias("n_exact_inter"))
+    )
+    return est.join(exact, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        "n_union_sample",
+        "union_est",
+        "inter_est",
+        F.coalesce("n_exact_inter", F.lit(0).cast("long")).alias(
+            "n_exact_inter"
+        ),
+    )
+
+
+def _theta_sql() -> str:
+    two60 = float(1 << 60)
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT event_type, user_id,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+sample AS (
+  SELECT * FROM (
+    SELECT event_type, user_id, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM ev)
+  WHERE rn <= {_TH_K}),
+types AS (SELECT DISTINCT event_type FROM ev),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a CROSS JOIN types b WHERE a.event_type < b.event_type),
+u AS (
+  SELECT type_a, type_b, user_id, h,
+         MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.type_a, p.type_b, s.user_id, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sample s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.user_id, s.h, 0, 1
+    FROM pairs p JOIN sample s ON s.event_type = p.type_b)
+  GROUP BY type_a, type_b, user_id, h),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn,
+         CAST(('0x' || substr(h, 1, 15))::BIGINT AS DOUBLE) AS t60
+  FROM u),
+per_pair AS (
+  SELECT type_a, type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+         MAX(CASE WHEN rn = {_TH_K} THEN t60 END) AS t60,
+         CAST(SUM(CASE WHEN rn < {_TH_K} AND in_a + in_b = 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS rho,
+         CAST(SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS inter_sample
+  FROM ranked GROUP BY type_a, type_b),
+est AS (
+  SELECT type_a, type_b, n_union_sample,
+         CASE WHEN n_union_sample < {_TH_K}
+              THEN CAST(n_union_sample AS DOUBLE)
+              ELSE round({float(_TH_K - 1)} * {two60} / t60, 6)
+         END AS union_est,
+         CASE WHEN n_union_sample < {_TH_K}
+              THEN CAST(inter_sample AS DOUBLE)
+              ELSE round(CAST(rho AS DOUBLE) * {two60} / t60, 6)
+         END AS inter_est
+  FROM per_pair),
+exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_exact_inter
+  FROM ev a JOIN ev b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT e.type_a, e.type_b, e.n_union_sample, e.union_est, e.inter_est,
+       COALESCE(x.n_exact_inter, 0) AS n_exact_inter
+FROM est e LEFT JOIN exact x
+  ON x.type_a = e.type_a AND x.type_b = e.type_b
+"""
+
+
 QUERIES = {
     "agg_hll_custom": agg_hll_custom,
     "agg_count_min": agg_count_min,
     "agg_quantile_sketch": agg_quantile_sketch,
     "agg_bloom_custom": agg_bloom_custom,
+    "agg_theta_setops": agg_theta_setops,
 }
 ORACLE = {
     "agg_hll_custom": _hll_sql(),
     "agg_count_min": _cms_sql(),
     "agg_quantile_sketch": _qsk_sql(),
     "agg_bloom_custom": _bloom_sql(),
+    "agg_theta_setops": _theta_sql(),
 }

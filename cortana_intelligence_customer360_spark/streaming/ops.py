@@ -36,10 +36,32 @@ _SEQ = itertools.count(1)  # single next() call is atomic under CPython
 _MULTI_FILES = 4  # micro-batches in the multi-batch streaming forms
 
 
+def _events_ts_is_int64(sf_dir: str) -> bool:
+    """True when events.parquet stores ts as physical INT64 (the
+    testdata's timestamp[ns] layout, readable through the LongType-
+    forced raw schema). Spark-written blow-up copies store INT96/
+    timestamp physicals instead, which that forced read rejects — peek
+    the footer once and branch."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    f = path
+    if os.path.isdir(path):
+        f = sorted(glob.glob(os.path.join(path, "part-*")))[0]
+    schema = pq.read_metadata(f).schema
+    return schema.column(schema.names.index("ts")).physical_type == "INT64"
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming view of the events table with the same ts normalization
-    as the batch loader (ns long -> µs timestamp)."""
+    as the batch loader (ns long -> µs timestamp); timestamp-physical
+    files (blow-up copies) stream through their embedded schema."""
     ensure_session_confs(spark)
+    if not _events_ts_is_int64(sf_dir):
+        sch = load_table(spark, sf_dir, "events").schema
+        return spark.readStream.schema(sch).parquet(f"{sf_dir}/events.parque[t]")
     raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parque[t]")
     return raw.withColumn("ts", raw_ts_to_timestamp("ts"))
 
@@ -52,7 +74,15 @@ def _events_multifile_src(spark: SparkSession, sf_dir: str) -> str:
     src = scratch_dir("events_multifile", sf_dir)
     if not os.path.isdir(os.path.join(src, "_done")):
         ensure_session_confs(spark)
-        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+        # Normalize through the batch loader, then store ts as raw
+        # epoch-µs longs: the replay read below is one forced-long
+        # schema + magnitude branch regardless of how the source dir
+        # encoded its timestamps (testdata int64-ns vs Spark INT96).
+        from ..compat import epoch_us
+
+        raw = load_table(spark, sf_dir, "events").withColumn(
+            "ts", epoch_us("ts")
+        )
         raw.repartitionByRange(_MULTI_FILES, "ts").write.mode("overwrite").parquet(src)
         # The file source replays files in MODIFICATION-TIME order, and
         # one write job stamps every part file with the same mtime - so

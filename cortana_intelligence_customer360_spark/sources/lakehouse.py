@@ -442,14 +442,69 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention VACUUM as a first-class operation: fragment the table
+    with three append commits, compact (an overwrite commit — every
+    pre-compaction file becomes historical), then vacuum with
+    keep_last=1 and PROVE both halves of the retention contract in the
+    output: the live table reads bit-identically (the orders aggregate
+    the oracle recomputes from source), while time travel past the
+    horizon is physically gone (reading version 0 now fails because its
+    exclusive files were deleted). files_removed>0 / old_unreadable are
+    deterministic booleans — compaction rewrites the complete live set,
+    so every older file is always exclusive-to-history.
+
+    Scale posture: vacuum is pure manifest metadata (set difference of
+    file lists) plus unlink syscalls — file-count work on the driver,
+    exactly how real table formats implement it; no data is read."""
+    qid = "lake_vacuum"
+    root = _scratch(qid, sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    for m in (0, 1, 2):
+        t.commit(
+            orders.where(F.col("o_orderkey") % 3 == m).repartition(4),
+            "o_orderkey",
+        )
+    compact(t, spark, 4)
+    stats = vacuum(t, keep_last=1)
+    try:
+        t.read(spark, version=0).count()
+        old_unreadable = False
+    except Exception:
+        old_unreadable = True
+    back = t.read(spark)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            bcount().alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("files_removed_some", F.lit(stats["removed"] > 0))
+        .withColumn("old_unreadable", F.lit(old_unreadable))
+    )
+
+
+_LAKE_VACUUM_SQL = f"""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       TRUE AS files_removed_some, TRUE AS old_unreadable
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_pruned_scan": lake_pruned_scan,
     "lake_incremental_mv": lake_incremental_mv,
     "lake_compact": lake_compact,
+    "lake_vacuum": lake_vacuum,
 }
 
 ORACLE = {
+    "lake_vacuum": _LAKE_VACUUM_SQL,
     "lake_time_travel": _TIME_TRAVEL_SQL,
     "lake_pruned_scan": _PRUNED_SCAN_SQL,
     "lake_incremental_mv": _INCREMENTAL_MV_SQL,

@@ -1215,6 +1215,98 @@ def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_output(spark.read.parquet(sink))
 
 
+def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable BLOOM membership sketch: each chronological
+    micro-batch (maxFilesPerTrigger=1 replay) hashes its users into
+    (event_type, bit-position) rows and foreachBatch OR-merges them
+    into the persistent filter state (union-distinct of set bits) —
+    state is O(types x m bits) regardless of stream length, the
+    membership sibling of stream_hll_merge / stream_quantile_merge
+    completing the streaming mergeable-sketch family.
+
+    Bit OR is associative/commutative/idempotent, so the merged filter
+    is BIT-IDENTICAL to the one-shot batch filter however the replay
+    slices the source — a FULL direct-build oracle applies. Readback
+    reports bits set, fill ratio, and the standard occupancy
+    cardinality estimate n ≈ -(m/k)·ln(1 - X/m), formula-mirrored and
+    rounded 6 dp in both engines."""
+    from ..operators.sketches import _BF_K, _BF_M, _bf_pos
+
+    sink = scratch_dir("stream_bloom_merge", sf_dir)
+
+    def bits_of(df: DataFrame) -> DataFrame:
+        pos_arr = F.array(*[_bf_pos(i, "user_id") for i in range(_BF_K)])
+        return (
+            df.select("event_type", F.explode(pos_arr).alias("pos"))
+            .distinct()
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        bits = bits_of(batch_df.select("event_type", "user_id"))
+        try:
+            existing = spark_l.read.parquet(sink)
+        except Exception:
+            existing = None
+        if existing is not None:
+            bits = existing.unionByName(bits).distinct()
+        bits.write.mode("overwrite").parquet(sink + ".tmp")
+        spark_l.read.parquet(sink + ".tmp").write.mode("overwrite").parquet(
+            sink
+        )
+
+    import shutil
+
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(sink + ".tmp", ignore_errors=True)
+    q = (
+        _events_stream_multi(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bits = spark.read.parquet(sink)
+    bits = bits.unionByName(
+        bits.select(F.lit("__all__").alias("event_type"), "pos").distinct()
+    )
+    x = F.count(F.lit(1)).cast("double")
+    m = float(_BF_M)
+    est = F.round(
+        F.lit(-m / _BF_K) * F.log(F.lit(1.0) - x / F.lit(m)), 6
+    )
+    return bits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bits_set"),
+        F.round(x / F.lit(m), 6).alias("fill_ratio"),
+        est.alias("est_distinct"),
+    )
+
+
+def _stream_bloom_sql() -> str:
+    from ..operators.sketches import _BF_K, _BF_M
+
+    ivals = ", ".join(f"({i})" for i in range(_BF_K))
+    pos = (
+        "('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || "
+        f"CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {_BF_M}"
+    )
+    return f"""
+WITH i(i) AS (VALUES {ivals}),
+bits0 AS (
+  SELECT DISTINCT event_type, {pos} AS pos
+  FROM events CROSS JOIN i),
+bits AS (
+  SELECT event_type, pos FROM bits0
+  UNION
+  SELECT '__all__', pos FROM bits0)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bits_set,
+       round(COUNT(*) / {float(_BF_M)}, 6) AS fill_ratio,
+       round({-float(_BF_M) / _BF_K}
+             * ln(1.0 - COUNT(*) / {float(_BF_M)}), 6) AS est_distinct
+FROM bits GROUP BY event_type
+"""
+
+
 def stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mergeable QUANTILE sketch: each chronological
     micro-batch (maxFilesPerTrigger=1 replay) folds its events into a
@@ -1326,6 +1418,7 @@ FROM pos GROUP BY event_type
 
 QUERIES = {
     "stream_hll_merge": stream_hll_merge,
+    "stream_bloom_merge": stream_bloom_merge,
     "stream_quantile_merge": stream_quantile_merge,
     "stream_error_burst": stream_error_burst,
     "stream_error_burst_multi": stream_error_burst_multi,
@@ -1356,6 +1449,7 @@ if HAVE_PROTOBUF:  # pragma: no cover - container lacks protobuf
 
 ORACLE = {
     "stream_hll_merge": _hll_sql(),
+    "stream_bloom_merge": _stream_bloom_sql(),
     "stream_quantile_merge": _stream_quantile_sql(),
     "stream_error_burst": _ERROR_BURST_STREAM_SQL,
     "stream_error_burst_multi": _ERROR_BURST_STREAM_SQL,

@@ -762,7 +762,46 @@ FROM customer
 """
 
 
+def fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface: from_utc_timestamp into DST-aware
+    zones (America/New_York crosses EST/EDT inside the data range,
+    Asia/Tokyo is fixed-offset), rendered as wall-clock strings plus
+    tz-local hour and date — the "local business day" derivations every
+    global pipeline needs. The oracle reconstructs the instants with an
+    EXPLICIT '+00' offset literal (never a bare TIMESTAMPTZ cast), so
+    it is independent of the DuckDB session timezone; both engines
+    resolve transitions from the IANA tzdb. Map-only, codegen'd."""
+    ev = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tk = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("utc_wall"),
+        F.date_format(ny, fmt).alias("ny_wall"),
+        F.date_format(tk, fmt).alias("tokyo_wall"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+        ny.cast("date").cast("string").alias("ny_date"),
+    )
+
+
+def _fn_datetime_tz_sql() -> str:
+    inst = "(strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '+00')::TIMESTAMPTZ"
+    ny = f"timezone('America/New_York', {inst})"
+    tk = f"timezone('Asia/Tokyo', {inst})"
+    return f"""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS utc_wall,
+       strftime({ny}, '%Y-%m-%d %H:%M:%S.%f') AS ny_wall,
+       strftime({tk}, '%Y-%m-%d %H:%M:%S.%f') AS tokyo_wall,
+       CAST(hour({ny}) AS BIGINT) AS ny_hour,
+       CAST(CAST({ny} AS DATE) AS VARCHAR) AS ny_date
+FROM events
+"""
+
+
 QUERIES = {
+    "fn_datetime_tz": fn_datetime_tz,
     "fn_string2": fn_string2,
     "fn_make_datetime": fn_make_datetime,
     "sql_parameterized": sql_parameterized,
@@ -789,6 +828,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_datetime_tz": _fn_datetime_tz_sql(),
     "fn_string2": _FN_STRING2_SQL,
     "fn_make_datetime": _FN_MAKE_SQL,
     "sql_parameterized": _SQL_PARAM_SQL,

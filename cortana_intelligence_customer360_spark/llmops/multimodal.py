@@ -488,7 +488,90 @@ FROM h GROUP BY 1
 """
 
 
+_DH_COLS = 8  # sample columns -> 7 gradient bits per row
+_DH_ROWS = 8  # sample rows -> 56-bit hash (fits BIGINT)
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Difference-hash each PNG payload from its REAL decoded pixels
+    (CRC-checked chunk walk + inflate + unfilter): nearest-neighbor
+    sample an 8x8 grid, emit 1 bit per horizontal gradient."""
+    from .codecs import decode_png_pixels
+
+    for pdf in batches:
+        hashes = []
+        for p in pdf["payload"]:
+            rows = decode_png_pixels(bytes(p))
+            h, w = len(rows), len(rows[0])
+            bits = 0
+            for y in range(_DH_ROWS):
+                ys = y * h // _DH_ROWS
+                for x in range(_DH_COLS - 1):
+                    a = rows[ys][x * w // _DH_COLS]
+                    b = rows[ys][(x + 1) * w // _DH_COLS]
+                    if a > b:
+                        bits |= 1 << (y * (_DH_COLS - 1) + x)
+            hashes.append(bits)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "dhash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: dHash (horizontal-gradient bits on
+    a nearest-neighbor 8x8 sample grid) computed from the REAL decoded
+    pixels of each PNG payload — the image-side analog of the text
+    fingerprint family — then exact-hash bucketing to surface images
+    with identical perceptual signatures. The hash is 56 bits so it
+    stays a BIGINT groupBy key; at 100 TB the bucket join replaces an
+    all-pairs pixel comparison exactly like minhash banding does for
+    text. The oracle replays the generative pixel formula (pixel =
+    (doc_id + 7x + 13y) mod 256), so decode + hash carry a FULL
+    correctness check, not just a rows count."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(_encode_png_batches, _PAYLOAD_SCHEMA)
+    hashes = payloads.mapInPandas(_dhash_batches, _DHASH_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dhash")
+    return hashes.select(
+        "doc_id",
+        "dhash",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same_hash"),
+    )
+
+
+_PHASH_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 9 + 3 AS h
+  FROM documents),
+hashes AS (
+  SELECT doc_id, CAST(list_sum(flatten(list_transform(range({_DH_ROWS}), y ->
+      list_transform(range({_DH_COLS - 1}), x ->
+        CASE WHEN (doc_id + 7*((x*w)//{_DH_COLS}) + 13*((y*h)//{_DH_ROWS})) % 256
+                > (doc_id + 7*(((x+1)*w)//{_DH_COLS}) + 13*((y*h)//{_DH_ROWS})) % 256
+             THEN (CAST(1 AS BIGINT) << (y*{_DH_COLS - 1}+x)) ELSE 0 END))))
+    AS BIGINT) AS dhash
+  FROM dims)
+SELECT doc_id, dhash,
+       CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash
+FROM hashes
+"""
+
+
 QUERIES = {
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_mime_sniff": multimodal_mime_sniff,
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_decode_png": multimodal_decode_png,
@@ -497,6 +580,7 @@ QUERIES = {
     "multimodal_audio_framesample": multimodal_audio_framesample,
 }
 ORACLE = {
+    "multimodal_phash_dedup": _PHASH_SQL,
     "multimodal_mime_sniff": _MIME_SQL,
     "multimodal_decode_meta": _DECODE_META_SQL,
     "multimodal_decode_png": _DECODE_PNG_SQL,

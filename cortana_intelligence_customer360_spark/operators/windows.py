@@ -456,7 +456,51 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY ym)
 """
 
 
+def win_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding DISTINCT count — per event, how many distinct event
+    types its user produced in the trailing hour (behavioral-diversity
+    signal). Distinct aggregates are the window case engines punt on:
+    Spark expresses it directly as size(collect_set()) over a RANGE
+    frame (one shuffle on user_id, frame evaluated in-sort); DuckDB
+    has no DISTINCT-over-window, so the oracle states the same
+    semantics as a range self-join — also documenting what the
+    operator replaces at 100 TB (an events x events time-range join).
+    The set stays bounded (|event types| = 5), so the frame state is
+    O(1) per row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    hour_us = 3600 * 1000 * 1000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-hour_us + 1, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("n_types_1h"),
+    )
+
+
+def _win_distinct_sliding_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, {epoch_us_sql('ts')} AS ts_us
+  FROM events)
+SELECT e.event_id, e.user_id,
+       (SELECT COUNT(DISTINCT f.event_type) FROM ev f
+        WHERE f.user_id = e.user_id
+          AND f.ts_us > e.ts_us - {3600 * 1000 * 1000}
+          AND f.ts_us <= e.ts_us) AS n_types_1h
+FROM ev e
+"""
+
+
 QUERIES = {
+    "win_distinct_sliding": win_distinct_sliding,
     "win_mom_change": win_mom_change,
     "win_decline_streak": win_decline_streak,
     "win_median_sliding": win_median_sliding,
@@ -473,6 +517,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_distinct_sliding": _win_distinct_sliding_sql(),
     "win_mom_change": _MOM_SQL,
     "win_decline_streak": _DECLINE_STREAK_SQL,
     "win_median_sliding": _MEDIAN_SLIDING_SQL,

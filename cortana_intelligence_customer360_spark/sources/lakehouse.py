@@ -442,6 +442,46 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def lake_sketch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained DISTINCT-COUNT view on the table
+    format: distinct users per event_type is the aggregate you CANNOT
+    refresh by adding partials (distincts don't sum) — the canonical
+    reason 100 TB pipelines persist mergeable sketches next to the
+    table. Each append commit's delta files (manifest set-diff change
+    feed, as lake_incremental_mv) fold into an HLL register table by
+    bucketwise max-merge; no refresh ever re-reads history. Register
+    max-merge is associative/commutative/idempotent, so the maintained
+    registers are BIT-IDENTICAL to the one-shot batch sketch and the
+    view carries agg_hll_custom's FULL oracle."""
+    from ..operators.sketches import hll_output, registers_from
+
+    qid = "lake_sketch_mv"
+    root = _scratch(qid, sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t = ManifestTable(root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    for m in (0, 1, 2):
+        t.commit(ev.where(F.col("event_id") % 3 == m), "event_id")
+    regs = None
+    for v in range(t.latest_version() + 1):
+        delta_paths = [f["path"] for f in new_files_in(t, v)]
+        delta = registers_from(
+            spark.read.parquet(*delta_paths).select("event_type", "user_id")
+        )
+        if regs is None:
+            regs = delta
+        else:
+            regs = (
+                regs.unionByName(delta)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("reg").cast("int").alias("reg"))
+            )
+    return hll_output(regs)
+
+
 def lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention VACUUM as a first-class operation: fragment the table
     with three append commits, compact (an overwrite commit — every
@@ -501,10 +541,19 @@ QUERIES = {
     "lake_incremental_mv": lake_incremental_mv,
     "lake_compact": lake_compact,
     "lake_vacuum": lake_vacuum,
+    "lake_sketch_mv": lake_sketch_mv,
 }
+
+
+def _lake_sketch_mv_sql() -> str:
+    from ..operators.sketches import _hll_sql
+
+    return _hll_sql()
+
 
 ORACLE = {
     "lake_vacuum": _LAKE_VACUUM_SQL,
+    "lake_sketch_mv": _lake_sketch_mv_sql(),
     "lake_time_travel": _TIME_TRAVEL_SQL,
     "lake_pruned_scan": _PRUNED_SCAN_SQL,
     "lake_incremental_mv": _INCREMENTAL_MV_SQL,

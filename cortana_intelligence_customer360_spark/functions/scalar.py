@@ -800,8 +800,64 @@ FROM events
 """
 
 
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order function surface: exists / forall / zip_with /
+    aggregate-with-finish over arrays, plus the map lambda family
+    (map_from_arrays, map_filter, transform_values) reduced to scalar
+    outputs. The source array is sequence(1, p_size) — deterministic
+    per row — and the map results are emitted as sizes/sums so the
+    oracle can restate them with DuckDB's list lambdas (which have no
+    map type). All codegen'd column expressions; map-only scan."""
+    part = load_table(spark, sf_dir, "part")
+    arr = F.sequence(F.lit(1), F.col("p_size"))
+    dot = F.aggregate(
+        F.zip_with(arr, F.reverse(arr), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fin = F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+        lambda acc: acc * 2 + 1,
+    )
+    m = F.map_from_arrays(arr, F.transform(arr, lambda x: x * x))
+    n_even_vals = F.size(F.map_filter(m, lambda k, v: v % 2 == 0))
+    sum_tv = F.aggregate(
+        F.map_values(F.transform_values(m, lambda k, v: (v + k).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return part.select(
+        "p_partkey",
+        F.exists(arr, lambda x: x % 7 == 0).alias("has_mult7"),
+        F.forall(arr, lambda x: x % 2 == 1).alias("all_odd"),
+        dot.alias("rev_dot"),
+        fin.alias("sum_finish"),
+        n_even_vals.cast("long").alias("n_even_sq"),
+        sum_tv.alias("sum_sq_plus_key"),
+    )
+
+
+_FN_HOF_SQL = """
+WITH t AS (SELECT p_partkey, range(1, p_size + 1) AS l FROM part)
+SELECT p_partkey,
+       len(list_filter(l, x -> x % 7 = 0)) > 0 AS has_mult7,
+       len(list_filter(l, x -> x % 2 = 0)) = 0 AS all_odd,
+       CAST(list_sum(list_transform(l, x ->
+            x * (len(l) + 1 - x))) AS BIGINT) AS rev_dot,
+       CAST(list_sum(l) * 2 + 1 AS BIGINT) AS sum_finish,
+       CAST(len(list_filter(l, x -> (x * x) % 2 = 0)) AS BIGINT)
+         AS n_even_sq,
+       CAST(list_sum(list_transform(l, x -> x * x + x)) AS BIGINT)
+         AS sum_sq_plus_key
+FROM t
+"""
+
+
 QUERIES = {
     "fn_datetime_tz": fn_datetime_tz,
+    "fn_higher_order": fn_higher_order,
     "fn_string2": fn_string2,
     "fn_make_datetime": fn_make_datetime,
     "sql_parameterized": sql_parameterized,
@@ -829,6 +885,7 @@ QUERIES = {
 
 ORACLE = {
     "fn_datetime_tz": _fn_datetime_tz_sql(),
+    "fn_higher_order": _FN_HOF_SQL,
     "fn_string2": _FN_STRING2_SQL,
     "fn_make_datetime": _FN_MAKE_SQL,
     "sql_parameterized": _SQL_PARAM_SQL,

@@ -561,14 +561,23 @@ def assign_frozen(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
-    )
+    # argmin as a partially-aggregable min_by, NOT a window: map-side
+    # combine collapses the k-fold centroid expansion back to one row
+    # per vector before anything shuffles (a window would sort the
+    # full k x N expansion with the embeddings carried through — the
+    # 40x smoke measured that at ~7x superlinear). (d2, cell) is
+    # tie-free because cell is unique; embedding is constant within
+    # the group, so first() is value-deterministic.
     return (
         vecs.crossJoin(F.broadcast(centroids))
         .withColumn("d2", d2)
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.min_by("cell", F.struct(F.col("d2"), F.col("cell"))).alias(
+                "cell"
+            ),
+        )
         .select("vec_id", "embedding", "cell")
     )
 

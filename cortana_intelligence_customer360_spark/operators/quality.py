@@ -522,7 +522,59 @@ FROM per CROSS JOIN wm
 """
 
 
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via DataFrame.observe: the
+    production pattern where a pipeline's MAIN pass also emits its
+    quality counters (row count, null count, negative-balance count,
+    decimal balance sum) with zero extra scans — the observation
+    piggybacks on the action instead of re-reading the table the way a
+    separate dq_checks pass would. The observed values (a driver-side
+    handful of scalars by construction) are re-emitted as a one-row
+    DataFrame; the oracle recomputes the same aggregates directly,
+    pinning that observe() sees every row exactly once."""
+    from pyspark.sql import Observation
+
+    cust = load_table(spark, sf_dir, "customer")
+    obs = Observation("dq")
+    observed = cust.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_nationkey").isNull().cast("long")).alias(
+            "n_null_nation"
+        ),
+        F.sum((F.col("c_acctbal") < 0).cast("long")).alias("n_negative_bal"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,6)")).alias("bal_dec"),
+    )
+    # The main pass: any action materializes the metrics alongside.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_nation"] or 0),
+                int(m["n_negative_bal"] or 0),
+                float(m["bal_dec"]),
+            )
+        ],
+        "n_rows bigint, n_null_nation bigint, n_negative_bal bigint, "
+        "bal_sum double",
+    )
+
+
+_OBSERVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_nation,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS bal_sum
+FROM customer
+"""
+
+
 QUERIES = {
+    "dq_observe_metrics": dq_observe_metrics,
     "dq_freshness_lag": dq_freshness_lag,
     "dq_outlier_iqr": dq_outlier_iqr,
     "dq_benford": dq_benford,
@@ -533,6 +585,7 @@ QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
 }
 ORACLE = {
+    "dq_observe_metrics": _OBSERVE_SQL,
     "dq_freshness_lag": _freshness_sql(),
     "dq_outlier_iqr": _IQR_SQL,
     "dq_benford": _benford_sql(),

@@ -1203,7 +1203,104 @@ WINDOW w AS (PARTITION BY user_id ORDER BY {epoch_us_sql('ts')}, event_id)
 """
 
 
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: is the extended-price
+    distribution of returned lines (l_returnflag='R') the same as
+    accepted ones ('A')? D = max over distinct values of
+    |F_A(v) - F_R(v)| with ECDFs evaluated at value-block ends
+    (tie-correct), against the large-sample 5% critical value
+    c = 1.358·sqrt((n_A+n_R)/(n_A·n_R)).
+
+    The global value order uses _global_ranked_cumsum (range
+    partition + local rank/cumsum + broadcast offsets): rn gives the
+    combined ECDF numerator and the decimal cumsum of the A-indicator
+    gives F_A's — ONE distributed sort yields both, and the per-value
+    block max makes the statistic independent of tie interleaving.
+    Every count is exact-integer, so D is a division of identical
+    operands in both engines; round 6 dp on the display values only."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.col("l_extendedprice").alias("v"),
+            (F.col("l_returnflag") == "A")
+            .cast("int")
+            .cast("decimal(30,6)")
+            .alias("is_a"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").alias("k2"),
+        )
+    )
+    ranked = _global_ranked_cumsum(
+        li, "is_a", [F.col("v").asc(), F.col("k1").asc(), F.col("k2").asc()]
+    )
+    blocks = ranked.groupBy("v").agg(
+        F.max("rn").alias("cum_total"),
+        F.max(F.col("cum_dec").cast("long")).alias("cum_a"),
+    )
+    totals = blocks.agg(
+        F.max("cum_total").alias("n_total"), F.max("cum_a").alias("n_a")
+    )
+    j = blocks.crossJoin(F.broadcast(totals))
+    n_a = F.col("n_a").cast("double")
+    n_r = (F.col("n_total") - F.col("n_a")).cast("double")
+    diff = F.abs(
+        F.col("cum_a").cast("double") / n_a
+        - (F.col("cum_total") - F.col("cum_a")).cast("double") / n_r
+    )
+    agg = j.groupBy("n_total", "n_a").agg(F.max(diff).alias("d"))
+    c = F.lit(1.358) * F.sqrt(
+        (n_a + n_r) / (n_a * n_r)
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        (F.col("n_total") - F.col("n_a")).cast("long").alias("n_r"),
+        F.round("d", 6).alias("d_stat"),
+        F.round(c, 6).alias("c_alpha05"),
+        (F.col("d") > c).alias("reject_same_dist"),
+    )
+
+
+_KS_SQL = """
+WITH li AS (
+  SELECT l_extendedprice AS v,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a,
+         l_orderkey AS k1, l_linenumber AS k2
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+ranked AS (
+  SELECT v,
+         ROW_NUMBER() OVER (ORDER BY v, k1, k2) AS rn,
+         SUM(is_a) OVER (ORDER BY v, k1, k2
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a
+  FROM li),
+blocks AS (
+  SELECT v, CAST(MAX(rn) AS BIGINT) AS cum_total,
+         CAST(MAX(cum_a) AS BIGINT) AS cum_a
+  FROM ranked GROUP BY v),
+tot AS (
+  SELECT MAX(cum_total) AS n_total, MAX(cum_a) AS n_a FROM blocks),
+diffs AS (
+  SELECT b.cum_total, b.cum_a, t.n_total, t.n_a,
+         abs(CAST(b.cum_a AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+             - CAST(b.cum_total - b.cum_a AS DOUBLE)
+               / CAST(t.n_total - t.n_a AS DOUBLE)) AS diff
+  FROM blocks b CROSS JOIN tot t)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_total - n_a AS BIGINT) AS n_r,
+       round(MAX(diff), 6) AS d_stat,
+       round(1.358 * sqrt(CAST(n_total AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_total - n_a AS DOUBLE))), 6)
+         AS c_alpha05,
+       MAX(diff) > 1.358 * sqrt(CAST(n_total AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_total - n_a AS DOUBLE)))
+         AS reject_same_dist
+FROM diffs GROUP BY n_total, n_a
+"""
+
+
 QUERIES = {
+    "agg_ks_test": agg_ks_test,
     "feat_attribution_touch": feat_attribution_touch,
     "ml_kfold_splits": ml_kfold_splits,
     "feat_lag_features": feat_lag_features,
@@ -1224,6 +1321,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_ks_test": _KS_SQL,
     "feat_attribution_touch": _ATTRIBUTION_SQL,
     "feat_behavior_entropy": _ENTROPY_SQL,
     "feat_seasonality_dow": _SEASONALITY_SQL,

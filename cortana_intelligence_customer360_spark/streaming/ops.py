@@ -1307,6 +1307,104 @@ FROM bits GROUP BY event_type
 """
 
 
+def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable COUNT-MIN sketch with an IDEMPOTENT batch
+    sink: cellwise ADDITION (unlike HLL max / Bloom OR / bottom-k min)
+    is NOT idempotent, so a replayed micro-batch would double-count —
+    the real-world fix demonstrated here is the batch-id-keyed
+    transactional sink: each batch OVERWRITES sink/batch=<id>, so
+    reprocessing a batch replaces rather than re-adds its partial, and
+    the merged sketch is the sum over distinct batch dirs. Addition
+    over a disjoint batch partition of the stream equals the one-shot
+    batch sketch exactly, so this op carries agg_count_min's FULL
+    oracle (estimates + visible overcount). State is O(d x w) cells
+    per batch — constant regardless of stream length."""
+    from ..operators.sketches import _CMS_D, _CMS_W
+
+    sink = scratch_dir("stream_cms_merge", sf_dir)
+
+    def cells_of(df: DataFrame) -> DataFrame:
+        rows = F.explode(
+            F.array(*[F.lit(r) for r in range(_CMS_D)])
+        ).alias("r")
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("r"), F.col("event_type"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        ).alias("bucket")
+        return (
+            df.select("event_type", rows)
+            .select("r", bucket)
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells_of(batch_df).write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+
+    import shutil
+
+    shutil.rmtree(sink, ignore_errors=True)
+    q = (
+        _events_stream_multi(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cells = (
+        spark.read.option("basePath", sink)
+        .parquet(sink + "/batch=*")
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.groupBy("event_type").agg(bcount().alias("exact_count"))
+    probes = keys.select(
+        "event_type",
+        "exact_count",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("event_type"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("event_type", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "event_type",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+def _stream_cms_sql() -> str:
+    from ..operators.sketches import _cms_sql
+
+    return _cms_sql()
+
+
 def stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mergeable QUANTILE sketch: each chronological
     micro-batch (maxFilesPerTrigger=1 replay) folds its events into a
@@ -1419,6 +1517,7 @@ FROM pos GROUP BY event_type
 QUERIES = {
     "stream_hll_merge": stream_hll_merge,
     "stream_bloom_merge": stream_bloom_merge,
+    "stream_cms_merge": stream_cms_merge,
     "stream_quantile_merge": stream_quantile_merge,
     "stream_error_burst": stream_error_burst,
     "stream_error_burst_multi": stream_error_burst_multi,
@@ -1450,6 +1549,7 @@ if HAVE_PROTOBUF:  # pragma: no cover - container lacks protobuf
 ORACLE = {
     "stream_hll_merge": _hll_sql(),
     "stream_bloom_merge": _stream_bloom_sql(),
+    "stream_cms_merge": _stream_cms_sql(),
     "stream_quantile_merge": _stream_quantile_sql(),
     "stream_error_burst": _ERROR_BURST_STREAM_SQL,
     "stream_error_burst_multi": _ERROR_BURST_STREAM_SQL,

@@ -510,11 +510,12 @@ def lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     compact(t, spark, 4)
     stats = vacuum(t, keep_last=1)
-    try:
-        t.read(spark, version=0).count()
-        old_unreadable = False
-    except Exception:
-        old_unreadable = True
+    # Physical check (a read attempt would also fail, pinned in
+    # tests/test_round4b.py — doing it here would spray an async
+    # AnalysisException through any registered QueryExecutionListener).
+    old_unreadable = any(
+        not os.path.exists(f["path"]) for f in t.manifest(0)["files"]
+    )
     back = t.read(spark)
     return (
         back.groupBy("o_orderstatus")

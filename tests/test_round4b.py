@@ -75,12 +75,23 @@ def test_datetime_tz_offsets_are_ny_legal(spark, sf_dir):
 
 
 def test_lake_vacuum_contract(spark, sf_dir):
-    """Live rows unchanged, history physically unreadable."""
+    """Live rows unchanged, history physically unreadable — including
+    that an actual time-travel READ past the horizon now raises."""
+    import pytest as _pytest
+
+    from cortana_intelligence_customer360_spark.sources.lakehouse import (
+        ManifestTable,
+        _scratch,
+    )
+
     out = lake_vacuum(spark, sf_dir).collect()
     assert out
     assert all(r.files_removed_some and r.old_unreadable for r in out)
     orders = load_table(spark, sf_dir, "orders")
     assert sum(r.n_orders for r in out) == orders.count()
+    t = ManifestTable(_scratch("lake_vacuum", sf_dir))
+    with _pytest.raises(Exception):
+        t.read(spark, version=0).count()
 
 
 def test_phash_matches_formula(spark, sf_dir):

@@ -444,7 +444,71 @@ WHERE CASE WHEN old_cents IS NULL THEN 'added'
 """
 
 
+def merge_full_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE MERGE clause matrix in one pass — WHEN MATCHED
+    (update), WHEN NOT MATCHED [BY TARGET] (insert), and WHEN NOT
+    MATCHED BY SOURCE (delete) — the reconciliation semantics Delta/
+    SQL:2003 MERGE adds over a plain upsert (merge_upsert keeps
+    source-absent rows; this op deletes them, the "source is the full
+    desired state" contract of snapshot ingestion).
+
+    Source = the recent-orders changeset, with every custkey % 7 == 0
+    re-keyed into the disjoint insert space so all three clauses fire.
+    Plan: ONE full-outer shuffle join on the merge key; each clause is
+    a projection branch of the same joined frame — no second scan of
+    either side."""
+    base = load_table(spark, sf_dir, "customer")
+    chg = _changeset(spark, sf_dir).withColumn(
+        "custkey",
+        F.when(
+            F.col("custkey") % 7 == 0, F.col("custkey") + _NEW_KEY_OFFSET
+        ).otherwise(F.col("custkey")),
+    )
+    j = base.join(chg, base.c_custkey == chg.custkey, "full_outer")
+    matched = j.where(
+        F.col("c_custkey").isNotNull() & F.col("custkey").isNotNull()
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal") + F.col("spend") / 100.0, 6).alias(
+            "acctbal"
+        ),
+        F.lit("updated").alias("action"),
+    )
+    inserted = j.where(F.col("c_custkey").isNull()).select(
+        F.col("custkey"),
+        F.round(F.col("spend") / 100.0, 6).alias("acctbal"),
+        F.lit("inserted").alias("action"),
+    )
+    # NOT MATCHED BY SOURCE -> DELETE: base rows absent from the
+    # changeset simply do not appear in the output.
+    return matched.unionByName(inserted)
+
+
+_MERGE_MATRIX_SQL = f"""
+WITH chg AS (
+  SELECT CASE WHEN custkey % 7 = 0 THEN custkey + {_NEW_KEY_OFFSET}
+              ELSE custkey END AS custkey,
+         spend
+  FROM (
+    SELECT o_custkey AS custkey, {dsum_sql('o_totalprice')} AS spend
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+    GROUP BY 1)),
+j AS (
+  SELECT c.c_custkey, c.c_acctbal, g.custkey, g.spend
+  FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.custkey)
+SELECT c_custkey AS custkey,
+       round(c_acctbal + spend / 100.0, 6) AS acctbal,
+       'updated' AS action
+FROM j WHERE c_custkey IS NOT NULL AND custkey IS NOT NULL
+UNION ALL
+SELECT custkey, round(spend / 100.0, 6), 'inserted'
+FROM j WHERE c_custkey IS NULL
+"""
+
+
 QUERIES = {
+    "merge_full_matrix": merge_full_matrix,
     "diff_snapshots": diff_snapshots,
     "merge_upsert": merge_upsert,
     "mv_incremental_refresh": mv_incremental_refresh,
@@ -453,6 +517,7 @@ QUERIES = {
     "cdc_apply_log": cdc_apply_log,
 }
 ORACLE = {
+    "merge_full_matrix": _MERGE_MATRIX_SQL,
     "diff_snapshots": _DIFF_SQL,
     "merge_upsert": _MERGE_SQL,
     "mv_incremental_refresh": _MV_REFRESH_SQL,

@@ -835,7 +835,124 @@ FROM per WHERE n_orders >= 2
 """
 
 
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift monitor per event_type: S_t = Σ(cnt_i - μ)
+    over the daily count series, reported as max |S_t|, its peak day,
+    and a flag against the h = 5σ·conventional band — the classic
+    page-style drift detector complementing dq_distribution_drift
+    (distributional) and ts_changepoint_split (single split).
+
+    Determinism: daily counts and their cumsums are exact integers;
+    S_t = cum_t - t·(total/n) and σ both become single double
+    expressions of identical integer operands in both engines
+    (variance is cancellation-amplified, so display values round 6 dp
+    — NOTES rule). Peak day tie-breaks to the earliest day. One
+    shuffle to daily grain, then per-type windows over a
+    days-bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(bcount().alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    wa = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum"),
+        F.sum("cnt").over(wa).cast("long").alias("total"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n_days"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wa).cast("long").alias(
+            "sum_sq"
+        ),
+    )
+    s = (
+        F.col("cum").cast("double")
+        - F.col("t").cast("double")
+        * F.col("total").cast("double")
+        / F.col("n_days").cast("double")
+    )
+    scored = cum.withColumn("abs_s", F.abs(s))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("abs_s").desc(), F.col("d").asc()
+    )
+    best = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            "total",
+            "n_days",
+            "sum_sq",
+            F.col("abs_s").alias("cusum_max"),
+            F.col("d").alias("peak_day"),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    mu = F.col("total").cast("double") / n
+    sigma = F.sqrt(F.col("sum_sq").cast("double") / n - mu * mu)
+    return best.select(
+        "event_type",
+        "n_days",
+        F.round("cusum_max", 6).alias("cusum_max"),
+        F.col("peak_day").cast("string").alias("peak_day"),
+        F.round(sigma, 6).alias("sigma"),
+        (F.col("cusum_max") > F.lit(5.0) * sigma).alias("flagged"),
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, d,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS t,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+         CAST(SUM(cnt * cnt) OVER (PARTITION BY event_type) AS BIGINT)
+           AS sum_sq
+  FROM daily),
+scored AS (
+  SELECT *,
+         abs(CAST(cum AS DOUBLE) - CAST(t AS DOUBLE) * CAST(total AS DOUBLE)
+             / CAST(n_days AS DOUBLE)) AS abs_s
+  FROM cum),
+best AS (
+  SELECT event_type, total, n_days, sum_sq,
+         abs_s AS cusum_max, d AS peak_day
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY abs_s DESC, d ASC) AS rnk
+    FROM scored)
+  WHERE rnk = 1)
+SELECT event_type, n_days,
+       round(cusum_max, 6) AS cusum_max,
+       CAST(peak_day AS VARCHAR) AS peak_day,
+       round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+               * (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))), 6)
+         AS sigma,
+       cusum_max > 5.0 * sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+               * (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)))
+         AS flagged
+FROM best
+"""
+
+
 QUERIES = {
+    "ts_cusum_drift": ts_cusum_drift,
     "ts_mann_kendall": ts_mann_kendall,
     "ts_next_purchase_eta": ts_next_purchase_eta,
     "ts_seasonal_decompose": ts_seasonal_decompose,
@@ -850,6 +967,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ts_cusum_drift": _CUSUM_SQL,
     "ts_mann_kendall": _mk_sql(),
     "ts_next_purchase_eta": _ETA_SQL,
     "ts_seasonal_decompose": _SEASONAL_SQL,

@@ -474,3 +474,127 @@ ORACLE = {
     "ml_linreg_closed_form": _LINREG_SQL,
     # feat_onehot_mllib, ml_train_score: R-tier (MLlib outputs).
 }
+
+
+# ---------------------------------------------------------------------------
+# Exact decision stump (round 4): the best single split — the CART/
+# boosting building block — found by exhaustive threshold search with
+# exact integer sufficient statistics.
+
+
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best gini split per feature for predicting returned lineitems
+    (l_returnflag = 'R'), over three integerized features: quantity,
+    discount (cents), tax (cents).
+
+    Exactness discipline: all candidate-split statistics (pos/neg
+    counts left and right of each threshold) are exact BIGINT prefix
+    sums over ONE per-(feature, value) aggregate — integerizing the
+    features first keeps the candidate-threshold table tiny (~70 rows
+    total) regardless of data volume, which is precisely how you'd bin
+    continuous features for a stump at 100 TB. The split criterion
+    maximizes sum_side (pos^2 + neg^2)/n_side (equivalent to minimizing
+    weighted gini); each score is two IEEE divisions and one add on
+    identical exact-integer operands in both engines, so the argmax is
+    bit-deterministic. Ties break toward the smaller threshold.
+
+    Scale shape: one lineitem scan, a 3x stack fan-out, one hash
+    aggregate down to feature-value cardinality; everything after is
+    window work on ~70 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    fv = li.select(
+        F.expr(
+            "stack(3, 'quantity', qty, 'discount_c', disc_c, 'tax_c', tax_c)"
+        ).alias("feature", "value"),
+        "y",
+    )
+    agg = fv.groupBy("feature", "value").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (bcount() - F.sum("y")).cast("long").alias("neg"),
+    )
+    w = Window.partitionBy("feature").orderBy("value")
+    tot = Window.partitionBy("feature")
+    cand = agg.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        F.sum("pos").over(w).alias("pos_l"),
+        F.sum("neg").over(w).alias("neg_l"),
+        (F.sum("pos").over(tot) - F.sum("pos").over(w)).alias("pos_r"),
+        (F.sum("neg").over(tot) - F.sum("neg").over(w)).alias("neg_r"),
+    ).where((F.col("pos_r") + F.col("neg_r")) > 0)
+    n_l = (F.col("pos_l") + F.col("neg_l")).cast("double")
+    n_r = (F.col("pos_r") + F.col("neg_r")).cast("double")
+    score = (
+        (F.col("pos_l") * F.col("pos_l") + F.col("neg_l") * F.col("neg_l")).cast("double") / n_l
+        + (F.col("pos_r") * F.col("pos_r") + F.col("neg_r") * F.col("neg_r")).cast("double") / n_r
+    )
+    scored = cand.withColumn("score", score)
+    best = Window.partitionBy("feature").orderBy(
+        F.col("score").desc(), F.col("threshold").asc()
+    )
+    per_feat = (
+        scored.withColumn("rk", F.row_number().over(best))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    top = Window.partitionBy().orderBy(F.col("score").desc(), F.col("feature").asc())
+    return per_feat.select(
+        "feature",
+        "threshold",
+        (F.col("pos_l") + F.col("neg_l")).cast("long").alias("n_left"),
+        (F.col("pos_r") + F.col("neg_r")).cast("long").alias("n_right"),
+        F.round("score", 6).alias("score_r"),
+        (F.row_number().over(top) == 1).alias("is_best"),
+    )
+
+
+_STUMP_SQL = """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_c,
+         CAST(l_returnflag = 'R' AS BIGINT) AS y
+  FROM lineitem),
+fv AS (
+  SELECT 'quantity' AS feature, qty AS value, y FROM li
+  UNION ALL SELECT 'discount_c', disc_c, y FROM li
+  UNION ALL SELECT 'tax_c', tax_c, y FROM li),
+agg AS (
+  SELECT feature, value,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM fv GROUP BY feature, value),
+cand AS (
+  SELECT feature, value AS threshold,
+         SUM(pos) OVER (PARTITION BY feature ORDER BY value) AS pos_l,
+         SUM(neg) OVER (PARTITION BY feature ORDER BY value) AS neg_l,
+         SUM(pos) OVER (PARTITION BY feature)
+           - SUM(pos) OVER (PARTITION BY feature ORDER BY value) AS pos_r,
+         SUM(neg) OVER (PARTITION BY feature)
+           - SUM(neg) OVER (PARTITION BY feature ORDER BY value) AS neg_r
+  FROM agg),
+scored AS (
+  SELECT *, CAST(pos_l*pos_l + neg_l*neg_l AS DOUBLE)
+              / CAST(pos_l + neg_l AS DOUBLE)
+          + CAST(pos_r*pos_r + neg_r*neg_r AS DOUBLE)
+              / CAST(pos_r + neg_r AS DOUBLE) AS score
+  FROM cand WHERE pos_r + neg_r > 0),
+per_feat AS (
+  SELECT *, row_number() OVER (PARTITION BY feature
+                               ORDER BY score DESC, threshold ASC) AS rk
+  FROM scored)
+SELECT feature, threshold,
+       CAST(pos_l + neg_l AS BIGINT) AS n_left,
+       CAST(pos_r + neg_r AS BIGINT) AS n_right,
+       round(score, 6) AS score_r,
+       row_number() OVER (ORDER BY score DESC, feature ASC) = 1 AS is_best
+FROM per_feat WHERE rk = 1
+"""
+
+QUERIES["ml_decision_stump"] = ml_decision_stump
+ORACLE["ml_decision_stump"] = _STUMP_SQL

@@ -831,3 +831,118 @@ ORACLE = {
     "dedup_cluster": _cluster_sql(),
     "dedup_cluster_stars": _cluster_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span coverage (round 4): the "deduplicating training
+# data" measure — for each document, how much of it is covered by word
+# 8-grams that occur MORE THAN ONCE anywhere in the corpus (including
+# elsewhere in the same document). Unlike the pairwise ops above this
+# is a per-document removal signal: pretraining pipelines drop or trim
+# documents whose duplicated-span coverage exceeds a threshold.
+
+_SPAN_N = 8  # words per gram
+_SPAN_DROP = 0.5  # coverage above this flags the doc for removal
+
+
+def _span_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram) for every word-8-gram occurrence (NOT
+    distinct — every occurrence is a span start). Map-only: the token
+    array is materialized once per row, grams come from one transform
+    over a position sequence, then a single explode."""
+    toks = F.split("text", " ")
+    d = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (_SPAN_N - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at("toks", i + off) for off in range(_SPAN_N)]
+            ).alias("gram"),
+        ),
+    )
+    return (
+        d.where(n >= _SPAN_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+
+
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: fraction of token
+    positions lying inside at least one corpus-duplicated 8-gram.
+
+    Scale shape: gram explosion is ~1 row per corpus token (linear);
+    the duplicate-gram table comes from ONE hash-groupBy on the gram;
+    occurrences meet duplicates through an equi-join on the gram key
+    (inverted-index join — candidate work is proportional to duplicated
+    text, never all-pairs). The 8x position fan-out happens only for
+    duplicated gram starts. Every step is JVM built-ins; no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _span_grams(docs)
+    dup = (
+        grams.groupBy("gram")
+        .agg(bcount().alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram")
+    per_doc = (
+        hits.select(
+            "doc_id",
+            "pos",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("p").cast("long").alias("covered_tokens"),
+            F.count_distinct("pos").cast("long").alias("dup_starts"),
+        )
+    )
+    base = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    cov = F.col("covered_tokens").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_starts", F.lit(0).cast("long")).alias("dup_starts"),
+            F.coalesce("covered_tokens", F.lit(0).cast("long")).alias("covered_tokens"),
+            F.coalesce(cov, F.lit(0.0)).alias("coverage"),
+            (F.coalesce(cov, F.lit(0.0)) > _SPAN_DROP).alias("drop_doc"),
+        )
+    )
+
+
+_SPAN_COVERAGE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i+{_SPAN_N - 1}], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - {_SPAN_N - 1}))
+       AS u(i)
+  WHERE len(toks) >= {_SPAN_N}),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS covered_tokens,
+         CAST(COUNT(DISTINCT pos) AS BIGINT) AS dup_starts
+  FROM hits, LATERAL unnest(generate_series(pos, pos + {_SPAN_N - 1})) AS v(p)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.dup_starts, 0) AS dup_starts,
+       COALESCE(p.covered_tokens, 0) AS covered_tokens,
+       COALESCE(CAST(p.covered_tokens AS DOUBLE) / CAST(len(t.toks) AS DOUBLE),
+                0.0) AS coverage,
+       COALESCE(CAST(p.covered_tokens AS DOUBLE) / CAST(len(t.toks) AS DOUBLE),
+                0.0) > {_SPAN_DROP} AS drop_doc
+FROM t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+QUERIES["dedup_span_coverage"] = dedup_span_coverage
+ORACLE["dedup_span_coverage"] = _SPAN_COVERAGE_SQL

@@ -621,3 +621,178 @@ ORACLE = {
     "sample_hash_pct": _SAMPLE_SQL,
     "sample_stratified": _STRATIFIED_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (round 4): iterative degree peeling.
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 8
+
+
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes of the k-core (k=8) of the trade graph: repeatedly delete
+    nodes with degree < k until fixpoint, output surviving nodes with
+    their in-core degree.
+
+    Fixed peeling rounds (8 — measured fixpoint at every tested SF;
+    semantics are "8 peeling rounds", identical in the oracle, so the
+    result is well-defined even pre-convergence). Each round is one
+    degree aggregate over the surviving edge list plus two semi-joins
+    against the keep set; the keep set is node-cardinality so it
+    broadcasts (same discipline as graph_bfs_hops' frontier — at a
+    node count beyond broadcast reach, drop the hint and the same plan
+    runs as a shuffle-hash join). localCheckpoint per round keeps the
+    plan depth constant. The edge list only ever shrinks, so per-round
+    cost is monotonically decreasing — the peeling loop is strictly
+    cheaper than pagerank's fixed-size iterations."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(bcount().alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(F.broadcast(keep), "src")
+            .join(
+                F.broadcast(keep.select(F.col("src").alias("dst"))),
+                "dst",
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(bcount().alias("core_degree"))
+    )
+
+
+def _kcore_sql() -> str:
+    parts = [
+        f"""
+pairs AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e0 AS MATERIALIZED (SELECT s AS src, c AS dst FROM pairs
+       UNION ALL SELECT c, s FROM pairs)"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""
+k{i} AS MATERIALIZED (SELECT src FROM e{i - 1} GROUP BY src
+         HAVING COUNT(*) >= {_KCORE_K}),
+e{i} AS MATERIALIZED (SELECT t.src, t.dst FROM e{i - 1} t
+         WHERE t.src IN (SELECT src FROM k{i})
+           AND t.dst IN (SELECT src FROM k{i}))"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{_KCORE_ROUNDS} GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (round 4): Bellman-Ford relaxation rounds.
+
+_SSSP_ROUNDS = 4
+
+
+def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distances (<= 4 relaxation rounds) from
+    the seed customers (key < 10) over the trade graph, edge cost =
+    greatest(1, 6 - n_trades): strong relationships (many distinct
+    orders between the pair) are cheap to traverse — the supply-chain
+    "effort distance" query.
+
+    Bellman-Ford as level-synchronous relaxation: each round joins the
+    CURRENT distance table (node-cardinality) to the edge list and
+    re-aggregates min(dist) per node — no path enumeration, integer
+    distances throughout (exact, order-independent min), so the result
+    hash-matches the unrolled-SQL twin bit-for-bit. Edge list computed
+    once; rounds shuffle only node-cardinality frames (the pagerank
+    shape). 4 rounds = distances over paths of <= 4 hops, documented
+    semantics in both engines (the graph's diameter from the seed set
+    at tested SFs is smaller)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("s"),
+            F.col("o_custkey").alias("c"),
+        )
+        .agg(F.count_distinct("l_orderkey").alias("n_trades"))
+        .select(
+            "s",
+            "c",
+            F.greatest(F.lit(1), F.lit(6) - F.col("n_trades")).cast("long").alias("w"),
+        )
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+        .union(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w"))
+        .localCheckpoint()
+    )
+    dist = (
+        edges.where(F.col("src") < 10)
+        .select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            edges.join(F.broadcast(dist), dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def _sssp_sql() -> str:
+    parts = [
+        f"""
+pairs AS (
+  SELECT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c,
+         COUNT(DISTINCT l_orderkey) AS n_trades
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+edges AS (
+  SELECT s AS src, c AS dst,
+         CAST(greatest(1, 6 - n_trades) AS BIGINT) AS w FROM pairs
+  UNION ALL
+  SELECT c, s, CAST(greatest(1, 6 - n_trades) AS BIGINT) FROM pairs),
+d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+       FROM edges WHERE src < 10)"""
+    ]
+    for i in range(1, _SSSP_ROUNDS + 1):
+        parts.append(
+            f"""
+d{i} AS (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM d{i - 1} p JOIN edges e ON e.src = p.node)
+  GROUP BY node)"""
+        )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT node, dist FROM d{_SSSP_ROUNDS}
+"""
+
+
+QUERIES["graph_k_core"] = graph_k_core
+QUERIES["graph_shortest_path_weighted"] = graph_shortest_path_weighted
+ORACLE["graph_k_core"] = _kcore_sql()
+ORACLE["graph_shortest_path_weighted"] = _sssp_sql()

@@ -1,0 +1,112 @@
+"""Semantic tests for round-4 third-session operators: properties the
+oracle-parity sweep can't see (bounds, invariants, optimality,
+convergence), per SURVEY.md §5.3."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cortana_intelligence_customer360_spark.features.ml import ml_decision_stump
+from cortana_intelligence_customer360_spark.llmops.dedup import (
+    _SPAN_N,
+    dedup_span_coverage,
+)
+from cortana_intelligence_customer360_spark.operators.graph import (
+    _KCORE_K,
+    graph_bfs_hops,
+    graph_k_core,
+    graph_shortest_path_weighted,
+)
+
+
+def test_span_coverage_bounds(spark, sf_dir):
+    """coverage in [0, 1]; covered_tokens <= n_tokens; every doc with a
+    duplicated start covers at least _SPAN_N tokens; short docs
+    (< _SPAN_N tokens) have zero coverage."""
+    rows = dedup_span_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.coverage <= 1.0
+        assert r.covered_tokens <= r.n_tokens
+        if r.dup_starts > 0:
+            assert r.covered_tokens >= _SPAN_N
+        if r.n_tokens < _SPAN_N:
+            assert r.covered_tokens == 0 and r.dup_starts == 0
+
+
+def test_span_coverage_detects_exact_dups(spark, sf_dir):
+    """Exact-duplicate documents (same normalized text, the corpus has
+    planted replicas) must show 100% coverage when long enough."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup_docs = (
+        docs.groupBy(F.lower(F.trim("text")).alias("k"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("d"))
+        .where((F.col("n") > 1) & (F.size(F.split(F.col("k"), " ")) >= _SPAN_N))
+    )
+    if dup_docs.count() == 0:
+        return  # corpus without planted exact dups at this SF
+    some = [r.d for r in dup_docs.limit(5).collect()]
+    cov = dedup_span_coverage(spark, sf_dir).where(F.col("doc_id").isin(some))
+    for r in cov.collect():
+        assert r.coverage == 1.0 and r.drop_doc
+
+
+def test_decision_stump_is_optimal(spark, sf_dir):
+    """The chosen threshold per feature beats every other candidate
+    threshold under the same criterion, recomputed brute-force on the
+    collected per-value aggregate."""
+    from collections import defaultdict
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.col("l_quantity").cast("long").alias("quantity"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("discount_c"),
+            F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+            (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        )
+        .collect()
+    )
+    best = {r.feature: r for r in ml_decision_stump(spark, sf_dir).collect()}
+    assert set(best) == {"quantity", "discount_c", "tax_c"}
+    for feat in best:
+        agg = defaultdict(lambda: [0, 0])
+        for row in li:
+            agg[row[feat]][0 if row.y else 1] += 1
+        vals = sorted(agg)
+        tp = sum(v[0] for v in agg.values())
+        tn = sum(v[1] for v in agg.values())
+        top = None
+        for t in vals[:-1]:
+            pl = sum(agg[v][0] for v in vals if v <= t)
+            nl = sum(agg[v][1] for v in vals if v <= t)
+            pr, nr = tp - pl, tn - nl
+            score = (pl * pl + nl * nl) / (pl + nl) + (pr * pr + nr * nr) / (pr + nr)
+            if top is None or score > top[0] or (score == top[0] and t < top[1]):
+                top = (score, t)
+        assert best[feat].threshold == top[1]
+        assert abs(float(best[feat].score_r) - round(top[0], 6)) < 1e-9
+
+
+def test_k_core_fixpoint_degrees(spark, sf_dir):
+    """At fixpoint every surviving node has in-core degree >= k, and
+    the core is non-empty at every tested SF (fixture property)."""
+    rows = graph_k_core(spark, sf_dir).collect()
+    assert rows
+    assert all(r.core_degree >= _KCORE_K for r in rows)
+
+
+def test_sssp_consistent_with_bfs(spark, sf_dir):
+    """Weighted distances: 0 exactly on seeds; every reached node is
+    BFS-reachable; dist >= hops (all weights >= 1) and dist <= 5*hops
+    (weights <= 5) for nodes reached at equal rounds."""
+    dist = {r.node: r.dist for r in graph_shortest_path_weighted(spark, sf_dir).collect()}
+    hops = {r.node: r.hops for r in graph_bfs_hops(spark, sf_dir).collect()}
+    assert dist
+    for node, d in dist.items():
+        h = hops.get(node)
+        assert h is not None, f"node {node} has weighted dist but no BFS hops"
+        if h == 0:
+            assert d == 0
+        else:
+            assert h <= d <= 5 * h

@@ -598,3 +598,137 @@ FROM per_feat WHERE rk = 1
 
 QUERIES["ml_decision_stump"] = ml_decision_stump
 ORACLE["ml_decision_stump"] = _STUMP_SQL
+
+
+# ---------------------------------------------------------------------------
+# IPW average treatment effect (round 4): the inverse-propensity twin
+# of ml_ate_stratified — same treatment/outcome/confounder frame, the
+# Horvitz-Thompson and Hajek weighted estimators instead of the
+# stratification sum.
+
+
+def feat_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE with a discrete (bucketed)
+    propensity: treatment = "user's FIRST event (by event_id, a total
+    order) was a click" — the acquired-via-ad-click cohort; outcome =
+    purchase value; propensity e(b) = treated share of the user's
+    activity bucket. ("Ever signed up", the stratified op's treatment,
+    saturates on this fixture — every sf0.01 user signs up eventually —
+    which leaves IPW with an empty control arm; first-touch acquisition
+    splits 27/123 there.)
+
+    The key exactness move: e(b) is CONSTANT within a bucket, so the
+    per-user weighted sums factor — sum_i T_i y_i / e(b_i) =
+    sum_buckets (n_users_b / n_treated_b) * sum_y_treated_b — and the
+    user-level pass never computes a float weight at all. Each bucket
+    term is one multiply-divide on exact operands, quantized to 6 dp
+    DECIMAL before the cross-bucket sum (order-independent, the
+    pagerank discipline), so both engines produce identical bits.
+    Hajek normalizers collapse the same way: sum_i T_i/e(b_i) =
+    sum_buckets n_users_b over buckets with a treated user. Scale: one
+    user-level aggregate, then arithmetic on <= 10 bucket rows."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        bcount().alias("n_ev"),
+        (F.min_by("event_type", "event_id") == "click").cast("long").alias("treated"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    )
+    b = users.withColumn(
+        "bucket", F.least(F.expr("n_ev DIV 5"), F.lit(9)).cast("long")
+    ).groupBy("bucket").agg(
+        bcount().alias("n_users"),
+        F.sum("treated").cast("long").alias("n_treated"),
+        dsum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0.0)).alias("sum_y_t"),
+        dsum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0.0)).alias("sum_y_c"),
+    )
+    n_ctrl = F.col("n_users") - F.col("n_treated")
+    term_t = F.when(
+        F.col("n_treated") > 0,
+        F.round(
+            F.col("sum_y_t") * F.col("n_users").cast("double") / F.col("n_treated").cast("double"),
+            6,
+        ),
+    ).otherwise(0.0)
+    term_c = F.when(
+        n_ctrl > 0,
+        F.round(F.col("sum_y_c") * F.col("n_users").cast("double") / n_ctrl.cast("double"), 6),
+    ).otherwise(0.0)
+    terms = b.select(
+        "bucket",
+        "n_users",
+        "n_treated",
+        term_t.cast(_DEC).alias("wt"),
+        term_c.cast(_DEC).alias("wc"),
+        F.when(F.col("n_treated") > 0, F.col("n_users")).otherwise(0).cast("long").alias("den_t"),
+        F.when(n_ctrl > 0, F.col("n_users")).otherwise(0).cast("long").alias("den_c"),
+    )
+    agg = terms.groupBy().agg(
+        F.sum("n_users").cast("long").alias("n_total"),
+        F.sum("wt").cast("double").alias("sw_t"),
+        F.sum("wc").cast("double").alias("sw_c"),
+        F.sum("den_t").cast("long").alias("d_t"),
+        F.sum("den_c").cast("long").alias("d_c"),
+    )
+    mu_t = F.col("sw_t") / F.col("d_t").cast("double")
+    mu_c = F.col("sw_c") / F.col("d_c").cast("double")
+    return agg.select(
+        "n_total",
+        F.round(mu_t, 6).alias("mu_treated_hajek"),
+        F.round(mu_c, 6).alias("mu_control_hajek"),
+        F.round(mu_t - mu_c, 6).alias("ate_hajek"),
+        F.round(
+            F.col("sw_t") / F.col("n_total").cast("double")
+            - F.col("sw_c") / F.col("n_total").cast("double"),
+            6,
+        ).alias("ate_ht"),
+    )
+
+
+_IPW_SQL = f"""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(arg_min(event_type, event_id) = 'click' AS BIGINT) AS treated,
+         {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS y
+  FROM events GROUP BY user_id),
+b AS (
+  SELECT CAST(least(n_ev // 5, 9) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(treated) AS BIGINT) AS n_treated,
+         {dsum_sql("CASE WHEN treated = 1 THEN y ELSE 0.0 END")} AS sum_y_t,
+         {dsum_sql("CASE WHEN treated = 0 THEN y ELSE 0.0 END")} AS sum_y_c
+  FROM u GROUP BY 1),
+terms AS (
+  SELECT bucket, n_users, n_treated,
+         CAST(CASE WHEN n_treated > 0
+              THEN round(sum_y_t * CAST(n_users AS DOUBLE)
+                         / CAST(n_treated AS DOUBLE), 6)
+              ELSE 0.0 END AS DECIMAL(30,6)) AS wt,
+         CAST(CASE WHEN n_users - n_treated > 0
+              THEN round(sum_y_c * CAST(n_users AS DOUBLE)
+                         / CAST(n_users - n_treated AS DOUBLE), 6)
+              ELSE 0.0 END AS DECIMAL(30,6)) AS wc,
+         CAST(CASE WHEN n_treated > 0 THEN n_users ELSE 0 END AS BIGINT) AS den_t,
+         CAST(CASE WHEN n_users - n_treated > 0 THEN n_users ELSE 0 END
+              AS BIGINT) AS den_c
+  FROM b),
+agg AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS n_total,
+         CAST(SUM(wt) AS DOUBLE) AS sw_t,
+         CAST(SUM(wc) AS DOUBLE) AS sw_c,
+         CAST(SUM(den_t) AS BIGINT) AS d_t,
+         CAST(SUM(den_c) AS BIGINT) AS d_c
+  FROM terms)
+SELECT n_total,
+       round(sw_t / CAST(d_t AS DOUBLE), 6) AS mu_treated_hajek,
+       round(sw_c / CAST(d_c AS DOUBLE), 6) AS mu_control_hajek,
+       round(sw_t / CAST(d_t AS DOUBLE) - sw_c / CAST(d_c AS DOUBLE), 6)
+         AS ate_hajek,
+       round(sw_t / CAST(n_total AS DOUBLE) - sw_c / CAST(n_total AS DOUBLE), 6)
+         AS ate_ht
+FROM agg
+"""
+
+QUERIES["feat_ipw_ate"] = feat_ipw_ate
+ORACLE["feat_ipw_ate"] = _IPW_SQL

@@ -889,3 +889,93 @@ ORACLE = {
     "ml_logreg_newton": _logreg_sql(),
     "ml_kmeans_lloyd": _kmeans_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / cumulative-gains table (round 4): the standard model-
+# evaluation table a Customer-360 scoring pipeline emits.
+
+
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift and cumulative-gains by score decile: customers ranked by
+    account balance (the stand-in propensity score), label = placed an
+    order on/after 2000-01-01. Per decile: size, positives, cumulative
+    capture rate, and lift vs the base rate.
+
+    Determinism: ntile ties are impossible because the ordering key is
+    (score DESC, custkey ASC) — total order. All rates divide exact
+    BIGINTs in identically-written single IEEE expressions. Scale: one
+    orders aggregate (semi-join-sized), one customer scan; the global
+    ntile is the one expensive step — a range-partitioned sort over
+    the customer table (ntile needs a total order by definition; at
+    100 TB you'd swap it for a percentile-threshold bucketing if the
+    exact equal-count property can be relaxed). Everything after the
+    decile assignment aggregates to 10 rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("pos", F.lit(1).cast("long"))
+    )
+    labeled = cust.join(recent, cust.c_custkey == recent.o_custkey, "left").select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce("pos", F.lit(0).cast("long")).alias("pos"),
+    )
+    w = Window.partitionBy().orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    deciles = labeled.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    agg = deciles.groupBy("decile").agg(
+        bcount().alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    cum = Window.partitionBy().orderBy("decile")
+    tot = Window.partitionBy()
+    return agg.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(cum).alias("cum_n"),
+        F.sum("n_pos").over(cum).alias("cum_pos"),
+        F.round(
+            (F.sum("n_pos").over(cum).cast("double") / F.sum("n_pos").over(tot).cast("double")),
+            6,
+        ).alias("capture_rate"),
+        F.round(
+            (F.sum("n_pos").over(cum).cast("double") / F.sum("n").over(cum).cast("double"))
+            / (F.sum("n_pos").over(tot).cast("double") / F.sum("n").over(tot).cast("double")),
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+_DECILE_LIFT_SQL = """
+WITH recent AS (
+  SELECT DISTINCT o_custkey, CAST(1 AS BIGINT) AS pos
+  FROM orders WHERE o_orderdate >= '2000-01-01'),
+labeled AS (
+  SELECT c.c_custkey, c.c_acctbal, COALESCE(r.pos, 0) AS pos
+  FROM customer c LEFT JOIN recent r ON c.c_custkey = r.o_custkey),
+deciles AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+                 AS BIGINT) AS decile
+  FROM labeled),
+agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM deciles GROUP BY decile)
+SELECT decile, n, n_pos,
+       SUM(n) OVER (ORDER BY decile) AS cum_n,
+       SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+       round(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(n_pos) OVER () AS DOUBLE), 6) AS capture_rate,
+       round((CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+              / CAST(SUM(n) OVER (ORDER BY decile) AS DOUBLE))
+             / (CAST(SUM(n_pos) OVER () AS DOUBLE)
+                / CAST(SUM(n) OVER () AS DOUBLE)), 6) AS cum_lift
+FROM agg
+"""
+
+QUERIES["agg_decile_lift"] = agg_decile_lift
+ORACLE["agg_decile_lift"] = _DECILE_LIFT_SQL

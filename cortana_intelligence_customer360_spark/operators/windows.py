@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import _DEC, epoch_us, epoch_us_sql
+from ..compat import _DEC, bcount, epoch_us, epoch_us_sql
 from ..sources.tables import load_table
 
 
@@ -532,3 +532,111 @@ ORACLE = {
     "win_ntile_percent": _NTILE_SQL,
     "win_first_last": _FIRST_LAST_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern detection (round 4): the MATCH_RECOGNIZE-style
+# DOWN{2,} UP{2,} "V-shape" over a monthly series, expressed with
+# windows + gaps-and-islands (Spark has no MATCH_RECOGNIZE; this is
+# the composition an engine would lower it to).
+
+
+def win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-shaped dips in monthly order volume per order priority: a run
+    of >= 2 strictly-down months hitting a bottom followed by a run of
+    >= 2 strictly-up months. Emits one row per detected bottom with
+    the run lengths and the peak-to-trough depth.
+
+    Mechanics: month diffs -> sign column -> islands of constant sign
+    via the row_number-difference trick -> a V bottom is the LAST row
+    of a down-island of length >= 2 whose NEXT island is an up-island
+    of length >= 2. The series values are exact BIGINT counts, so every
+    comparison and depth is integer arithmetic — no float ties. Scale:
+    the aggregate collapses to (priority x month) cardinality before
+    any window runs; the windows then partition by priority (5 series),
+    so the expensive part is the one groupBy shuffle of the orders
+    scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"),
+    ).agg(bcount().alias("val"))
+    by_mon = Window.partitionBy("series").orderBy("mon")
+    d = monthly.withColumn("lv", F.lag("val").over(by_mon)).withColumn(
+        "sign",
+        F.when(F.col("val") < F.col("lv"), -1)
+        .when(F.col("val") > F.col("lv"), 1)
+        .otherwise(0),
+    ).where(F.col("lv").isNotNull())
+    d = d.withColumn("rn", F.row_number().over(by_mon)).withColumn(
+        "rs", F.row_number().over(Window.partitionBy("series", "sign").orderBy("mon"))
+    ).withColumn("grp", F.col("rn") - F.col("rs"))
+    isl = Window.partitionBy("series", "sign", "grp")
+    d = (
+        d.withColumn("run_len", F.count(F.lit(1)).over(isl))
+        .withColumn(
+            "pos_in_run", F.row_number().over(isl.orderBy("mon"))
+        )
+        .withColumn("peak", F.first("lv").over(isl.orderBy("mon")))
+    )
+    d = d.withColumn("next_sign", F.lead("sign").over(by_mon)).withColumn(
+        "next_run", F.lead("run_len").over(by_mon)
+    )
+    return d.where(
+        (F.col("sign") == -1)
+        & (F.col("pos_in_run") == F.col("run_len"))
+        & (F.col("run_len") >= 2)
+        & (F.col("next_sign") == 1)
+        & (F.col("next_run") >= 2)
+    ).select(
+        "series",
+        F.col("mon").cast("string").alias("bottom_month"),
+        F.col("run_len").cast("long").alias("down_len"),
+        F.col("next_run").cast("long").alias("up_len"),
+        (F.col("peak") - F.col("val")).cast("long").alias("depth"),
+        F.col("val").cast("long").alias("bottom_val"),
+    )
+
+
+_VSHAPE_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority AS series,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS val
+  FROM orders GROUP BY 1, 2),
+d0 AS (
+  SELECT *, lag(val) OVER (PARTITION BY series ORDER BY mon) AS lv
+  FROM monthly),
+d1 AS (
+  SELECT *, CASE WHEN val < lv THEN -1 WHEN val > lv THEN 1 ELSE 0 END AS sign
+  FROM d0 WHERE lv IS NOT NULL),
+d2 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY series ORDER BY mon)
+           - row_number() OVER (PARTITION BY series, sign ORDER BY mon) AS grp
+  FROM d1),
+d3 AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY series, sign, grp) AS run_len,
+         row_number() OVER (PARTITION BY series, sign, grp ORDER BY mon)
+           AS pos_in_run,
+         first_value(lv) OVER (PARTITION BY series, sign, grp ORDER BY mon)
+           AS peak
+  FROM d2),
+d4 AS (
+  SELECT *,
+         lead(sign) OVER (PARTITION BY series ORDER BY mon) AS next_sign,
+         lead(run_len) OVER (PARTITION BY series ORDER BY mon) AS next_run
+  FROM d3)
+SELECT series, CAST(mon AS VARCHAR) AS bottom_month,
+       CAST(run_len AS BIGINT) AS down_len,
+       CAST(next_run AS BIGINT) AS up_len,
+       CAST(peak - val AS BIGINT) AS depth,
+       CAST(val AS BIGINT) AS bottom_val
+FROM d4
+WHERE sign = -1 AND pos_in_run = run_len AND run_len >= 2
+  AND next_sign = 1 AND next_run >= 2
+"""
+
+QUERIES["win_pattern_vshape"] = win_pattern_vshape
+ORACLE["win_pattern_vshape"] = _VSHAPE_SQL

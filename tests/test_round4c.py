@@ -110,3 +110,91 @@ def test_sssp_consistent_with_bfs(spark, sf_dir):
             assert d == 0
         else:
             assert h <= d <= 5 * h
+
+
+def test_decile_lift_invariants(spark, sf_dir):
+    """10 deciles; decile sizes within 1 of each other (ntile), cum_n
+    monotone, final capture_rate = 1.0, final cum_lift = 1.0."""
+    from cortana_intelligence_customer360_spark.features.value import agg_decile_lift
+
+    rows = sorted(agg_decile_lift(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows[-1].cum_n == sum(sizes)
+    assert abs(rows[-1].capture_rate - 1.0) < 1e-9
+    assert abs(rows[-1].cum_lift - 1.0) < 1e-9
+    caps = [r.capture_rate for r in rows]
+    assert caps == sorted(caps)
+
+
+def test_ipw_ate_recompute(spark, sf_dir):
+    """Hajek pieces recomputed user-level in Python agree to the 6-dp
+    quantization the operator documents."""
+    from collections import defaultdict
+
+    from cortana_intelligence_customer360_spark.features.ml import feat_ipw_ate
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    users = []
+    for uid, rows in by_user.items():
+        first = min(rows, key=lambda r: r.event_id)
+        y = sum(round(r.value, 6) for r in rows if r.event_type == "purchase")
+        users.append((min(len(rows) // 5, 9), int(first.event_type == "click"), y))
+    buckets = defaultdict(lambda: [0, 0, 0.0, 0.0])
+    for b, t, y in users:
+        buckets[b][0] += 1
+        buckets[b][1] += t
+        if t:
+            buckets[b][2] += y
+        else:
+            buckets[b][3] += y
+    sw_t = sw_c = 0.0
+    d_t = d_c = 0
+    for n, nt, syt, syc in buckets.values():
+        if nt > 0:
+            sw_t += round(syt * n / nt, 6)
+            d_t += n
+        if n - nt > 0:
+            sw_c += round(syc * n / (n - nt), 6)
+            d_c += n
+    got = feat_ipw_ate(spark, sf_dir).collect()[0]
+    assert got.n_total == len(users)
+    assert abs(got.ate_hajek - (sw_t / d_t - sw_c / d_c)) < 1e-4
+
+
+def test_vshape_is_a_v(spark, sf_dir):
+    """Every reported bottom really is a local minimum with >= 2 down
+    steps before and >= 2 up steps after, checked against the raw
+    monthly series."""
+    from collections import defaultdict
+
+    from cortana_intelligence_customer360_spark.operators.windows import (
+        win_pattern_vshape,
+    )
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderpriority").alias("series"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"),
+        )
+        .collect()
+    )
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in orders:
+        counts[r.series][r.mon] += 1
+    out = win_pattern_vshape(spark, sf_dir).collect()
+    for r in out:
+        mons = sorted(counts[r.series])
+        vals = [counts[r.series][m] for m in mons]
+        i = mons.index(__import__("datetime").date.fromisoformat(r.bottom_month))
+        assert vals[i - 2] > vals[i - 1] > vals[i] < vals[i + 1] < vals[i + 2]
+        assert r.depth > 0 and r.bottom_val == vals[i]

@@ -910,3 +910,39 @@ ORACLE = {
     "fn_variant": _FN_VARIANT_SQL,
     "fn_collation": _FN_COLLATION_SQL,
 }
+
+
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 GROUP BY ALL + ORDER BY ALL: every non-aggregate select
+    item becomes a grouping key without restating the list — the
+    analyzer-sugar surface. Semantically identical to the explicit
+    form, which is what the oracle runs; grouping/ordering resolution
+    happens at analysis time so the physical plan is the ordinary
+    partial/final hash aggregate."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gba")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM li_gba
+WHERE l_shipdate >= DATE'1996-01-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+    )
+
+
+_SQL_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= DATE'1996-01-01'
+GROUP BY l_returnflag, l_linestatus, year(l_shipdate)
+"""
+
+QUERIES["sql_group_by_all"] = sql_group_by_all
+ORACLE["sql_group_by_all"] = _SQL_GROUP_BY_ALL_SQL

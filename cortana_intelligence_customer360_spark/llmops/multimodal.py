@@ -570,7 +570,138 @@ FROM hashes
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (round 4): a "video" is an ordered sequence
+# of frames, each a REAL grayscale PNG (stdlib encoder/decoder in
+# llmops.codecs); frames are generated from a deterministic scene
+# formula so the oracle recomputes every cut in closed form. The
+# Spark-side plumbing — binary frame payloads through Arrow batches,
+# per-video frame loops, decoded-pixel grid sampling, consecutive-frame
+# differencing — is exactly what a libav-backed pipeline would run;
+# only the pixel source is synthetic (no video libs in this
+# container, same contract as the PNG/WAV paths).
+
+_VID_GRID = 8          # sample grid (like dHash)
+_VID_CUT_THRESHOLD = 20  # mean-abs-diff above this = scene cut
+_VID_SCENE_LEN = 3     # generative scene length in frames
+_VID_SCENE_SHIFT = 41  # per-scene gray shift
+_VID_JITTER = 3        # within-scene frame-parity jitter
+
+
+def _vid_frames(doc_id: int) -> int:
+    return doc_id % 6 + 4
+
+
+def _vid_gray(doc_id: int, f: int):
+    scene = (doc_id + f) // _VID_SCENE_LEN
+    base = doc_id + scene * _VID_SCENE_SHIFT
+    jit = (f % 2) * _VID_JITTER
+    # mod 250 then +jitter: stays < 256 with NO wraparound, so the
+    # within-scene abs diff is exactly 0 or _VID_JITTER and the
+    # scene-change diff is |d| or 250-|d| of the shift — the two
+    # populations are separated by construction and the threshold
+    # cannot flicker.
+    return lambda x, y: ((base + 7 * x + 13 * y) % 250) + jit
+
+
+def _scenecut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per video: encode every frame as a real PNG, decode pixels back
+    (CRC walk + inflate), nearest-neighbor sample a GRIDxGRID matrix,
+    mean-abs-diff consecutive frames, threshold into cuts."""
+    from .codecs import decode_png_pixels
+
+    for pdf in batches:
+        out = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = _png_dims(d)
+            nf = _vid_frames(d)
+            grids = []
+            for f in range(nf):
+                payload = encode_png(w, h, _vid_gray(d, f))
+                rows = decode_png_pixels(payload)
+                grids.append(
+                    [
+                        rows[y * h // _VID_GRID][x * w // _VID_GRID]
+                        for y in range(_VID_GRID)
+                        for x in range(_VID_GRID)
+                    ]
+                )
+            cuts = 0
+            cut_mask = 0
+            diff_total = 0
+            for f in range(1, nf):
+                sad = sum(abs(a - b) for a, b in zip(grids[f], grids[f - 1]))
+                diff_total += sad
+                if sad > _VID_CUT_THRESHOLD * _VID_GRID * _VID_GRID:
+                    cuts += 1
+                    cut_mask |= 1 << f
+            out.append((d, nf, cuts, cut_mask, diff_total))
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_frames", "n_cuts", "cut_mask", "sad_total"],
+        ).astype("int64")
+
+
+_SCENECUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("cut_mask", T.LongType()),
+        T.StructField("sad_total", T.LongType()),
+    ]
+)
+
+
+def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over synthetic-but-really-encoded PNG frame
+    sequences: sum-of-abs-differences on an 8x8 sampled grid between
+    consecutive decoded frames, thresholded into cuts. Arrow-batched
+    mapInPandas, one task per partition of the video catalog — the
+    shape (and cost model: decode dominates, embarrassingly parallel,
+    zero shuffle) of a real keyframe extractor at 100 TB. Oracle
+    recomputes grids from the generative formula in closed form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_scenecut_batches, _SCENECUT_SCHEMA)
+
+
+_SCENECUT_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 9 + 3 AS h,
+         doc_id % 6 + 4 AS nf
+  FROM documents),
+-- one row per (video, frame), grid = 64-element sampled gray list
+grids AS (
+  SELECT doc_id, w, h, nf, f,
+         flatten(list_transform(range({_VID_GRID}), y ->
+           list_transform(range({_VID_GRID}), x ->
+             (doc_id + ((doc_id + f) // {_VID_SCENE_LEN}) * {_VID_SCENE_SHIFT}
+              + 7 * ((x * w) // {_VID_GRID})
+              + 13 * ((y * h) // {_VID_GRID})) % 250
+             + (f % 2) * {_VID_JITTER}))) AS g
+  FROM dims, LATERAL unnest(range(nf)) AS u(f)),
+sads AS (
+  SELECT a.doc_id, a.nf, a.f,
+         list_sum(list_transform(range({_VID_GRID * _VID_GRID}), i ->
+           abs(a.g[i + 1] - b.g[i + 1]))) AS sad
+  FROM grids a JOIN grids b ON a.doc_id = b.doc_id AND b.f = a.f - 1)
+SELECT doc_id,
+       CAST(MAX(nf) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN sad > {_VID_CUT_THRESHOLD * _VID_GRID * _VID_GRID}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(SUM(CASE WHEN sad > {_VID_CUT_THRESHOLD * _VID_GRID * _VID_GRID}
+                     THEN CAST(1 AS BIGINT) << f ELSE 0 END) AS BIGINT)
+         AS cut_mask,
+       CAST(SUM(sad) AS BIGINT) AS sad_total
+FROM sads GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_video_scenecut": multimodal_video_scenecut,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_mime_sniff": multimodal_mime_sniff,
     "multimodal_decode_meta": multimodal_decode_meta,
@@ -580,6 +711,7 @@ QUERIES = {
     "multimodal_audio_framesample": multimodal_audio_framesample,
 }
 ORACLE = {
+    "multimodal_video_scenecut": _SCENECUT_SQL,
     "multimodal_phash_dedup": _PHASH_SQL,
     "multimodal_mime_sniff": _MIME_SQL,
     "multimodal_decode_meta": _DECODE_META_SQL,

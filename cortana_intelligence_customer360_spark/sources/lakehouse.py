@@ -170,6 +170,7 @@ class ManifestTable:
         version: int | None = None,
         key_min: int | None = None,
         key_max: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         # Pin the snapshot ONCE: with version=None, resolving the
         # latest pointer separately for select_files and the key_col
@@ -180,7 +181,13 @@ class ManifestTable:
         files = self.select_files(version, key_min, key_max)
         if not files:
             raise FileNotFoundError("no files survive pruning")
-        df = spark.read.parquet(*[f["path"] for f in files])
+        reader = spark.read
+        if merge_schema:
+            # Schema evolution: commits may add columns; mergeSchema
+            # unions the parquet footers (per-file schema reconcile is
+            # distributed) and files lacking a column surface NULLs.
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[f["path"] for f in files])
         # The manifest prunes FILES; rows inside surviving files still
         # need the predicate (same contract as any data-skipping scan).
         key = self.manifest(version)["key_col"]
@@ -560,3 +567,64 @@ ORACLE = {
     "lake_incremental_mv": _INCREMENTAL_MV_SQL,
     "lake_compact": _LAKE_COMPACT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (round 4): a later commit ADDS a column; reads of
+# the latest snapshot reconcile per-file schemas, older files surface
+# NULL for the new column, and time travel to v0 still returns the
+# original narrow schema.
+
+
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-commit table where commit 1 adds ``o_orderpriority``:
+    v0 = even orderkeys as (key, price), v1 appends odd orderkeys as
+    (key, price, priority). The latest read (mergeSchema) groups by the
+    evolved column — pre-evolution rows land in the NULL group — and a
+    v0 time-travel read proves the narrow schema is untouched (its
+    column count is emitted as a result row).
+
+    Scale: schema reconcile is a footer-only concern (mergeSchema runs
+    a distributed footer merge, no data read); the data pass is one
+    aggregate over the unioned files."""
+    root = _scratch("lake_schema_evolution", sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    t.commit(
+        orders.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+    )
+    t.commit(
+        orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        "o_orderkey",
+    )
+    evolved = t.read(spark, merge_schema=True)
+    agg = evolved.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias("priority")
+    ).agg(bcount().alias("n_rows"), dsum("o_totalprice").alias("sum_price"))
+    v0_cols = len(t.read(spark, version=0).columns)
+    return agg.unionByName(
+        spark.range(1).select(
+            F.lit("<v0-column-count>").alias("priority"),
+            F.lit(v0_cols).cast("long").alias("n_rows"),
+            F.lit(0.0).alias("sum_price"),
+        )
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = f"""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE '<pre-evolution>' END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders GROUP BY 1
+UNION ALL
+SELECT '<v0-column-count>', CAST(2 AS BIGINT), 0.0
+"""
+
+QUERIES["lake_schema_evolution"] = lake_schema_evolution
+ORACLE["lake_schema_evolution"] = _SCHEMA_EVOLUTION_SQL

@@ -198,3 +198,79 @@ def test_vshape_is_a_v(spark, sf_dir):
         i = mons.index(__import__("datetime").date.fromisoformat(r.bottom_month))
         assert vals[i - 2] > vals[i - 1] > vals[i] < vals[i + 1] < vals[i + 2]
         assert r.depth > 0 and r.bottom_val == vals[i]
+
+
+def test_schema_evolution_time_travel(spark, sf_dir):
+    """v0 keeps the narrow schema; the evolved read has the added
+    column with NULLs exactly on pre-evolution (even-key) rows."""
+    import os
+    import shutil
+
+    from cortana_intelligence_customer360_spark.operators.scans import scratch_dir
+    from cortana_intelligence_customer360_spark.sources.lakehouse import ManifestTable
+
+    root = scratch_dir("test_schema_evo", sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t = ManifestTable(root)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t.commit(
+        orders.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+    )
+    t.commit(
+        orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        "o_orderkey",
+    )
+    assert t.read(spark, version=0).columns == ["o_orderkey", "o_totalprice"]
+    ev = t.read(spark, merge_schema=True)
+    assert "o_orderpriority" in ev.columns
+    bad = ev.where(
+        ((F.col("o_orderkey") % 2 == 0) & F.col("o_orderpriority").isNotNull())
+        | ((F.col("o_orderkey") % 2 == 1) & F.col("o_orderpriority").isNull())
+    ).count()
+    assert bad == 0
+    assert ev.count() == orders.count()
+
+
+def test_video_scenecut_matches_python_reference(spark, sf_dir):
+    """Cuts recomputed from the generative formula in plain Python
+    (independent of both engines) match, and the corpus contains both
+    cut and non-cut transitions."""
+    from cortana_intelligence_customer360_spark.llmops.multimodal import (
+        _VID_CUT_THRESHOLD,
+        _VID_GRID,
+        _png_dims,
+        _vid_frames,
+        _vid_gray,
+        multimodal_video_scenecut,
+    )
+
+    got = {r.doc_id: r for r in multimodal_video_scenecut(spark, sf_dir).collect()}
+    assert got
+    total_cuts = total_trans = 0
+    for d in list(got)[:40]:
+        w, h = _png_dims(d)
+        nf = _vid_frames(d)
+        grids = []
+        for f in range(nf):
+            g = _vid_gray(d, f)
+            grids.append(
+                [
+                    g(x * w // _VID_GRID, y * h // _VID_GRID)
+                    for y in range(_VID_GRID)
+                    for x in range(_VID_GRID)
+                ]
+            )
+        cuts = sum(
+            1
+            for f in range(1, nf)
+            if sum(abs(a - b) for a, b in zip(grids[f], grids[f - 1]))
+            > _VID_CUT_THRESHOLD * _VID_GRID * _VID_GRID
+        )
+        assert got[d].n_cuts == cuts and got[d].n_frames == nf
+        total_cuts += cuts
+        total_trans += nf - 1
+    assert 0 < total_cuts < total_trans

@@ -946,3 +946,108 @@ FROM t LEFT JOIN per_doc p USING (doc_id)
 
 QUERIES["dedup_span_coverage"] = dedup_span_coverage
 ORACLE["dedup_span_coverage"] = _SPAN_COVERAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Crawl-URL canonicalization dedup (round 4): the first dedup pass any
+# web-scrape pipeline runs — BEFORE content hashing — because the same
+# page is fetched under scheme/host-case noise, www prefixes, trailing
+# slashes, tracking params, shuffled query order, and fragments. URLs
+# are synthesized deterministically from doc attributes (the repo's
+# fn_url pattern: construction IS the ground truth), with every noise
+# class planted, so the oracle derives the canonical form independently
+# and any canonicalization bug breaks the hash match.
+
+
+def _raw_url() -> "F.Column":
+    d = F.col("doc_id")
+    grp = (d / 5).cast("long")  # 5 docs share each logical page
+    host = (
+        F.when(d % 3 == 0, F.lit("HTTPS://WWW.Example.COM"))
+        .when(d % 3 == 1, F.lit("https://example.com"))
+        .otherwise(F.lit("https://Example.Com"))
+    )
+    lang = F.when(grp % 2 == 0, F.lit("lang=en")).otherwise(F.lit("lang=de"))
+    # param order varies by parity so only SORTED reassembly collides
+    params = F.when(d % 2 == 0, F.concat(F.lit("id="), grp, F.lit("&"), lang)).otherwise(
+        F.concat(lang, F.lit("&id="), grp)
+    )
+    tracking = F.when(d % 4 == 0, F.lit("utm_source=feed&")).otherwise(F.lit(""))
+    return F.concat(
+        host,
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/doc/"),
+        grp,
+        F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        tracking,
+        params,
+        F.when(d % 4 == 2, F.lit("&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize scraped URLs and group fetches of the same page:
+    lowercase host, strip ``www.``, drop the fragment, strip the
+    trailing slash, drop ``utm_*`` tracking params, and SORT the
+    surviving query params. All string/array built-ins (split/filter/
+    array_sort/concat — whole-stage codegen, map-only); the dedup
+    itself is one hash-groupBy on the canonical key, identical in
+    shape to dedup_exact. Emits (canonical_url, keep_id, n_dups)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = (
+        docs.withColumn("url", _raw_url())
+        .withColumn("no_frag", F.split("url", "#").getItem(0))
+        .withColumn("rest", F.substring_index("no_frag", "://", -1))
+        .withColumn("host", F.substring_index("rest", "/", 1))
+        .withColumn("path_q", F.expr("substring(rest, length(host) + 1)"))
+        .withColumn("path", F.substring_index("path_q", "?", 1))
+        .withColumn(
+            "query",
+            F.when(
+                F.instr("path_q", "?") > 0, F.substring_index("path_q", "?", -1)
+            ).otherwise(F.lit("")),
+        )
+        .withColumn("host_c", F.regexp_replace(F.lower("host"), r"^www\.", ""))
+        .withColumn("path_c", F.regexp_replace("path", r"/$", ""))
+    )
+    params = F.filter(
+        F.split("query", "&"),
+        lambda p: (~p.startswith("utm_")) & (p != ""),
+    )
+    canon = F.concat(
+        F.col("host_c"),
+        F.col("path_c"),
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        u.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").cast("long").alias("keep_id"), bcount().alias("n_dups"))
+    )
+
+
+# The oracle does NOT parse: it reconstructs the canonical form
+# directly from the generative rules (host always example.com, path
+# from source + group, params sorted ascii = id= before lang=).
+_URL_CANONICAL_SQL = """
+WITH canon AS (
+  SELECT doc_id,
+         'example.com/' || source || '/doc/' || CAST(doc_id // 5 AS VARCHAR)
+         || '?id=' || CAST(doc_id // 5 AS VARCHAR)
+         || CASE WHEN (doc_id // 5) % 2 = 0 THEN '&lang=en'
+                 ELSE '&lang=de' END AS canonical_url
+  FROM documents)
+SELECT canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM canon GROUP BY 1
+"""
+
+QUERIES["dedup_url_canonical"] = dedup_url_canonical
+ORACLE["dedup_url_canonical"] = _URL_CANONICAL_SQL

@@ -699,3 +699,56 @@ ORACLE = {
     "sim_centroid_by_label": _CENTROID_SQL,
     "multimodal_join": _MULTIMODAL_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-vote classifier (round 4): labels for the probe set by
+# majority vote over their exact top-k cosine neighbors — the
+# classifier layer on top of sim_knn_exact's retrieval.
+
+
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote kNN over the exact top-5 cosine neighbors: vote =
+    most frequent neighbor label, ties broken toward the smaller label
+    id (exact integer counts, no float in the vote). Reuses the
+    broadcast-probe retrieval (corpus never shuffles); the vote is a
+    k-row-per-probe aggregate. Emits predicted vs actual per probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    neighbors = knn_exact_frame(emb)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl"))
+    votes = (
+        neighbors.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("probe_id", "nl")
+        .agg(bcount().alias("votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("votes").desc(), F.col("nl").asc())
+    pred = votes.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    actual = emb.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("actual"))
+    return pred.join(F.broadcast(actual), "probe_id").select(
+        "probe_id",
+        F.col("nl").cast("long").alias("predicted"),
+        F.col("actual").cast("long").alias("actual"),
+        F.col("votes").cast("long").alias("votes"),
+        (F.col("nl") == F.col("actual")).alias("hit"),
+    )
+
+
+_KNN_CLASSIFIER_SQL = f"""
+WITH knn AS ({_KNN_SQL}),
+votes AS (
+  SELECT k.probe_id, e.label AS nl, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+  GROUP BY 1, 2),
+pred AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY votes DESC, nl ASC) AS rk
+  FROM votes)
+SELECT p.probe_id, CAST(p.nl AS BIGINT) AS predicted,
+       CAST(e.label AS BIGINT) AS actual, p.votes,
+       p.nl = e.label AS hit
+FROM pred p JOIN embeddings e ON p.probe_id = e.vec_id
+WHERE p.rk = 1
+"""
+
+QUERIES["ml_knn_classifier"] = ml_knn_classifier
+ORACLE["ml_knn_classifier"] = _KNN_CLASSIFIER_SQL

@@ -980,3 +980,80 @@ ORACLE = {
     "ts_rolling_zscore": _ZSCORE_SQL,
     "ts_ewma": _ewma_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest (round 4): evaluate a 3-observation
+# moving-average forecaster out-of-sample at every month — the
+# walk-forward validation loop every demand-forecasting pipeline runs.
+
+
+_SMA_WIN = 3
+
+
+def ts_backtest_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest SMA(3): for each order priority's monthly revenue
+    series, forecast month m with the mean of the previous 3 OBSERVED
+    months (ROWS window — gap-safe by definition: the forecaster sees
+    the last 3 observations, matching what a production job would have
+    on hand) and score the forecast against the realized value.
+
+    Exactness: revenue per month is a DECIMAL sum; the SMA is that
+    exact sum over an exact count, one IEEE division; error and
+    absolute-percentage-error are single-expression doubles rounded to
+    6 dp. Scale: one orders aggregate down to (priority x month), then
+    5-series windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"),
+    ).agg(dsum("o_totalprice").alias("val"))
+    w = (
+        Window.partitionBy("series")
+        .orderBy("mon")
+        .rowsBetween(-_SMA_WIN, -1)
+    )
+    d = monthly.withColumn(
+        "pred_sum", F.sum(F.col("val").cast(_DEC)).over(w).cast("double")
+    ).withColumn("pred_n", F.count(F.lit(1)).over(w))
+    d = d.where(F.col("pred_n") == _SMA_WIN).withColumn(
+        "pred", F.col("pred_sum") / F.col("pred_n").cast("double")
+    )
+    return d.select(
+        "series",
+        F.col("mon").cast("string").alias("mon"),
+        F.round("val", 2).alias("actual"),
+        F.round("pred", 6).alias("pred"),
+        F.round(F.col("val") - F.col("pred"), 6).alias("err"),
+        F.round(
+            F.abs(F.col("val") - F.col("pred")) / F.col("val"), 6
+        ).alias("ape"),
+    )
+
+
+_BACKTEST_SMA_SQL = f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS series,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         {dsum_sql('o_totalprice')} AS val
+  FROM orders GROUP BY 1, 2),
+d AS (
+  SELECT *,
+         CAST(SUM(CAST(val AS DECIMAL(30,6))) OVER (
+           PARTITION BY series ORDER BY mon
+           ROWS BETWEEN {_SMA_WIN} PRECEDING AND 1 PRECEDING) AS DOUBLE)
+           AS pred_sum,
+         COUNT(*) OVER (
+           PARTITION BY series ORDER BY mon
+           ROWS BETWEEN {_SMA_WIN} PRECEDING AND 1 PRECEDING) AS pred_n
+  FROM monthly)
+SELECT series, CAST(mon AS VARCHAR) AS mon,
+       round(val, 2) AS actual,
+       round(pred_sum / CAST(pred_n AS DOUBLE), 6) AS pred,
+       round(val - pred_sum / CAST(pred_n AS DOUBLE), 6) AS err,
+       round(abs(val - pred_sum / CAST(pred_n AS DOUBLE)) / val, 6) AS ape
+FROM d WHERE pred_n = {_SMA_WIN}
+"""
+
+QUERIES["ts_backtest_sma"] = ts_backtest_sma
+ORACLE["ts_backtest_sma"] = _BACKTEST_SMA_SQL

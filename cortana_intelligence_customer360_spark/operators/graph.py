@@ -646,7 +646,8 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan depth constant. The edge list only ever shrinks, so per-round
     cost is monotonically decreasing — the peeling loop is strictly
     cheaper than pagerank's fixed-size iterations."""
-    edges = _edges(spark, sf_dir).localCheckpoint()
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    prev_n = edges.count()
     for _ in range(_KCORE_ROUNDS):
         keep = (
             edges.groupBy("src")
@@ -661,8 +662,18 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dst",
             )
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        n = edges.count()  # forces the checkpoint; also the fixpoint probe
+        if n == prev_n:
+            # Peeling only deletes: an unchanged edge COUNT means an
+            # unchanged edge SET, so every remaining round is a no-op —
+            # breaking here is bit-identical to running all 8 rounds
+            # (the oracle runs them; idempotence makes the results
+            # equal) and saves the dominant cost at scale, where k=8
+            # stabilizes after 2-3 rounds.
+            break
+        prev_n = n
     return (
         edges.groupBy(F.col("src").alias("node"))
         .agg(bcount().alias("core_degree"))

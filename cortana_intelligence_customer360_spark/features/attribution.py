@@ -1340,3 +1340,96 @@ ORACLE = {
     "feat_time_to_convert": _TIME_TO_CONVERT_SQL,
     "agg_conversion_ci": _CONVERSION_CI_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (round 4): the scalable bootstrap — per-row Poisson(1)
+# resample weights instead of sampling n rows with replacement, so all B
+# resamples compute in ONE distributed pass (the only bootstrap that
+# works when n doesn't fit anywhere). Weights derive from md5, so every
+# resample is reproducible AND the oracle replays it exactly.
+
+_BOOT_B = 32
+# floor(CDF_Poisson(1)(k) * 2^52) for k = 0..6; weight caps at 7. The
+# integer thresholds are shared constants, so the inverse-CDF lookup is
+# pure integer comparison — no libm in either engine.
+_BOOT_CDF52 = [
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+    4503224742561580,
+]
+
+
+def _poisson_w(h52: "F.Column") -> "F.Column":
+    w = F.lit(7)
+    for k in range(len(_BOOT_CDF52) - 1, -1, -1):
+        w = F.when(h52 < _BOOT_CDF52[k], k).otherwise(w)
+    return w.cast("long")
+
+
+def stat_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B=32 Poisson-bootstrap replicates of mean order value: one row
+    per replicate with its effective sample size and resample mean.
+    The (row, b) fan-out is a 32x explode that partial-aggregates back
+    to B rows per task before the (tiny) shuffle — the documented
+    scalable-bootstrap dataflow: one scan, B-cardinality shuffle, no
+    per-replicate passes. Resample means divide a DECIMAL-exact
+    weighted sum by an exact integer count (one IEEE division)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    fan = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    h52 = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "o_orderkey", "b")), 1, 13), 16, 10
+    ).cast("long")
+    d = fan.withColumn("w", _poisson_w(h52))
+    return (
+        d.groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            dsum(F.col("w").cast("double") * F.col("o_totalprice")).alias("wsum"),
+        )
+        .select(
+            F.col("b").cast("long").alias("b"),
+            "n_eff",
+            F.round(F.col("wsum") / F.col("n_eff").cast("double"), 6).alias(
+                "mean_resample"
+            ),
+        )
+    )
+
+
+def _bootstrap_sql() -> str:
+    cases = " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF52)
+    )
+    return f"""
+WITH fan AS (
+  SELECT o_orderkey, o_totalprice, b
+  FROM orders, LATERAL unnest(range({_BOOT_B})) AS u(b)),
+hashed AS (
+  SELECT o_totalprice,  b,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                             || CAST(b AS VARCHAR)), 1, 13))::BIGINT AS h
+  FROM fan),
+weighted AS (
+  SELECT b, o_totalprice,
+         CAST(CASE {cases} ELSE 7 END AS BIGINT) AS w
+  FROM hashed),
+agg AS (
+  SELECT CAST(b AS BIGINT) AS b,
+         CAST(SUM(w) AS BIGINT) AS n_eff,
+         {dsum_sql('CAST(w AS DOUBLE) * o_totalprice')} AS wsum
+  FROM weighted GROUP BY b)
+SELECT b, n_eff, round(wsum / CAST(n_eff AS DOUBLE), 6) AS mean_resample
+FROM agg
+"""
+
+QUERIES["stat_bootstrap_poisson"] = stat_bootstrap_poisson
+ORACLE["stat_bootstrap_poisson"] = _bootstrap_sql()

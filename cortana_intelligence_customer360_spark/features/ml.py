@@ -732,3 +732,248 @@ FROM agg
 
 QUERIES["feat_ipw_ate"] = feat_ipw_ate
 ORACLE["feat_ipw_ate"] = _IPW_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps (round 4): TWO boosting rounds of exact
+# regression stumps on squared loss — the minimal real GBM, distributed
+# the way XGBoost actually distributes it (per-feature-value gradient
+# histograms, argmax split, broadcast model back).
+
+
+def _stump_stats(rows: DataFrame, resid_col: str) -> DataFrame:
+    """Per-candidate-split prefix stats for a regression stump on
+    ``resid_col``: for every (feature, threshold), exact BIGINT counts
+    and DECIMAL residual sums left/right. One stack fan-out + one hash
+    aggregate (collapses to feature-value cardinality via map-side
+    combine), then windows over ~70 rows."""
+    fv = rows.select(
+        F.expr(
+            "stack(3, 'quantity', qty, 'discount_c', disc_c, 'tax_c', tax_c)"
+        ).alias("feature", "value"),
+        F.col(resid_col).alias("r"),
+    )
+    agg = fv.groupBy("feature", "value").agg(
+        bcount().alias("n"),
+        F.sum(F.col("r").cast(_DEC)).alias("s"),
+    )
+    w = Window.partitionBy("feature").orderBy("value")
+    tot = Window.partitionBy("feature")
+    return agg.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        F.sum("n").over(w).cast("long").alias("n_l"),
+        F.sum("s").over(w).cast("double").alias("s_l"),
+        (F.sum("n").over(tot) - F.sum("n").over(w)).cast("long").alias("n_r"),
+        (F.sum("s").over(tot) - F.sum("s").over(w)).cast("double").alias("s_r"),
+    ).where(F.col("n_r") > 0)
+
+
+def _stump_best(cand: DataFrame) -> DataFrame:
+    """argmax of the variance-reduction score s_l^2/n_l + s_r^2/n_r
+    (exact-decimal sums cast once to double; identical single-op
+    expression in the oracle). Ties: smaller feature name, then
+    smaller threshold."""
+    score = (
+        F.col("s_l") * F.col("s_l") / F.col("n_l").cast("double")
+        + F.col("s_r") * F.col("s_r") / F.col("n_r").cast("double")
+    )
+    w = Window.partitionBy().orderBy(
+        score.desc(), F.col("feature").asc(), F.col("threshold").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "feature",
+            "threshold",
+            (F.col("s_l") / F.col("n_l").cast("double")).alias("gamma_l"),
+            (F.col("s_r") / F.col("n_r").cast("double")).alias("gamma_r"),
+            score.alias("score"),
+            "n_l",
+            "n_r",
+        )
+    )
+
+
+def _leaf_gamma(best_prefix: str) -> "F.Column":
+    fval = (
+        F.when(F.col(f"{best_prefix}feature") == "quantity", F.col("qty"))
+        .when(F.col(f"{best_prefix}feature") == "discount_c", F.col("disc_c"))
+        .otherwise(F.col("tax_c"))
+    )
+    return F.when(
+        fval <= F.col(f"{best_prefix}threshold"), F.col(f"{best_prefix}gamma_l")
+    ).otherwise(F.col(f"{best_prefix}gamma_r"))
+
+
+def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two boosting rounds predicting l_extendedprice from (quantity,
+    discount cents, tax cents): F0 = global mean, then each round fits
+    a regression stump to the current residuals and steps with
+    learning rate 1. Emits one row per round (chosen split, leaf
+    values, score) plus a final row with the DECIMAL-quantized SSE of
+    the boosted model — the training-loss audit.
+
+    Model scalars (F0, each round's split) travel as broadcast 1-row
+    cross-joins, never a driver collect, so the whole model fit is one
+    lazy plan: scan -> histogram -> argmax -> broadcast back, twice.
+    Residual sums are DECIMAL-exact; every division is a single IEEE
+    op on identical operands in both engines; per-row squared errors
+    are quantized to DECIMAL(30,6) before the final sum (the pagerank
+    discipline) so the SSE is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    f0 = li.groupBy().agg(
+        (dsum("y") / bcount().cast("double")).alias("f0")
+    )
+    r1 = li.join(F.broadcast(f0)).withColumn("r1", F.col("y") - F.col("f0"))
+    best1 = _stump_best(_stump_stats(r1, "r1")).select(
+        *[F.col(c).alias(f"b1_{c}") for c in
+          ("feature", "threshold", "gamma_l", "gamma_r", "score", "n_l", "n_r")]
+    )
+    r2 = r1.join(F.broadcast(best1)).withColumn(
+        "r2", F.col("r1") - _leaf_gamma("b1_")
+    )
+    best2 = _stump_best(_stump_stats(r2, "r2")).select(
+        *[F.col(c).alias(f"b2_{c}") for c in
+          ("feature", "threshold", "gamma_l", "gamma_r", "score", "n_l", "n_r")]
+    )
+    final = r2.join(F.broadcast(best2)).withColumn(
+        "r3", F.col("r2") - _leaf_gamma("b2_")
+    )
+    sse = final.groupBy().agg(
+        dsum(F.col("r3") * F.col("r3")).alias("sse"),
+        bcount().alias("n"),
+    )
+    rounds = best1.join(best2).join(F.broadcast(sse)).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("round"),
+                    F.col("b1_feature").alias("feature"),
+                    F.col("b1_threshold").cast("long").alias("threshold"),
+                    F.round("b1_gamma_l", 6).alias("gamma_l"),
+                    F.round("b1_gamma_r", 6).alias("gamma_r"),
+                    F.col("b1_n_l").alias("n_l"),
+                    F.col("b1_n_r").alias("n_r"),
+                    F.round("b1_score", 4).alias("score_r"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("round"),
+                    F.col("b2_feature").alias("feature"),
+                    F.col("b2_threshold").cast("long").alias("threshold"),
+                    F.round("b2_gamma_l", 6).alias("gamma_l"),
+                    F.round("b2_gamma_r", 6).alias("gamma_r"),
+                    F.col("b2_n_l").alias("n_l"),
+                    F.col("b2_n_r").alias("n_r"),
+                    F.round("b2_score", 4).alias("score_r"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("round"),
+                    F.lit("__sse__").alias("feature"),
+                    F.col("n").alias("threshold"),
+                    F.lit(None).cast("double").alias("gamma_l"),
+                    F.lit(None).cast("double").alias("gamma_r"),
+                    F.lit(0).cast("long").alias("n_l"),
+                    F.lit(0).cast("long").alias("n_r"),
+                    F.round(F.col("sse") / F.lit(1e6), 4).alias("score_r"),
+                ),
+            )
+        ).alias("row")
+    ).select("row.*")
+    return rounds
+
+
+def _gbm_sql() -> str:
+    stats = """
+  SELECT feature, value AS threshold,
+         CAST(SUM(n) OVER (PARTITION BY feature ORDER BY value) AS BIGINT)
+           AS n_l,
+         CAST(SUM(s) OVER (PARTITION BY feature ORDER BY value) AS DOUBLE)
+           AS s_l,
+         CAST(SUM(n) OVER (PARTITION BY feature)
+              - SUM(n) OVER (PARTITION BY feature ORDER BY value) AS BIGINT)
+           AS n_r,
+         CAST(SUM(s) OVER (PARTITION BY feature)
+              - SUM(s) OVER (PARTITION BY feature ORDER BY value) AS DOUBLE)
+           AS s_r
+  FROM {src}"""
+    best = """
+  SELECT feature, threshold,
+         s_l / CAST(n_l AS DOUBLE) AS gamma_l,
+         s_r / CAST(n_r AS DOUBLE) AS gamma_r,
+         s_l * s_l / CAST(n_l AS DOUBLE) + s_r * s_r / CAST(n_r AS DOUBLE)
+           AS score,
+         n_l, n_r,
+         row_number() OVER (
+           ORDER BY s_l * s_l / CAST(n_l AS DOUBLE)
+                    + s_r * s_r / CAST(n_r AS DOUBLE) DESC,
+                    feature ASC, threshold ASC) AS rk
+  FROM {src} WHERE n_r > 0"""
+    return f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_c,
+         l_extendedprice AS y
+  FROM lineitem),
+f0 AS (
+  SELECT {dsum_sql('y')} / CAST(COUNT(*) AS DOUBLE) AS f0 FROM li),
+r1 AS (SELECT li.*, li.y - f0.f0 AS r1 FROM li, f0),
+fv1 AS (
+  SELECT 'quantity' AS feature, qty AS value, r1 AS r FROM r1
+  UNION ALL SELECT 'discount_c', disc_c, r1 FROM r1
+  UNION ALL SELECT 'tax_c', tax_c, r1 FROM r1),
+agg1 AS (
+  SELECT feature, value, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(r AS DECIMAL(30,6))) AS s
+  FROM fv1 GROUP BY feature, value),
+cand1 AS ({stats.format(src='agg1')}),
+best1 AS (SELECT * FROM ({best.format(src='cand1')}) WHERE rk = 1),
+r2 AS (
+  SELECT r1.*, r1.r1 - CASE WHEN (CASE b.feature
+              WHEN 'quantity' THEN r1.qty
+              WHEN 'discount_c' THEN r1.disc_c
+              ELSE r1.tax_c END) <= b.threshold
+         THEN b.gamma_l ELSE b.gamma_r END AS r2
+  FROM r1, best1 b),
+fv2 AS (
+  SELECT 'quantity' AS feature, qty AS value, r2 AS r FROM r2
+  UNION ALL SELECT 'discount_c', disc_c, r2 FROM r2
+  UNION ALL SELECT 'tax_c', tax_c, r2 FROM r2),
+agg2 AS (
+  SELECT feature, value, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(r AS DECIMAL(30,6))) AS s
+  FROM fv2 GROUP BY feature, value),
+cand2 AS ({stats.format(src='agg2')}),
+best2 AS (SELECT * FROM ({best.format(src='cand2')}) WHERE rk = 1),
+final AS (
+  SELECT r2.r2 - CASE WHEN (CASE b.feature
+              WHEN 'quantity' THEN r2.qty
+              WHEN 'discount_c' THEN r2.disc_c
+              ELSE r2.tax_c END) <= b.threshold
+         THEN b.gamma_l ELSE b.gamma_r END AS r3
+  FROM r2, best2 b),
+sse AS (
+  SELECT {dsum_sql('r3 * r3')} AS sse, CAST(COUNT(*) AS BIGINT) AS n
+  FROM final)
+SELECT CAST(1 AS BIGINT) AS round, feature, CAST(threshold AS BIGINT) AS threshold,
+       round(gamma_l, 6) AS gamma_l, round(gamma_r, 6) AS gamma_r,
+       n_l, n_r, round(score, 4) AS score_r
+FROM best1
+UNION ALL
+SELECT 2, feature, threshold, round(gamma_l, 6), round(gamma_r, 6),
+       n_l, n_r, round(score, 4)
+FROM best2
+UNION ALL
+SELECT 3, '__sse__', n, NULL, NULL, 0, 0, round(sse / 1e6, 4)
+FROM sse
+"""
+
+QUERIES["ml_gbm_stumps"] = ml_gbm_stumps
+ORACLE["ml_gbm_stumps"] = _gbm_sql()

@@ -964,3 +964,98 @@ ORACLE = {
     "text_fingerprint": _TEXT_FP_SQL,
     # text_lang_id: R-tier heuristic.
 }
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (round 4): the published rule set
+# (Rae et al. 2021, Appendix A) adapted to this corpus — a RULE-LEVEL
+# report (one boolean per rule per doc) rather than text_quality's
+# composite score, because production filters tune and ablate rules
+# individually.
+
+_GOPHER_MIN_WORDS = 8
+_GOPHER_MAX_WORDS = 2000
+_GOPHER_MWL_LO = 2.0
+_GOPHER_MWL_HI = 10.0
+_GOPHER_MAX_WORD_LEN = 25
+_GOPHER_MIN_STOP_HITS = 2
+_GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+
+
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality flags: word-count band, mean word length
+    band, no over-long word, >= 2 stopword hits, >= 80% of words
+    containing an alphabetic character — plus the conjunction
+    (keep_gopher). Mean word length is an exact-integer sum divided by
+    an exact count (one IEEE division, both engines). Map-only over
+    the documents scan; every rule is a JVM array/string built-in."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl = sum_len.cast("double") / n.cast("double")
+    max_len = F.array_max(F.transform(toks, lambda x: F.length(x).cast("long")))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS))).cast("long")
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("long")
+    alpha_frac = alpha_words.cast("double") / n.cast("double")
+    r_words = (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS)
+    r_mwl = (mwl >= _GOPHER_MWL_LO) & (mwl <= _GOPHER_MWL_HI)
+    r_longword = max_len <= _GOPHER_MAX_WORD_LEN
+    r_stop = stop_hits >= _GOPHER_MIN_STOP_HITS
+    r_alpha = alpha_frac >= _GOPHER_MIN_ALPHA_WORD_FRAC
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        r_words.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_longword.alias("rule_no_long_word"),
+        r_stop.alias("rule_stopwords"),
+        r_alpha.alias("rule_alpha_words"),
+        (r_words & r_mwl & r_longword & r_stop & r_alpha).alias("keep_gopher"),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS sum_len,
+         CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS max_len,
+         CAST(len(list_filter(toks, x -> list_contains([{_STOP_LIST_SQL}], x)))
+              AS BIGINT) AS stop_hits,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS alpha_words
+  FROM t)
+SELECT doc_id,
+       n AS n_words,
+       round(CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_word_len,
+       n >= {_GOPHER_MIN_WORDS} AND n <= {_GOPHER_MAX_WORDS} AS rule_word_count,
+       CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) >= {_GOPHER_MWL_LO}
+         AND CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) <= {_GOPHER_MWL_HI}
+         AS rule_mean_word_len,
+       max_len <= {_GOPHER_MAX_WORD_LEN} AS rule_no_long_word,
+       stop_hits >= {_GOPHER_MIN_STOP_HITS} AS rule_stopwords,
+       CAST(alpha_words AS DOUBLE) / CAST(n AS DOUBLE)
+         >= {_GOPHER_MIN_ALPHA_WORD_FRAC} AS rule_alpha_words,
+       (n >= {_GOPHER_MIN_WORDS} AND n <= {_GOPHER_MAX_WORDS})
+         AND (CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) >= {_GOPHER_MWL_LO}
+              AND CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) <= {_GOPHER_MWL_HI})
+         AND max_len <= {_GOPHER_MAX_WORD_LEN}
+         AND stop_hits >= {_GOPHER_MIN_STOP_HITS}
+         AND CAST(alpha_words AS DOUBLE) / CAST(n AS DOUBLE)
+               >= {_GOPHER_MIN_ALPHA_WORD_FRAC}
+         AS keep_gopher
+FROM m
+"""
+
+QUERIES["text_quality_gopher"] = text_quality_gopher
+ORACLE["text_quality_gopher"] = _GOPHER_SQL

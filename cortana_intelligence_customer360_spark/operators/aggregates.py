@@ -837,3 +837,37 @@ ORACLE = {
     "agg_percentiles": _AGG_PCT_SQL,
     "agg_histogram": _AGG_HIST_SQL,
 }
+
+
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id()/grouping() metadata — the columns that
+    make multi-level rollup rows machine-distinguishable (a NULL key
+    could be a real NULL or a subtotal; grouping() disambiguates).
+    Identical bit-layout contract in both engines: grouping_id =
+    (g(returnflag) << 1) | g(linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            bcount().alias("n_rows"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+_AGG_GROUPING_ID_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum_sql('l_extendedprice')} AS revenue
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+QUERIES["agg_grouping_id"] = agg_grouping_id
+ORACLE["agg_grouping_id"] = _AGG_GROUPING_ID_SQL

@@ -363,3 +363,137 @@ def test_backtest_sma_pred_is_prev3_mean(spark, sf_dir):
                 assert abs(got[key].pred - pred) < 1e-4
                 n_checked += 1
     assert n_checked > 0
+
+
+def test_gopher_rules_consistency(spark, sf_dir):
+    """keep_gopher is exactly the conjunction of the rule columns; the
+    rule population is mixed (some keep, some drop) on this corpus."""
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_quality_gopher,
+    )
+
+    rows = text_quality_gopher(spark, sf_dir).collect()
+    assert rows
+    kept = 0
+    for r in rows:
+        conj = (
+            r.rule_word_count
+            and r.rule_mean_word_len
+            and r.rule_no_long_word
+            and r.rule_stopwords
+            and r.rule_alpha_words
+        )
+        assert r.keep_gopher == conj
+        kept += bool(r.keep_gopher)
+    assert 0 < kept  # corpus is word-like; most docs should pass
+
+
+def test_bootstrap_poisson_distribution(spark, sf_dir):
+    """32 replicates; effective sizes concentrate around n (Poisson(1)
+    row weights sum to ~n with sd ~ sqrt(n)); replicate means bracket
+    the plain mean; a second run is bit-identical (determinism)."""
+    import math
+
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        _BOOT_B,
+        stat_bootstrap_poisson,
+    )
+
+    rows = sorted(stat_bootstrap_poisson(spark, sf_dir).collect(), key=lambda r: r.b)
+    assert len(rows) == _BOOT_B
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_totalprice")
+    n = orders.count()
+    mean = orders.groupBy().avg("o_totalprice").collect()[0][0]
+    for r in rows:
+        assert abs(r.n_eff - n) < 6 * math.sqrt(n)
+    lo = min(r.mean_resample for r in rows)
+    hi = max(r.mean_resample for r in rows)
+    assert lo < mean < hi
+    again = sorted(stat_bootstrap_poisson(spark, sf_dir).collect(), key=lambda r: r.b)
+    assert [r.mean_resample for r in again] == [r.mean_resample for r in rows]
+
+
+def test_gbm_sse_decreases_and_splits_optimal(spark, sf_dir):
+    """Boosting must not increase training SSE: SSE after round 2 <=
+    variance-sum after round 1 <= total variance. Recomputed from the
+    model rows + a brute-force stump refit in Python."""
+    from collections import defaultdict
+
+    from cortana_intelligence_customer360_spark.features.ml import ml_gbm_stumps
+
+    rows = {r.round: r for r in ml_gbm_stumps(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.col("l_quantity").cast("long").alias("quantity"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("discount_c"),
+            F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+            F.col("l_extendedprice").alias("y"),
+        )
+        .collect()
+    )
+    n = len(li)
+    f0 = sum(r.y for r in li) / n
+    resid = [r.y - f0 for r in li]
+
+    def apply_stump(resid, best):
+        out = []
+        for r, row in zip(resid, li):
+            v = row[best.feature]
+            out.append(r - (best.gamma_l if v <= best.threshold else best.gamma_r))
+        return out
+
+    def brute_best(resid):
+        top = None
+        for feat in ("quantity", "discount_c", "tax_c"):
+            agg = defaultdict(lambda: [0, 0.0])
+            for r, row in zip(resid, li):
+                a = agg[row[feat]]
+                a[0] += 1
+                a[1] += r
+            vals = sorted(agg)
+            nl = sl = 0.0
+            tot_n = sum(a[0] for a in agg.values())
+            tot_s = sum(a[1] for a in agg.values())
+            for t in vals[:-1]:
+                nl += agg[t][0]
+                sl += agg[t][1]
+                nr, sr = tot_n - nl, tot_s - sl
+                score = sl * sl / nl + sr * sr / nr
+                key = (score, feat, t)
+                if top is None or score > top[0] - 1e-6:
+                    if top is None or score > top[0] + 1e-6:
+                        top = (score, feat, t)
+        return top
+
+    b1 = brute_best(resid)
+    assert rows[1].feature == b1[1] and rows[1].threshold == b1[2]
+    resid2 = apply_stump(resid, rows[1])
+    sse1 = sum(r * r for r in resid2)
+    resid3 = apply_stump(resid2, rows[2])
+    sse2 = sum(r * r for r in resid3)
+    var0 = sum(r * r for r in resid)
+    assert sse2 <= sse1 + 1e-6 <= var0 + 1e-6
+    got_sse = rows[3].score_r * 1e6
+    assert abs(got_sse - sse2) / max(sse2, 1.0) < 1e-3
+
+
+def test_grouping_id_levels(spark, sf_dir):
+    """gid bit layout: 4 levels present; detail rows sum to the grand
+    total; subtotal counts agree with the detail partition."""
+    from collections import Counter
+
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_grouping_id,
+    )
+
+    rows = agg_grouping_id(spark, sf_dir).collect()
+    gids = Counter(r.gid for r in rows)
+    assert set(gids) == {0, 1, 2, 3}
+    assert gids[3] == 1
+    detail = sum(r.n_rows for r in rows if r.gid == 0)
+    grand = [r.n_rows for r in rows if r.gid == 3][0]
+    assert detail == grand
+    for r in rows:
+        assert r.gid == (r.g_flag << 1 | r.g_status)

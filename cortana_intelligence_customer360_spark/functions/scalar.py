@@ -946,3 +946,131 @@ GROUP BY l_returnflag, l_linestatus, year(l_shipdate)
 
 QUERIES["sql_group_by_all"] = sql_group_by_all
 ORACLE["sql_group_by_all"] = _SQL_GROUP_BY_ALL_SQL
+
+
+def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum (the card-number / IMEI check digit) as a pure
+    higher-order fold: 16-digit account numbers are synthesized from
+    the order key (15 payload digits + a planted check digit that is
+    valid only for even keys), then validated by the doubled-digit sum
+    rule. Exercises transform-with-index + aggregate over exact
+    integers; map-only, codegen. Spark 4 also ships a native
+    ``luhn_check`` — emitted side-by-side to pin our fold against the
+    built-in."""
+    orders = load_table(spark, sf_dir, "orders")
+    payload = F.lpad(
+        ((F.col("o_orderkey").cast("decimal(20,0)") * 7919) % F.lit(10).cast("decimal(20,0)").__pow__(15))
+        .cast("decimal(20,0)").cast("string"),
+        15,
+        "0",
+    )
+    d = orders.select("o_orderkey", payload.alias("p15"))
+    digits = F.transform(
+        F.split(F.col("acct"), ""), lambda c: c.cast("int")
+    )
+    # Luhn over a 16-digit string: from the RIGHT, double every 2nd
+    # digit. With fixed length 16, positions 0,2,4,... (0-based from
+    # the left) are the doubled ones.
+    luhn_sum = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda dgt, i: F.when(
+                i % 2 == 0,
+                F.when(dgt * 2 > 9, dgt * 2 - 9).otherwise(dgt * 2),
+            ).otherwise(dgt),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # check digit: valid for even order keys, off-by-one otherwise
+    with_acct = d.withColumn(
+        "acct",
+        F.concat(
+            F.col("p15"),
+            F.when(F.col("o_orderkey") % 2 == 0, _luhn_check_digit(F.col("p15")))
+            .otherwise((_luhn_check_digit(F.col("p15")) + 1) % 10)
+            .cast("string"),
+        ),
+    )
+    return with_acct.select(
+        "o_orderkey",
+        "acct",
+        luhn_sum.cast("long").alias("luhn_sum"),
+        (luhn_sum % 10 == 0).alias("is_valid"),
+        F.expr("luhn_check(acct)").alias("is_valid_native"),
+    )
+
+
+def _luhn_check_digit(p15: "F.Column") -> "F.Column":
+    """Check digit for a 15-digit payload: digit making the 16-digit
+    Luhn sum divisible by 10. In the final 16-digit string the payload
+    occupies positions 0..14, so payload digits at EVEN 0-based
+    positions get doubled; the check digit itself (position 15) is
+    added raw."""
+    digits = F.transform(F.split(p15, ""), lambda c: c.cast("int"))
+    s = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), F.lit(14)),
+            lambda dgt, i: F.when(
+                i % 2 == 0,
+                F.when(dgt * 2 > 9, dgt * 2 - 9).otherwise(dgt * 2),
+            ).otherwise(dgt),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (10 - (s % 10)) % 10
+
+
+_FN_LUHN_SQL = """
+WITH d AS (
+  SELECT o_orderkey,
+         lpad(CAST((CAST(o_orderkey AS HUGEINT) * 7919)
+                   % 1000000000000000 AS VARCHAR), 15, '0') AS p15
+  FROM orders),
+pay AS (
+  SELECT o_orderkey, p15,
+         list_transform(range(15), i ->
+           CAST(substr(p15, i + 1, 1) AS INT)) AS pd
+  FROM d),
+chk AS (
+  SELECT o_orderkey, p15,
+         (10 - (list_sum(list_transform(range(15), i ->
+            CASE WHEN i % 2 = 0
+                 THEN CASE WHEN pd[i + 1] * 2 > 9 THEN pd[i + 1] * 2 - 9
+                           ELSE pd[i + 1] * 2 END
+                 ELSE pd[i + 1] END)) % 10)) % 10 AS cd
+  FROM pay),
+acct AS (
+  SELECT o_orderkey,
+         p15 || CAST(CASE WHEN o_orderkey % 2 = 0 THEN cd
+                          ELSE (cd + 1) % 10 END AS VARCHAR) AS acct
+  FROM chk),
+digits AS (
+  SELECT o_orderkey, acct,
+         list_transform(range(16), i ->
+           CAST(substr(acct, i + 1, 1) AS INT)) AS dg
+  FROM acct)
+SELECT o_orderkey, acct,
+       CAST(list_sum(list_transform(range(16), i ->
+         CASE WHEN i % 2 = 0
+              THEN CASE WHEN dg[i + 1] * 2 > 9 THEN dg[i + 1] * 2 - 9
+                        ELSE dg[i + 1] * 2 END
+              ELSE dg[i + 1] END)) AS BIGINT) AS luhn_sum,
+       list_sum(list_transform(range(16), i ->
+         CASE WHEN i % 2 = 0
+              THEN CASE WHEN dg[i + 1] * 2 > 9 THEN dg[i + 1] * 2 - 9
+                        ELSE dg[i + 1] * 2 END
+              ELSE dg[i + 1] END)) % 10 = 0 AS is_valid,
+       list_sum(list_transform(range(16), i ->
+         CASE WHEN i % 2 = 0
+              THEN CASE WHEN dg[i + 1] * 2 > 9 THEN dg[i + 1] * 2 - 9
+                        ELSE dg[i + 1] * 2 END
+              ELSE dg[i + 1] END)) % 10 = 0 AS is_valid_native
+FROM digits
+"""
+
+QUERIES["fn_luhn"] = fn_luhn
+ORACLE["fn_luhn"] = _FN_LUHN_SQL

@@ -752,3 +752,161 @@ WHERE p.rk = 1
 
 QUERIES["ml_knn_classifier"] = ml_knn_classifier
 ORACLE["ml_knn_classifier"] = _KNN_CLASSIFIER_SQL
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse reranking (round 4): maximal marginal relevance
+# (Carbonell & Goldstein 1998) — the standard retrieval rerank that
+# trades relevance against redundancy, applied on top of the exact
+# top-10 candidates per probe.
+
+_MMR_LAMBDA = 0.7
+_MMR_CANDS = 10
+_MMR_K = 5
+
+
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR selection of 5 from the exact top-10 cosine
+    candidates per probe: pick argmax relevance first, then 4 rounds
+    of argmax [lambda*rel(d) - (1-lambda)*max_sim(d, selected)].
+
+    Determinism: relevances and candidate-pair similarities are
+    rounded to 6 dp BEFORE selection; each round's score is one
+    multiply-subtract on those shared operands with an id tie-break,
+    so both engines walk the identical greedy path (the oracle unrolls
+    the same 5 rounds as chained CTEs). Scale: candidate and pair
+    frames are probe-bounded (10 and 90 rows per probe) — the corpus
+    is touched only by the one retrieval scan; the rerank is
+    metadata-sized however large the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = knn_exact_frame(emb, k=_MMR_CANDS).localCheckpoint(eager=False)
+    vecs = emb.select("vec_id", "embedding")
+    a = cands.select("probe_id", F.col("neighbor_id").alias("a"))
+    pairs = a.join(
+        cands.select("probe_id", F.col("neighbor_id").alias("b")), "probe_id"
+    ).where(F.col("a") != F.col("b"))
+    psim = (
+        pairs.join(F.broadcast(vecs.withColumnRenamed("vec_id", "a")), "a")
+        .withColumnRenamed("embedding", "va")
+        .join(F.broadcast(vecs.withColumnRenamed("vec_id", "b")), "b")
+        .withColumnRenamed("embedding", "vb")
+        .select(
+            "probe_id", "a", "b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("sim")
+        )
+        .localCheckpoint(eager=False)
+    )
+    selected = (
+        cands.where(F.col("rank") == 1)
+        .select(
+            "probe_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("cosine").alias("mmr_score"),
+            F.lit(1).cast("long").alias("mmr_rank"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for it in range(2, _MMR_K + 1):
+        rem = cands.join(
+            selected.select("probe_id", F.col("doc_id").alias("neighbor_id")),
+            ["probe_id", "neighbor_id"],
+            "left_anti",
+        )
+        ms = (
+            psim.join(
+                selected.select("probe_id", F.col("doc_id").alias("b")),
+                ["probe_id", "b"],
+            )
+            .groupBy("probe_id", "a")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = rem.join(
+            ms,
+            (rem.probe_id == ms.probe_id) & (rem.neighbor_id == ms.a),
+        ).select(
+            rem.probe_id.alias("probe_id"),
+            F.col("neighbor_id"),
+            (
+                F.lit(_MMR_LAMBDA) * F.col("cosine")
+                - F.lit(1 - _MMR_LAMBDA) * F.col("max_sim")
+            ).alias("score"),
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(
+                "probe_id",
+                F.col("neighbor_id").alias("doc_id"),
+                F.round("score", 6).alias("mmr_score"),
+                F.lit(it).cast("long").alias("mmr_rank"),
+            )
+        )
+        selected = selected.union(pick).localCheckpoint(eager=False)
+    return selected
+
+
+def _mmr_sql() -> str:
+    lam = _MMR_LAMBDA
+    one_m = 1 - _MMR_LAMBDA
+    steps = []
+    for it in range(2, _MMR_K + 1):
+        steps.append(f"""
+ms{it} AS (
+  SELECT p.probe_id, p.a, MAX(p.sim) AS max_sim
+  FROM psim p JOIN sel{it - 1} s
+    ON p.probe_id = s.probe_id AND p.b = s.doc_id
+  GROUP BY 1, 2),
+pick{it} AS (
+  SELECT c.probe_id, c.neighbor_id AS doc_id,
+         round({lam} * c.cosine - {one_m} * m.max_sim, 6) AS mmr_score,
+         CAST({it} AS BIGINT) AS mmr_rank,
+         row_number() OVER (PARTITION BY c.probe_id
+           ORDER BY {lam} * c.cosine - {one_m} * m.max_sim DESC,
+                    c.neighbor_id ASC) AS rk
+  FROM cands c
+  JOIN ms{it} m ON c.probe_id = m.probe_id AND c.neighbor_id = m.a
+  WHERE NOT EXISTS (SELECT 1 FROM sel{it - 1} s
+                    WHERE s.probe_id = c.probe_id
+                      AND s.doc_id = c.neighbor_id)),
+sel{it} AS (
+  SELECT probe_id, doc_id, mmr_score, mmr_rank FROM sel{it - 1}
+  UNION ALL
+  SELECT probe_id, doc_id, mmr_score, mmr_rank FROM pick{it} WHERE rk = 1)""")
+    body = ",".join(steps)
+    return f"""
+WITH flat AS (
+  SELECT vec_id, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
+dots AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         round(SUM(p.v * c.v), 6) AS cosine
+  FROM flat p JOIN flat c ON p.pos = c.pos AND p.vec_id != c.vec_id
+  WHERE p.vec_id < {N_PROBES}
+  GROUP BY 1, 2),
+cands AS (
+  SELECT * FROM (
+    SELECT probe_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM dots) WHERE rank <= {_MMR_CANDS}),
+psim AS (
+  SELECT c1.probe_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         round(SUM(f1.v * f2.v), 6) AS sim
+  FROM cands c1
+  JOIN cands c2 ON c1.probe_id = c2.probe_id
+               AND c1.neighbor_id != c2.neighbor_id
+  JOIN flat f1 ON f1.vec_id = c1.neighbor_id
+  JOIN flat f2 ON f2.vec_id = c2.neighbor_id AND f1.pos = f2.pos
+  GROUP BY 1, 2, 3),
+sel1 AS (
+  SELECT probe_id, neighbor_id AS doc_id, cosine AS mmr_score,
+         CAST(1 AS BIGINT) AS mmr_rank
+  FROM cands WHERE rank = 1),
+{body}
+SELECT probe_id, doc_id, mmr_score, mmr_rank FROM sel{_MMR_K}
+"""
+
+QUERIES["emb_mmr_rerank"] = emb_mmr_rerank
+ORACLE["emb_mmr_rerank"] = _mmr_sql()

@@ -1057,3 +1057,73 @@ FROM d WHERE pred_n = {_SMA_WIN}
 
 QUERIES["ts_backtest_sma"] = ts_backtest_sma
 ORACLE["ts_backtest_sma"] = _BACKTEST_SMA_SQL
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (round 4): the hypertable/irregular-sampling
+# aggregate (TimescaleDB's time_weight('LOCF')): each observation holds
+# until the next one, so its weight is the interval it covers — the
+# correct mean for unevenly-sampled gauges, where a plain AVG
+# overweights bursts.
+
+
+def ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` (last-observation-
+    carried-forward): sum(value_i * (t_{i+1} - t_i)) / (t_n - t_0),
+    over microsecond epochs. Each product value x microseconds is
+    computed in double (single IEEE multiply on identical operands),
+    quantized to DECIMAL(30,6), and summed exactly — order-independent
+    (the pagerank discipline) — then ONE division by the exact total
+    span. Users with < 2 events have no span and are excluded (the
+    operator's documented domain). One window sort per user partition,
+    one aggregate; nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = epoch_us("ts")
+    d = ev.select(
+        "user_id",
+        ts_us.alias("t"),
+        "value",
+        (F.lead(ts_us).over(w) - ts_us).alias("dt_us"),
+    )
+    agg = (
+        d.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("value") * F.col("dt_us").cast("double")).cast(_DEC)
+            ).alias("wsum"),
+            F.sum("dt_us").cast("long").alias("span_us"),
+            bcount().alias("n_obs"),
+        )
+        .where(F.col("span_us") > 0)
+    )
+    return agg.select(
+        "user_id",
+        "n_obs",
+        "span_us",
+        F.round(
+            F.col("wsum").cast("double") / F.col("span_us").cast("double"), 6
+        ).alias("twa"),
+    )
+
+
+_TWA_SQL = f"""
+WITH d AS (
+  SELECT user_id, {epoch_us_sql('ts')} AS t, value,
+         lead({epoch_us_sql('ts')}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)
+           - {epoch_us_sql('ts')} AS dt_us
+  FROM events),
+agg AS (
+  SELECT user_id,
+         SUM(CAST(value * CAST(dt_us AS DOUBLE) AS DECIMAL(30,6))) AS wsum,
+         CAST(SUM(dt_us) AS BIGINT) AS span_us,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM d GROUP BY user_id)
+SELECT user_id, n_obs, span_us,
+       round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE), 6) AS twa
+FROM agg WHERE span_us > 0
+"""
+
+QUERIES["ts_twa"] = ts_twa
+ORACLE["ts_twa"] = _TWA_SQL

@@ -497,3 +497,96 @@ def test_grouping_id_levels(spark, sf_dir):
     assert detail == grand
     for r in rows:
         assert r.gid == (r.g_flag << 1 | r.g_status)
+
+
+def test_twa_python_recompute(spark, sf_dir):
+    """TWA recomputed per user in plain Python (LOCF weighting) agrees
+    to the documented 6-dp quantization; constant-signal sanity: a
+    user's TWA lies within [min(value), max(value)]."""
+    from collections import defaultdict
+
+    from cortana_intelligence_customer360_spark.operators.timeseries import ts_twa
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    got = {r.user_id: r for r in ts_twa(spark, sf_dir).collect()}
+    assert got
+    for uid, rows in list(by_user.items())[:30]:
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        if len(rows) < 2:
+            assert uid not in got
+            continue
+        t = [int(r.ts.timestamp() * 1_000_000) for r in rows]
+        num = sum(
+            round(rows[i].value * (t[i + 1] - t[i]), 6) for i in range(len(rows) - 1)
+        )
+        span = t[-1] - t[0]
+        assert got[uid].span_us == span
+        assert abs(got[uid].twa - num / span) < 1e-4
+        vals = [r.value for r in rows]
+        assert min(vals) - 1e-9 <= got[uid].twa <= max(vals) + 1e-9
+
+
+def test_luhn_planted_validity(spark, sf_dir):
+    """Even order keys carry the true check digit (valid), odd keys an
+    off-by-one (invalid); the fold agrees with Spark's native
+    luhn_check on every row."""
+    from cortana_intelligence_customer360_spark.functions.scalar import fn_luhn
+
+    rows = fn_luhn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.acct) == 16
+        assert r.is_valid == (r.o_orderkey % 2 == 0)
+        assert r.is_valid_native == r.is_valid
+
+
+def test_mmr_greedy_recompute(spark, sf_dir):
+    """The MMR selection replayed greedily in Python from the same
+    rounded candidate/pair similarities picks the identical documents
+    in the identical order; ranks are 1..5 per probe, no repeats."""
+    from collections import defaultdict
+
+    from cortana_intelligence_customer360_spark.llmops.similarity import (
+        _MMR_CANDS,
+        _MMR_K,
+        _MMR_LAMBDA,
+        emb_mmr_rerank,
+        knn_exact_frame,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cands = knn_exact_frame(emb, k=_MMR_CANDS).collect()
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def dot(a, b):
+        return round(sum(float(x) * float(y) for x, y in zip(a, b)), 6)
+
+    by_probe = defaultdict(list)
+    for c in cands:
+        by_probe[c.probe_id].append(c)
+    got = defaultdict(dict)
+    for r in emb_mmr_rerank(spark, sf_dir).collect():
+        got[r.probe_id][r.mmr_rank] = r.doc_id
+    assert set(got) == set(by_probe)
+    for pid, cc in by_probe.items():
+        rel = {c.neighbor_id: c.cosine for c in cc}
+        first = max(cc, key=lambda c: (c.cosine, -c.neighbor_id)).neighbor_id
+        # tie-break is (cosine desc, id asc)
+        best = sorted(cc, key=lambda c: (-c.cosine, c.neighbor_id))[0].neighbor_id
+        sel = [best]
+        for _ in range(_MMR_K - 1):
+            pool = [d for d in rel if d not in sel]
+            scored = []
+            for d in pool:
+                ms = max(dot(vecs[d], vecs[s]) for s in sel)
+                scored.append((_MMR_LAMBDA * rel[d] - (1 - _MMR_LAMBDA) * ms, -d))
+            pick = max(scored)
+            sel.append(-pick[1])
+        assert [got[pid][k] for k in range(1, _MMR_K + 1)] == sel

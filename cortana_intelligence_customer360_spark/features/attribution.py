@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import bcount, dsum, dsum_sql, dsum_where_sql, epoch_us, epoch_us_sql
+from ..compat import _DEC, bcount, dsum, dsum_sql, dsum_where_sql, epoch_us, epoch_us_sql
 from ..sources.tables import load_table
 from .core import ORDERS_ANCHOR
 
@@ -1433,3 +1433,146 @@ FROM agg
 
 QUERIES["stat_bootstrap_poisson"] = stat_bootstrap_poisson
 ORACLE["stat_bootstrap_poisson"] = _bootstrap_sql()
+
+
+# ---------------------------------------------------------------------------
+# CUPED adjustment (round 4): Controlled-experiment Using Pre-Existing
+# Data (Deng et al. 2013) — the industry-standard variance-reduction
+# for A/B metrics: shrink each user's post-period metric by
+# theta * (pre-period covariate - its mean) before comparing arms.
+
+_CUPED_SPLIT = "2024-01-16"  # pre/post boundary (events span Jan 2024)
+
+
+def stat_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm CUPED summary (arms = first-event-was-click, the same
+    assignment as feat_ipw_ate): n, raw post-period mean, CUPED-
+    adjusted mean, and the variance-reduction fraction.
+
+    Everything derives from ONE user-level pass and exact sufficient
+    statistics: theta and x-bar come from pooled (n, Sx, Sy, Sxy, Sxx)
+    DECIMAL sums; Var(y - theta*(x - xbar)) expands in closed form to
+    Syy - 2*theta*Sxy' + theta^2*Sxx' (no second data pass, the same
+    trick ml_linreg_closed_form uses). Per-arm and pooled stats are
+    grouped in the SAME aggregate; all the float math happens on
+    driver-size rows with identical expressions in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (F.min_by("event_type", "event_id") == "click").cast("long").alias("treated"),
+        dsum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") < F.lit(_CUPED_SPLIT).cast("timestamp")),
+                F.col("value"),
+            ).otherwise(0.0)
+        ).alias("x"),
+        dsum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.lit(_CUPED_SPLIT).cast("timestamp")),
+                F.col("value"),
+            ).otherwise(0.0)
+        ).alias("y"),
+    )
+    arms = users.groupBy("treated").agg(
+        bcount().alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = Window.partitionBy()
+    n_t = F.sum("n").over(tot).cast("double")
+    sx_t = F.sum(F.col("sx").cast(_DEC)).over(tot).cast("double")
+    sy_t = F.sum(F.col("sy").cast(_DEC)).over(tot).cast("double")
+    sxy_t = F.sum(F.col("sxy").cast(_DEC)).over(tot).cast("double")
+    sxx_t = F.sum(F.col("sxx").cast(_DEC)).over(tot).cast("double")
+    theta = (n_t * sxy_t - sx_t * sy_t) / (n_t * sxx_t - sx_t * sx_t)
+    xbar = sx_t / n_t
+    d = arms.select(
+        "treated",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        theta.alias("theta"),
+        xbar.alias("xbar"),
+    )
+    n = F.col("n").cast("double")
+    mean_y = F.col("sy") / n
+    mean_cu = mean_y - F.col("theta") * (F.col("sx") / n - F.col("xbar"))
+    var_y = F.col("syy") / n - mean_y * mean_y
+    # E[(y - theta(x - xbar))^2] expanded from sufficient statistics
+    e_cu2 = (
+        F.col("syy")
+        - 2.0 * F.col("theta") * (F.col("sxy") - F.col("xbar") * F.col("sy"))
+        + F.col("theta")
+        * F.col("theta")
+        * (
+            F.col("sxx")
+            - 2.0 * F.col("xbar") * F.col("sx")
+            + n * F.col("xbar") * F.col("xbar")
+        )
+    ) / n
+    var_cu = e_cu2 - mean_cu * mean_cu
+    return d.select(
+        F.col("treated").cast("long").alias("treated"),
+        "n",
+        F.round("theta", 6).alias("theta"),
+        F.round(mean_y, 6).alias("mean_post"),
+        F.round(mean_cu, 6).alias("mean_cuped"),
+        F.round(F.lit(1.0) - var_cu / var_y, 6).alias("var_reduction"),
+    )
+
+
+_CUPED_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(arg_min(event_type, event_id) = 'click' AS BIGINT) AS treated,
+         {dsum_sql("CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '" + _CUPED_SPLIT + "' THEN value ELSE 0.0 END")} AS x,
+         {dsum_sql("CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '" + _CUPED_SPLIT + "' THEN value ELSE 0.0 END")} AS y
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT treated, CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+         {dsum_sql('x * y')} AS sxy, {dsum_sql('x * x')} AS sxx,
+         {dsum_sql('y * y')} AS syy
+  FROM u GROUP BY treated),
+g AS (
+  SELECT *,
+         CAST(SUM(CAST(n AS DECIMAL(30,6))) OVER () AS DOUBLE) AS n_t,
+         CAST(SUM(CAST(sx AS DECIMAL(30,6))) OVER () AS DOUBLE) AS sx_t,
+         CAST(SUM(CAST(sy AS DECIMAL(30,6))) OVER () AS DOUBLE) AS sy_t,
+         CAST(SUM(CAST(sxy AS DECIMAL(30,6))) OVER () AS DOUBLE) AS sxy_t,
+         CAST(SUM(CAST(sxx AS DECIMAL(30,6))) OVER () AS DOUBLE) AS sxx_t
+  FROM arms),
+p AS (
+  SELECT *,
+         (n_t * sxy_t - sx_t * sy_t) / (n_t * sxx_t - sx_t * sx_t) AS theta,
+         sx_t / n_t AS xbar
+  FROM g)
+SELECT CAST(treated AS BIGINT) AS treated, n,
+       round(theta, 6) AS theta,
+       round(sy / CAST(n AS DOUBLE), 6) AS mean_post,
+       round(sy / CAST(n AS DOUBLE)
+             - theta * (sx / CAST(n AS DOUBLE) - xbar), 6) AS mean_cuped,
+       round(1.0 - ((syy - 2.0 * theta * (sxy - xbar * sy)
+                     + theta * theta
+                       * (sxx - 2.0 * xbar * sx
+                          + CAST(n AS DOUBLE) * xbar * xbar))
+                    / CAST(n AS DOUBLE)
+                    - (sy / CAST(n AS DOUBLE)
+                       - theta * (sx / CAST(n AS DOUBLE) - xbar))
+                      * (sy / CAST(n AS DOUBLE)
+                         - theta * (sx / CAST(n AS DOUBLE) - xbar)))
+                   / (syy / CAST(n AS DOUBLE)
+                      - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))),
+             6) AS var_reduction
+FROM p
+"""
+
+QUERIES["stat_cuped_adjust"] = stat_cuped_adjust
+ORACLE["stat_cuped_adjust"] = _CUPED_SQL

@@ -807,3 +807,138 @@ QUERIES["graph_k_core"] = graph_k_core
 QUERIES["graph_shortest_path_weighted"] = graph_shortest_path_weighted
 ORACLE["graph_k_core"] = _kcore_sql()
 ORACLE["graph_shortest_path_weighted"] = _sssp_sql()
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (round 4): the directed complement of
+# pagerank on the supplier -> customer trade graph (suppliers are
+# hubs, customers authorities).
+
+_HITS_ITERS = 3
+_HITS_DEC = "decimal(38,12)"
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three HITS iterations with L1 normalization: authority(c) =
+    sum of hub scores over in-edges, hub(s) = sum of authority scores
+    over out-edges, each vector rescaled to sum 1 after every step.
+
+    Exactness discipline (the pagerank contract): every per-node sum
+    is over 12-dp DECIMAL-quantized contributions (order-independent),
+    each normalization is one IEEE division by an exact decimal total,
+    and the result is re-quantized before the next step — so both
+    engines walk identical numeric states. Scale: the edge list is
+    computed once; every iteration shuffles only node-cardinality
+    score tables (broadcast joins, same shape as graph_bfs_hops)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("s"),
+            F.col("o_custkey").alias("c"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = (
+        edges.select("s")
+        .distinct()
+        .select("s", F.lit(1.0).cast(_HITS_DEC).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    auths = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            edges.join(F.broadcast(hubs), "s")
+            .groupBy("c")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        atot = araw.groupBy().agg(F.sum("a_raw").alias("a_tot"))
+        auths = (
+            araw.join(F.broadcast(atot))
+            .select(
+                "c",
+                (
+                    F.col("a_raw").cast("double") / F.col("a_tot").cast("double")
+                )
+                .cast(_HITS_DEC)
+                .alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        hraw = (
+            edges.join(F.broadcast(auths), "c")
+            .groupBy("s")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        htot = hraw.groupBy().agg(F.sum("h_raw").alias("h_tot"))
+        hubs = (
+            hraw.join(F.broadcast(htot))
+            .select(
+                "s",
+                (
+                    F.col("h_raw").cast("double") / F.col("h_tot").cast("double")
+                )
+                .cast(_HITS_DEC)
+                .alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out_h = hubs.select(
+        F.col("s").alias("node"),
+        F.lit("hub").alias("role"),
+        # round in the DECIMAL domain: the quantized scores hit exact
+        # half-ties at 9 dp and double-domain rounding diverges 1 ulp
+        F.round(F.col("h"), 9).cast("double").alias("score"),
+    )
+    out_a = auths.select(
+        F.col("c").alias("node"),
+        F.lit("authority").alias("role"),
+        F.round(F.col("a"), 9).cast("double").alias("score"),
+    )
+    return out_h.unionByName(out_a)
+
+
+def _hits_sql() -> str:
+    parts = [
+        f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+h0 AS MATERIALIZED (
+  SELECT DISTINCT s, CAST(1.0 AS DECIMAL(38,12)) AS h FROM edges)"""
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f"""
+araw{i} AS MATERIALIZED (
+  SELECT c, SUM(h) AS a_raw
+  FROM edges JOIN h{i - 1} USING (s) GROUP BY c),
+a{i} AS MATERIALIZED (
+  SELECT c, CAST(CAST(a_raw AS DOUBLE)
+    / CAST((SELECT SUM(a_raw) FROM araw{i}) AS DOUBLE)
+    AS DECIMAL(38,12)) AS a
+  FROM araw{i}),
+hraw{i} AS MATERIALIZED (
+  SELECT s, SUM(a) AS h_raw
+  FROM edges JOIN a{i} USING (c) GROUP BY s),
+h{i} AS MATERIALIZED (
+  SELECT s, CAST(CAST(h_raw AS DOUBLE)
+    / CAST((SELECT SUM(h_raw) FROM hraw{i}) AS DOUBLE)
+    AS DECIMAL(38,12)) AS h
+  FROM hraw{i})"""
+        )
+    body = ",".join(parts)
+    n = _HITS_ITERS
+    return f"""
+WITH {body}
+SELECT s AS node, 'hub' AS role, CAST(round(h, 9) AS DOUBLE) AS score
+FROM h{n}
+UNION ALL
+SELECT c, 'authority', CAST(round(a, 9) AS DOUBLE) FROM a{n}
+"""
+
+
+QUERIES["graph_hits"] = graph_hits
+ORACLE["graph_hits"] = _hits_sql()

@@ -721,3 +721,65 @@ ORACLE = {
     "scan_binary_files": _SCAN_BINARY_SQL,
     "source_stream_files": _STREAM_SOURCE_SQL,
 }
+
+
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV hard mode: values with embedded NEWLINES, commas, and double
+    quotes, round-tripped through quoted CSV and re-read with
+    multiLine=true + escaped quote handling. The synthesized note
+    column embeds every CSV-hostile character class, derived purely
+    from nation columns so the oracle reconstructs the expected rows
+    without touching the file.
+
+    multiLine=true is the expensive mode by design — records can span
+    line boundaries, so files aren't blindly splittable at newlines;
+    Spark falls back to per-file parsing. The op documents that
+    contract (and the test data keeps per-file sizes bounded, which is
+    exactly how you'd keep ingest parallel at 100 TB: many files, not
+    splittable big ones)."""
+    out = scratch_dir("scan_csv_multiline", sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    tricky = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.concat(
+            F.lit('line1 "'),
+            F.col("n_name"),
+            F.lit('"\ncomma,then\nline3: '),
+            F.col("n_nationkey").cast("string"),
+        ).alias("note"),
+    )
+    tricky.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).option("escape", '"').csv(out)  # RFC 4180 doubled quotes, both sides
+    schema = "n_nationkey INT, n_name STRING, note STRING"
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+        .select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            # emit newline-free canonical form (value-hash canon treats
+            # output as single-line strings)
+            F.regexp_replace("note", "\n", "\\\\n").alias("note_flat"),
+            F.length("note").cast("long").alias("note_len"),
+        )
+    )
+
+
+_SCAN_CSV_MULTILINE_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       'line1 "' || n_name || '"\\ncomma,then\\nline3: '
+         || CAST(n_nationkey AS VARCHAR) AS note_flat,
+       CAST(length('line1 "' || n_name || '"') + 1 + length('comma,then')
+            + 1 + length('line3: ' || CAST(n_nationkey AS VARCHAR))
+            AS BIGINT) AS note_len
+FROM nation
+"""
+
+QUERIES["scan_csv_multiline"] = scan_csv_multiline
+ORACLE["scan_csv_multiline"] = _SCAN_CSV_MULTILINE_SQL

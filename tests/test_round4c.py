@@ -590,3 +590,97 @@ def test_mmr_greedy_recompute(spark, sf_dir):
             pick = max(scored)
             sel.append(-pick[1])
         assert [got[pid][k] for k in range(1, _MMR_K + 1)] == sel
+
+
+def test_cuped_reduces_variance(spark, sf_dir):
+    """CUPED must not inflate variance when pre/post correlate: the
+    var_reduction equals 1 - Var(y - theta(x - xbar))/Var(y) recomputed
+    user-level in Python, and theta is the pooled OLS slope."""
+    from collections import defaultdict
+    from datetime import datetime
+
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        _CUPED_SPLIT,
+        stat_cuped_adjust,
+    )
+
+    split = datetime.fromisoformat(_CUPED_SPLIT)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", "event_type", "value", "ts")
+        .collect()
+    )
+    users = defaultdict(lambda: {"x": 0.0, "y": 0.0, "first": None})
+    for r in ev:
+        u = users[r.user_id]
+        if u["first"] is None or r.event_id < u["first"][0]:
+            u["first"] = (r.event_id, r.event_type)
+        if r.event_type == "purchase":
+            if r.ts < split:
+                u["x"] += round(r.value, 6)
+            else:
+                u["y"] += round(r.value, 6)
+    xs = [u["x"] for u in users.values()]
+    ys = [u["y"] for u in users.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    rows = {r.treated: r for r in stat_cuped_adjust(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    for t, r in rows.items():
+        arm = [
+            (u["x"], u["y"])
+            for u in users.values()
+            if (u["first"][1] == "click") == bool(t)
+        ]
+        ys_a = [y for _, y in arm]
+        cu = [y - theta * (x - xbar) for x, y in arm]
+        m = len(arm)
+        mean_y = sum(ys_a) / m
+        var_y = sum(y * y for y in ys_a) / m - mean_y**2
+        mean_cu = sum(cu) / m
+        var_cu = sum(c * c for c in cu) / m - mean_cu**2
+        assert r.n == m
+        assert abs(r.theta - theta) < 1e-4
+        assert abs(r.mean_cuped - mean_cu) < 1e-3
+        assert abs(r.var_reduction - (1 - var_cu / var_y)) < 1e-3
+
+
+def test_hits_normalized_and_bipartite(spark, sf_dir):
+    """Hub scores live on supplier nodes, authorities on customers;
+    each vector sums to ~1 (L1-normalized); all scores positive."""
+    from cortana_intelligence_customer360_spark.operators.graph import (
+        _SUPP_OFFSET,
+        graph_hits,
+    )
+
+    rows = graph_hits(spark, sf_dir).collect()
+    hubs = [r for r in rows if r.role == "hub"]
+    auths = [r for r in rows if r.role == "authority"]
+    assert hubs and auths
+    assert all(r.node >= _SUPP_OFFSET for r in hubs)
+    assert all(r.node < _SUPP_OFFSET for r in auths)
+    assert abs(sum(r.score for r in hubs) - 1.0) < 1e-6
+    assert abs(sum(r.score for r in auths) - 1.0) < 1e-6
+    assert all(r.score > 0 for r in rows)
+
+
+def test_csv_multiline_roundtrip_exact(spark, sf_dir):
+    """Re-read rows equal the written frame exactly: every note spans
+    3 physical lines, embeds a comma and a doubled quote, and the
+    parsed row count equals nation's."""
+    from cortana_intelligence_customer360_spark.operators.scans import (
+        scan_csv_multiline,
+    )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rows = scan_csv_multiline(spark, sf_dir).collect()
+    assert len(rows) == nation.count()
+    names = {r.n_nationkey: r.n_name for r in nation.collect()}
+    for r in rows:
+        assert r.note_flat == (
+            f'line1 "{names[r.n_nationkey]}"\\ncomma,then\\nline3: {r.n_nationkey}'
+        )

@@ -1059,3 +1059,154 @@ FROM m
 
 QUERIES["text_quality_gopher"] = text_quality_gopher
 ORACLE["text_quality_gopher"] = _GOPHER_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (round 4): two rounds of byte-pair-encoding merge
+# selection, the way tokenizer training actually distributes — over
+# the WORD VOCABULARY with frequencies (corpus-size-independent after
+# the first aggregate), not over raw text.
+
+
+def _spaced(col):
+    """'hello' -> 'h e l l o' (symbol-per-token spaced form)."""
+    return F.trim(F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the spaced vocabulary:
+    each word contributes (its pair multiset) x (its corpus freq)."""
+    syms = F.split("w", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(syms, i), F.element_at(syms, i + 1)),
+    )
+    return (
+        vocab.where(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def _top_pair(counts: DataFrame) -> DataFrame:
+    w = Window.partitionBy().orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("pair", "pair_count")
+    )
+
+
+def _apply_merge(vocab: DataFrame, top: DataFrame) -> DataFrame:
+    """Greedy TWO-SWEEP literal application of the winning pair: the
+    padded spaced form replaces ' a b ' -> ' ab ' twice (the second
+    sweep catches occurrences whose shared boundary space the first
+    sweep consumed). Equivalent to canonical left-to-right BPE for
+    repeat-runs <= 3 — beyond any run in a natural-language vocab —
+    and, critically, an IDENTICAL well-defined operation in both
+    engines (DuckDB's replace() has the same non-overlapping
+    left-to-right contract, and RE2's missing lookbehind rules out the
+    regex form)."""
+    merged = F.replace(F.col("pair"), F.lit(" "), F.lit(""))
+    pad = F.concat(F.lit(" "), F.col("w"), F.lit(" "))
+    srch = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+    repl = F.concat(F.lit(" "), merged, F.lit(" "))
+    one = F.replace(pad, srch, repl)
+    two = F.trim(F.replace(one, srch, repl))
+    return vocab.join(F.broadcast(top)).select(two.alias("w"), "freq")
+
+
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two BPE merge-training rounds over the document corpus: build
+    the word-frequency vocabulary (ONE corpus aggregate — everything
+    after is vocabulary-sized, the real reason BPE training scales),
+    pick the max-weighted-count adjacent symbol pair (ties: lexical),
+    apply it, recount, pick again. Emits one row per round with the
+    winning pair, its merged symbol, count, and the post-merge distinct
+    symbol count (vocab growth audit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(bcount().alias("freq"))
+        .select(_spaced(F.col("word")).alias("w"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    out_rows = []
+    for rnd in (1, 2):
+        top = _top_pair(_pair_counts(vocab)).localCheckpoint(eager=False)
+        vocab = _apply_merge(vocab, top).localCheckpoint(eager=False)
+        n_syms = (
+            vocab.select(F.explode(F.split("w", " ")).alias("s"))
+            .agg(F.count_distinct("s").cast("long").alias("n_symbols"))
+        )
+        out_rows.append(
+            top.join(F.broadcast(n_syms)).select(
+                F.lit(rnd).cast("long").alias("round"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "pair_count",
+                "n_symbols",
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _bpe_sql() -> str:
+    pair_counts = """
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT freq, syms[i] || ' ' || syms[i + 1] AS pair
+    FROM (SELECT str_split(w, ' ') AS syms, freq FROM {vocab}),
+         LATERAL unnest(range(1, len(syms))) AS u(i)
+    WHERE len(syms) >= 2)
+  GROUP BY pair"""
+    top = """
+  SELECT pair, pair_count FROM (
+    SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rk
+    FROM {src}) WHERE rk = 1"""
+    apply = """
+  SELECT trim(replace(
+           replace(' ' || w || ' ', ' ' || t.pair || ' ',
+                   ' ' || replace(t.pair, ' ', '') || ' '),
+           ' ' || t.pair || ' ',
+           ' ' || replace(t.pair, ' ', '') || ' ')) AS w,
+         freq
+  FROM {vocab}, {top} t"""
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+v0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w, freq
+  FROM words),
+pc1 AS MATERIALIZED ({pair_counts.format(vocab='v0')}),
+t1 AS MATERIALIZED ({top.format(src='pc1')}),
+v1 AS MATERIALIZED ({apply.format(vocab='v0', top='t1')}),
+n1 AS (
+  SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_symbols
+  FROM (SELECT unnest(str_split(w, ' ')) AS s FROM v1)),
+pc2 AS MATERIALIZED ({pair_counts.format(vocab='v1')}),
+t2 AS MATERIALIZED ({top.format(src='pc2')}),
+v2 AS MATERIALIZED ({apply.format(vocab='v1', top='t2')}),
+n2 AS (
+  SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_symbols
+  FROM (SELECT unnest(str_split(w, ' ')) AS s FROM v2))
+SELECT CAST(1 AS BIGINT) AS round, t1.pair,
+       replace(t1.pair, ' ', '') AS merged, t1.pair_count, n1.n_symbols
+FROM t1, n1
+UNION ALL
+SELECT 2, t2.pair, replace(t2.pair, ' ', ''), t2.pair_count, n2.n_symbols
+FROM t2, n2
+"""
+
+
+QUERIES["text_bpe_train_rounds"] = text_bpe_train_rounds
+ORACLE["text_bpe_train_rounds"] = _bpe_sql()

@@ -1110,3 +1110,58 @@ ORACLE = {
     "feat_basket_rules": _BASKET_RULES_SQL,
     "join_asof_tolerance": _ASOF_TOL_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (round 4): the runtime half of partition
+# pruning — the fact side's partitions are pruned by a filter the
+# optimizer can only learn at RUN time, from the dim side's rows.
+
+
+def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join where the partition filter is DYNAMIC: orders laid
+    out partitioned by o_orderpriority, joined to a (file-backed) dim
+    keyed on priority and filtered on a dim ATTRIBUTE (urgency class),
+    so the set of fact partitions to read is only known after the dim
+    filter runs — exactly the shape DPP exists for. Spark inserts a
+    dynamicpruning#… subquery filter into the fact scan (pinned in
+    tests/test_plans.py); at 100 TB this is the difference between
+    scanning 2/5 of the fact table and all of it. The result is the
+    joined revenue rollup, fully oracle-checked; the dim is derived
+    from the SAME orders table so the oracle needs no scratch state."""
+    import os
+
+    from .scans import scratch_dir
+
+    out = scratch_dir("join_dpp_fact", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.isdir(os.path.join(out, "o_orderpriority=1-URGENT")):
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    dim_dir = scratch_dir("join_dpp_dim", sf_dir)
+    if not os.path.isdir(dim_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(dim_dir)
+    ):
+        orders.select(F.col("o_orderpriority").alias("priority")).distinct().select(
+            "priority",
+            F.substring("priority", 1, 1).cast("int").alias("rank_class"),
+        ).write.mode("overwrite").parquet(dim_dir)
+    fact = spark.read.parquet(out)
+    dim = spark.read.parquet(dim_dir).where(F.col("rank_class") <= 2)
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.priority)
+        .groupBy("priority")
+        .agg(bcount().alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+_JOIN_DPP_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2
+GROUP BY 1
+"""
+
+QUERIES["join_partition_pruning_dynamic"] = join_partition_pruning_dynamic
+ORACLE["join_partition_pruning_dynamic"] = _JOIN_DPP_SQL

@@ -536,3 +536,15 @@ def test_aqe_skew_split_fires_on_planted_skew(spark, sf_dir):
         if "AQEShuffleRead" in l and "skewed" in l
     ]
     assert skew_reads, plan[:2000]
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The fact scan's PartitionFilters must carry a dynamicpruning
+    expression fed by the dim-side subquery — runtime partition
+    pruning, not a static filter."""
+    from cortana_intelligence_customer360_spark.operators import joins
+
+    df = joins.join_partition_pruning_dynamic(spark, sf_dir)
+    plan = plan_string(df)
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    assert "PartitionFilters" in plan

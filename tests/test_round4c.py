@@ -717,3 +717,51 @@ def test_bpe_rounds_pick_true_max_pair(spark, sf_dir):
     assert rows[1].merged == best_pair.replace(" ", "")
     assert rows[2].pair_count <= rows[1].pair_count
     assert rows[2].pair != rows[1].pair
+
+
+def test_stream_scd2_history_contract(spark, sf_dir):
+    """Type-2 invariants on the streamed history: per key, intervals
+    chain exactly (valid_to == next valid_from), exactly one open
+    version, version numbers are dense from 1, and a key with a delete
+    followed by a later update has a tombstone version in between."""
+    from collections import defaultdict
+
+    from cortana_intelligence_customer360_spark.streaming.ops import stream_scd2_apply
+
+    rows = stream_scd2_apply(spark, sf_dir).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.key].append(r)
+    assert by_key
+    revived = 0
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r.version_no)
+        assert [v.version_no for v in vs] == list(range(1, len(vs) + 1))
+        opens = [v for v in vs if v.is_current]
+        assert len(opens) == 1 and opens[0] is vs[-1]
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_seq == b.valid_from_seq
+        for a, b in zip(vs, vs[1:]):
+            if a.deleted and not b.deleted:
+                revived += 1
+    assert revived > 0  # the fixture plants delete-then-update keys
+
+
+def test_pseudonymize_preserves_structure(spark, sf_dir):
+    """Pseudonymization keeps cardinalities (distinct ids and names
+    map 1:1), never leaks a raw key or name substring, and the same
+    input run twice yields identical tokens."""
+    from cortana_intelligence_customer360_spark.functions.scalar import fn_pseudonymize
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rows = fn_pseudonymize(spark, sf_dir).collect()
+    assert len(rows) == cust.count()
+    assert len({r.pseudo_id for r in rows}) == cust.select("c_custkey").distinct().count()
+    assert len({r.name_token for r in rows}) == cust.select(
+        F.lower("c_name")
+    ).distinct().count()
+    for r in rows[:50]:
+        assert r.name_token.startswith("user_") and len(r.name_token) == 17
+        assert r.acctbal_band % 500 == 0
+    again = fn_pseudonymize(spark, sf_dir).collect()
+    assert sorted(r.pseudo_id for r in again) == sorted(r.pseudo_id for r in rows)

@@ -1384,7 +1384,10 @@ def stat_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer count (one IEEE division, both engines)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if orders.rdd.getNumPartitions() < n_parts:
+    # Metadata-only under-partitioning probe: inputFiles() reads the scan's
+    # file listing (no plan-to-RDD conversion, AQE untouched). A many-file
+    # table at scale skips the repartition entirely.
+    if len(orders.inputFiles()) < n_parts:
         orders = orders.repartition(n_parts)
     d = orders
     for grp in range(_BOOT_B // 8):

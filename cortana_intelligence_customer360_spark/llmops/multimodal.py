@@ -33,7 +33,13 @@ from pyspark.sql import types as T
 from ..sources.tables import load_table
 from .codecs import PNG_MAGIC, decode_png_meta, decode_wav_meta, encode_png, encode_wav
 
-HAVE_IMAGE_LIBS = False  # PIL/cv2 not in this container (by design)
+try:  # PIL absent in this container (by design); wired if it appears.
+    from PIL import Image as _PILImage
+
+    HAVE_IMAGE_LIBS = True
+except ImportError:  # pragma: no cover - the active branch here
+    _PILImage = None
+    HAVE_IMAGE_LIBS = False
 
 META_SCHEMA = T.StructType(
     [
@@ -56,8 +62,14 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int]:
     if payload[:8] == PNG_MAGIC:
         meta = decode_png_meta(payload)
         return meta["width"], meta["height"], meta["pixel_sum"] % (1 << 31)
-    if HAVE_IMAGE_LIBS:  # pragma: no cover - scaffolding for real libs
-        raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
+    if HAVE_IMAGE_LIBS:  # pragma: no cover - runs only when PIL appears
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                return img.width, img.height, sum(payload) % (1 << 31)
+        except Exception:
+            pass  # not an image PIL recognizes -> deterministic fake below
     width = (payload[0] if payload else 0) + len(payload) % 640
     height = (payload[-1] if payload else 0) + len(payload) % 480
     checksum = sum(payload) % (1 << 31)

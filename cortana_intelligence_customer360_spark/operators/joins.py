@@ -1135,12 +1135,13 @@ def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
 
     out = scratch_dir("join_dpp_fact", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
-    if not os.path.isdir(os.path.join(out, "o_orderpriority=1-URGENT")):
+    # Reuse only a COMPLETED prior write: the _SUCCESS marker is written
+    # after every partition commits, so dir existence alone (which an
+    # interrupted write also leaves behind) is not trusted.
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
     dim_dir = scratch_dir("join_dpp_dim", sf_dir)
-    if not os.path.isdir(dim_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(dim_dir)
-    ):
+    if not os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
         orders.select(F.col("o_orderpriority").alias("priority")).distinct().select(
             "priority",
             F.substring("priority", 1, 1).cast("int").alias("rank_class"),

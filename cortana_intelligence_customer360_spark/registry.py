@@ -112,6 +112,22 @@ _DRIVER_RECORDED = frozenset({
     "ts_changepoint_split", "ts_mann_kendall", "ts_next_purchase_eta",
     "ts_resample_ohlc", "ts_seasonal_decompose", "ts_theil_sen",
     "win_decline_streak", "win_median_sliding", "win_mom_change",
+    # r04 ids (CORRECTNESS_r04.json):
+    "agg_bloom_custom", "agg_count_min", "agg_grouping_id",
+    "agg_hll_custom", "agg_listagg", "agg_quantile_sketch",
+    "agg_theta_setops", "dq_observe_metrics", "fn_array", "fn_array_sets",
+    "fn_bitwise", "fn_cast_decimal", "fn_collation", "fn_conditional",
+    "fn_date", "fn_datetime_tz", "fn_explode", "fn_higher_order",
+    "fn_json", "fn_levenshtein", "fn_make_datetime", "fn_map", "fn_math",
+    "fn_regexp", "fn_string", "fn_string2", "fn_try_arith", "fn_url",
+    "fn_variant", "fn_xml", "graph_hits", "graph_k_core",
+    "graph_label_prop", "graph_shortest_path_weighted",
+    "join_bloom_runtime", "join_partition_pruning_dynamic",
+    "join_skew_aqe", "merge_full_matrix", "scan_csv_multiline",
+    "sql_parameterized", "sql_pipe_syntax", "sql_session_variables",
+    "ts_backtest_sma", "ts_cusum_drift", "ts_ewma", "ts_gap_fill",
+    "ts_rolling_zscore", "ts_twa", "win_distinct_sliding",
+    "win_pattern_vshape",
 })
 
 

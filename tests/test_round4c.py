@@ -461,10 +461,15 @@ def test_gbm_sse_decreases_and_splits_optimal(spark, sf_dir):
                 sl += agg[t][1]
                 nr, sr = tot_n - nl, tot_s - sl
                 score = sl * sl / nl + sr * sr / nr
-                key = (score, feat, t)
-                if top is None or score > top[0] - 1e-6:
-                    if top is None or score > top[0] + 1e-6:
-                        top = (score, feat, t)
+                # Mirror the operator's tie-break exactly: higher score
+                # wins; on a near-tie (within 1e-6), smaller feature
+                # name then smaller threshold wins.
+                if (
+                    top is None
+                    or score > top[0] + 1e-6
+                    or (score > top[0] - 1e-6 and (feat, t) < (top[1], top[2]))
+                ):
+                    top = (score, feat, t)
         return top
 
     b1 = brute_best(resid)

@@ -1709,3 +1709,199 @@ FROM closed
 
 QUERIES["stream_scd2_apply"] = stream_scd2_apply
 ORACLE["stream_scd2_apply"] = _STREAM_SCD2_SQL
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join (round 5): the one streaming join shape
+# the engine was missing. Unmatched views must emit WITH NULL purchase
+# columns — but only once the watermark proves no matching purchase can
+# still arrive, which is exactly the state-eviction contract. To make
+# the drained result deterministic (and equal to the batch left join),
+# the source carries a far-future SENTINEL row on each side: it pushes
+# the final watermark past every real view's join window, so every
+# unmatched view's null row is flushed before availableNow terminates
+# (Spark's no-data micro-batch performs the final eviction). The
+# sentinel rows use user_id = -1 (matches nothing) and are filtered
+# from the sink read; the oracle is the plain batch LEFT JOIN.
+
+
+def _events_outer_src(spark: SparkSession, sf_dir: str) -> str:
+    """events as _MULTI_FILES chronological parquet files PLUS a final
+    sentinel file (one view + one purchase, user_id = -1, ts = max(ts)
+    + 2h) whose only job is to advance both sides' watermarks past all
+    real join windows. Ascending mtimes keep replay chronological with
+    the sentinel last (same invariant as _events_multifile_src)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = scratch_dir("events_outer_src", sf_dir)
+    if not os.path.isdir(os.path.join(src, "_done")):
+        ensure_session_confs(spark)
+        from ..compat import epoch_us
+
+        raw = load_table(spark, sf_dir, "events").withColumn("ts", epoch_us("ts"))
+        raw.repartitionByRange(_MULTI_FILES, "ts").write.mode("overwrite").parquet(src)
+        max_us = raw.agg(F.max("ts")).collect()[0][0]
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array([max_us + 7_200_000_000] * 2, pa.int64()),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["view", "purchase"]),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["", ""]),
+            }
+        )
+        pq.write_table(sentinel, os.path.join(src, "part-zz-sentinel.parquet"))
+
+        parts = glob.glob(os.path.join(src, "part-*.parquet"))
+
+        def min_ts(path: str) -> int:
+            md = pq.read_metadata(path)
+            idx = md.schema.names.index("ts")
+            return min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+
+        base = int(os.path.getmtime(parts[0]))
+        for k, p in enumerate(sorted(parts, key=min_ts)):
+            os.utime(p, (base + k, base + k))
+        os.makedirs(os.path.join(src, "_done"), exist_ok=True)
+    return src
+
+
+def _run_stream_stream_outer(
+    spark: SparkSession, sf_dir: str, one_file_per_batch: bool, min_batches: int
+) -> DataFrame:
+    src = _events_outer_src(spark, sf_dir)
+
+    def stream() -> DataFrame:
+        r = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        if one_file_per_batch:
+            r = r.option("maxFilesPerTrigger", 1)
+        return r.parquet(src).withColumn("ts", raw_ts_to_timestamp("ts"))
+
+    views = (
+        stream()
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    buys = (
+        stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    joined = views.join(
+        buys,
+        F.expr(
+            "user_id = buy_user AND "
+            "buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    out = joined.select(
+        "user_id",
+        "view_id",
+        "buy_id",
+        F.unix_micros("view_ts").cast("long").alias("view_us"),
+        F.unix_micros("buy_ts").cast("long").alias("buy_us"),
+    )
+    sink = _drain_to_memory(out, "append", min_batches=min_batches)
+    # Drop the sentinel's own (unmatched, null-padded) row.
+    return sink.where(F.col("user_id") >= 0)
+
+
+def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, single-batch drain: all
+    real data arrives in one micro-batch, the sentinel advances the
+    watermark, and the closing no-data batch emits every unmatched
+    view with null purchase columns. Equals the batch left join."""
+    return _run_stream_stream_outer(spark, sf_dir, one_file_per_batch=False, min_batches=1)
+
+
+def stream_stream_outer_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stream_outer over chronological micro-batches: a view in
+    batch k stays buffered until the watermark passes view_ts + 30min;
+    matched rows emit as purchases arrive in later batches, unmatched
+    rows emit null-padded only at expiry — cross-batch outer-join
+    state, still exactly equal to the batch left join."""
+    return _run_stream_stream_outer(spark, sf_dir, one_file_per_batch=True, min_batches=2)
+
+
+_STREAM_STREAM_OUTER_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, event_id AS buy_id, epoch_us(ts) AS buy_us
+  FROM events WHERE event_type = 'purchase')
+SELECT v.user_id, view_id, buy_id,
+       CAST(view_us AS BIGINT) AS view_us,
+       CAST(buy_us AS BIGINT) AS buy_us
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+ AND buy_us >= view_us AND buy_us <= view_us + 1800000000
+"""
+
+QUERIES["stream_stream_outer"] = stream_stream_outer
+QUERIES["stream_stream_outer_multi"] = stream_stream_outer_multi
+ORACLE["stream_stream_outer"] = _STREAM_STREAM_OUTER_SQL
+ORACLE["stream_stream_outer_multi"] = _STREAM_STREAM_OUTER_SQL
+
+
+# ---------------------------------------------------------------------------
+# RocksDB state store (round 5): the provider a real 100 TB cluster
+# runs stateful streaming on (bounded JVM heap, changelog+snapshot on
+# DFS) instead of the default in-memory HDFS-backed provider. The
+# provider is a STORAGE choice, not a semantic one — this query runs
+# the cross-batch tumbling aggregation with RocksDB-backed state and
+# must produce bit-identical results to stream_tumbling_multi (same
+# oracle), proving the engine's stateful ops are provider-agnostic.
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over 4 chronological micro-batches
+    with the RocksDB state store provider. The provider class is
+    pinned at query start, so it is set before the drain and restored
+    after; results must equal stream_tumbling_multi exactly."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        ev = _events_stream_multi(spark, sf_dir)
+        agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        out = agg.select(
+            F.unix_micros(F.col("window.start")).cast("long").alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        return _drain_to_memory(out, "complete", min_batches=2)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+QUERIES["stream_stateful_rocksdb"] = stream_stateful_rocksdb
+ORACLE["stream_stateful_rocksdb"] = _TUMBLING_SQL

@@ -250,3 +250,70 @@ def test_stream_hll_merge_equals_batch_sketch(spark, sf_dir):
             s.n_empty,
             s.hll_estimate,
         ), et
+
+
+def test_stream_stream_outer_equals_batch_left_join(spark, sf_dir):
+    """Null-padded rows must appear exactly for the views with no
+    purchase in [view_ts, view_ts + 30min] — i.e. the streaming outer
+    join (with watermark-expiry emission) equals the batch left join,
+    row for row, in both single-batch and multi-batch replay."""
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+    from cortana_intelligence_customer360_spark.streaming.ops import (
+        stream_stream_outer,
+        stream_stream_outer_multi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("buy_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    batch = (
+        v.join(
+            p,
+            F.expr(
+                "user_id = buy_user AND buy_ts >= view_ts "
+                "AND buy_ts <= view_ts + INTERVAL 30 MINUTES"
+            ),
+            "left_outer",
+        )
+        .select("user_id", "view_id", "buy_id")
+        .collect()
+    )
+    truth = sorted((r.user_id, r.view_id, r.buy_id) for r in batch)
+    n_null = sum(1 for t in truth if t[2] is None)
+    assert n_null > 0, "fixture must exercise null emission"
+    for fn in (stream_stream_outer, stream_stream_outer_multi):
+        got = sorted(
+            (r.user_id, r.view_id, r.buy_id) for r in fn(spark, sf_dir).collect()
+        )
+        assert got == truth, fn.__name__
+
+
+def test_stream_rocksdb_equals_hdfs_state_store(spark, sf_dir):
+    """The RocksDB provider is a storage swap, not a semantic one:
+    identical rows to the default-provider tumbling multi run, and the
+    provider conf must be restored after the drain."""
+    from cortana_intelligence_customer360_spark.streaming.ops import (
+        stream_stateful_rocksdb,
+        stream_tumbling_multi,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    rocks = {
+        (r.win_start_us, r.event_type): (r.n_events, float(r.sum_value))
+        for r in stream_stateful_rocksdb(spark, sf_dir).collect()
+    }
+    assert spark.conf.get(key, None) == before
+    hdfs = {
+        (r.win_start_us, r.event_type): (r.n_events, float(r.sum_value))
+        for r in stream_tumbling_multi(spark, sf_dir).collect()
+    }
+    assert rocks == hdfs and len(rocks) > 0

@@ -1210,3 +1210,111 @@ FROM t2, n2
 
 QUERIES["text_bpe_train_rounds"] = text_bpe_train_rounds
 ORACLE["text_bpe_train_rounds"] = _bpe_sql()
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE (round 5): apply the merges the trainer learned to the
+# corpus. The scalable shape: merges are applied once to the WORD
+# VOCABULARY (vocabulary-sized work), producing a word -> token-count
+# mapping that is broadcast-joined back to the exploded corpus — the
+# corpus-sized pass is map-only + one partial-aggregated groupBy. At
+# extreme vocabulary sizes (100 TB web corpus) drop the broadcast hint
+# and let AQE pick the join; the semantics are unchanged.
+
+
+def _apply_merge_keyed(vocab: DataFrame, top: DataFrame) -> DataFrame:
+    """_apply_merge, keeping the original word as the join key."""
+    merged = F.replace(F.col("pair"), F.lit(" "), F.lit(""))
+    pad = F.concat(F.lit(" "), F.col("w"), F.lit(" "))
+    srch = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+    repl = F.concat(F.lit(" "), merged, F.lit(" "))
+    one = F.replace(pad, srch, repl)
+    two = F.trim(F.replace(one, srch, repl))
+    return vocab.join(F.broadcast(top)).select("word", two.alias("w"), "freq")
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the 2 merges text_bpe_train_rounds
+    learns (same selection rule: max weighted pair count, lexical tie
+    break; same two-sweep literal application). Per doc: whitespace
+    word count, the character-level token count (pre-merge), and the
+    BPE token count after both merges. n_bpe_tokens < n_char_tokens
+    exactly where a learned pair occurs — the round-trip invariant
+    tests/test_pipeline.py pins against text_token_count."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = (
+        words.groupBy("word")
+        .agg(bcount().alias("freq"))
+        .select("word", _spaced(F.col("word")).alias("w"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    for _ in (1, 2):
+        top = _top_pair(_pair_counts(vocab)).localCheckpoint(eager=False)
+        vocab = _apply_merge_keyed(vocab, top).localCheckpoint(eager=False)
+    enc = vocab.select(
+        "word", F.size(F.split("w", " ")).cast("long").alias("n_tok")
+    )
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            bcount().alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_char_tokens"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_encode_sql() -> str:
+    pair_counts = """
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT freq, syms[i] || ' ' || syms[i + 1] AS pair
+    FROM (SELECT str_split(w, ' ') AS syms, freq FROM {vocab}),
+         LATERAL unnest(range(1, len(syms))) AS u(i)
+    WHERE len(syms) >= 2)
+  GROUP BY pair"""
+    top = """
+  SELECT pair, pair_count FROM (
+    SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rk
+    FROM {src}) WHERE rk = 1"""
+    apply = """
+  SELECT word, trim(replace(
+           replace(' ' || w || ' ', ' ' || t.pair || ' ',
+                   ' ' || replace(t.pair, ' ', '') || ' '),
+           ' ' || t.pair || ' ',
+           ' ' || replace(t.pair, ' ', '') || ' ')) AS w,
+         freq
+  FROM {vocab}, {top} t"""
+    return f"""
+WITH dw AS MATERIALIZED (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''),
+words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM dw GROUP BY word),
+v0 AS MATERIALIZED (
+  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w, freq
+  FROM words),
+pc1 AS MATERIALIZED ({pair_counts.format(vocab='v0')}),
+t1 AS MATERIALIZED ({top.format(src='pc1')}),
+v1 AS MATERIALIZED ({apply.format(vocab='v0', top='t1')}),
+pc2 AS MATERIALIZED ({pair_counts.format(vocab='v1')}),
+t2 AS MATERIALIZED ({top.format(src='pc2')}),
+v2 AS MATERIALIZED ({apply.format(vocab='v1', top='t2')}),
+enc AS (
+  SELECT word, CAST(len(str_split(w, ' ')) AS BIGINT) AS n_tok FROM v2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(word)) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN enc USING (word)
+GROUP BY doc_id
+"""
+
+
+QUERIES["text_bpe_encode"] = text_bpe_encode
+ORACLE["text_bpe_encode"] = _bpe_encode_sql()

@@ -128,3 +128,55 @@ def test_cdc_chunks_survive_prefix_edit(spark):
     # all but the first chunk (plus possible fp-dup collisions) shared
     assert len(shared) >= n1 - 2, (n1, len(shared))
     assert fps[1] != fps[2]
+
+
+def test_bpe_encode_roundtrip_with_token_count(spark, sf_dir):
+    """BPE-encode invariants vs the trainer and text_token_count:
+    n_words agrees with the whitespace tokenization (modulo empty
+    tokens), char-token count is exactly sum(len(word)), and the two
+    learned merges save exactly (occurrences of merged pairs) tokens:
+    n_bpe_tokens = n_char_tokens - savings, with savings > 0 somewhere
+    and n_bpe_tokens >= n_words (a token is at least one symbol)."""
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_bpe_encode,
+        text_bpe_train_rounds,
+        text_token_count,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    enc = {r.doc_id: r for r in text_bpe_encode(spark, sf_dir).collect()}
+    tc = {r.doc_id: r for r in text_token_count(spark, sf_dir).collect()}
+    rounds = {r.round: r for r in text_bpe_train_rounds(spark, sf_dir).collect()}
+    assert set(rounds) == {1, 2}
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(enc) <= set(tc)
+    saved_total = 0
+    for did, e in enc.items():
+        words = [w for w in docs[did].split(" ") if w]
+        assert e.n_words == len(words)
+        assert e.n_char_tokens == sum(len(w) for w in words)
+        assert e.n_words <= e.n_bpe_tokens <= e.n_char_tokens
+        saved_total += e.n_char_tokens - e.n_bpe_tokens
+    assert saved_total > 0, "fixture must exercise at least one merge"
+    # Re-apply the trainer's merges per word in pure Python and compare
+    # the corpus-wide token saving exactly.
+    m1, m2 = rounds[1].pair, rounds[2].pair
+
+    def n_tok(word):
+        s = " ".join(word)
+        for pair in (m1, m2):
+            repl = " " + pair.replace(" ", "") + " "
+            s = " " + s + " "
+            s = s.replace(" " + pair + " ", repl).replace(" " + pair + " ", repl)
+            s = s.strip()
+        return len(s.split(" "))
+
+    brute = sum(
+        sum(len(w) - n_tok(w) for w in docs[did].split(" ") if w)
+        for did in enc
+    )
+    assert brute == saved_total

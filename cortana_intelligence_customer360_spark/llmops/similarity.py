@@ -910,3 +910,93 @@ SELECT probe_id, doc_id, mmr_score, mmr_rank FROM sel{_MMR_K}
 
 QUERIES["emb_mmr_rerank"] = emb_mmr_rerank
 ORACLE["emb_mmr_rerank"] = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+# IVF recall sweep (round 5): the self-tuning surface an ANN user
+# reaches for first — recall@TOP_K vs exact truth as a function of
+# nprobe. ONE candidate join at the widest nprobe tags every candidate
+# with its cell's probe-rank (crank); each narrower nprobe is then a
+# filter over the same frame, so the sweep costs one index probe, not
+# one per nprobe value. R-tier: the numbers depend on the fitted
+# KMeans quantizer; monotonicity (recall non-decreasing in nprobe) is
+# a THEOREM under exact re-ranking — a true top-k member in the
+# candidate set can only be outranked by genuinely-better vectors —
+# and tests/test_embeddings.py pins it, plus full-recall at
+# nprobe=n_cells on a clustered fixture.
+
+_RECALL_NPROBES = (1, 2, 4, 8)
+
+
+def ivf_recall_profile_frames(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    exact: DataFrame,
+    nprobes: tuple[int, ...] = _RECALL_NPROBES,
+    n_probes: int = N_PROBES,
+) -> DataFrame:
+    """recall@TOP_K per nprobe from a pre-built index and exact truth
+    (columns probe_id, neighbor_id)."""
+    spark = indexed.sparkSession
+    probes = indexed.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    probe_cells = probes.crossJoin(F.broadcast(centroids)).select(
+        "probe_id",
+        "probe_vec",
+        "cell",
+        _dot(F.col("probe_vec"), F.col("centroid")).alias("cdot"),
+    )
+    w_cell = Window.partitionBy("probe_id").orderBy(F.col("cdot").desc(), F.col("cell"))
+    widest = max(nprobes)
+    nearest = probe_cells.withColumn("crank", F.row_number().over(w_cell)).where(
+        F.col("crank") <= widest
+    )
+    cand = (
+        indexed.join(
+            F.broadcast(nearest.select("probe_id", "probe_vec", "cell", "crank")),
+            "cell",
+        )
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "crank",
+            F.round(_dot(F.col("probe_vec"), F.col("embedding")), 6).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    truth = exact.select("probe_id", "neighbor_id").localCheckpoint(eager=False)
+    n_exact = truth.count()
+    out = None
+    for nprobe in nprobes:
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        topk = (
+            cand.where(F.col("crank") <= nprobe)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+        )
+        hits = truth.join(
+            topk.select("probe_id", "neighbor_id"), ["probe_id", "neighbor_id"], "semi"
+        ).count()
+        row = spark.createDataFrame(
+            [(nprobe, hits, n_exact, round(hits / n_exact, 6))],
+            "nprobe bigint, n_hits bigint, n_exact bigint, recall_at_k double",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def ann_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe sweep over the PERSISTED index (built on first
+    touch, reused after), measured against sim_knn_exact."""
+    indexed, centroids = _load_ivf_index(spark, sf_dir)
+    exact = knn_exact_frame(load_table(spark, sf_dir, "embeddings"))
+    return ivf_recall_profile_frames(indexed, centroids, exact)
+
+
+QUERIES["ann_ivf_recall_profile"] = ann_ivf_recall_profile
+# ann_ivf_recall_profile: R-tier (model-dependent recall; monotonicity
+# + clustered-fixture full recall pinned in tests/test_embeddings.py).

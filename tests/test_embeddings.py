@@ -78,3 +78,48 @@ def test_ivf_upsert_equals_frozen_union_assignment(spark, sf_dir):
     # history cells come from the KMeans transform (euclidean argmin with
     # its own tie order); frozen re-assignment must agree on every vector
     assert got == want
+
+
+def test_ivf_recall_profile_monotone_and_saturates(spark, sf_dir):
+    """recall@k is non-decreasing in nprobe (a theorem under exact
+    re-ranking: a true top-k member among the candidates can only be
+    outranked by genuinely-better vectors, so recall = |truth ∩
+    candidates| / k, and candidates grow with nprobe) — checked on the
+    driver tables; on a clustered fixture the profile must reach 1.0
+    once nprobe covers all cells."""
+    import numpy as np
+
+    from cortana_intelligence_customer360_spark.llmops import similarity
+
+    rows = sorted(
+        (r.nprobe, r.recall_at_k, r.n_hits, r.n_exact)
+        for r in similarity.ann_ivf_recall_profile(spark, sf_dir).collect()
+    )
+    assert [r[0] for r in rows] == [1, 2, 4, 8]
+    recalls = [r[1] for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert all(r[3] > 0 and 0.0 <= r[1] <= 1.0 for r in rows)
+    assert all(r[2] == round(r[1] * r[3]) for r in rows)
+
+    # Clustered fixture: 8 tight clusters, k=8 cells, sweep to nprobe=8
+    # (all cells) => the widest setting IS exact search: recall 1.0.
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(240) % 8] + 0.12 * rng.normal(size=(240, 32))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]], 0) for i in range(240)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    indexed, centroids = similarity.fit_ivf_frames(emb, k=8)
+    exact = similarity.knn_exact_frame(emb)
+    prof = sorted(
+        (r.nprobe, r.recall_at_k)
+        for r in similarity.ivf_recall_profile_frames(
+            indexed, centroids, exact
+        ).collect()
+    )
+    vals = [p[1] for p in prof]
+    assert vals == sorted(vals), vals
+    assert vals[-1] == 1.0, vals

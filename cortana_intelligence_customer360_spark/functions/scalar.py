@@ -1119,3 +1119,47 @@ FROM customer
 
 QUERIES["fn_pseudonymize"] = fn_pseudonymize
 ORACLE["fn_pseudonymize"] = _FN_PSEUDONYMIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Cryptographic-hash function family (round 5): md5 / sha2-256 digests
+# plus the hex-slice -> integer bucketing every hash-partitioned
+# pipeline builds on (consistent sharding, A/B assignment, pseudonym
+# keys). Map-only, whole-stage codegen; the oracle recomputes both
+# digests natively in DuckDB (md5(), sha256()) and converts the hex
+# slice via ('0x'||h)::BIGINT against Spark's conv(h, 16, 10).
+
+
+def fn_crypto_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    md5h = F.md5(F.col("c_name"))
+    shah = F.sha2(F.col("c_name"), 256)
+    return cust.select(
+        "c_custkey",
+        md5h.alias("md5_hex"),
+        shah.alias("sha256_hex"),
+        (F.conv(F.substring(md5h, 1, 15), 16, 10).cast("long") % 1024)
+        .alias("md5_bucket"),
+        (F.conv(F.substring(shah, 1, 15), 16, 10).cast("long") % 1024)
+        .alias("sha_bucket"),
+        (F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
+         == F.conv(F.substring(shah, 1, 8), 16, 10).cast("long"))
+        .alias("prefix_collision"),
+    )
+
+
+_FN_CRYPTO_SQL = """
+WITH h AS (
+  SELECT c_custkey, md5(c_name) AS m, sha256(c_name) AS s FROM customer)
+SELECT c_custkey,
+       m AS md5_hex,
+       s AS sha256_hex,
+       CAST(('0x' || substr(m, 1, 15))::BIGINT % 1024 AS BIGINT) AS md5_bucket,
+       CAST(('0x' || substr(s, 1, 15))::BIGINT % 1024 AS BIGINT) AS sha_bucket,
+       ('0x' || substr(m, 1, 8))::BIGINT = ('0x' || substr(s, 1, 8))::BIGINT
+         AS prefix_collision
+FROM h
+"""
+
+QUERIES["fn_crypto_hash"] = fn_crypto_hash
+ORACLE["fn_crypto_hash"] = _FN_CRYPTO_SQL

@@ -1127,3 +1127,187 @@ FROM agg WHERE span_us > 0
 
 QUERIES["ts_twa"] = ts_twa
 ORACLE["ts_twa"] = _TWA_SQL
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend exponential smoothing (round 5): the genuinely
+# SEQUENTIAL per-series recurrence (level+trend feed back into every
+# step) that no window frame or closed form expresses — the canonical
+# use of applyInPandas: one Arrow batch per series key, the recurrence
+# runs in-process over that series, and the cluster parallelizes
+# ACROSS keys. Constants are chosen exactly representable in binary
+# (alpha=0.5, beta=0.25, so 1-alpha=0.5 and 1-beta=0.75 are exact) and
+# the update expressions are written with identical operand order in
+# Python and in the DuckDB recursive-CTE oracle, so every IEEE step is
+# bit-identical — the oracle is a FULL hash oracle despite the op
+# being "iterative state", which is the point.
+
+_HW_ALPHA = 0.5
+_HW_BETA = 0.25
+
+
+def _holt_group(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values("d")
+    ys = [float(v) for v in pdf["cnt"]]
+    level, trend = ys[0], 0.0
+    for y in ys[1:]:
+        prev = level
+        level = _HW_ALPHA * y + (1.0 - _HW_ALPHA) * (level + trend)
+        trend = _HW_BETA * (level - prev) + (1.0 - _HW_BETA) * trend
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [len(ys)],
+            "level": [round(level, 6)],
+            "trend": [round(trend, 6)],
+            "forecast_1": [round(level + trend, 6)],
+            "forecast_7": [round(level + 7.0 * trend, 6)],
+        }
+    )
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of the per-event_type daily
+    count series: init l_1 = y_1, b_1 = 0, then
+    l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1});
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}.
+    Emits final state and the 1- and 7-step-ahead linear forecasts.
+    One shuffle to daily grain, one shuffle to series keys; at scale
+    the per-key series (days-cardinality) always fits an Arrow batch."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(bcount().alias("cnt"))
+    schema = (
+        "event_type string, n_days long, level double, trend double,"
+        " forecast_1 double, forecast_7 double"
+    )
+    return daily.groupBy("event_type").applyInPandas(_holt_group, schema)
+
+
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily),
+hw(event_type, rn, n, l, b) AS (
+  SELECT event_type, 1, n, y, CAST(0 AS DOUBLE) FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.event_type, i.rn, h.n,
+         {_HW_ALPHA} * i.y + {1.0 - _HW_ALPHA} * (h.l + h.b),
+         {_HW_BETA} * (({_HW_ALPHA} * i.y + {1.0 - _HW_ALPHA} * (h.l + h.b))
+                       - h.l)
+           + {1.0 - _HW_BETA} * h.b
+  FROM hw h JOIN idx i ON i.event_type = h.event_type AND i.rn = h.rn + 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + b, 6) AS forecast_1, round(l + 7 * b, 6) AS forecast_7
+FROM hw WHERE rn = n
+"""
+
+QUERIES["ts_holt_winters"] = ts_holt_winters
+ORACLE["ts_holt_winters"] = _HOLT_SQL
+
+
+# ---------------------------------------------------------------------------
+# DFT periodogram (round 5): naive discrete-Fourier power at candidate
+# periods 2..14 days over the mean-centered per-event_type daily count
+# series — the seasonality detector behind "is this weekly?". The
+# interesting determinism problem: the terms are TRANSCENDENTAL
+# (cos/sin may differ by 1 ulp between java.lang.Math and libm), and a
+# double SUM over them is order-dependent — so each term is quantized
+# to DECIMAL(38,12) and summed EXACTLY (pagerank's discipline), making
+# the sum order-independent in both engines; the residual 1-ulp term
+# noise (~1e-14 abs) is absorbed by rounding the power to 2 dp. Cost:
+# one shuffle to daily grain, then a 13x literal-period explode over a
+# days-cardinality frame — all codegen, no Python.
+
+_DFT_PERIODS = tuple(range(2, 15))
+
+
+def ts_fourier_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(bcount().alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    wa = Window.partitionBy("event_type")
+    t = (
+        daily.select(
+            "event_type",
+            (F.row_number().over(w) - 1).cast("double").alias("t"),
+            (
+                F.col("cnt").cast("double")
+                - F.sum("cnt").over(wa).cast("double") / F.count("cnt").over(wa)
+            ).alias("y"),
+        )
+        .select(
+            "event_type",
+            "y",
+            "t",
+            F.explode(
+                F.array(*[F.lit(p) for p in _DFT_PERIODS])
+            ).alias("period"),
+        )
+    )
+    theta = (F.lit(2.0) * F.lit(math.pi) * F.col("t")) / F.col(
+        "period"
+    ).cast("double")
+    # decimal(38,12), NOT compat._DEC (30,6): the trig terms are O(1)
+    # and 6 dp of per-term quantization would cost ~1e-4 over a series.
+    quant = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    agg = t.groupBy("event_type", "period").agg(
+        quant(F.col("y") * F.cos(theta)).alias("sc"),
+        quant(F.col("y") * F.sin(theta)).alias("ss"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("period").cast("long").alias("period"),
+        F.round(
+            F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"), 2
+        ).alias("power"),
+    )
+
+
+def _dft_sql() -> str:
+    periods = ", ".join(str(p) for p in _DFT_PERIODS)
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1
+              AS DOUBLE) AS t,
+         CAST(cnt AS DOUBLE)
+           - CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+             / COUNT(cnt) OVER (PARTITION BY event_type) AS y
+  FROM daily),
+f AS (
+  SELECT event_type, y, t, period
+  FROM c, UNNEST([{periods}]) AS u(period)),
+agg AS (
+  SELECT event_type, period,
+         CAST(SUM(CAST(y * cos((2.0 * pi() * t) / CAST(period AS DOUBLE))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sc,
+         CAST(SUM(CAST(y * sin((2.0 * pi() * t) / CAST(period AS DOUBLE))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM f GROUP BY 1, 2)
+SELECT event_type, CAST(period AS BIGINT) AS period,
+       round(sc * sc + ss * ss, 2) AS power
+FROM agg
+"""
+
+
+QUERIES["ts_fourier_period"] = ts_fourier_period
+ORACLE["ts_fourier_period"] = _dft_sql()

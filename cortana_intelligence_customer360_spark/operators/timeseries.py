@@ -1311,3 +1311,85 @@ FROM agg
 
 QUERIES["ts_fourier_period"] = ts_fourier_period
 ORACLE["ts_fourier_period"] = _dft_sql()
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filter, local-level model (round 5): the second
+# sequential-state operator (with ts_holt_winters) — predict/update
+# recursion where the GAIN itself evolves with the error covariance,
+# so no fixed-weight unrolling (ts_ewma's trick) can express it.
+# applyInPandas per series; constants q=1, r=4 and init p=1 are exact
+# binary doubles and both engines evaluate the same expression tree,
+# so the recursion is bit-identical and the oracle is a full hash
+# oracle (the Holt discipline).
+
+_KF_Q = 1.0  # process variance
+_KF_R = 4.0  # observation variance
+
+
+def _kalman_group(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values("d")
+    ys = [float(v) for v in pdf["cnt"]]
+    x, p = ys[0], 1.0
+    k = 0.0
+    for y in ys[1:]:
+        p_pred = p + _KF_Q
+        k = p_pred / (p_pred + _KF_R)
+        x = x + k * (y - x)
+        p = (1.0 - k) * p_pred
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [len(ys)],
+            "x_final": [round(x, 6)],
+            "p_final": [round(p, 6)],
+            "k_final": [round(k, 6)],
+        }
+    )
+
+
+def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman local-level filter over per-event_type daily counts:
+    x_t = x_{t-1} + k_t (y_t - x_{t-1}) with
+    k_t = (p_{t-1}+q) / (p_{t-1}+q+r), p_t = (1-k_t)(p_{t-1}+q).
+    Emits the final state estimate, covariance and gain per series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(bcount().alias("cnt"))
+    schema = (
+        "event_type string, n_days long, x_final double, p_final double,"
+        " k_final double"
+    )
+    return daily.groupBy("event_type").applyInPandas(_kalman_group, schema)
+
+
+_KALMAN_SQL = f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily),
+kf(event_type, rn, n, x, p, k) AS (
+  SELECT event_type, 1, n, y, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.event_type, i.rn, f.n,
+         f.x + ((f.p + {_KF_Q}) / ((f.p + {_KF_Q}) + {_KF_R})) * (i.y - f.x),
+         (1.0 - (f.p + {_KF_Q}) / ((f.p + {_KF_Q}) + {_KF_R}))
+           * (f.p + {_KF_Q}),
+         (f.p + {_KF_Q}) / ((f.p + {_KF_Q}) + {_KF_R})
+  FROM kf f JOIN idx i ON i.event_type = f.event_type AND i.rn = f.rn + 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round(x, 6) AS x_final, round(p, 6) AS p_final, round(k, 6) AS k_final
+FROM kf WHERE rn = n
+"""
+
+QUERIES["ts_kalman_filter"] = ts_kalman_filter
+ORACLE["ts_kalman_filter"] = _KALMAN_SQL

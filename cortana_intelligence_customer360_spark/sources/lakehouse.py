@@ -628,3 +628,87 @@ SELECT '<v0-column-count>', CAST(2 AS BIGINT), 0.0
 
 QUERIES["lake_schema_evolution"] = lake_schema_evolution
 ORACLE["lake_schema_evolution"] = _SCHEMA_EVOLUTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (round 5): row-level DELETE without rewriting a
+# single data file — the merge-on-read mechanism Iceberg v2 position
+# deletes / Delta deletion vectors standardize. The delete pass scans
+# once with the hidden parquet ``_metadata`` column and writes a tiny
+# (file_path, row_index) side table; every subsequent read anti-joins
+# the positions back out. At 100 TB the DV side is deleted-rows-sized
+# and BROADCASTS — the fact scan never shuffles, and the files of a
+# petabyte table are untouched by a delete that hits 1% of rows
+# (tests pin the file set + mtimes unchanged). Compaction
+# (lake_compact) is the copy-on-write escape hatch when DVs pile up.
+
+
+def _build_dv_table(spark: SparkSession, sf_dir: str, qid: str):
+    root = _scratch(qid, sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    t.commit(orders.where(F.col("o_orderkey") % 3 != 2), "o_orderkey")
+    t.commit(orders.where(F.col("o_orderkey") % 3 == 2), "o_orderkey")
+    return t
+
+
+def write_deletion_vector(
+    t: ManifestTable, spark: SparkSession, predicate
+) -> str:
+    """One scan with ``_metadata`` projects the positions of rows
+    matching ``predicate`` into a side parquet — no data file is
+    opened for write. Returns the DV directory."""
+    dv_dir = os.path.join(t.root, "deletes", "dv-00000")
+    df = t.read(spark)
+    positions = df.where(predicate).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    positions.write.mode("overwrite").parquet(dv_dir)
+    return dv_dir
+
+
+def read_with_deletion_vectors(
+    t: ManifestTable, spark: SparkSession, dv_dir: str
+) -> DataFrame:
+    """Merge-on-read: anti-join the broadcast DV positions against the
+    scan's own (file_path, row_index) identity."""
+    dv = spark.read.parquet(dv_dir)
+    df = t.read(spark).withColumns(
+        {
+            "file_path": F.col("_metadata.file_path"),
+            "row_index": F.col("_metadata.row_index"),
+        }
+    )
+    return df.join(
+        F.broadcast(dv), ["file_path", "row_index"], "left_anti"
+    ).drop("file_path", "row_index")
+
+
+def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0 as a
+    position-delete vector, then an aggregate over the merge-on-read
+    view; the data files are byte-identical before and after (pinned
+    in tests/test_lakehouse.py)."""
+    t = _build_dv_table(spark, sf_dir, "lake_deletion_vectors")
+    pred = (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0)
+    dv_dir = write_deletion_vector(t, spark, pred)
+    live = read_with_deletion_vectors(t, spark, dv_dir)
+    return live.groupBy("o_orderstatus").agg(
+        bcount().alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+_DV_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+GROUP BY 1
+"""
+
+QUERIES["lake_deletion_vectors"] = lake_deletion_vectors
+ORACLE["lake_deletion_vectors"] = _DV_SQL

@@ -131,3 +131,38 @@ def test_compact_shrinks_files_and_vacuum_respects_horizon(spark, sf_dir, tmp_pa
 
     with _pytest.raises(Exception):
         t.read(spark, version=0).count()
+
+
+def test_deletion_vectors_leave_data_files_untouched(spark, sf_dir):
+    """The delete writes ONLY the DV side table: data file set, sizes,
+    and mtimes are identical before/after, and the merge-on-read view
+    removes exactly the predicate rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.sources import lakehouse as lh
+
+    t = lh._build_dv_table(spark, sf_dir, "test_dv_untouched")
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _, names in os.walk(os.path.join(root, "data")):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(t.root)
+    n_before = t.read(spark).count()
+    pred = (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0)
+    n_del = t.read(spark).where(pred).count()
+    assert n_del > 0, "fixture must delete something"
+    dv_dir = lh.write_deletion_vector(t, spark, pred)
+    assert snapshot(t.root) == before
+    live = lh.read_with_deletion_vectors(t, spark, dv_dir)
+    assert live.count() == n_before - n_del
+    assert live.where(pred).count() == 0
+    # columns restored (no metadata leakage into the logical schema)
+    assert set(live.columns) == set(t.read(spark).columns)

@@ -1586,3 +1586,103 @@ FROM p
 
 QUERIES["stat_cuped_adjust"] = stat_cuped_adjust
 ORACLE["stat_cuped_adjust"] = _CUPED_SQL
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC (round 5): the Mann-Whitney/Wilcoxon rank form of AUC
+# — scoring how well a deterministic price-based propensity separates
+# returned (l_returnflag = 'R') from kept line items, the model-eval
+# companion to ml_calibration_bins. Tie-CORRECT by construction:
+# scores are grouped (the 6-dp logistic has a hard <= 1e6+1 distinct
+# values, so the ordered cumsum is bounded regardless of table size),
+# and each group contributes its positives times the group's average
+# rank, carried as the exact INTEGER 2*rank sum (2*cum_below + n_group
+# + 1) — AUC is one double division of exact integer operands in both
+# engines. No pairwise positive x negative join (the naive quadratic
+# trap this formulation exists to avoid at 100 TB); a degenerate
+# single-class input yields NULL, not a divide error, under ANSI mode.
+
+
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    score = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(F.col("l_extendedprice") / F.lit(-20000.0))),
+        6,
+    )
+    by_score = (
+        li.select(
+            score.alias("p"),
+            (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        )
+        .groupBy("p")
+        .agg(bcount().alias("n_t"), F.sum("y").alias("pos_t"))
+    )
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.select(
+        "n_t",
+        "pos_t",
+        F.coalesce(F.sum("n_t").over(w), F.lit(0)).alias("cum_below"),
+    )
+    agg = ranked.agg(
+        F.sum("pos_t").cast("long").alias("n_pos"),
+        (F.sum("n_t") - F.sum("pos_t")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_t") * (F.lit(2) * F.col("cum_below") + F.col("n_t") + 1)
+        )
+        .cast("long")
+        .alias("two_rank_sum"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            (
+                F.col("two_rank_sum").cast("double")
+                - (F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            )
+            / (F.lit(2.0) * (F.col("n_pos") * F.col("n_neg")).cast("double")),
+            6,
+        ),
+    )
+    return agg.select("n_pos", "n_neg", auc.alias("auc")).select(
+        "n_pos",
+        "n_neg",
+        "auc",
+        F.round(F.lit(2.0) * F.col("auc") - F.lit(1.0), 6).alias("gini"),
+    )
+
+
+_AUC_SQL = """
+WITH scored AS (
+  SELECT ROUND(1.0 / (1.0 + exp(l_extendedprice / -20000.0)), 6) AS p,
+         CAST(l_returnflag = 'R' AS BIGINT) AS y
+  FROM lineitem),
+by_score AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_t, SUM(y) AS pos_t
+  FROM scored GROUP BY p),
+ranked AS (
+  SELECT n_t, pos_t,
+         COALESCE(SUM(n_t) OVER (ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+  FROM by_score),
+agg AS (
+  SELECT CAST(SUM(pos_t) AS BIGINT) AS n_pos,
+         CAST(SUM(n_t) - SUM(pos_t) AS BIGINT) AS n_neg,
+         CAST(SUM(pos_t * (2 * cum_below + n_t + 1)) AS BIGINT)
+           AS two_rank_sum
+  FROM ranked),
+final AS (
+  SELECT n_pos, n_neg,
+         CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           round((CAST(two_rank_sum AS DOUBLE)
+                  - CAST(n_pos * (n_pos + 1) AS DOUBLE))
+                 / (2.0 * CAST(n_pos * n_neg AS DOUBLE)), 6)
+         END AS auc
+  FROM agg)
+SELECT n_pos, n_neg, auc, round(2.0 * auc - 1.0, 6) AS gini
+FROM final
+"""
+
+
+QUERIES["ml_auc_roc"] = ml_auc_roc
+ORACLE["ml_auc_roc"] = _AUC_SQL

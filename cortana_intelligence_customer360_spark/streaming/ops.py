@@ -1905,3 +1905,89 @@ def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stream_stateful_rocksdb"] = stream_stateful_rocksdb
 ORACLE["stream_stateful_rocksdb"] = _TUMBLING_SQL
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (round 5): each event extends its session
+# by a gap that depends on the EVENT ('purchase' keeps a session alive
+# 45 min, everything else 15) — the per-event-type engagement model a
+# fixed-gap sessionizer can't express. Spark's session_window accepts a
+# gap COLUMN; sessions are the transitive merge of the per-event
+# [ts, ts + gap) intervals, which the oracle replays as the classic
+# running-max island split: a new session starts exactly when an
+# event's ts >= max(prev end) so far (half-open intervals, verified in
+# tests/test_streaming.py against batch session_window).
+
+def _dyn_gap_col():
+    # String durations (not typed INTERVAL literals): session_window
+    # requires CalendarIntervalType and casts strings to it; a CASE of
+    # INTERVAL '45' MINUTE literals would be DayTimeIntervalType and
+    # be rejected.
+    return F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "15 minutes"
+    )
+
+
+def _dyn_session_agg(ev: DataFrame) -> DataFrame:
+    agg = ev.groupBy(
+        F.session_window("ts", _dyn_gap_col()), "user_id"
+    ).agg(bcount().alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).cast("long").alias("sess_start_us"),
+        F.unix_micros(F.col("session_window.end")).cast("long").alias("sess_end_us"),
+        "n_events",
+    )
+
+
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-drain streaming sessionization with per-event gaps."""
+    return _drain_to_memory(
+        _dyn_session_agg(_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+def stream_session_dynamic_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions over 4 chronological micro-batches: an open
+    session's expiry horizon depends on which event types it already
+    contains, and later batches must extend or close it accordingly."""
+    return _drain_to_memory(
+        _dyn_session_agg(_events_stream_multi(spark, sf_dir)),
+        "complete",
+        min_batches=2,
+    )
+
+
+_DYN_SESSION_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CASE WHEN event_type = 'purchase' THEN 2700000000
+              ELSE 900000000 END AS gap_us
+  FROM events),
+marked AS (
+  SELECT user_id, t_us, gap_us,
+         CASE WHEN t_us >= MAX(t_us + gap_us) OVER (
+                PARTITION BY user_id ORDER BY t_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(t_us + gap_us) OVER (
+                PARTITION BY user_id ORDER BY t_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev),
+sess AS (
+  SELECT user_id, t_us, gap_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id,
+       CAST(MIN(t_us) AS BIGINT) AS sess_start_us,
+       CAST(MAX(t_us + gap_us) AS BIGINT) AS sess_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+QUERIES["stream_session_dynamic_gap"] = stream_session_dynamic_gap
+QUERIES["stream_session_dynamic_multi"] = stream_session_dynamic_multi
+ORACLE["stream_session_dynamic_gap"] = _DYN_SESSION_SQL
+ORACLE["stream_session_dynamic_multi"] = _DYN_SESSION_SQL

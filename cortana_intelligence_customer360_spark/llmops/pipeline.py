@@ -609,3 +609,69 @@ ORACLE = {
     "text_chunk_overlap": _CHUNK_SQL,
     "text_pack_sequences": _PACK_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sharding (round 5): assign documents (in deterministic
+# doc_id order) to output shards of ~_SHARD_BUDGET whitespace tokens
+# each — the writer-side step that turns a curated corpus into
+# fixed-budget training shards. shard_id = floor(cum_tokens_before /
+# budget): a document lands in the shard its PRECEDING cumulative
+# token count points at, so every shard except the last holds >= the
+# budget minus one document's overshoot and document order is never
+# broken. The cumsum is the same distributed rank/cumsum pattern as
+# data_curriculum_order (range partition + local accumulate +
+# broadcast offsets — no single-partition window).
+
+_SHARD_BUDGET = 20_000
+
+
+def data_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..features.attribution import _global_ranked_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    base = docs.select(
+        "doc_id", n_tok.cast("decimal(30,6)").alias("n_tok_dec")
+    )
+    ranked = _global_ranked_cumsum(
+        base, "n_tok_dec", [F.col("doc_id").asc()]
+    )
+    assigned = ranked.select(
+        "doc_id",
+        F.col("n_tok_dec").cast("long").alias("n_tokens"),
+        F.floor(
+            (F.col("cum_dec").cast("long") - F.col("n_tok_dec").cast("long"))
+            / F.lit(_SHARD_BUDGET)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        bcount().alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_SHARD_SQL = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM base)
+SELECT CAST(cum_before // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+"""
+
+QUERIES["data_shard_by_budget"] = data_shard_by_budget
+ORACLE["data_shard_by_budget"] = _SHARD_SQL

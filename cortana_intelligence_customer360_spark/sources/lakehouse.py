@@ -712,3 +712,130 @@ GROUP BY 1
 
 QUERIES["lake_deletion_vectors"] = lake_deletion_vectors
 ORACLE["lake_deletion_vectors"] = _DV_SQL
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish (round 5): the staging workflow real lakehouse
+# deployments run (Iceberg's WAP pattern) — a commit's files and
+# manifest are fully written BEFORE the latest-pointer flips, a DQ
+# audit runs against the staged snapshot, and only a passing audit
+# publishes (one atomic pointer swap). A failing batch leaves the
+# published table bit-identical: readers can never observe unaudited
+# data, and the failed stage remains on disk for debugging.
+
+
+def stage_commit(t: ManifestTable, df: DataFrame, key_col: str) -> int:
+    """ManifestTable.commit minus the pointer flip: writes the data
+    files and the version manifest, returns the staged version. The
+    staged snapshot is readable via read(version=...) but invisible to
+    latest-pointer readers until publish()."""
+    parent = t.latest_version()
+    version = 0 if parent is None else parent + 1
+    commit_dir = os.path.join(t.data_dir, f"commit-{version:05d}")
+    df.write.mode("overwrite").parquet(commit_dir)
+    spark = df.sparkSession
+    stats = (
+        spark.read.parquet(commit_dir)
+        .groupBy(F.input_file_name().alias("path"))
+        .agg(
+            bcount().alias("rows"),
+            F.min(key_col).alias("key_min"),
+            F.max(key_col).alias("key_max"),
+        )
+        .collect()
+    )
+    new_files = sorted(
+        (
+            {
+                "path": r["path"].replace("file:", "", 1),
+                "rows": r["rows"],
+                "key_min": r["key_min"],
+                "key_max": r["key_max"],
+            }
+            for r in stats
+        ),
+        key=lambda e: e["path"],
+    )
+    files = (
+        new_files
+        if parent is None
+        else list(t.manifest(parent)["files"]) + new_files
+    )
+    payload = json.dumps(
+        {"version": version, "parent": parent, "key_col": key_col, "files": files},
+        indent=1,
+    )
+    t._write_atomic(os.path.join(t.manifest_dir, f"v{version}.json"), payload)
+    return version
+
+
+def publish(t: ManifestTable, version: int) -> None:
+    """The atomic pointer flip — the ONLY mutation publish performs."""
+    t._write_atomic(t._latest_path(), str(version))
+
+
+def audit_snapshot(spark: SparkSession, t: ManifestTable, version: int) -> dict:
+    """DQ audit over the STAGED snapshot: key non-null, price positive,
+    no duplicate keys. Returns per-rule violation counts (one scan)."""
+    df = t.read(spark, version=version)
+    row = df.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("null_keys"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_prices"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_keys"),
+    ).collect()[0]
+    return {
+        "null_keys": int(row.null_keys or 0),
+        "bad_prices": int(row.bad_prices or 0),
+        "dup_keys": int(row.dup_keys or 0),
+    }
+
+
+def lake_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base commit publishes; a GOOD staged batch passes audit and
+    publishes; a BAD staged batch (corrupted negative prices AND
+    duplicate keys) fails audit and is never published. Result: the
+    published table equals base+good exactly — the bad rows are
+    physically on disk but unreachable through the latest pointer.
+    The staged-vs-published divergence is pinned in
+    tests/test_lakehouse.py; this query aggregates the published view,
+    so the oracle is the clean orders table."""
+    root = _scratch("lake_write_audit_publish", sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    publish(t, stage_commit(t, orders.where(F.col("o_orderkey") % 2 == 0), "o_orderkey"))
+
+    good = orders.where(F.col("o_orderkey") % 2 == 1)
+    v_good = stage_commit(t, good, "o_orderkey")
+    if sum(audit_snapshot(spark, t, v_good).values()) == 0:
+        publish(t, v_good)
+
+    bad = orders.limit(50).select(
+        "o_orderkey",  # duplicates of already-committed keys
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") * -1).alias("o_totalprice"),
+        *[c for c in orders.columns if c not in
+          ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")],
+    )
+    v_bad = stage_commit(t, bad, "o_orderkey")
+    if sum(audit_snapshot(spark, t, v_bad).values()) == 0:  # never true
+        publish(t, v_bad)
+
+    live = t.read(spark)
+    return live.groupBy("o_orderstatus").agg(
+        bcount().alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+_WAP_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES["lake_write_audit_publish"] = lake_write_audit_publish
+ORACLE["lake_write_audit_publish"] = _WAP_SQL

@@ -1774,7 +1774,11 @@ def _events_outer_src(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _run_stream_stream_outer(
-    spark: SparkSession, sf_dir: str, one_file_per_batch: bool, min_batches: int
+    spark: SparkSession,
+    sf_dir: str,
+    one_file_per_batch: bool,
+    min_batches: int,
+    join_type: str = "left_outer",
 ) -> DataFrame:
     src = _events_outer_src(spark, sf_dir)
 
@@ -1810,17 +1814,20 @@ def _run_stream_stream_outer(
             "user_id = buy_user AND "
             "buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 30 MINUTES"
         ),
-        "left_outer",
+        join_type,
     )
+    # coalesce covers the full-outer shape, where an unmatched purchase
+    # row carries a NULL view-side user_id; for left_outer it is a
+    # no-op (the view side is never null there).
     out = joined.select(
-        "user_id",
+        F.coalesce("user_id", "buy_user").alias("user_id"),
         "view_id",
         "buy_id",
         F.unix_micros("view_ts").cast("long").alias("view_us"),
         F.unix_micros("buy_ts").cast("long").alias("buy_us"),
     )
     sink = _drain_to_memory(out, "append", min_batches=min_batches)
-    # Drop the sentinel's own (unmatched, null-padded) row.
+    # Drop the sentinel's own (unmatched, null-padded) rows.
     return sink.where(F.col("user_id") >= 0)
 
 
@@ -1991,3 +1998,44 @@ QUERIES["stream_session_dynamic_gap"] = stream_session_dynamic_gap
 QUERIES["stream_session_dynamic_multi"] = stream_session_dynamic_multi
 ORACLE["stream_session_dynamic_gap"] = _DYN_SESSION_SQL
 ORACLE["stream_session_dynamic_multi"] = _DYN_SESSION_SQL
+
+
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: BOTH sides' unmatched
+    rows emit null-padded at watermark expiry — unmatched views with
+    null purchase columns AND unmatched purchases with null view
+    columns. Completes the streaming join-shape matrix (inner /
+    left_outer / full_outer); equals the batch full join."""
+    return _run_stream_stream_outer(
+        spark, sf_dir, one_file_per_batch=False, min_batches=1,
+        join_type="full_outer",
+    )
+
+
+def stream_stream_full_outer_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stream_full_outer over chronological micro-batches —
+    both sides' state buffered and expired across batch boundaries."""
+    return _run_stream_stream_outer(
+        spark, sf_dir, one_file_per_batch=True, min_batches=2,
+        join_type="full_outer",
+    )
+
+
+_STREAM_STREAM_FULL_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, event_id AS buy_id, epoch_us(ts) AS buy_us
+  FROM events WHERE event_type = 'purchase')
+SELECT COALESCE(v.user_id, p.user_id) AS user_id, view_id, buy_id,
+       CAST(view_us AS BIGINT) AS view_us,
+       CAST(buy_us AS BIGINT) AS buy_us
+FROM v FULL JOIN p ON v.user_id = p.user_id
+ AND buy_us >= view_us AND buy_us <= view_us + 1800000000
+"""
+
+QUERIES["stream_stream_full_outer"] = stream_stream_full_outer
+QUERIES["stream_stream_full_outer_multi"] = stream_stream_full_outer_multi
+ORACLE["stream_stream_full_outer"] = _STREAM_STREAM_FULL_SQL
+ORACLE["stream_stream_full_outer_multi"] = _STREAM_STREAM_FULL_SQL

@@ -166,3 +166,38 @@ def test_deletion_vectors_leave_data_files_untouched(spark, sf_dir):
     assert live.where(pred).count() == 0
     # columns restored (no metadata leakage into the logical schema)
     assert set(live.columns) == set(t.read(spark).columns)
+
+
+def test_write_audit_publish_blocks_bad_batch(spark, sf_dir):
+    """A staged batch failing audit must stay invisible: the published
+    snapshot before and after the failed stage is identical, the
+    staged version IS readable by explicit version (debugging), and
+    the audit reports the planted violations."""
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.sources import lakehouse as lh
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    root = lh._scratch("test_wap", sf_dir)
+    import os
+    import shutil
+
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t = lh.ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    lh.publish(t, lh.stage_commit(t, orders, "o_orderkey"))
+    published_before = t.latest_version()
+    n_before = t.read(spark).count()
+
+    bad = orders.limit(10).withColumn(
+        "o_totalprice", F.col("o_totalprice") * -1
+    )
+    v_bad = lh.stage_commit(t, bad, "o_orderkey")
+    audit = lh.audit_snapshot(spark, t, v_bad)
+    assert audit["bad_prices"] == 10 and audit["dup_keys"] == 10
+    # NOT published: pointer unmoved, published read unchanged
+    assert t.latest_version() == published_before
+    assert t.read(spark).count() == n_before
+    # staged snapshot still debuggable by explicit version
+    assert t.read(spark, version=v_bad).count() == n_before + 10

@@ -548,3 +548,39 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     plan = plan_string(df)
     assert "dynamicpruning" in plan.lower(), plan[:1500]
     assert "PartitionFilters" in plan
+
+
+def test_bpe_encode_vocab_join_is_broadcast(spark, sf_dir):
+    """The corpus-sized word stream must join the vocabulary map as a
+    BroadcastHashJoin (map-only corpus pass) — a shuffled join here
+    would re-shuffle the entire exploded corpus at 100 TB."""
+    from cortana_intelligence_customer360_spark.llmops.text import text_bpe_encode
+
+    plan = plan_string(text_bpe_encode(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_deletion_vector_read_is_broadcast_anti_join(spark, sf_dir):
+    """Merge-on-read must anti-join the (deleted-rows-sized) DV as the
+    broadcast side; the fact scan never shuffles."""
+    from cortana_intelligence_customer360_spark.sources.lakehouse import (
+        lake_deletion_vectors,
+    )
+
+    plan = plan_string(lake_deletion_vectors(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_auc_has_no_pairwise_join(spark, sf_dir):
+    """Wilcoxon-rank AUC is join-free by construction: one score-group
+    aggregate + one bounded window — the quadratic positive x negative
+    join the rank form exists to avoid must not appear."""
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        ml_auc_roc,
+    )
+
+    plan = plan_string(ml_auc_roc(spark, sf_dir))
+    assert "Join" not in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_" in plan

@@ -434,3 +434,54 @@ ORACLE = {
     "udf_cogrouped_pandas": _COGROUP_SQL,
     "udtf_python": _UDTF_SQL,
 }
+
+
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze`` API): the output
+    schema is computed at PLAN time from the TABLE argument's actual
+    schema — one ``<col>_x2`` double column per non-key input column,
+    whatever columns the caller passes. The static analyze() hook is
+    the piece udtf_python/udtf_partitioned don't exercise: the same
+    registered function adapts to any projection without re-writing
+    the return type. Doubling by 2.0 is exact IEEE scaling, so the
+    oracle recomputes it directly."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import DoubleType, LongType, StructType
+
+    class DoubleNumerics:
+        @staticmethod
+        def analyze(t):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            out = StructType().add("key", LongType())
+            for f in t.dataType.fields[1:]:
+                out = out.add(f"{f.name}_x2", DoubleType())
+            return AnalyzeResult(schema=out)
+
+        def eval(self, row):
+            vals = [row[i] for i in range(1, len(row))]
+            yield (row[0], *[None if v is None else float(v) * 2.0 for v in vals])
+
+    from ..operators.aggregates import _temp_view
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    DoubleNumerics = udtf(DoubleNumerics)
+    spark.udtf.register("c360_double_numerics", DoubleNumerics)
+    view = _temp_view(load_table(spark, sf_dir, "customer"), "c360_cust_for_udtf")
+    return spark.sql(
+        "SELECT s.key, s.c_acctbal_x2, s.c_nationkey_x2 "
+        f"FROM c360_double_numerics(TABLE(SELECT c_custkey, c_acctbal, "
+        f"c_nationkey FROM {view})) s"
+    )
+
+
+_UDTF_ANALYZE_SQL = """
+SELECT c_custkey AS key,
+       CAST(c_acctbal AS DOUBLE) * 2.0 AS c_acctbal_x2,
+       CAST(c_nationkey AS DOUBLE) * 2.0 AS c_nationkey_x2
+FROM customer
+"""
+
+QUERIES["udtf_analyze_dynamic"] = udtf_analyze_dynamic
+ORACLE["udtf_analyze_dynamic"] = _UDTF_ANALYZE_SQL

@@ -1032,3 +1032,83 @@ FROM comp JOIN sizes USING (component)
 
 QUERIES["graph_connected_components"] = graph_connected_components
 ORACLE["graph_connected_components"] = _cc_sql()
+
+
+# ---------------------------------------------------------------------------
+# Modularity (round 5): Newman's Q for the communities
+# graph_label_prop finds — the quality score that closes the loop on
+# community detection (detect -> quantify). Per community c:
+# contribution = e_c/(2m) - (d_c/(2m))^2 with e_c = within-community
+# DIRECTED edge count and d_c = degree sum; Q = sum of contributions.
+# Every operand is an exact integer count, so each contribution is the
+# same two-IEEE-op expression in both engines; the (communities-sized)
+# label table broadcasts onto the edge list twice — the 100 TB edge
+# list never shuffles for the scoring pass.
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = graph_label_prop(spark, sf_dir)
+    edges = _edges(spark, sf_dir)
+    two_m = edges.count()
+    el = edges.join(
+        F.broadcast(
+            labels.select(F.col("node").alias("src"), F.col("label").alias("src_lbl"))
+        ),
+        "src",
+    ).join(
+        F.broadcast(
+            labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_lbl"))
+        ),
+        "dst",
+    )
+    per = el.groupBy(F.col("src_lbl").alias("label")).agg(
+        F.sum((F.col("src_lbl") == F.col("dst_lbl")).cast("long"))
+        .cast("long")
+        .alias("within_edges"),
+        bcount().alias("degree_sum"),
+    )
+    sizes = labels.groupBy("label").agg(bcount().alias("n_nodes"))
+    e_frac = F.col("within_edges").cast("double") / F.lit(float(two_m))
+    d_frac = F.col("degree_sum").cast("double") / F.lit(float(two_m))
+    return per.join(sizes, "label").select(
+        "label",
+        "n_nodes",
+        "within_edges",
+        "degree_sum",
+        F.round(e_frac - d_frac * d_frac, 9).alias("contribution"),
+    )
+
+
+def _modularity_sql() -> str:
+    lpa = _lpa_sql().strip()
+    assert lpa.startswith("WITH ")
+    body = lpa[len("WITH "):]
+    # reuse the full LPA chain; its final SELECT becomes the labels CTE
+    chain, final_select = body.rsplit("SELECT node, CAST(label AS BIGINT)", 1)
+    last = final_select.split("FROM ")[1].strip()
+    return f"""
+WITH {chain.rstrip().rstrip(',')},
+labels AS (SELECT node, CAST(label AS BIGINT) AS label FROM {last}),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS two_m FROM edges),
+el AS (
+  SELECT ls.label AS label, ls.label = ld.label AS within
+  FROM edges e
+  JOIN labels ls ON ls.node = e.src
+  JOIN labels ld ON ld.node = e.dst),
+per AS (
+  SELECT label,
+         CAST(SUM(CAST(within AS BIGINT)) AS BIGINT) AS within_edges,
+         CAST(COUNT(*) AS BIGINT) AS degree_sum
+  FROM el GROUP BY label),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM labels GROUP BY label)
+SELECT p.label, s.n_nodes, p.within_edges, p.degree_sum,
+       round(CAST(p.within_edges AS DOUBLE) / m.two_m
+             - (CAST(p.degree_sum AS DOUBLE) / m.two_m)
+               * (CAST(p.degree_sum AS DOUBLE) / m.two_m), 9) AS contribution
+FROM per p JOIN sizes s ON s.label = p.label, m
+"""
+
+
+QUERIES["graph_modularity"] = graph_modularity
+ORACLE["graph_modularity"] = _modularity_sql()

@@ -1686,3 +1686,115 @@ FROM final
 
 QUERIES["ml_auc_roc"] = ml_auc_roc
 ORACLE["ml_auc_roc"] = _AUC_SQL
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (round 5): Wald's SPRT per user
+# over the time-ordered stream of high-value events — the
+# EARLY-STOPPING sequential test that completes the A/B stats family
+# (fixed-n t-test, Wilson CI, CUPED, and now the sequential decision).
+# H0: P(value > 50) = 0.25 vs H1: = 0.35, alpha = beta = 0.05.
+# Determinism: the four log constants are computed ONCE in Python and
+# injected as double literals, so LLR_t = k1_t*LP1 + k0_t*LP0 is a
+# two-term expression of exact integer cumulative counts times
+# identical literals in both engines — no engine-side log() (whose
+# last ulp could differ). The decision is the FIRST boundary crossing
+# (min_by over the flagged rows), or 'continue' if the stream ends
+# inside the band.
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.25, 0.35
+_SPRT_LP1 = _math.log(_SPRT_P1 / _SPRT_P0)  # success term
+_SPRT_LP0 = _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))  # failure term
+_SPRT_A = _math.log((1.0 - 0.05) / 0.05)  # accept-H1 boundary
+_SPRT_B = _math.log(0.05 / (1.0 - 0.05))  # accept-H0 boundary
+
+
+def stat_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = (F.col("value") > 50).cast("long")
+    seq = ev.select(
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.sum(x).over(w).alias("k1"),
+        (F.count(F.lit(1)).over(w) - F.sum(x).over(w)).alias("k0"),
+    )
+    llr = F.col("k1") * F.lit(_SPRT_LP1) + F.col("k0") * F.lit(_SPRT_LP0)
+    flagged = seq.select(
+        "user_id",
+        "rn",
+        llr.alias("llr"),
+        F.when(llr >= _SPRT_A, F.lit("h1"))
+        .when(llr <= _SPRT_B, F.lit("h0"))
+        .alias("cross"),
+    )
+    first_cross = (
+        flagged.where(F.col("cross").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("rn").alias("n_at_decision"),
+            F.min_by("cross", "rn").alias("decision"),
+            F.round(F.min_by("llr", "rn"), 9).alias("llr_at_decision"),
+        )
+    )
+    totals = flagged.groupBy("user_id").agg(
+        F.max("rn").alias("n_total"), F.round(F.max_by("llr", "rn"), 9).alias("llr_final")
+    )
+    return totals.join(first_cross, "user_id", "left").select(
+        "user_id",
+        "n_total",
+        F.coalesce("decision", F.lit("continue")).alias("decision"),
+        F.coalesce("n_at_decision", F.col("n_total")).cast("long").alias("n_at_decision"),
+        F.coalesce("llr_at_decision", "llr_final").alias("llr_stop"),
+    )
+
+
+_SPRT_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS rn,
+         SUM(CAST(value > 50 AS BIGINT)) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - SUM(CAST(value > 50 AS BIGINT)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k0
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+flagged AS (
+  SELECT user_id, rn,
+         k1 * {_SPRT_LP1!r} + k0 * {_SPRT_LP0!r} AS llr,
+         CASE WHEN k1 * {_SPRT_LP1!r} + k0 * {_SPRT_LP0!r} >= {_SPRT_A!r}
+              THEN 'h1'
+              WHEN k1 * {_SPRT_LP1!r} + k0 * {_SPRT_LP0!r} <= {_SPRT_B!r}
+              THEN 'h0' END AS crossed
+  FROM seq),
+fc AS (
+  SELECT user_id, MIN(rn) AS n_at_decision,
+         arg_min(crossed, rn) AS decision,
+         round(arg_min(llr, rn), 9) AS llr_at_decision
+  FROM flagged WHERE crossed IS NOT NULL GROUP BY user_id),
+t AS (
+  SELECT user_id, MAX(rn) AS n_total,
+         round(arg_max(llr, rn), 9) AS llr_final
+  FROM flagged GROUP BY user_id)
+SELECT t.user_id,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       COALESCE(fc.decision, 'continue') AS decision,
+       CAST(COALESCE(fc.n_at_decision, t.n_total) AS BIGINT) AS n_at_decision,
+       COALESCE(fc.llr_at_decision, t.llr_final) AS llr_stop
+FROM t LEFT JOIN fc USING (user_id)
+"""
+
+QUERIES["stat_sprt"] = stat_sprt
+ORACLE["stat_sprt"] = _SPRT_SQL

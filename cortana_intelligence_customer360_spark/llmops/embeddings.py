@@ -236,3 +236,119 @@ ORACLE = {
     "emb_quantize_int8": _QUANTIZE_SQL,
     "emb_matryoshka_truncate": _MATRYOSHKA_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 5): the codebook compression behind
+# billion-vector ANN indexes (IVF-PQ). The embedding is split into
+# _PQ_M contiguous subvectors; each subspace gets its own seeded
+# KMeans codebook of _PQ_K centroids (fit on a bounded sample, same
+# discipline as the IVF coarse quantizer), and a vector stores only
+# its M one-byte code ids — a dim*4 / M -byte compression. Encode =
+# one broadcast-codebook map pass (argmin over K per subspace), never
+# a shuffle of the corpus. R-tier: codes depend on the fitted model;
+# tests/test_embeddings.py pins the contracts (code range, exact
+# zero reconstruction error on a corpus with <= K distinct subvectors,
+# and reconstruction MSE shrinking as K grows).
+
+_PQ_M = 4  # subquantizers
+_PQ_K = 16  # codes per subspace
+
+
+def pq_fit_codebooks(emb, m: int = _PQ_M, k: int = _PQ_K):
+    """Fit one codebook per subspace with seeded Lloyd iterations in
+    numpy over a BOUNDED sample (2048 vectors — faiss-style: PQ
+    codebooks train on an in-memory sample regardless of corpus size,
+    then the encode pass is distributed). Returns ({sub_idx:
+    [centroids]}, subvector width). Deterministic: fixed seed, fixed
+    iteration count, ties in assignment resolved by argmin's
+    first-lowest-index rule."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in emb.select("embedding").limit(2048).collect()],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    width = dim // m
+    books = {}
+    for sidx in range(m):
+        sub = sample[:, sidx * width : (sidx + 1) * width]
+        rng = np.random.default_rng(42 + sidx)
+        cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[sidx] = [[float(x) for x in c] for c in cents]
+    return books, width
+
+
+def pq_encode_frame(emb, books: dict, width: int):
+    """Broadcast-codebook encode: per subspace, argmin squared
+    distance over the K centroids — a pure column expression (the K
+    distances are unrolled literals), so the corpus pass is map-only
+    whole-stage codegen, no Python."""
+    spark = emb.sparkSession
+    out = emb.select("vec_id", "embedding")
+    for s, cents in books.items():
+        sub = F.slice("embedding", s * width + 1, width)
+        d2 = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for cent in cents
+        ]
+        # argmin via array_position over the min of the literal-indexed array
+        arr = F.array(*d2)
+        code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        out = out.withColumn(f"code_{s}", code)
+    return out
+
+
+def pq_reconstruction_mse(emb, books: dict, width: int):
+    """Mean squared reconstruction error across the corpus — the
+    compression-quality scalar an index tuner watches."""
+    enc = pq_encode_frame(emb, books, width)
+    err = None
+    for s, cents in books.items():
+        sub = F.slice("embedding", s * width + 1, width)
+        # centroid lookup: element_at over the literal codebook array
+        book = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        cent = F.element_at(book, F.col(f"code_{s}") + 1)
+        e = F.aggregate(
+            F.zip_with(sub, cent, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        err = e if err is None else err + e
+    return enc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg(err), 6).alias("mse"),
+    )
+
+
+def emb_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes for the embeddings table plus the per-corpus
+    reconstruction MSE row: (vec_id, code_0..code_3) joined with the
+    corpus quality scalar (broadcast 1-row)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, width = pq_fit_codebooks(emb)
+    enc = pq_encode_frame(emb, books, width).drop("embedding")
+    quality = pq_reconstruction_mse(emb, books, width)
+    return enc.crossJoin(F.broadcast(quality.select("mse")))
+
+
+QUERIES["emb_product_quantization"] = emb_product_quantization
+# R-tier: codes are KMeans-model output; contracts pinned in
+# tests/test_embeddings.py (range, zero-error planted corpus,
+# K-monotone MSE).

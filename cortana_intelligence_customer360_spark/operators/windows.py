@@ -640,3 +640,62 @@ WHERE sign = -1 AND pos_in_run = run_len AND run_len >= 2
 
 QUERIES["win_pattern_vshape"] = win_pattern_vshape
 ORACLE["win_pattern_vshape"] = _VSHAPE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (round 5): the classic risk analytic — per user,
+# the deepest peak-to-trough fall of the cumulative value series.
+# Everything up to the final display cast runs in DECIMAL(30,6):
+# cumulative sum, running peak, and drawdown are all EXACT (order
+# independent, no float accumulation), so the oracle hash-matches
+# without rounding tricks. One shuffle on user_id, two window passes
+# over the same partitioning.
+
+
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(30,6)"
+    cum = F.sum(F.col("value").cast(dec)).over(w)
+    series = ev.select("user_id", "ts", "event_id", cum.alias("cum"))
+    peak = F.max("cum").over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = series.select(
+        "user_id", "cum", peak.alias("peak"), (peak - F.col("cum")).alias("dd")
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("peak").cast("double").alias("peak_value"),
+        F.max("dd").cast("double").alias("max_drawdown"),
+    )
+
+
+_DRAWDOWN_SQL = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(value AS DECIMAL(30,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM events),
+p AS (
+  SELECT user_id, cum,
+         MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM c)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(peak) AS DOUBLE) AS peak_value,
+       CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown
+FROM p
+GROUP BY user_id
+"""
+
+QUERIES["win_drawdown"] = win_drawdown
+ORACLE["win_drawdown"] = _DRAWDOWN_SQL

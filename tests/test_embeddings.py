@@ -123,3 +123,43 @@ def test_ivf_recall_profile_monotone_and_saturates(spark, sf_dir):
     vals = [p[1] for p in prof]
     assert vals == sorted(vals), vals
     assert vals[-1] == 1.0, vals
+
+
+def test_pq_contracts(spark, sf_dir):
+    """PQ invariants: codes in [0, K); zero reconstruction error on a
+    corpus with <= K distinct subvectors per subspace; MSE shrinks (or
+    holds) when K grows on the real table."""
+    import numpy as np
+
+    from cortana_intelligence_customer360_spark.llmops import embeddings as E
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, width = E.pq_fit_codebooks(emb)
+    enc = E.pq_encode_frame(emb, books, width)
+    rows = enc.collect()
+    assert len(rows) > 0
+    for r in rows:
+        for s in range(E._PQ_M):
+            assert 0 <= r[f"code_{s}"] < E._PQ_K
+
+    # planted corpus: every vector is one of K/2 distinct patterns ->
+    # a K-centroid codebook must reconstruct exactly (MSE == 0)
+    rng = np.random.default_rng(5)
+    patterns = rng.normal(size=(E._PQ_K // 2, 32))
+    pts = patterns[np.arange(256) % (E._PQ_K // 2)]
+    planted = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(256)],
+        "vec_id long, embedding array<float>",
+    )
+    # store as float32 -> fit sees float32-rounded values; cast back
+    pbooks, pwidth = E.pq_fit_codebooks(planted)
+    mse = E.pq_reconstruction_mse(planted, pbooks, pwidth).collect()[0].mse
+    assert mse is not None and mse < 1e-9, mse
+
+    # K-monotonicity on the real table
+    books4, w4 = E.pq_fit_codebooks(emb, k=4)
+    mse4 = E.pq_reconstruction_mse(emb, books4, w4).collect()[0].mse
+    books16 = books
+    mse16 = E.pq_reconstruction_mse(emb, books16, width).collect()[0].mse
+    assert mse16 <= mse4 + 1e-9, (mse4, mse16)

@@ -485,3 +485,50 @@ FROM customer
 
 QUERIES["udtf_analyze_dynamic"] = udtf_analyze_dynamic
 ORACLE["udtf_analyze_dynamic"] = _UDTF_ANALYZE_SQL
+
+
+def udf_sql_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DECLARED scalar functions (Spark 4 ``CREATE TEMPORARY
+    FUNCTION ... RETURN <expr>``): the UDF surface with ZERO
+    serialization cost — the body is inlined into the plan at analysis
+    time and runs inside whole-stage codegen, unlike every Python UDF
+    in this module. A price-band classifier and a tax-inclusive amount,
+    declared in SQL and used from a query over lineitem."""
+    from ..operators.aggregates import _temp_view
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION c360_price_band(x DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN x >= 40000 THEN 'high' "
+        "WHEN x >= 10000 THEN 'mid' ELSE 'low' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION c360_with_tax(p DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 + t)"
+    )
+    view = _temp_view(load_table(spark, sf_dir, "lineitem"), "c360_li_for_sqludf")
+    return spark.sql(
+        f"""
+        SELECT c360_price_band(l_extendedprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(c360_with_tax(l_extendedprice, l_tax)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS taxed_total
+        FROM {view}
+        GROUP BY 1
+        """
+    )
+
+
+_UDF_SQL_DECLARED_SQL = """
+SELECT CASE WHEN l_extendedprice >= 40000 THEN 'high'
+            WHEN l_extendedprice >= 10000 THEN 'mid' ELSE 'low' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1.0 + l_tax)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS taxed_total
+FROM lineitem
+GROUP BY 1
+"""
+
+QUERIES["udf_sql_declared"] = udf_sql_declared
+ORACLE["udf_sql_declared"] = _UDF_SQL_DECLARED_SQL

@@ -839,3 +839,48 @@ GROUP BY 1
 
 QUERIES["lake_write_audit_publish"] = lake_write_audit_publish
 ORACLE["lake_write_audit_publish"] = _WAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Partition-scheme evolution (round 5): the table's OLD data stays in
+# its original layout (partitioned by o_orderstatus) while NEW commits
+# land in a different one (partitioned by o_orderpriority) — no
+# rewrite of history, which at 100 TB is the only affordable way to
+# change a partition scheme (Iceberg's partition evolution contract).
+# Each layout keeps its own pruning: a status predicate prunes
+# directories in the old layout and row-filters the new one, and vice
+# versa; the logical table is the by-name union of per-layout reads
+# (basePath restores each layout's partition column).
+
+
+def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _scratch("lake_partition_evolution", sf_dir)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    orders = load_table(spark, sf_dir, "orders")
+    old_dir = os.path.join(root, "commit-0")
+    new_dir = os.path.join(root, "commit-1")
+    orders.where(F.col("o_orderkey") % 2 == 0).write.partitionBy(
+        "o_orderstatus"
+    ).parquet(old_dir)
+    orders.where(F.col("o_orderkey") % 2 == 1).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(new_dir)
+    d0 = spark.read.option("basePath", old_dir).parquet(old_dir)
+    d1 = spark.read.option("basePath", new_dir).parquet(new_dir)
+    full = d0.unionByName(d1)
+    return full.groupBy("o_orderstatus", "o_orderpriority").agg(
+        bcount().alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+_PARTITION_EVOLUTION_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+QUERIES["lake_partition_evolution"] = lake_partition_evolution
+ORACLE["lake_partition_evolution"] = _PARTITION_EVOLUTION_SQL

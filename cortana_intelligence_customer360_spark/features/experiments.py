@@ -1,0 +1,289 @@
+"""Experimentation & attribution analytics (round-5 additions).
+
+Reference parity note: the upstream Azure/cortana-intelligence-customer360
+checkout is empty (SURVEY.md §0); SURVEY §2.8/§2.12 are the normative
+inventory. This module extends the attribution/experimentation family
+(features/attribution.py) with the two reports a Customer-360 marketing
+analyst reaches for right after first/last-touch and the proportion CI:
+
+- feat_shapley_channel   exact Shapley-value conversion credit per
+                         marketing channel (the game-theoretic
+                         multi-touch attribution model)
+- agg_ratio_delta_ci     delta-method confidence interval for a RATIO
+                         metric (revenue per order) per segment — the
+                         correct CI when the denominator is itself
+                         random, unlike agg_conversion_ci's proportion
+
+Scale notes (100 TB posture): both operators collapse to sufficient
+statistics in ONE shuffle. Shapley reduces events to a per-user channel
+bitmask (groupBy user_id), then to <=16 coalition rows; every join after
+that is on a <=16-row frame (broadcast, driver-trivial) and the Shapley
+sum itself is exact integer arithmetic (x24 numerators) so no float
+order-dependence exists anywhere. The ratio CI is the CUPED pattern:
+per-customer order aggregates (one shuffle on custkey), then 5 segment
+rows of DECIMAL-exact sums feeding one closed-form expression evaluated
+identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import _DEC, bcount, dsum, dsum_sql
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+# The four non-purchase event types (FIXTURES.md: click, error, signup,
+# view) in alphabetical order, each assigned a bitmask bit.
+_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+_N_CH = len(_CHANNELS)
+# Shapley weight numerators x 24 (= 4!): w(|S|) = |S|!(3-|S|)!/4! for
+# the coalition S NOT containing the channel; |S| in 0..3 -> 6,2,2,6.
+_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+_MASK_CASE = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+    "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END"
+)
+def feat_shapley_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution per channel.
+
+    Data-driven attribution: each user contributes their SET of touched
+    channels (distinct non-purchase event types, as a 4-bit mask) and a
+    converted flag (>=1 purchase). The coalition worth v(S) counts
+    conversions by users whose entire touch-set lies inside S, and each
+    channel's credit is the exact Shapley value
+    phi_i = sum_{S not ni i} |S|!(n-1-|S|)!/n! * (v(S u {i}) - v(S)).
+
+    Distributed shape: ONE groupBy(user_id) with bit_or reduces events
+    to user masks; a second groupBy(mask) leaves <=16 rows, and all
+    coalition math happens on a generated 16-row mask frame (subset-sum
+    join 16x16, then an 8-term Shapley sum per channel). The Shapley
+    sum uses integer x24 weight numerators so it is EXACT (BIGINT)
+    arithmetic — no float accumulation order anywhere; the single final
+    division by 24 is deterministic. Efficiency property pinned in
+    tests: sum(phi) = v(all) - v(empty).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.expr(f"bit_or({_MASK_CASE})").alias("mask"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    exact = users.groupBy("mask").agg(
+        F.sum("conv").cast("long").alias("conv"),
+        bcount().alias("n_users"),
+    )
+    # v(S) = sum of conv(T) over exact masks T subseteq S, for all 16 S.
+    s_masks = spark.range(1 << _N_CH).select(F.col("id").cast("int").alias("s"))
+    v = (
+        s_masks.join(
+            F.broadcast(exact),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(_CHANNELS, "channel string, bit int")
+    # Coalitions S excluding the channel, joined to v(S) and v(S|bit);
+    # weight numerators x24 (_W24) selected by popcount(S).
+    vs = v.select(F.col("s"), F.col("v").alias("v_s"))
+    vsb = v.select(F.col("s").alias("sb"), F.col("v").alias("v_sb"))
+    terms = (
+        ch.join(F.broadcast(vs), F.col("s").bitwiseAND(F.col("bit")) == 0)
+        .withColumn("sb", F.col("s").bitwiseOR(F.col("bit")))
+        .join(F.broadcast(vsb), "sb")
+        .select(
+            "channel",
+            "bit",
+            (
+                F.expr(
+                    "CASE ((s >> 0) & 1) + ((s >> 1) & 1) + ((s >> 2) & 1)"
+                    " + ((s >> 3) & 1) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                    " WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+                )
+                * (F.col("v_sb") - F.col("v_s"))
+            ).alias("num24"),
+        )
+    )
+    touched = (
+        exact.crossJoin(F.broadcast(ch))
+        .where(F.col("mask").bitwiseAND(F.col("bit")) != 0)
+        .groupBy("channel")
+        .agg(
+            F.sum("n_users").cast("long").alias("users_touched"),
+            F.sum("conv").cast("long").alias("conv_touched"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.sum("num24").cast("long").alias("num24"))
+        .join(touched, "channel", "left")
+        .select(
+            "channel",
+            F.round(F.col("num24").cast("double") / F.lit(24.0), 6).alias("shapley"),
+            F.coalesce("users_touched", F.lit(0)).cast("long").alias("users_touched"),
+            F.coalesce("conv_touched", F.lit(0)).cast("long").alias("conv_touched"),
+        )
+        .orderBy("channel")
+    )
+
+
+_SHAPLEY_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         bit_or({_MASK_CASE}) AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+exact AS (
+  SELECT mask, CAST(SUM(conv) AS BIGINT) AS conv,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM users GROUP BY mask),
+s_masks AS (SELECT CAST(range AS INT) AS s FROM range(0, 16)),
+v AS (
+  SELECT s, CAST(COALESCE(SUM(e.conv), 0) AS BIGINT) AS v
+  FROM s_masks LEFT JOIN exact e ON (e.mask & s) = e.mask
+  GROUP BY s),
+ch(channel, bit) AS (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+terms AS (
+  SELECT ch.channel,
+         (CASE ((v.s >> 0) & 1) + ((v.s >> 1) & 1) + ((v.s >> 2) & 1)
+               + ((v.s >> 3) & 1)
+            WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+         * (vb.v - v.v) AS num24
+  FROM ch
+  JOIN v ON (v.s & ch.bit) = 0
+  JOIN v vb ON vb.s = (v.s | ch.bit)),
+touched AS (
+  SELECT ch.channel,
+         CAST(SUM(e.n_users) AS BIGINT) AS users_touched,
+         CAST(SUM(e.conv) AS BIGINT) AS conv_touched
+  FROM exact e JOIN ch ON (e.mask & ch.bit) <> 0
+  GROUP BY ch.channel)
+SELECT t.channel,
+       round(CAST(CAST(SUM(t.num24) AS BIGINT) AS DOUBLE) / 24.0, 6) AS shapley,
+       CAST(COALESCE(ANY_VALUE(tc.users_touched), 0) AS BIGINT) AS users_touched,
+       CAST(COALESCE(ANY_VALUE(tc.conv_touched), 0) AS BIGINT) AS conv_touched
+FROM terms t LEFT JOIN touched tc ON tc.channel = t.channel
+GROUP BY t.channel
+ORDER BY t.channel
+"""
+
+QUERIES["feat_shapley_channel"] = feat_shapley_channel
+ORACLE["feat_shapley_channel"] = _SHAPLEY_SQL
+
+
+def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method 95% CI for revenue-per-order by market segment.
+
+    The metric R = sum(y)/sum(x) (y = customer revenue, x = customer
+    order count) has a random denominator, so the naive mean-of-ratios
+    CI is wrong; the delta method gives
+    Var(R) ~= (vary - 2 R covxy + R^2 varx) / (n * xbar^2)
+    with population (co)variances over the per-customer pairs.
+
+    Shape: per-customer aggregates (one shuffle on o_custkey), LEFT
+    join back to customer so zero-order customers stay in the cohort,
+    then 5 segment rows of DECIMAL-exact sufficient sums
+    (n, Sx, Sy, Sxy, Sxx, Syy) feed one closed-form float expression
+    written identically in both engines (identical operands -> identical
+    IEEE doubles; the CUPED/linreg discipline from compat.py).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(bcount().alias("x"), dsum("o_totalprice").alias("y"))
+    )
+    joined = cust.join(per, cust.c_custkey == per.o_custkey, "left").select(
+        "c_mktsegment",
+        F.coalesce(F.col("x"), F.lit(0)).cast("double").alias("x"),
+        F.coalesce(F.col("y"), F.lit(0.0)).alias("y"),
+    )
+    seg = joined.groupBy("c_mktsegment").agg(
+        bcount().alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    xbar = F.col("sx") / n
+    ybar = F.col("sy") / n
+    r = F.col("sy") / F.col("sx")
+    varx = F.col("sxx") / n - xbar * xbar
+    vary = F.col("syy") / n - ybar * ybar
+    covxy = F.col("sxy") / n - xbar * ybar
+    var_r = (vary - 2.0 * r * covxy + r * r * varx) / (n * (xbar * xbar))
+    se = F.sqrt(var_r)
+    return seg.select(
+        "c_mktsegment",
+        "n",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r + 1.96 * se, 6).alias("ci_hi"),
+    ).orderBy("c_mktsegment")
+
+
+_RATIO_SQL = f"""
+WITH per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+         {dsum_sql('o_totalprice')} AS y
+  FROM orders GROUP BY o_custkey),
+joined AS (
+  SELECT c.c_mktsegment,
+         CAST(COALESCE(p.x, 0) AS DOUBLE) AS x,
+         COALESCE(p.y, 0.0) AS y
+  FROM customer c LEFT JOIN per p ON c.c_custkey = p.o_custkey),
+seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+         {dsum_sql('x * y')} AS sxy, {dsum_sql('x * x')} AS sxx,
+         {dsum_sql('y * y')} AS syy
+  FROM joined GROUP BY c_mktsegment)
+SELECT c_mktsegment, n,
+       round(sy / sx, 6) AS ratio,
+       round(sqrt((((syy / CAST(n AS DOUBLE))
+                    - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   - 2.0 * (sy / sx)
+                     * ((sxy / CAST(n AS DOUBLE))
+                        - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   + (sy / sx) * (sy / sx)
+                     * ((sxx / CAST(n AS DOUBLE))
+                        - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))
+                  / (CAST(n AS DOUBLE)
+                     * ((sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))),
+             6) AS se,
+       round((sy / sx) - 1.96 * sqrt((((syy / CAST(n AS DOUBLE))
+                    - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   - 2.0 * (sy / sx)
+                     * ((sxy / CAST(n AS DOUBLE))
+                        - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   + (sy / sx) * (sy / sx)
+                     * ((sxx / CAST(n AS DOUBLE))
+                        - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))
+                  / (CAST(n AS DOUBLE)
+                     * ((sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))),
+             6) AS ci_lo,
+       round((sy / sx) + 1.96 * sqrt((((syy / CAST(n AS DOUBLE))
+                    - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   - 2.0 * (sy / sx)
+                     * ((sxy / CAST(n AS DOUBLE))
+                        - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   + (sy / sx) * (sy / sx)
+                     * ((sxx / CAST(n AS DOUBLE))
+                        - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))
+                  / (CAST(n AS DOUBLE)
+                     * ((sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))),
+             6) AS ci_hi
+FROM seg
+ORDER BY c_mktsegment
+"""
+
+QUERIES["agg_ratio_delta_ci"] = agg_ratio_delta_ci
+ORACLE["agg_ratio_delta_ci"] = _RATIO_SQL

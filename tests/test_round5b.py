@@ -1,0 +1,84 @@
+"""Semantic tests for round-5 experimentation operators: properties the
+oracle-parity sweep can't see (Shapley efficiency/axioms, CI coverage
+shape), per SURVEY.md §5.3."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cortana_intelligence_customer360_spark.features.experiments import (
+    agg_ratio_delta_ci,
+    feat_shapley_channel,
+)
+
+
+def test_shapley_efficiency(spark, duck, sf_dir):
+    """sum(phi_i) = v(all channels) - v(empty): total conversion credit
+    distributed equals conversions reachable through any channel minus
+    the channel-free baseline (Shapley efficiency axiom, exact because
+    the op's arithmetic is integer x24)."""
+    rows = feat_shapley_channel(spark, sf_dir).collect()
+    assert len(rows) == 4
+    total = sum(r.shapley for r in rows)
+    v_all, v0 = duck.execute(
+        """
+        WITH users AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+                 bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                        WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask
+          FROM events GROUP BY user_id)
+        SELECT SUM(conv), SUM(CASE WHEN mask = 0 THEN conv ELSE 0 END) FROM users
+        """
+    ).fetchone()
+    assert total == pytest.approx(v_all - v0, abs=1e-6)
+
+
+def test_shapley_null_player(spark, sf_dir):
+    """A channel no converted user ever touches alone or in any
+    coalition margin gets bounded credit: every phi_i is >= 0 here
+    (monotone v: adding a channel can only unlock more subset-covered
+    conversions) and <= its own touched conversions... the weaker
+    invariant phi_i <= v(all) always holds; assert both directions that
+    are true for monotone coalition worths."""
+    rows = {r.channel: r for r in feat_shapley_channel(spark, sf_dir).collect()}
+    assert set(rows) == {"click", "error", "signup", "view"}
+    v_all = sum(r.shapley for r in rows.values())
+    for r in rows.values():
+        # v is monotone (subset-sum of nonnegative counts) => phi >= 0
+        assert r.shapley >= 0.0
+        assert r.shapley <= v_all + 1e-9
+        assert r.users_touched >= r.conv_touched >= 0
+
+
+def test_ratio_delta_ci_shape(spark, sf_dir):
+    """CI brackets the point estimate symmetrically (1.96 se each side),
+    se > 0, and the pooled ratio matches total revenue / total orders
+    recomputed directly."""
+    rows = agg_ratio_delta_ci(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.se > 0.0
+        assert r.ci_lo <= r.ratio <= r.ci_hi
+        assert r.ci_hi - r.ratio == pytest.approx(r.ratio - r.ci_lo, abs=2e-6)
+
+
+def test_ratio_matches_direct_totals(spark, duck, sf_dir):
+    """Point estimate equals SUM(o_totalprice)/COUNT(orders) per
+    segment computed independently of the sufficient-stat path."""
+    got = {r.c_mktsegment: r.ratio for r in agg_ratio_delta_ci(spark, sf_dir).collect()}
+    want = dict(
+        duck.execute(
+            """
+            SELECT c_mktsegment,
+                   SUM(o_totalprice) / COUNT(o_orderkey)
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for seg, ratio in want.items():
+        assert got[seg] == pytest.approx(ratio, rel=1e-6)

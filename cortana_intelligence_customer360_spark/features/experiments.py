@@ -287,3 +287,142 @@ ORDER BY c_mktsegment
 
 QUERIES["agg_ratio_delta_ci"] = agg_ratio_delta_ci
 ORACLE["agg_ratio_delta_ci"] = _RATIO_SQL
+
+
+# ---------------------------------------------------------------------------
+# Fisher randomization (permutation) test: the assumption-free p-value
+# for the treated-vs-control difference in per-user purchase revenue.
+# Draws are md5-deterministic (engine/run/partitioning-independent,
+# the sample_hash_pct discipline), so the whole null distribution is
+# reproducible and fully oracle-checkable.
+
+_PERM_B = 200
+
+
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the difference in mean per-user purchase
+    revenue between treated (first event is a click — the same
+    assignment as stat_cuped_adjust/feat_ipw_ate) and control.
+
+    Null draws: for b = 1.._PERM_B each user is relabeled by the md5
+    bit of (user_id, b) — Bernoulli(1/2) re-randomization, the standard
+    approximate Fisher test. p = (1 + #{b : |T_b| >= |T_obs|}) /
+    (B + 1), the add-one Monte-Carlo estimator.
+
+    Shape: events reduce to one row per user (ONE shuffle); the user
+    frame explodes x B and partially aggregates map-side, so the second
+    shuffle moves only B x partitions sufficient-stat rows, never
+    user-level data. T statistics are DECIMAL-exact sums divided as
+    identical doubles (compat rule 2); the comparison count is exact
+    integer arithmetic, so p is bit-stable across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (F.min_by("event_type", "event_id") == "click").cast("int").alias("treated"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    )
+    obs = users.groupBy().agg(
+        bcount().alias("n_users"),
+        (
+            dsum(F.when(F.col("treated") == 1, F.col("y"))) /
+            F.count(F.when(F.col("treated") == 1, 1))
+        ).alias("mean_t"),
+        (
+            dsum(F.when(F.col("treated") == 0, F.col("y"))) /
+            F.count(F.when(F.col("treated") == 0, 1))
+        ).alias("mean_c"),
+    )
+    lab = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("user_id"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    draws = (
+        users.select(
+            "user_id",
+            "y",
+            F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+        )
+        .withColumn("lab", lab)
+        .groupBy("b")
+        .agg(
+            (
+                dsum(F.when(F.col("lab") == 1, F.col("y"))) /
+                F.count(F.when(F.col("lab") == 1, 1))
+            ).alias("m1"),
+            (
+                dsum(F.when(F.col("lab") == 0, F.col("y"))) /
+                F.count(F.when(F.col("lab") == 0, 1))
+            ).alias("m0"),
+        )
+        .select((F.col("m1") - F.col("m0")).alias("t_b"))
+    )
+    return (
+        draws.crossJoin(F.broadcast(obs))
+        .groupBy()
+        .agg(
+            F.max("n_users").alias("n_users"),
+            F.lit(_PERM_B).cast("long").alias("n_draws"),
+            F.round(F.max(F.col("mean_t") - F.col("mean_c")), 6).alias("t_obs"),
+            F.round(
+                (
+                    F.lit(1)
+                    + F.count(
+                        F.when(
+                            F.abs(F.col("t_b"))
+                            >= F.abs(F.col("mean_t") - F.col("mean_c")),
+                            1,
+                        )
+                    )
+                ).cast("double")
+                / F.lit(float(_PERM_B + 1)),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+_PERM_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(arg_min(event_type, event_id) = 'click' AS INT) AS treated,
+         {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS y
+  FROM events GROUP BY user_id),
+obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         {dsum_sql('CASE WHEN treated = 1 THEN y END')}
+           / COUNT(CASE WHEN treated = 1 THEN 1 END) AS mean_t,
+         {dsum_sql('CASE WHEN treated = 0 THEN y END')}
+           / COUNT(CASE WHEN treated = 0 THEN 1 END) AS mean_c
+  FROM users),
+draws AS (
+  SELECT (({dsum_sql('CASE WHEN lab = 1 THEN y END')}
+           / COUNT(CASE WHEN lab = 1 THEN 1 END))
+          - ({dsum_sql('CASE WHEN lab = 0 THEN y END')}
+             / COUNT(CASE WHEN lab = 0 THEN 1 END))) AS t_b
+  FROM (
+    SELECT u.y, b.b,
+           ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+                               || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT % 2 AS lab
+    FROM users u, (SELECT CAST(range AS BIGINT) AS b
+                   FROM range(1, {_PERM_B + 1})) b)
+  GROUP BY b)
+SELECT MAX(o.n_users) AS n_users,
+       CAST({_PERM_B} AS BIGINT) AS n_draws,
+       round(MAX(o.mean_t - o.mean_c), 6) AS t_obs,
+       round(CAST(1 + COUNT(CASE WHEN abs(d.t_b)
+                                      >= abs(o.mean_t - o.mean_c)
+                            THEN 1 END) AS DOUBLE) / {float(_PERM_B + 1)},
+             6) AS p_value
+FROM draws d, obs o
+"""
+
+QUERIES["stat_permutation_test"] = stat_permutation_test
+ORACLE["stat_permutation_test"] = _PERM_SQL

@@ -1393,3 +1393,111 @@ FROM kf WHERE rn = n
 
 QUERIES["ts_kalman_filter"] = ts_kalman_filter
 ORACLE["ts_kalman_filter"] = _KALMAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# ACF profile (round 5): sample autocorrelation of the daily-revenue
+# series at lags 1..7 — the first diagnostic a forecaster runs (weekly
+# seasonality shows as a lag-7 peak). Companion to ts_autocorr_lag1
+# (per-user lag-1 on event values); this is the SERIES-level profile
+# over multiple lags with the standard full-series denominator.
+
+_ACF_MAX_LAG = 7
+
+
+def ts_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample ACF r_k = sum_t (x_t - xbar)(x_{t-k} - xbar) / sum_t
+    (x_t - xbar)^2 for k = 1.._ACF_MAX_LAG over daily order revenue.
+
+    Shape: ONE groupBy(o_orderdate) shuffle reduces 100 TB of orders to
+    a ~2.4k-row daily series; xbar/denominator come from DECIMAL-exact
+    full-frame window sums and the lag products go back through DECIMAL
+    before summing, so both engines feed identical doubles into
+    identical IEEE division (compat rules 1-3). The ordered window runs
+    on the aggregated series (bounded rows), so the single-partition
+    sort is a non-issue at any input scale.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(dsum("o_totalprice").alias("x"))
+    )
+    tot = Window.partitionBy()
+    xbar = (
+        F.sum(F.col("x").cast(_DEC)).over(tot).cast("double")
+        / F.count("*").over(tot)
+    ).cast("double")
+    w = Window.orderBy("o_orderdate")
+    d = daily.select(
+        "x",
+        xbar.alias("xbar"),
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    dev = F.col("x") - F.col("xbar")
+    d = d.withColumn(
+        "denom",
+        F.sum((dev * dev).cast(_DEC)).over(tot).cast("double"),
+    )
+    long = d.select(
+        "x",
+        "xbar",
+        "denom",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"x{k}").alias("xl"),
+                    )
+                    for k in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("s"),
+    ).select("x", "xbar", "denom", "s.lag", "s.xl")
+    num = F.sum(
+        F.when(
+            F.col("xl").isNotNull(),
+            ((F.col("x") - F.col("xbar")) * (F.col("xl") - F.col("xbar"))).cast(_DEC),
+        )
+    ).cast("double")
+    return (
+        long.groupBy("lag")
+        .agg(
+            F.count("xl").cast("long").alias("n_pairs"),
+            F.round(num / F.max("denom"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS d, {dsum_sql('o_totalprice')} AS x
+  FROM orders GROUP BY o_orderdate),
+st AS (
+  SELECT d, x,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) OVER () AS DOUBLE)
+              / COUNT(*) OVER () AS DOUBLE) AS xbar
+  FROM daily),
+lagd AS (
+  SELECT x, xbar,
+         {', '.join(f'lag(x, {k}) OVER (ORDER BY d) AS x{k}' for k in range(1, _ACF_MAX_LAG + 1))},
+         CAST(SUM(CAST((x - xbar) * (x - xbar) AS DECIMAL(30,6))) OVER ()
+              AS DOUBLE) AS denom
+  FROM st),
+long AS (
+  SELECT x, xbar, denom, u.lag AS lag, u.xl AS xl
+  FROM lagd, UNNEST([
+    {', '.join("{'lag': CAST(%d AS BIGINT), 'xl': x%d}" % (k, k) for k in range(1, _ACF_MAX_LAG + 1))}
+  ]) AS t(u))
+SELECT lag, CAST(COUNT(xl) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(CAST((x - xbar) * (xl - xbar) AS DECIMAL(30,6)))
+                  FILTER (WHERE xl IS NOT NULL) AS DOUBLE)
+             / MAX(denom), 6) AS acf
+FROM long
+GROUP BY lag
+ORDER BY lag
+"""
+
+QUERIES["ts_acf_profile"] = ts_acf_profile
+ORACLE["ts_acf_profile"] = _ACF_SQL

@@ -82,3 +82,32 @@ def test_ratio_matches_direct_totals(spark, duck, sf_dir):
     assert set(got) == set(want)
     for seg, ratio in want.items():
         assert got[seg] == pytest.approx(ratio, rel=1e-6)
+
+
+def test_acf_profile_bounds(spark, sf_dir):
+    """|r_k| <= 1 for all lags; n_pairs = n_days - k strictly
+    decreasing in k; all 7 requested lags present."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_acf_profile,
+    )
+
+    rows = sorted(ts_acf_profile(spark, sf_dir).collect(), key=lambda r: r.lag)
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs == b.n_pairs + 1
+    for r in rows:
+        assert abs(r.acf) <= 1.0 + 1e-9
+
+
+def test_permutation_p_value_range(spark, sf_dir):
+    """p in [1/(B+1), 1]; the add-one estimator can never return 0.
+    n_draws echoes the configured B."""
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        _PERM_B,
+        stat_permutation_test,
+    )
+
+    row = stat_permutation_test(spark, sf_dir).collect()[0]
+    assert row.n_draws == _PERM_B
+    assert 1.0 / (_PERM_B + 1) - 1e-9 <= row.p_value <= 1.0
+    assert row.n_users > 0

@@ -871,3 +871,67 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 
 QUERIES["agg_grouping_id"] = agg_grouping_id
 ORACLE["agg_grouping_id"] = _AGG_GROUPING_ID_SQL
+
+
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment population skewness g1 = m3/m2^1.5 and excess
+    kurtosis g2 = m4/m2^2 - 3 of c_acctbal, the two shape moments
+    agg_stats stops short of.
+
+    Built-in skewness()/kurtosis() are NOT used deliberately: the two
+    engines disagree on bias correction AND accumulate doubles
+    order-dependently. Instead the central moments come closed-form
+    from exact DECIMAL power sums (S1..S4; per-row powers are identical
+    IEEE products before the deterministic decimal cast), so both
+    engines evaluate the same expression on identical doubles —
+    map-side-combinable, one shuffle, same as agg_stats."""
+    cu = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    x2 = x * x
+    n = bcount("c_acctbal").cast("double")
+    s1 = _dsum_hi("c_acctbal")
+    s2 = F.sum(x2.cast(_SQ_DEC)).cast("double")
+    s3 = F.sum((x2 * x).cast(_SQ_DEC)).cast("double")
+    s4 = F.sum((x2 * x2).cast(_SQ_DEC)).cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4.0 * mu * (s3 / n)
+        + 6.0 * (mu * mu) * (s2 / n)
+        - 3.0 * (mu * mu) * (mu * mu)
+    )
+    return cu.groupBy("c_mktsegment").agg(
+        bcount().alias("n"),
+        F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+    )
+
+
+_AGG_SKEW_SQL = """
+WITH s AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(c_acctbal) AS DOUBLE) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST((c_acctbal * c_acctbal) AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(((c_acctbal * c_acctbal) * c_acctbal) AS DECIMAL(38,10))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(((c_acctbal * c_acctbal) * (c_acctbal * c_acctbal)) AS DECIMAL(38,10))) AS DOUBLE) AS s4
+  FROM customer GROUP BY c_mktsegment)
+SELECT c_mktsegment, n_rows AS n,
+       round((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+              + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+             / sqrt((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness,
+       round((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+              + 6.0 * ((s1 / n) * (s1 / n)) * (s2 / n)
+              - 3.0 * ((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n)))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6) AS excess_kurtosis
+FROM s
+"""
+
+QUERIES["agg_skew_kurtosis"] = agg_skew_kurtosis
+ORACLE["agg_skew_kurtosis"] = _AGG_SKEW_SQL

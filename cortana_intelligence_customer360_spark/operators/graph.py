@@ -1112,3 +1112,122 @@ FROM per p JOIN sizes s ON s.label = p.label, m
 
 QUERIES["graph_modularity"] = graph_modularity
 ORACLE["graph_modularity"] = _modularity_sql()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic DeepWalk sampling (round 5): one fixed-length random
+# walk per node over the trade graph, with every neighbor choice a pure
+# md5 function of (start, step, current node) — the sample_hash_pct
+# reproducibility discipline applied to graph walks, so the corpus a
+# node2vec/DeepWalk embedding trains on is identical across engines,
+# runs, partitionings, and retries.
+
+_WALK_LEN = 4
+
+
+def graph_random_walk_deepwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One _WALK_LEN-step deterministic random walk from EVERY node.
+
+    At step t from node u the walk moves to the neighbor with 1-based
+    index md5(start:t:u) % deg(u) + 1 in u's dst-sorted adjacency list.
+    Symmetric edges guarantee deg >= 1, so walks never strand.
+
+    Shape at scale: the adjacency list (row_number + count per src —
+    one window shuffle on src, computed ONCE and persisted with its
+    partitioning) is the only big table; each of the 4 steps joins the
+    node-cardinality frontier to it on src, so the edge list never
+    re-shuffles and the walk corpus streams out as
+    nodes x (len+1) rows. No RNG state, no driver loop over nodes.
+    """
+    raw = _edges(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy("dst")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    adj = (
+        raw.select(
+            "src",
+            "dst",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        )
+        .repartition(n_parts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()
+    cur = adj.select("src").distinct().select(
+        F.col("src").alias("start"), F.col("src").alias("node")
+    )
+    steps = [
+        cur.select("start", F.lit(0).cast("long").alias("step"), "node")
+    ]
+    for t in range(1, _WALK_LEN + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("start"), F.lit(t), F.col("node")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+            + 1
+        )
+        cur = (
+            cur.join(adj, cur.node == adj.src)
+            .where(F.col("rn") == pick)
+            .select("start", F.col("dst").alias("node"))
+        )
+        steps.append(
+            cur.select("start", F.lit(t).cast("long").alias("step"), "node")
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    # Materialize eagerly (the corpus is nodes x (len+1), driver-small)
+    # so the cached adjacency can be released before returning — the
+    # parity sweep runs hundreds of queries in one session and leaked
+    # cache entries add up.
+    out = out.orderBy("start", "step").localCheckpoint()
+    adj.unpersist()
+    return out
+
+
+def _walk_sql() -> str:
+    base = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs),
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM edges),
+w0 AS (SELECT DISTINCT src AS start, src AS node FROM edges)"""
+    steps = []
+    for t in range(1, _WALK_LEN + 1):
+        steps.append(f"""
+w{t} AS (
+  SELECT w.start, a.dst AS node
+  FROM w{t - 1} w
+  JOIN adj a ON a.src = w.node
+   AND a.rn = ('0x' || substr(md5(CAST(w.start AS VARCHAR) || ':{t}:'
+                              || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT
+               % a.deg + 1)""")
+    selects = " UNION ALL ".join(
+        f"SELECT start, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(0, _WALK_LEN + 1)
+    )
+    return base + "," + ",".join(steps) + "\n" + selects
+
+
+QUERIES["graph_random_walk_deepwalk"] = graph_random_walk_deepwalk
+ORACLE["graph_random_walk_deepwalk"] = _walk_sql()

@@ -111,3 +111,39 @@ def test_permutation_p_value_range(spark, sf_dir):
     assert row.n_draws == _PERM_B
     assert 1.0 / (_PERM_B + 1) - 1e-9 <= row.p_value <= 1.0
     assert row.n_users > 0
+
+
+def test_deepwalk_transitions_are_edges(spark, duck, sf_dir):
+    """Every consecutive (step t -> t+1) hop follows a real edge of the
+    symmetric trade graph; every node starts exactly one walk of
+    exactly _WALK_LEN+1 steps; re-running yields the identical corpus
+    (md5 determinism)."""
+    from cortana_intelligence_customer360_spark.operators.graph import (
+        _SUPP_OFFSET,
+        _WALK_LEN,
+        graph_random_walk_deepwalk,
+    )
+
+    rows = graph_random_walk_deepwalk(spark, sf_dir).collect()
+    edges = set(
+        duck.execute(
+            f"""
+            WITH pairs AS (
+              SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT s, c FROM pairs UNION ALL SELECT c, s FROM pairs
+            """
+        ).fetchall()
+    )
+    walks = {}
+    for r in rows:
+        walks.setdefault(r.start, {})[r.step] = r.node
+    n_nodes = len({a for a, _ in edges})
+    assert len(walks) == n_nodes
+    for start, path in walks.items():
+        assert sorted(path) == list(range(_WALK_LEN + 1))
+        assert path[0] == start
+        for t in range(_WALK_LEN):
+            assert (path[t], path[t + 1]) in edges
+    again = graph_random_walk_deepwalk(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

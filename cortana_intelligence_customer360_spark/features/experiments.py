@@ -426,3 +426,251 @@ FROM draws d, obs o
 
 QUERIES["stat_permutation_test"] = stat_permutation_test
 ORACLE["stat_permutation_test"] = _PERM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier product-limit survival curve: the multiplicative sibling
+# of feat_survival_hazard's Nelson-Aalen cumulative hazard (same
+# lifetime/censoring construction, features/attribution.py:501). The
+# product is computed in LOG space with each increment quantized to
+# 9 dp before an exact DECIMAL running sum — the same
+# round-then-decimal-cumsum discipline the hazard op uses, which makes
+# the curve hash-stable across engines despite ln/exp being libm calls.
+
+_KM_CENSOR_DAYS = 90
+_KM_ANCHOR = "2001-08-01"
+
+
+def feat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate S(t) per market segment over
+    customer engagement lifetime (days between first and last order;
+    last order within _KM_CENSOR_DAYS of the horizon = right-censored).
+
+    S(t) = prod_{t_i <= t} (1 - d_i/n_i), computed as
+    exp(cumsum(round(ln(1 - h_i), 9))) with h_i the 6-dp hazard —
+    every float step is either an identical-operand IEEE op or an exact
+    DECIMAL sum, so both engines emit the identical curve. Shuffles:
+    one orders->customer aggregate and one segment-keyed window, same
+    budget as the hazard op."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    horizon = F.lit(_KM_ANCHOR).cast("date")
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            .cast("long")
+            .alias("t"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+        .withColumn(
+            "event",
+            (F.datediff(horizon, F.col("last_d")) > _KM_CENSOR_DAYS).cast("long"),
+        )
+    )
+    seg = life.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    )
+    per_t = seg.groupBy("c_mktsegment", "t").agg(
+        bcount().alias("n_at_t"), F.sum("event").cast("long").alias("d_at_t")
+    )
+    w_desc = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = per_t.withColumn("n_risk", F.sum("n_at_t").over(w_desc).cast("long"))
+    hz = F.round(F.col("d_at_t") / F.col("n_risk").cast("double"), 6)
+    ln_inc = F.round(F.log(F.lit(1.0) - hz), 9)
+    w_asc = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_ln = F.sum(ln_inc.cast("decimal(30,9)")).over(w_asc).cast("double")
+    return at_risk.where(F.col("d_at_t") > 0).select(
+        "c_mktsegment",
+        "t",
+        "n_risk",
+        "d_at_t",
+        F.round(F.exp(cum_ln), 6).alias("survival"),
+    )
+
+
+_KM_SQL = f"""
+WITH life AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                        MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS t,
+         CAST(CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                                  DATE '{_KM_ANCHOR}') > {_KM_CENSOR_DAYS}
+                   THEN 1 ELSE 0 END AS BIGINT) AS event
+  FROM orders GROUP BY o_custkey),
+seg AS (
+  SELECT c_mktsegment, t, event
+  FROM life JOIN customer ON o_custkey = c_custkey),
+per_t AS (
+  SELECT c_mktsegment, t, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+         CAST(SUM(event) AS BIGINT) AS d_at_t
+  FROM seg GROUP BY c_mktsegment, t),
+risk AS (
+  SELECT *, CAST(SUM(n_at_t) OVER (PARTITION BY c_mktsegment ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+  FROM per_t),
+inc AS (
+  SELECT c_mktsegment, t, n_risk, d_at_t,
+         ROUND(ln(1.0 - ROUND(d_at_t / CAST(n_risk AS DOUBLE), 6)), 9) AS ln_inc
+  FROM risk)
+SELECT c_mktsegment, t, n_risk, d_at_t,
+       ROUND(exp(CAST(SUM(CAST(ln_inc AS DECIMAL(30,9)))
+                      OVER (PARTITION BY c_mktsegment ORDER BY t ASC
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS survival
+FROM inc
+QUALIFY d_at_t > 0
+"""
+
+QUERIES["feat_kaplan_meier"] = feat_kaplan_meier
+ORACLE["feat_kaplan_meier"] = _KM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Caliper propensity matching: 1-nearest-control matching WITH
+# replacement inside a 0.01-wide propensity caliper block, then the ATT
+# over matched pairs. Blocking by the rounded score is what makes the
+# match embarrassingly parallel (each block is an independent window —
+# no global sort, no sequential greedy pass), the standard trade-off a
+# distributed matcher makes (caliper matching): treated users whose
+# block holds no control stay unmatched and are reported, never
+# silently matched across the caliper.
+
+
+def feat_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATT of first-event-click treatment on per-user purchase revenue
+    via within-caliper nearest-neighbor matching.
+
+    Propensity p = logistic(-1 + 0.8 ln(n_events+1) - 1.5 click_ratio)
+    rounded to 6 dp; caliper block = floor(100 p). Within each block,
+    ordered by (p, user_id), every treated user takes the nearer of the
+    last preceding / first following control (ties prefer preceding);
+    matching is with replacement so no sequential dependence exists.
+
+    Shape: one groupBy(user_id) collapse, then ONE window partitioned
+    by block (blocks are score-bounded slices, so no single partition
+    sees the whole population), then a global 1-row aggregate with
+    DECIMAL-exact sums. No self-join, no driver loop.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (F.min_by("event_type", "event_id") == "click").cast("int").alias("treated"),
+        bcount().alias("n_ev"),
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("n_click"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    )
+    z = (
+        F.lit(-1.0)
+        + 0.8 * F.log(F.col("n_ev").cast("double") + 1.0)
+        - 1.5 * (F.col("n_click").cast("double") / F.col("n_ev").cast("double"))
+    )
+    scored = users.select(
+        "user_id",
+        "treated",
+        "y",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p"),
+    ).withColumn("block", F.floor(F.col("p") * 100).cast("int"))
+    ctrl = F.col("treated") == 0
+    cand = F.when(ctrl, F.struct(F.col("p").alias("cp"), F.col("y").alias("cy")))
+    w = Window.partitionBy("block").orderBy("p", "user_id")
+    prev_c = F.last(cand, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_c = F.first(cand, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    m = scored.select(
+        "treated", "p", "y", prev_c.alias("prev_c"), next_c.alias("next_c")
+    ).where(F.col("treated") == 1)
+    use_prev = F.col("prev_c").isNotNull() & (
+        F.col("next_c").isNull()
+        | (
+            (F.col("p") - F.col("prev_c.cp"))
+            <= (F.col("next_c.cp") - F.col("p"))
+        )
+    )
+    chosen = F.when(use_prev, F.col("prev_c")).otherwise(F.col("next_c"))
+    paired = m.select("y", chosen.alias("c"))
+    matched = F.col("c").isNotNull()
+    return paired.groupBy().agg(
+        bcount().alias("n_treated"),
+        F.count(F.when(matched, 1)).cast("long").alias("n_matched"),
+        F.round(
+            dsum(F.when(matched, F.col("y") - F.col("c.cy")))
+            / F.count(F.when(matched, 1)),
+            6,
+        ).alias("att"),
+        F.round(
+            dsum(F.when(matched, F.col("y"))) / F.count(F.when(matched, 1)), 6
+        ).alias("mean_t_matched"),
+        F.round(
+            dsum(F.when(matched, F.col("c.cy"))) / F.count(F.when(matched, 1)), 6
+        ).alias("mean_c_matched"),
+    )
+
+
+_PSM_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(arg_min(event_type, event_id) = 'click' AS INT) AS treated,
+         CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+         {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS y
+  FROM events GROUP BY user_id),
+scored AS (
+  SELECT user_id, treated, y,
+         round(1.0 / (1.0 + exp(-(-1.0
+                + 0.8 * ln(CAST(n_ev AS DOUBLE) + 1.0)
+                - 1.5 * (CAST(n_click AS DOUBLE) / CAST(n_ev AS DOUBLE))))),
+               6) AS p
+  FROM users),
+blocked AS (
+  SELECT *, CAST(floor(p * 100) AS INT) AS block FROM scored),
+cands AS (
+  SELECT treated, p, y,
+         last_value(CASE WHEN treated = 0
+                         THEN struct_pack(cp := p, cy := y) END IGNORE NULLS)
+           OVER (PARTITION BY block ORDER BY p, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+         first_value(CASE WHEN treated = 0
+                          THEN struct_pack(cp := p, cy := y) END IGNORE NULLS)
+           OVER (PARTITION BY block ORDER BY p, user_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+  FROM blocked),
+paired AS (
+  SELECT y,
+         CASE WHEN prev_c IS NOT NULL
+                   AND (next_c IS NULL
+                        OR (p - prev_c.cp) <= (next_c.cp - p))
+              THEN prev_c ELSE next_c END AS c
+  FROM cands WHERE treated = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+       CAST(COUNT(CASE WHEN c IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
+       round({dsum_sql('CASE WHEN c IS NOT NULL THEN y - c.cy END')}
+             / COUNT(CASE WHEN c IS NOT NULL THEN 1 END), 6) AS att,
+       round({dsum_sql('CASE WHEN c IS NOT NULL THEN y END')}
+             / COUNT(CASE WHEN c IS NOT NULL THEN 1 END), 6) AS mean_t_matched,
+       round({dsum_sql('CASE WHEN c IS NOT NULL THEN c.cy END')}
+             / COUNT(CASE WHEN c IS NOT NULL THEN 1 END), 6) AS mean_c_matched
+FROM paired
+"""
+
+QUERIES["feat_propensity_matching"] = feat_propensity_matching
+ORACLE["feat_propensity_matching"] = _PSM_SQL

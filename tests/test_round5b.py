@@ -147,3 +147,50 @@ def test_deepwalk_transitions_are_edges(spark, duck, sf_dir):
             assert (path[t], path[t + 1]) in edges
     again = graph_random_walk_deepwalk(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_kaplan_meier_monotone(spark, sf_dir):
+    """S(t) is non-increasing in t within each segment, starts <= 1,
+    stays > 0, and approximately equals exp(-H(t)) from the
+    Nelson-Aalen op (the two estimators agree to first order when
+    hazards are small)."""
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        feat_survival_hazard,
+    )
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        feat_kaplan_meier,
+    )
+
+    km = feat_kaplan_meier(spark, sf_dir).collect()
+    assert km
+    by_seg = {}
+    for r in km:
+        by_seg.setdefault(r.c_mktsegment, []).append((r.t, r.survival))
+    for seg, pts in by_seg.items():
+        pts.sort()
+        assert all(0.0 < s <= 1.0 for _, s in pts)
+        assert all(a[1] >= b[1] for a, b in zip(pts, pts[1:]))
+    na = {
+        (r.c_mktsegment, r.t): r.cum_hazard
+        for r in feat_survival_hazard(spark, sf_dir).collect()
+    }
+    import math
+
+    for r in km:
+        h = na[(r.c_mktsegment, r.t)]
+        # exp(-H) >= S always (AM-GM); equality to ~h_max/2 per step
+        assert math.exp(-h) >= r.survival - 1e-9
+        assert abs(math.exp(-h) - r.survival) < 0.05
+
+
+def test_propensity_matching_shape(spark, sf_dir):
+    """n_matched <= n_treated, att = mean_t_matched - mean_c_matched
+    (same matched set), and the matched control mean is a real
+    control-population value (finite)."""
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        feat_propensity_matching,
+    )
+
+    r = feat_propensity_matching(spark, sf_dir).collect()[0]
+    assert 0 < r.n_matched <= r.n_treated
+    assert r.att == pytest.approx(r.mean_t_matched - r.mean_c_matched, abs=3e-6)

@@ -76,6 +76,10 @@ def feat_shapley_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("conv").cast("long").alias("conv"),
         bcount().alias("n_users"),
     )
+    # <=16 coalition rows: materialize once (eager localCheckpoint) so
+    # the v(S) and touched branches don't each re-scan/re-shuffle the
+    # event table — the plan keeps exactly ONE user_id exchange.
+    exact = exact.localCheckpoint()
     # v(S) = sum of conv(T) over exact masks T subseteq S, for all 16 S.
     s_masks = spark.range(1 << _N_CH).select(F.col("id").cast("int").alias("s"))
     v = (
@@ -121,7 +125,7 @@ def feat_shapley_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         terms.groupBy("channel")
         .agg(F.sum("num24").cast("long").alias("num24"))
-        .join(touched, "channel", "left")
+        .join(F.broadcast(touched), "channel", "left")
         .select(
             "channel",
             F.round(F.col("num24").cast("double") / F.lit(24.0), 6).alias("shapley"),

@@ -584,3 +584,58 @@ def test_auc_has_no_pairwise_join(spark, sf_dir):
     assert "Join" not in plan
     # partial aggregation before the exchange (map-side combine)
     assert "partial_" in plan
+
+
+def test_shapley_single_wide_exchange(spark, sf_dir):
+    """feat_shapley_channel: exactly ONE exchange keys on user_id (the
+    event collapse); everything downstream runs on <=16-row frames via
+    broadcast joins — no second wide shuffle of event-scale data."""
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        feat_shapley_channel,
+    )
+
+    plan = plan_string(feat_shapley_channel(spark, sf_dir))
+    # The user_id collapse runs ONCE, eagerly, at the 16-row coalition
+    # checkpoint — the downstream plan must never re-shuffle user- or
+    # event-scale data and resolves every coalition join by broadcast.
+    assert plan.count("hashpartitioning(user_id") == 0
+    assert plan.count("hashpartitioning(mask") == 0
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_permutation_partial_agg_before_shuffle(spark, sf_dir):
+    """stat_permutation_test: the x200 explode partially aggregates
+    map-side (partial_ markers), so the draw shuffle moves B x
+    partitions sufficient-stat rows, not user x B rows."""
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        stat_permutation_test,
+    )
+
+    plan = plan_string(stat_permutation_test(spark, sf_dir))
+    assert "partial_" in plan
+
+
+def test_ratio_ci_single_custkey_shuffle(spark, sf_dir):
+    """agg_ratio_delta_ci: the per-customer collapse exchanges on
+    o_custkey exactly once; the segment aggregate is partial-combined."""
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        agg_ratio_delta_ci,
+    )
+
+    plan = plan_string(agg_ratio_delta_ci(spark, sf_dir))
+    assert plan.count("hashpartitioning(o_custkey") <= 2  # agg + join reuse
+    assert "partial_" in plan
+
+
+def test_kaplan_meier_two_shuffles(spark, sf_dir):
+    """feat_kaplan_meier: shuffle budget is the custkey collapse plus
+    the segment-keyed windows — no event/order-scale re-exchange, and
+    the two windows share the c_mktsegment partitioning."""
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        feat_kaplan_meier,
+    )
+
+    plan = plan_string(feat_kaplan_meier(spark, sf_dir))
+    assert plan.count("hashpartitioning(o_custkey") <= 2
+    assert "Window" in plan

@@ -990,3 +990,93 @@ FROM sse
 
 QUERIES["ml_gbm_stumps"] = ml_gbm_stumps
 ORACLE["ml_gbm_stumps"] = _gbm_sql()
+
+
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form RIDGE regression per segment — ml_linreg_closed_form
+    extended to two features with an L2 penalty (lambda = 0.1 n, the
+    population-objective scaling), still trained in ONE
+    partial-aggregable pass of exact DECIMAL sufficient statistics.
+
+    Fit: l_extendedprice ~ l_quantity + l_discount per l_returnflag,
+    intercept unpenalized via feature centering; the 2x2 system
+    (X'X_c + lambda I) beta = X'y_c inverts in closed form on the
+    3-row aggregate. Every float op runs on identical exact-sum
+    operands in both engines, so the 6-dp emission hashes exactly —
+    the same discipline that makes the OLS op full-oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("double")
+    x2 = F.col("l_discount").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    g = li.groupBy("l_returnflag").agg(
+        bcount().alias("n"),
+        dsum(x1).alias("sx1"),
+        dsum(x2).alias("sx2"),
+        dsum(y).alias("sy"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    s11c = F.col("s11") - F.col("sx1") * F.col("sx1") / n
+    s22c = F.col("s22") - F.col("sx2") * F.col("sx2") / n
+    s12c = F.col("s12") - F.col("sx1") * F.col("sx2") / n
+    s1yc = F.col("s1y") - F.col("sx1") * F.col("sy") / n
+    s2yc = F.col("s2y") - F.col("sx2") * F.col("sy") / n
+    a11 = s11c + 0.1 * n
+    a22 = s22c + 0.1 * n
+    det = a11 * a22 - s12c * s12c
+    b1 = (s1yc * a22 - s2yc * s12c) / det
+    b2 = (a11 * s2yc - s12c * s1yc) / det
+    icpt = F.col("sy") / n - b1 * (F.col("sx1") / n) - b2 * (F.col("sx2") / n)
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round(icpt, 6).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+_RIDGE_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('l_quantity')} AS sx1,
+         {dsum_sql('l_discount')} AS sx2,
+         {dsum_sql('l_extendedprice')} AS sy,
+         {dsum_sql('l_quantity * l_quantity')} AS s11,
+         {dsum_sql('l_discount * l_discount')} AS s22,
+         {dsum_sql('l_quantity * l_discount')} AS s12,
+         {dsum_sql('l_quantity * l_extendedprice')} AS s1y,
+         {dsum_sql('l_discount * l_extendedprice')} AS s2y
+  FROM lineitem GROUP BY l_returnflag),
+c AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd, sx1, sx2, sy,
+         s11 - sx1 * sx1 / CAST(n AS DOUBLE) AS s11c,
+         s22 - sx2 * sx2 / CAST(n AS DOUBLE) AS s22c,
+         s12 - sx1 * sx2 / CAST(n AS DOUBLE) AS s12c,
+         s1y - sx1 * sy / CAST(n AS DOUBLE) AS s1yc,
+         s2y - sx2 * sy / CAST(n AS DOUBLE) AS s2yc
+  FROM s),
+m AS (
+  SELECT *, s11c + 0.1 * nd AS a11, s22c + 0.1 * nd AS a22
+  FROM c),
+d AS (
+  SELECT *, a11 * a22 - s12c * s12c AS det,
+         (s1yc * a22 - s2yc * s12c) / (a11 * a22 - s12c * s12c) AS b1,
+         (a11 * s2yc - s12c * s1yc) / (a11 * a22 - s12c * s12c) AS b2
+  FROM m)
+SELECT l_returnflag, n,
+       round(b1, 6) AS beta_qty,
+       round(b2, 6) AS beta_disc,
+       round(sy / nd - b1 * (sx1 / nd) - b2 * (sx2 / nd), 6) AS intercept
+FROM d
+ORDER BY l_returnflag
+"""
+
+QUERIES["ml_ridge_closed_form"] = ml_ridge_closed_form
+ORACLE["ml_ridge_closed_form"] = _RIDGE_SQL

@@ -1163,3 +1163,38 @@ FROM h
 
 QUERIES["fn_crypto_hash"] = fn_crypto_hash
 ORACLE["fn_crypto_hash"] = _FN_CRYPTO_SQL
+
+
+def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/decode surface: base64 and hex of UTF-8 text, with
+    lossless round-trip proof columns — the serialization primitives a
+    pipeline needs to smuggle arbitrary bytes through string-typed
+    transports. Map-only, whole-stage-codegen; both engines implement
+    RFC 4648 base64 (no line wrapping at these lengths) and uppercase
+    hex over the identical UTF-8 bytes."""
+    part = load_table(spark, sf_dir, "part")
+    name_b = F.col("p_name").cast("binary")
+    b64 = F.base64(name_b)
+    hx = F.hex(F.col("p_brand").cast("binary"))
+    return part.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        b64.alias("name_b64"),
+        F.upper(hx).alias("brand_hex"),
+        (F.col("p_name") == F.unbase64(b64).cast("string")).alias("b64_roundtrip"),
+        (F.col("p_brand") == F.unhex(hx).cast("string")).alias("hex_roundtrip"),
+        F.length(b64).cast("long").alias("b64_len"),
+    )
+
+
+_FN_BINARY_CODEC_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       base64(encode(p_name)) AS name_b64,
+       upper(hex(p_brand)) AS brand_hex,
+       p_name = decode(from_base64(base64(encode(p_name)))) AS b64_roundtrip,
+       p_brand = decode(from_hex(hex(p_brand))) AS hex_roundtrip,
+       CAST(length(base64(encode(p_name))) AS BIGINT) AS b64_len
+FROM part
+"""
+
+QUERIES["fn_binary_codec"] = fn_binary_codec
+ORACLE["fn_binary_codec"] = _FN_BINARY_CODEC_SQL

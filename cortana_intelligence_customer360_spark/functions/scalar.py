@@ -1198,3 +1198,73 @@ FROM part
 
 QUERIES["fn_binary_codec"] = fn_binary_codec
 ORACLE["fn_binary_codec"] = _FN_BINARY_CODEC_SQL
+
+
+def sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/END): procedural
+    control flow running entirely inside the SQL layer — a YoY growth
+    rate is measured once, then compounded over 6 periods by a WHILE
+    loop, and the final statement projects per-status revenue at the
+    compounded factor. The loop multiplies left-associatively from 1.0,
+    and the oracle replays the identical 6-term multiplication chain on
+    the identically-rounded growth scalar, so every float is
+    bit-matched. Scripting state lives in session variables — zero
+    client-side splicing; the per-status aggregate is the only
+    distributed work (one exchange, DECIMAL-exact sums)."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_scr")
+    return spark.sql(
+        """
+BEGIN
+  DECLARE g DOUBLE;
+  DECLARE factor DOUBLE = 1.0;
+  DECLARE i INT = 0;
+  SET g = (
+    SELECT round(
+      (CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                     THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE)
+       - CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                       THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE))
+      / CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                      THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE),
+      6)
+    FROM orders_scr);
+  WHILE i < 6 DO
+    SET factor = factor * (1.0 + g);
+    SET i = i + 1;
+  END WHILE;
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               * factor, 2) AS projected_6p
+  FROM orders_scr
+  GROUP BY o_orderstatus;
+END
+"""
+    )
+
+
+_SQL_SCRIPTING_SQL = """
+WITH yr AS (
+  SELECT CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                       THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS r97,
+         CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                       THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS r96
+  FROM orders),
+gr AS (SELECT round((r97 - r96) / r96, 6) AS g FROM yr),
+f AS (
+  SELECT ((((((1.0 * (1.0 + g)) * (1.0 + g)) * (1.0 + g)) * (1.0 + g))
+           * (1.0 + g)) * (1.0 + g)) AS factor
+  FROM gr)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             * (SELECT factor FROM f), 2) AS projected_6p
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+QUERIES["sql_scripting_while"] = sql_scripting_while
+ORACLE["sql_scripting_while"] = _SQL_SCRIPTING_SQL

@@ -149,6 +149,15 @@ HEAVY = [
     "agg_revenue_bridge",
     "dq_outlier_iqr",
     "text_js_divergence",
+    # round-5 additions
+    "feat_shapley_channel",
+    "stat_permutation_test",
+    "graph_random_walk_deepwalk",
+    "feat_propensity_matching",
+    "feat_kaplan_meier",
+    "ts_acf_profile",
+    "ml_ridge_closed_form",
+    "agg_skew_kurtosis",
 ]
 
 

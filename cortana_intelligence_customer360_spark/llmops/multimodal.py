@@ -732,3 +732,117 @@ ORACLE = {
     "multimodal_image_resize": _RESIZE_SQL,
     "multimodal_audio_framesample": _FRAMESAMPLE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Windowed loudness / silence detection (round 5): the audio-curation
+# filter a speech-data pipeline runs right after decode — per-frame RMS
+# energy and the silence ratio that gates whether a clip is worth
+# transcribing. Decode is the REAL RIFF/PCM16 round trip (codecs.py);
+# frame energies are exact integer square sums, so only the final
+# sqrt/ratio are floats (identical operands both engines).
+
+_LOUD_WIN = 50
+_LOUD_THR = 1000.0
+
+
+def _loudness_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            payload = encode_wav(_WAV_RATE, _wav_samples(d))
+            samples = np.frombuffer(payload[44:], dtype="<i2").astype("int64")
+            n = len(samples)
+            n_frames = 0
+            silent = 0
+            max_rms = 0.0
+            total_sumsq = 0
+            for f0 in range(0, n, _LOUD_WIN):
+                fr = samples[f0 : f0 + _LOUD_WIN]
+                sumsq = int((fr * fr).sum())
+                total_sumsq += sumsq
+                rms = round(math.sqrt(sumsq / float(len(fr))), 6)
+                n_frames += 1
+                if rms < _LOUD_THR:
+                    silent += 1
+                if rms > max_rms:
+                    max_rms = rms
+            rows.append(
+                (
+                    d,
+                    n_frames,
+                    silent,
+                    round(silent / float(n_frames), 6),
+                    max_rms,
+                    total_sumsq,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_frames",
+                "silent_frames",
+                "silence_ratio",
+                "max_rms",
+                "total_sumsq",
+            ],
+        )
+
+
+LOUDNESS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("silent_frames", T.LongType()),
+        T.StructField("silence_ratio", T.DoubleType()),
+        T.StructField("max_rms", T.DoubleType()),
+        T.StructField("total_sumsq", T.LongType()),
+    ]
+)
+
+
+def multimodal_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip silence profile from real PCM16 decode: RMS per
+     50-sample frame, silence = frame RMS < 1000. Arrow-batched
+    mapInPandas (one Python stage, no shuffle); the oracle replays the
+    frame math closed-form from the generator — decode correctness is
+    pinned because any RIFF mis-parse shifts every square sum."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_loudness_batches, LOUDNESS_SCHEMA)
+
+
+_LOUDNESS_SQL = f"""
+WITH p AS (SELECT doc_id, CAST(doc_id % 400 + 50 AS BIGINT) AS n FROM documents),
+fr AS (
+  SELECT p.doc_id, p.n, t.f AS f0, LEAST(t.f + {_LOUD_WIN}, p.n) AS f1
+  FROM p, UNNEST(range(0, p.n, {_LOUD_WIN})) AS t(f)),
+fs AS (
+  SELECT doc_id, f1 - f0 AS flen,
+         CAST(list_sum(list_transform(range(f0, f1), i ->
+           (((doc_id * 31 + i * 17) % 4096) - 2048)
+           * (((doc_id * 31 + i * 17) % 4096) - 2048))) AS BIGINT) AS sumsq
+  FROM fr),
+fx AS (
+  SELECT doc_id, sumsq,
+         round(sqrt(CAST(sumsq AS DOUBLE) / CAST(flen AS DOUBLE)), 6) AS rms
+  FROM fs)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(CASE WHEN rms < {_LOUD_THR} THEN 1 END) AS BIGINT)
+         AS silent_frames,
+       round(COUNT(CASE WHEN rms < {_LOUD_THR} THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS silence_ratio,
+       MAX(rms) AS max_rms,
+       CAST(SUM(sumsq) AS BIGINT) AS total_sumsq
+FROM fx
+GROUP BY doc_id
+"""
+
+QUERIES["multimodal_wav_loudness"] = multimodal_wav_loudness
+ORACLE["multimodal_wav_loudness"] = _LOUDNESS_SQL

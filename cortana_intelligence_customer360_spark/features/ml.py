@@ -1080,3 +1080,181 @@ ORDER BY l_returnflag
 
 QUERIES["ml_ridge_closed_form"] = ml_ridge_closed_form
 ORACLE["ml_ridge_closed_form"] = _RIDGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked DBSCAN (round 5): density clustering — the non-convex
+# complement to ml_kmeans_lloyd. Neighborhoods come from a 9-cell grid
+# join (cell = eps-sized square), so pair generation is blocked the
+# same way join_spatial_grid/dedup ops are — never all-pairs. Core
+# points (>= minPts eps-neighbors, self included) cluster by exact
+# hash-min label propagation to FIXPOINT (the connected-components
+# machinery); border points adopt the MIN neighboring core label
+# (deterministic variant of DBSCAN's "any core" assignment); the rest
+# are noise (-1).
+
+_DBSCAN_EPS = 0.02
+_DBSCAN_MINPTS = 5
+_DBSCAN_MAX_ROUNDS = 64
+_DBSCAN_ORACLE_ROUNDS = 32  # >= measured fixpoint (17 @ sf0.01, 22 @
+# sf0.1) with headroom; min-labels are monotone so extra rounds no-op.
+
+
+def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, n_neighbors, is_core, cluster) over the first two
+    embedding dims; cluster = min core vec_id of the density-connected
+    component, -1 for noise.
+
+    Scale shape: candidate pairs are bounded by 9-cell occupancy (grid
+    blocking), the core-core edge list partitions on src and persists
+    through the fixpoint loop (only node-cardinality label tables move
+    per round), and every float comparison is the identical IEEE
+    dist^2 <= eps^2 on float->double widened operands — the labels
+    themselves are exact integers, so the oracle's unrolled hash-min
+    replay matches bit-for-bit."""
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    eps = F.lit(_DBSCAN_EPS)
+    a = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / eps).cast("long").alias("cx"),
+        F.floor(F.col("y") / eps).cast("long").alias("cy"),
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    b = a.crossJoin(F.broadcast(offs)).select(
+        F.col("id").alias("bid"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .where(d2 <= eps * eps)
+        .select("id", "bid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs.count()
+    nb = pairs.groupBy("id").agg(bcount().alias("n_nb"))
+    core = nb.where(F.col("n_nb") >= _DBSCAN_MINPTS).select("id")
+    ce = (
+        pairs.join(core.withColumnRenamed("id", "cid"), F.col("id") == F.col("cid"))
+        .drop("cid")
+        .join(core.withColumnRenamed("id", "cid"), F.col("bid") == F.col("cid"))
+        .drop("cid")
+        .where(F.col("id") != F.col("bid"))
+        .repartition(F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ce.count()
+    labels = core.select(F.col("id").alias("node"), F.col("id").alias("lbl"))
+    labels = labels.localCheckpoint(eager=False)
+    prev = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(_DBSCAN_MAX_ROUNDS):
+        prop = ce.join(labels.withColumnRenamed("node", "id"), "id").select(
+            F.col("bid").alias("node"), "lbl"
+        )
+        labels = (
+            prop.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    border = (
+        pairs.where(F.col("id") != F.col("bid"))
+        .join(labels.withColumnRenamed("node", "bid"), "bid")
+        .groupBy("id")
+        .agg(F.min("lbl").alias("border_lbl"))
+    )
+    out = (
+        nb.join(labels.withColumnRenamed("node", "id"), "id", "left")
+        .join(border, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("n_nb").alias("n_neighbors"),
+            F.col("lbl").isNotNull().cast("long").alias("is_core"),
+            F.coalesce("lbl", "border_lbl", F.lit(-1)).cast("long").alias("cluster"),
+        )
+    )
+    out = out.localCheckpoint()
+    pairs.unpersist()
+    ce.unpersist()
+    return out
+
+
+def _dbscan_sql() -> str:
+    e = _DBSCAN_EPS
+    parts = [
+        f"""
+pts AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings),
+cells AS MATERIALIZED (
+  SELECT *, CAST(floor(x / {e}) AS BIGINT) AS cx,
+         CAST(floor(y / {e}) AS BIGINT) AS cy
+  FROM pts),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+pairs AS MATERIALIZED (
+  SELECT a.id, b.id AS bid
+  FROM cells a
+  JOIN (SELECT c.id, c.x, c.y, c.cx + o.dx AS cx, c.cy + o.dy AS cy
+        FROM cells c, offs o) b
+    ON a.cx = b.cx AND a.cy = b.cy
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {e} * {e}),
+nb AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_nb FROM pairs GROUP BY id),
+core AS MATERIALIZED (SELECT id FROM nb WHERE n_nb >= {_DBSCAN_MINPTS}),
+ce AS MATERIALIZED (
+  SELECT p.id AS src, p.bid AS dst FROM pairs p
+  JOIN core c1 ON c1.id = p.id
+  JOIN core c2 ON c2.id = p.bid
+  WHERE p.id <> p.bid),
+l0 AS MATERIALIZED (SELECT id AS node, id AS lbl FROM core)"""
+    ]
+    for i in range(1, _DBSCAN_ORACLE_ROUNDS + 1):
+        parts.append(
+            f"""
+l{i} AS MATERIALIZED (
+  SELECT node, MIN(lbl) AS lbl FROM (
+    SELECT e.dst AS node, l.lbl FROM ce e JOIN l{i - 1} l ON l.node = e.src
+    UNION ALL SELECT node, lbl FROM l{i - 1})
+  GROUP BY node)"""
+        )
+    n = _DBSCAN_ORACLE_ROUNDS
+    return f"""
+WITH {",".join(parts)},
+border AS (
+  SELECT p.id, MIN(l.lbl) AS border_lbl
+  FROM pairs p JOIN l{n} l ON l.node = p.bid
+  WHERE p.id <> p.bid
+  GROUP BY p.id)
+SELECT nb.id AS vec_id, nb.n_nb AS n_neighbors,
+       CAST(CASE WHEN l.lbl IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_core,
+       CAST(COALESCE(l.lbl, b.border_lbl, -1) AS BIGINT) AS cluster
+FROM nb
+LEFT JOIN l{n} l ON l.node = nb.id
+LEFT JOIN border b ON b.id = nb.id
+"""
+
+
+QUERIES["ml_dbscan_grid"] = ml_dbscan_grid
+ORACLE["ml_dbscan_grid"] = _dbscan_sql()

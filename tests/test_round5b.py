@@ -194,3 +194,43 @@ def test_propensity_matching_shape(spark, sf_dir):
     r = feat_propensity_matching(spark, sf_dir).collect()[0]
     assert 0 < r.n_matched <= r.n_treated
     assert r.att == pytest.approx(r.mean_t_matched - r.mean_c_matched, abs=3e-6)
+
+
+def test_dbscan_density_invariants(spark, duck, sf_dir):
+    """DBSCAN axioms on the output: (1) core <=> n_neighbors >= minPts;
+    (2) any two core points within eps share a cluster (density
+    connectivity is transitive over the fixpoint); (3) noise points are
+    non-core with no core neighbor; (4) cluster labels are core ids."""
+    from cortana_intelligence_customer360_spark.features.ml import (
+        _DBSCAN_EPS,
+        _DBSCAN_MINPTS,
+        ml_dbscan_grid,
+    )
+
+    rows = {r.vec_id: r for r in ml_dbscan_grid(spark, sf_dir).collect()}
+    assert rows
+    core_ids = {v for v, r in rows.items() if r.is_core == 1}
+    for v, r in rows.items():
+        assert (r.n_neighbors >= _DBSCAN_MINPTS) == (r.is_core == 1)
+        if r.cluster != -1:
+            assert r.cluster in core_ids
+            assert rows[r.cluster].cluster == r.cluster
+    pairs = duck.execute(
+        f"""
+        WITH pts AS (SELECT CAST(vec_id AS BIGINT) id,
+                            CAST(embedding[1] AS DOUBLE) x,
+                            CAST(embedding[2] AS DOUBLE) y FROM embeddings)
+        SELECT a.id, b.id FROM pts a JOIN pts b
+        ON a.id < b.id
+        AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_DBSCAN_EPS * _DBSCAN_EPS}
+        """
+    ).fetchall()
+    for u, v in pairs:
+        ru, rv = rows[u], rows[v]
+        if ru.is_core and rv.is_core:
+            assert ru.cluster == rv.cluster
+        # a non-core point adjacent to a core point is never noise
+        if ru.is_core and not rv.is_core:
+            assert rv.cluster != -1
+        if rv.is_core and not ru.is_core:
+            assert ru.cluster != -1

@@ -686,3 +686,106 @@ FROM paired
 
 QUERIES["feat_propensity_matching"] = feat_propensity_matching
 ORACLE["feat_propensity_matching"] = _PSM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Weight of Evidence / Information Value: the credit-scoring-style
+# predictor audit — how much does the account-balance band say about
+# conversion? The canonical pre-model feature screen (IV < 0.02 =>
+# useless, > 0.3 => strong) that belongs next to feat_target_encoding.
+
+
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per acctbal band (fixed-width floor(c_acctbal/2000) buckets —
+    engine-independent, unlike ntile on ties): event counts, WOE with
+    +0.5 Laplace smoothing on the numerators, the band's IV term, and
+    the total IV replicated per row.
+
+    Shape: one user-collapse of events (conversion flag), a broadcast-
+    sized join to customer bands, a <=10-row band aggregate, and
+    window totals over those rows. Counts are exact integers; WOE's ln
+    runs on identical-operand doubles and is 6-dp rounded; IV terms go
+    back through DECIMAL for the exact total (compat rules 1/3)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    # Target: HEAVY purchaser (>= 14 purchase events). Every joined
+    # user has some purchases in this corpus, so a has-any flag would
+    # be constant-1 (zero bads, degenerate WOE); the count threshold
+    # splits ~50/50 at every SF.
+    conv = ev.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14
+        ).cast("int").alias("converted")
+    )
+    banded = conv.join(
+        cust.select(F.col("c_custkey").alias("user_id"), "c_acctbal"), "user_id"
+    ).select(
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bucket"),
+        "converted",
+    )
+    g = banded.groupBy("bucket").agg(
+        bcount().alias("n"),
+        F.sum("converted").cast("long").alias("good"),
+        (bcount() - F.sum("converted")).cast("long").alias("bad"),
+    )
+    tot = Window.partitionBy()
+    good_t = F.sum("good").over(tot).cast("double")
+    bad_t = F.sum("bad").over(tot).cast("double")
+    gr = (F.col("good").cast("double") + 0.5) / good_t
+    br = (F.col("bad").cast("double") + 0.5) / bad_t
+    woe = F.round(F.log(gr / br), 6)
+    iv_term = F.round((gr - br) * F.log(gr / br), 6)
+    d = g.select("bucket", "n", "good", "bad", woe.alias("woe"), iv_term.alias("iv_term"))
+    return d.select(
+        "bucket",
+        "n",
+        "good",
+        "bad",
+        "woe",
+        "iv_term",
+        F.round(
+            F.sum(F.col("iv_term").cast(_DEC)).over(tot).cast("double"), 6
+        ).alias("iv_total"),
+    ).orderBy("bucket")
+
+
+_WOE_SQL = """
+WITH conv AS (
+  SELECT user_id,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+              AS INT) AS converted
+  FROM events GROUP BY user_id),
+banded AS (
+  SELECT CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bucket, converted
+  FROM conv JOIN customer ON user_id = c_custkey),
+g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS good,
+         CAST(COUNT(*) - SUM(converted) AS BIGINT) AS bad
+  FROM banded GROUP BY bucket),
+w AS (
+  SELECT bucket, n, good, bad,
+         round(ln(((CAST(good AS DOUBLE) + 0.5)
+                   / CAST(SUM(good) OVER () AS DOUBLE))
+                  / ((CAST(bad AS DOUBLE) + 0.5)
+                     / CAST(SUM(bad) OVER () AS DOUBLE))), 6) AS woe,
+         round(((CAST(good AS DOUBLE) + 0.5)
+                 / CAST(SUM(good) OVER () AS DOUBLE)
+                - (CAST(bad AS DOUBLE) + 0.5)
+                  / CAST(SUM(bad) OVER () AS DOUBLE))
+               * ln(((CAST(good AS DOUBLE) + 0.5)
+                     / CAST(SUM(good) OVER () AS DOUBLE))
+                    / ((CAST(bad AS DOUBLE) + 0.5)
+                       / CAST(SUM(bad) OVER () AS DOUBLE))), 6) AS iv_term
+  FROM g)
+SELECT bucket, n, good, bad, woe, iv_term,
+       round(CAST(SUM(CAST(iv_term AS DECIMAL(30,6))) OVER () AS DOUBLE), 6)
+         AS iv_total
+FROM w
+ORDER BY bucket
+"""
+
+QUERIES["feat_woe_iv"] = feat_woe_iv
+ORACLE["feat_woe_iv"] = _WOE_SQL

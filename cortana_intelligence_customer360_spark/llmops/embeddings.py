@@ -352,3 +352,53 @@ QUERIES["emb_product_quantization"] = emb_product_quantization
 # R-tier: codes are KMeans-model output; contracts pinned in
 # tests/test_embeddings.py (range, zero-error planted corpus,
 # K-monotone MSE).
+
+
+def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of the embedding
+    matrix — sklearn QuantileTransformer semantics with min-rank ties:
+    q = (rank - 1)/(n - 1) maps every dimension onto [0, 1] by rank,
+    the preprocessing that makes dimensions comparable before distance
+    math when their scales drift (a real hazard after PCA/PQ stages).
+
+    Shape: posexplode to (vec_id, dim, val) long form — n x d rows, the
+    natural layout for per-dim stats — then ONE window keyed by dim
+    (d partitions, each n rows; at 100 TB you'd range-partition within
+    dim, the house distributed-rank pattern). q is an exact integer
+    ratio evaluated identically in both engines; output stays long
+    form (compat rule 6: no arrays in final output)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), F.col("val").cast("double").alias("val"))
+    w = Window.partitionBy("dim").orderBy("val")
+    wn = Window.partitionBy("dim")
+    return long.select(
+        "vec_id",
+        "dim",
+        F.round(
+            (F.rank().over(w) - F.lit(1)).cast("double")
+            / (F.count("*").over(wn) - F.lit(1)).cast("double"),
+            6,
+        ).alias("q"),
+    )
+
+
+_EMB_QNORM_SQL = """
+WITH long AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(d.i AS BIGINT) AS dim,
+         CAST(embedding[d.i + 1] AS DOUBLE) AS val
+  FROM embeddings,
+       UNNEST(range(0, len(embedding))) AS d(i))
+SELECT vec_id, dim,
+       round(CAST(rank() OVER (PARTITION BY dim ORDER BY val) - 1 AS DOUBLE)
+             / CAST(COUNT(*) OVER (PARTITION BY dim) - 1 AS DOUBLE), 6) AS q
+FROM long
+"""
+
+QUERIES["emb_quantile_normalize"] = emb_quantile_normalize
+ORACLE["emb_quantile_normalize"] = _EMB_QNORM_SQL

@@ -234,3 +234,42 @@ def test_dbscan_density_invariants(spark, duck, sf_dir):
             assert rv.cluster != -1
         if rv.is_core and not ru.is_core:
             assert ru.cluster != -1
+
+
+def test_quantile_normalize_bounds(spark, sf_dir):
+    """q in [0,1]; per dim the min-rank value has q=0 and the max has
+    q=1; equal values share q (min-rank ties)."""
+    from cortana_intelligence_customer360_spark.llmops.embeddings import (
+        emb_quantile_normalize,
+    )
+
+    rows = emb_quantile_normalize(spark, sf_dir).collect()
+    assert rows
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r.dim, []).append(r.q)
+    for dim, qs in by_dim.items():
+        assert min(qs) == 0.0
+        assert max(qs) == 1.0
+        assert all(0.0 <= q <= 1.0 for q in qs)
+
+
+def test_woe_iv_identity(spark, sf_dir):
+    """IV total equals the sum of the per-band terms; WOE sign tracks
+    whether the band over-indexes on conversion; counts reconcile."""
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        feat_woe_iv,
+    )
+
+    rows = feat_woe_iv(spark, sf_dir).collect()
+    assert rows
+    tot = sum(r.iv_term for r in rows)
+    assert rows[0].iv_total == pytest.approx(tot, abs=1e-6)
+    good_t = sum(r.good for r in rows)
+    bad_t = sum(r.bad for r in rows)
+    assert good_t > 0 and bad_t > 0
+    for r in rows:
+        assert r.n == r.good + r.bad
+        gr = (r.good + 0.5) / good_t
+        br = (r.bad + 0.5) / bad_t
+        assert (r.woe > 0) == (gr > br)

@@ -789,3 +789,88 @@ ORDER BY bucket
 
 QUERIES["feat_woe_iv"] = feat_woe_iv
 ORACLE["feat_woe_iv"] = _WOE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Mutual information I(segment; heavy-purchaser) in nats — the
+# information-theoretic counterpart of agg_chisq_segments: how many
+# nats does knowing the segment buy about conversion? Uses the same
+# 5x2 contingency collapse; all probabilities are exact integer ratios
+# and each cell's ln runs on identical-operand doubles (6-dp rounded
+# per-cell before the DECIMAL total, the feat_woe_iv discipline).
+
+
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per contingency cell (segment x target) with the cell's
+    MI contribution p_xy * ln(p_xy/(p_x p_y)), plus the exact MI total
+    replicated per row; zero cells contribute 0 by convention."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    conv = ev.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14
+        ).cast("int").alias("heavy")
+    )
+    cells = (
+        conv.join(
+            cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy("c_mktsegment", "heavy")
+        .agg(bcount().alias("o"))
+    )
+    tot = Window.partitionBy()
+    row_w = Window.partitionBy("c_mktsegment")
+    col_w = Window.partitionBy("heavy")
+    n = F.sum("o").over(tot).cast("double")
+    p_xy = F.col("o").cast("double") / n
+    p_x = F.sum("o").over(row_w).cast("double") / n
+    p_y = F.sum("o").over(col_w).cast("double") / n
+    term = F.round(p_xy * F.log(p_xy / (p_x * p_y)), 6)
+    d = cells.select(
+        "c_mktsegment",
+        F.col("heavy").cast("long").alias("heavy"),
+        "o",
+        term.alias("mi_term"),
+    )
+    return d.select(
+        "c_mktsegment",
+        "heavy",
+        "o",
+        "mi_term",
+        F.round(
+            F.sum(F.col("mi_term").cast(_DEC)).over(tot).cast("double"), 6
+        ).alias("mi_total"),
+    ).orderBy("c_mktsegment", "heavy")
+
+
+_MI_SQL = """
+WITH conv AS (
+  SELECT user_id,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+              AS INT) AS heavy
+  FROM events GROUP BY user_id),
+cells AS (
+  SELECT c_mktsegment, heavy, CAST(COUNT(*) AS BIGINT) AS o
+  FROM conv JOIN customer ON user_id = c_custkey
+  GROUP BY c_mktsegment, heavy),
+t AS (
+  SELECT c_mktsegment, CAST(heavy AS BIGINT) AS heavy, o,
+         round((CAST(o AS DOUBLE) / CAST(SUM(o) OVER () AS DOUBLE))
+               * ln((CAST(o AS DOUBLE) / CAST(SUM(o) OVER () AS DOUBLE))
+                    / ((CAST(SUM(o) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                        / CAST(SUM(o) OVER () AS DOUBLE))
+                       * (CAST(SUM(o) OVER (PARTITION BY heavy) AS DOUBLE)
+                          / CAST(SUM(o) OVER () AS DOUBLE)))), 6) AS mi_term
+  FROM cells)
+SELECT c_mktsegment, heavy, o, mi_term,
+       round(CAST(SUM(CAST(mi_term AS DECIMAL(30,6))) OVER () AS DOUBLE), 6)
+         AS mi_total
+FROM t
+ORDER BY c_mktsegment, heavy
+"""
+
+QUERIES["agg_mutual_information"] = agg_mutual_information
+ORACLE["agg_mutual_information"] = _MI_SQL

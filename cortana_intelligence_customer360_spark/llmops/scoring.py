@@ -411,3 +411,106 @@ ORACLE = {
     "data_global_shuffle": _SHUFFLE_SQL,
     "data_epoch_shuffle": _epoch_shuffle_sql(),
 }
+
+
+_DECODE_SEEDS = 5
+_DECODE_STEPS = 7
+
+
+def text_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy decoding over the corpus's own bigram LM: from each of
+    the 5 most frequent tokens, repeatedly emit the argmax continuation
+    (ties broken lexicographically) for 7 steps — the deterministic
+    heart of LM inference, run as a distributed query. A sequence stops
+    early if its last token was never a bigram context.
+
+    Shape: the best-continuation table collapses the bigram counts with
+    ONE vocab-keyed window (row_number over (cb DESC, cur ASC)) and is
+    vocabulary-sized; decoding is 7 frontier joins against it (5-row
+    frontier — broadcast by size). Output is pure strings + integer
+    steps: nothing float anywhere, so the oracle matches exactly."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    n = F.size("toks")
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("prev"),
+                        F.element_at("toks", i + 1).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("bg")
+    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    big = pairs.groupBy("prev", "cur").agg(bcount().alias("cb"))
+    w = Window.partitionBy("prev").orderBy(F.col("cb").desc(), F.col("cur").asc())
+    best = (
+        big.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("prev", F.col("cur").alias("nxt"))
+        .localCheckpoint()
+    )
+    toks = _tokens(docs.drop("toks").select("doc_id", "text"))
+    uni = toks.groupBy("tok").agg(bcount().alias("cnt"))
+    seeds = (
+        uni.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(_DECODE_SEEDS)
+        .select(F.col("tok").alias("seed"))
+    )
+    cur = seeds.select("seed", F.col("seed").alias("token"))
+    out = cur.select("seed", F.lit(0).cast("long").alias("step"), "token")
+    for t in range(1, _DECODE_STEPS + 1):
+        cur = cur.join(
+            best, cur.token == best.prev
+        ).select("seed", F.col("nxt").alias("token"))
+        out = out.unionByName(
+            cur.select("seed", F.lit(t).cast("long").alias("step"), "token")
+        )
+    return out.orderBy("seed", "step")
+
+
+def _decode_sql() -> str:
+    base = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur FROM d),
+big AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM pairs GROUP BY prev, cur),
+best AS MATERIALIZED (
+  SELECT prev, cur AS nxt FROM (
+    SELECT prev, cur, cb,
+           row_number() OVER (PARTITION BY prev
+                              ORDER BY cb DESC, cur ASC) AS rn
+    FROM big) WHERE rn = 1),
+toks AS (
+  SELECT u.tok FROM (SELECT unnest(t) AS tok FROM d) u
+  WHERE length(u.tok) > 0),
+seeds AS (
+  SELECT tok AS seed FROM (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+  ORDER BY cnt DESC, tok ASC LIMIT {_DECODE_SEEDS}),
+w0 AS (SELECT seed, seed AS token FROM seeds)"""
+    steps = []
+    for t in range(1, _DECODE_STEPS + 1):
+        steps.append(
+            f"""
+w{t} AS (SELECT w.seed, b.nxt AS token
+         FROM w{t - 1} w JOIN best b ON b.prev = w.token)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT seed, CAST({t} AS BIGINT) AS step, token FROM w{t}"
+        for t in range(0, _DECODE_STEPS + 1)
+    )
+    return base + "," + ",".join(steps) + "\n" + selects
+
+
+QUERIES["text_greedy_decode"] = text_greedy_decode
+ORACLE["text_greedy_decode"] = _decode_sql()

@@ -305,3 +305,45 @@ def test_am_gm_hm_inequality(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert r.mean_arith > r.mean_geo > r.mean_harm > 0
+
+
+def test_greedy_decode_shape(spark, duck, sf_dir):
+    """5 seeds at step 0; steps are contiguous from 0 per seed; every
+    emitted continuation really is the count-argmax (lexicographic
+    tie-break) of its predecessor, checked independently in DuckDB."""
+    from cortana_intelligence_customer360_spark.llmops.scoring import (
+        _DECODE_SEEDS,
+        _DECODE_STEPS,
+        text_greedy_decode,
+    )
+
+    rows = text_greedy_decode(spark, sf_dir).collect()
+    seqs = {}
+    for r in rows:
+        seqs.setdefault(r.seed, {})[r.step] = r.token
+    assert len(seqs) == _DECODE_SEEDS
+    best = dict(
+        duck.execute(
+            """
+            WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+            pairs AS (SELECT unnest(t[1:len(t)-1]) AS prev,
+                             unnest(t[2:len(t)]) AS cur FROM d),
+            big AS (SELECT prev, cur, COUNT(*) AS cb FROM pairs GROUP BY 1, 2)
+            SELECT prev, cur FROM (
+              SELECT prev, cur,
+                     row_number() OVER (PARTITION BY prev
+                                        ORDER BY cb DESC, cur ASC) rn
+              FROM big) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    for seed, path in seqs.items():
+        ks = sorted(path)
+        assert ks == list(range(len(ks)))
+        assert len(ks) <= _DECODE_STEPS + 1
+        assert path[0] == seed
+        for t in ks[:-1]:
+            assert path[t + 1] == best[path[t]]
+        last = path[ks[-1]]
+        if len(ks) <= _DECODE_STEPS:
+            assert last not in best  # early stop only on missing context

@@ -17,6 +17,8 @@ rounding on doubles) can occur.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -402,3 +404,70 @@ FROM long
 
 QUERIES["emb_quantile_normalize"] = emb_quantile_normalize
 ORACLE["emb_quantile_normalize"] = _EMB_QNORM_SQL
+
+
+_RP_K = 4  # target dims
+_EMB_DIMS = 64  # embedding width (all SFs; pinned by the parity sweep)
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection to K=4 dims: the
+    full-oracle dimensionality reduction next to emb_pca_reduce's
+    R-tier PCA. Projection matrix entries are DETERMINISTIC signs
+    s(k,d) = +1 if (k*31 + d*17) % 2 = 0 else -1 — reproducible across
+    engines/runs, no RNG state; y_k = sum_d s(k,d) x_d / sqrt(K).
+
+    Map-only (no shuffle at all): each vector folds its own array via
+    an explicit per-dim expression chain, summed left-associatively in
+    the SAME order in both engines, so the result is bit-identical
+    before the 6-dp display rounding. Output long form (vec_id, k, y)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = _EMB_DIMS
+    inv_sqrt_k = 1.0 / math.sqrt(_RP_K)
+    outs = []
+    for k in range(_RP_K):
+        term = None
+        for d in range(dims):
+            sgn = 1.0 if (k * 31 + d * 17) % 2 == 0 else -1.0
+            t = F.lit(sgn) * F.col("embedding").getItem(d).cast("double")
+            term = t if term is None else term + t
+        outs.append(
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                # floor-based 6-dp quantization: round() implementations
+                # differ at half-ulp boundaries across engines, but
+                # floor(x*1e6 + 0.5)/1e6 is pure IEEE on identical
+                # operands — bit-deterministic.
+                (
+                    F.floor(term * F.lit(inv_sqrt_k) * 1000000.0 + 0.5).cast(
+                        "double"
+                    )
+                    / 1000000.0
+                ).alias("y"),
+            )
+        )
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.explode(F.array(*outs)).alias("p"),
+    ).select("vec_id", F.col("p.k").alias("k"), F.col("p.y").alias("y"))
+
+
+def _rp_sql(dims: int = _EMB_DIMS) -> str:
+    inv_sqrt_k = 1.0 / math.sqrt(_RP_K)
+    selects = []
+    for k in range(_RP_K):
+        chain = " + ".join(
+            f"({'1.0' if (k * 31 + d * 17) % 2 == 0 else '-1.0'}"
+            f" * CAST(embedding[{d + 1}] AS DOUBLE))"
+            for d in range(dims)
+        )
+        selects.append(
+            f"SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST({k} AS BIGINT) AS k,"
+            f" floor((({chain}) * {inv_sqrt_k!r}) * 1000000.0 + 0.5)"
+            f" / 1000000.0 AS y FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
+QUERIES["emb_random_projection"] = emb_random_projection
+ORACLE["emb_random_projection"] = _rp_sql()

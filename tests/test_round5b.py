@@ -347,3 +347,29 @@ def test_greedy_decode_shape(spark, duck, sf_dir):
         last = path[ks[-1]]
         if len(ks) <= _DECODE_STEPS:
             assert last not in best  # early stop only on missing context
+
+
+def test_random_projection_norm_preservation(spark, duck, sf_dir):
+    """JL property: the projection preserves squared norms on average
+    (E[||y||^2] = ||x||^2 under sign projections) — the corpus-mean
+    ratio must sit near 1 even at K=4."""
+    from cortana_intelligence_customer360_spark.llmops.embeddings import (
+        _RP_K,
+        emb_random_projection,
+    )
+
+    rows = emb_random_projection(spark, sf_dir).collect()
+    y2 = {}
+    for r in rows:
+        y2[r.vec_id] = y2.get(r.vec_id, 0.0) + r.y * r.y
+    assert all(len({r.k for r in rows if r.vec_id == v}) == _RP_K
+               for v in list(y2)[:3])
+    x2 = dict(
+        duck.execute(
+            "SELECT vec_id, list_sum(list_transform(embedding,"
+            " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) FROM embeddings"
+        ).fetchall()
+    )
+    ratios = [y2[v] / x2[v] for v in y2 if x2[v] > 0]
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.7 < mean_ratio < 1.3

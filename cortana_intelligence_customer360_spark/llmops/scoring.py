@@ -514,3 +514,132 @@ w{t} AS (SELECT w.seed, b.nxt AS token
 
 QUERIES["text_greedy_decode"] = text_greedy_decode
 ORACLE["text_greedy_decode"] = _decode_sql()
+
+
+_BEAM_W = 3
+_BEAM_STEPS = 5
+
+
+def text_beam_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search decoding (width 3, 5 steps) from the corpus's
+    hottest token under the bigram LM — the ranked sibling of
+    text_greedy_decode. Path score = DECIMAL-exact sum of 6-dp-rounded
+    per-bigram surprisals -ln(cb/cprev), so beam comparisons are exact
+    decimal comparisons; ties break on the sequence string. Every
+    expansion is a beam-to-LM join (beam side is <= width rows,
+    broadcast by size); the per-step top-k is a window over the
+    bounded expansion frontier, never over corpus-scale data."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    n = F.size("toks")
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("prev"),
+                        F.element_at("toks", i + 1).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("bg")
+    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    big = pairs.groupBy("prev", "cur").agg(bcount().alias("cb"))
+    ctx = pairs.groupBy("prev").agg(bcount().alias("cprev"))
+    lm = (
+        big.join(ctx, "prev")
+        .select(
+            "prev",
+            "cur",
+            F.round(-F.log(F.col("cb") / F.col("cprev")), 6)
+            .cast(_DEC)
+            .alias("s"),
+        )
+        .localCheckpoint()
+    )
+    toks = _tokens(docs.drop("toks").select("doc_id", "text"))
+    seed = (
+        toks.groupBy("tok")
+        .agg(bcount().alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(1)
+        .select(
+            F.col("tok").alias("seq"),
+            F.col("tok").alias("last"),
+            F.lit(0.0).cast(_DEC).alias("score"),
+        )
+    )
+    beams = seed
+    w = Window.orderBy(F.col("score").asc(), F.col("seq").asc())
+    for _ in range(_BEAM_STEPS):
+        expanded = beams.join(lm, beams.last == lm.prev).select(
+            F.concat_ws(" ", "seq", "cur").alias("seq"),
+            F.col("cur").alias("last"),
+            (F.col("score") + F.col("s")).cast(_DEC).alias("score"),
+        )
+        beams = (
+            expanded.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _BEAM_W)
+            .drop("rn")
+            .localCheckpoint()
+        )
+    return beams.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "seq",
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    )
+
+
+def _beam_sql() -> str:
+    base = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur FROM d),
+big AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM pairs GROUP BY prev, cur),
+ctx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cprev
+        FROM pairs GROUP BY prev),
+lm AS MATERIALIZED (
+  SELECT big.prev, big.cur,
+         CAST(round(-ln(cb / cprev), 6) AS DECIMAL(30,6)) AS s
+  FROM big JOIN ctx ON big.prev = ctx.prev),
+toks AS (
+  SELECT u.tok FROM (SELECT unnest(t) AS tok FROM d) u
+  WHERE length(u.tok) > 0),
+b0 AS (
+  SELECT tok AS seq, tok AS last, CAST(0.0 AS DECIMAL(30,6)) AS score
+  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+  ORDER BY cnt DESC, tok ASC LIMIT 1)"""
+    steps = []
+    for t in range(1, _BEAM_STEPS + 1):
+        steps.append(
+            f"""
+b{t} AS MATERIALIZED (
+  SELECT seq, last, score FROM (
+    SELECT b.seq || ' ' || l.cur AS seq, l.cur AS last,
+           CAST(b.score + l.s AS DECIMAL(30,6)) AS score,
+           row_number() OVER (ORDER BY CAST(b.score + l.s AS DECIMAL(30,6)) ASC,
+                              b.seq || ' ' || l.cur ASC) AS rn
+    FROM b{t - 1} b JOIN lm l ON l.prev = b.last)
+  WHERE rn <= {_BEAM_W})"""
+        )
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT CAST(row_number() OVER (ORDER BY score ASC, seq ASC) AS BIGINT) AS rank,
+       seq, round(CAST(score AS DOUBLE), 6) AS score
+FROM b{_BEAM_STEPS}
+"""
+    )
+
+
+QUERIES["text_beam_decode"] = text_beam_decode
+ORACLE["text_beam_decode"] = _beam_sql()

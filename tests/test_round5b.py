@@ -373,3 +373,43 @@ def test_random_projection_norm_preservation(spark, duck, sf_dir):
     ratios = [y2[v] / x2[v] for v in y2 if x2[v] > 0]
     mean_ratio = sum(ratios) / len(ratios)
     assert 0.7 < mean_ratio < 1.3
+
+
+def test_beam_decode_paths_valid(spark, duck, sf_dir):
+    """Width-3 output: ranks 1..3, scores non-decreasing in rank, every
+    hop of every sequence is a real corpus bigram, and each path has
+    steps+1 tokens; path scores reconcile with independently-computed
+    bigram surprisals."""
+    import math
+
+    from cortana_intelligence_customer360_spark.llmops.scoring import (
+        _BEAM_STEPS,
+        _BEAM_W,
+        text_beam_decode,
+    )
+
+    rows = sorted(text_beam_decode(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, _BEAM_W + 1))
+    assert all(a.score <= b.score + 1e-9 for a, b in zip(rows, rows[1:]))
+    lm = {
+        (p, c): cb / cp
+        for p, c, cb, cp in duck.execute(
+            """
+            WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+            pairs AS (SELECT unnest(t[1:len(t)-1]) AS prev,
+                             unnest(t[2:len(t)]) AS cur FROM d),
+            big AS (SELECT prev, cur, COUNT(*) cb FROM pairs GROUP BY 1,2),
+            ctx AS (SELECT prev, COUNT(*) cp FROM pairs GROUP BY 1)
+            SELECT big.prev, big.cur, cb, cp
+            FROM big JOIN ctx ON big.prev = ctx.prev
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        words = r.seq.split(" ")
+        assert len(words) == _BEAM_STEPS + 1
+        expect = 0.0
+        for a, b in zip(words, words[1:]):
+            assert (a, b) in lm
+            expect += round(-math.log(lm[(a, b)]), 6)
+        assert r.score == pytest.approx(expect, abs=1e-5)

@@ -874,3 +874,104 @@ ORDER BY c_mktsegment, heavy
 
 QUERIES["agg_mutual_information"] = agg_mutual_information
 ORACLE["agg_mutual_information"] = _MI_SQL
+
+
+# ---------------------------------------------------------------------------
+# Time-bound funnel: click -> view -> purchase where each stage must
+# land within 24h of the PREVIOUS stage's completion (the windowed
+# funnel semantics of ClickHouse windowFunnel / Amplitude, vs
+# feat_funnel_conversion's unbounded strict-order funnel).
+
+_FUNNEL_WIN_US = 86_400_000_000  # 24h in epoch-µs
+
+
+def feat_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row funnel report: users entering at the earliest click,
+    converting to the earliest view within 24h of it, then to the
+    earliest purchase within 24h of THAT view; stage counts and
+    conversion rates. All stage anchors are exact integer epoch-µs
+    minima, so the per-stage membership is exactly reproducible.
+
+    Shape: three user-keyed conditional aggregates over the SAME
+    user_id exchange (AQE reuses the partitioning); no window over
+    the raw event stream, no per-user event lists."""
+    from ..compat import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us")
+    )
+    t1 = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(t1, "user_id")
+        .where((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + _FUNNEL_WIN_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + _FUNNEL_WIN_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    n1 = t1.agg(bcount().alias("n_stage1"))
+    n2 = t2.agg(bcount().alias("n_stage2"))
+    n3 = t3.agg(bcount().alias("n_stage3"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_stage1",
+            "n_stage2",
+            "n_stage3",
+            F.round(
+                F.col("n_stage2").cast("double") / F.col("n_stage1").cast("double"), 6
+            ).alias("conv_12"),
+            F.round(
+                F.col("n_stage3").cast("double") / F.col("n_stage2").cast("double"), 6
+            ).alias("conv_23"),
+            F.round(
+                F.col("n_stage3").cast("double") / F.col("n_stage1").cast("double"), 6
+            ).alias("conv_13"),
+        )
+    )
+
+
+_FUNNEL_WIN_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+t1 AS (
+  SELECT user_id, MIN(us) AS t1 FROM ev
+  WHERE event_type = 'click' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.us) AS t2
+  FROM ev e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.us > t1.t1
+    AND e.us <= t1.t1 + {_FUNNEL_WIN_US}
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.us) AS t3
+  FROM ev e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.us > t2.t2
+    AND e.us <= t2.t2 + {_FUNNEL_WIN_US}
+  GROUP BY e.user_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_stage1,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_stage2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_stage3,
+       round((SELECT COUNT(*) FROM t2) * 1.0 / (SELECT COUNT(*) FROM t1), 6)
+         AS conv_12,
+       round((SELECT COUNT(*) FROM t3) * 1.0 / (SELECT COUNT(*) FROM t2), 6)
+         AS conv_23,
+       round((SELECT COUNT(*) FROM t3) * 1.0 / (SELECT COUNT(*) FROM t1), 6)
+         AS conv_13
+"""
+
+QUERIES["feat_funnel_windowed"] = feat_funnel_windowed
+ORACLE["feat_funnel_windowed"] = _FUNNEL_WIN_SQL

@@ -1501,3 +1501,73 @@ ORDER BY lag
 
 QUERIES["ts_acf_profile"] = ts_acf_profile
 ORACLE["ts_acf_profile"] = _ACF_SQL
+
+
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of each event-type's daily-count periodogram —
+    the one-number regularity score (low = one dominant cycle, high =
+    white noise) built ON TOP of ts_fourier_period's registered output:
+    p_k = power_k / sum(power), H = -sum p ln p, plus H normalized by
+    ln(K). The powers are already 2-dp-quantized by the DFT op, so the
+    spectrum itself is cross-engine identical; entropy terms are 6-dp
+    quantized into a DECIMAL sum (the Kaplan-Meier log discipline).
+    Zero-power bins contribute 0 by the usual convention."""
+    spec = ts_fourier_period(spark, sf_dir)
+    wa = Window.partitionBy("event_type")
+    tot = F.sum(F.col("power").cast(_DEC)).over(wa).cast("double")
+    p = F.col("power") / F.col("tot")
+    term = F.when(
+        F.col("power") > 0.0, F.round(-(p * F.log(p)), 6)
+    ).otherwise(F.lit(0.0))
+    import math
+
+    d = spec.withColumn("tot", tot).select(
+        "event_type", "period", term.alias("h_term")
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            bcount().alias("n_periods"),
+            F.sum(F.col("h_term").cast(_DEC)).cast("double").alias("h_raw"),
+        )
+        .select(
+            "event_type",
+            "n_periods",
+            F.round("h_raw", 6).alias("h_nats"),
+            F.round(
+                F.col("h_raw") / F.lit(math.log(len(_DFT_PERIODS))), 6
+            ).alias("h_norm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _spectral_entropy_sql() -> str:
+    import math
+
+    return f"""
+WITH dft AS ({_dft_sql()}),
+withtot AS (
+  SELECT event_type, period, power,
+         CAST(SUM(CAST(power AS DECIMAL(30,6)))
+              OVER (PARTITION BY event_type) AS DOUBLE) AS tot
+  FROM dft),
+terms AS (
+  SELECT event_type,
+         CASE WHEN power > 0.0
+              THEN round(-((power / tot) * ln(power / tot)), 6)
+              ELSE 0.0 END AS h_term
+  FROM withtot)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_periods,
+       round(CAST(SUM(CAST(h_term AS DECIMAL(30,6))) AS DOUBLE), 6) AS h_nats,
+       round(CAST(SUM(CAST(h_term AS DECIMAL(30,6))) AS DOUBLE)
+             / {math.log(len(_DFT_PERIODS))!r}, 6) AS h_norm
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["ts_spectral_entropy"] = ts_spectral_entropy
+ORACLE["ts_spectral_entropy"] = _spectral_entropy_sql()

@@ -413,3 +413,31 @@ def test_beam_decode_paths_valid(spark, duck, sf_dir):
             assert (a, b) in lm
             expect += round(-math.log(lm[(a, b)]), 6)
         assert r.score == pytest.approx(expect, abs=1e-5)
+
+
+def test_funnel_windowed_monotone(spark, sf_dir):
+    """Stage counts are monotone non-increasing and rates in [0,1];
+    the windowed funnel can never exceed the unbounded strict-order
+    funnel's stage-2 reach."""
+    from cortana_intelligence_customer360_spark.features.experiments import (
+        feat_funnel_windowed,
+    )
+
+    r = feat_funnel_windowed(spark, sf_dir).collect()[0]
+    assert r.n_stage1 >= r.n_stage2 >= r.n_stage3 >= 0
+    for c in (r.conv_12, r.conv_23, r.conv_13):
+        assert 0.0 <= c <= 1.0
+
+
+def test_spectral_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(K) (h_norm in [0,1]); all five event types
+    present."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_spectral_entropy,
+    )
+
+    rows = ts_spectral_entropy(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.h_nats
+        assert 0.0 <= r.h_norm <= 1.0 + 1e-9

@@ -639,3 +639,26 @@ def test_kaplan_meier_two_shuffles(spark, sf_dir):
     plan = plan_string(feat_kaplan_meier(spark, sf_dir))
     assert plan.count("hashpartitioning(o_custkey") <= 2
     assert "Window" in plan
+
+
+def test_dbscan_no_cartesian(spark, sf_dir):
+    """ml_dbscan_grid: pair generation goes through the 9-cell grid
+    equi-join — no CartesianProduct / BroadcastNestedLoop anywhere in
+    the final assembly plan."""
+    from cortana_intelligence_customer360_spark.features.ml import ml_dbscan_grid
+
+    plan = plan_string(ml_dbscan_grid(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_greedy_decode_frontier_broadcast(spark, sf_dir):
+    """text_greedy_decode: every frontier-vs-best join resolves to a
+    broadcast join (the frontier is seeds-sized), never an SMJ of the
+    vocabulary table per step."""
+    from cortana_intelligence_customer360_spark.llmops.scoring import (
+        text_greedy_decode,
+    )
+
+    plan = plan_string(text_greedy_decode(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

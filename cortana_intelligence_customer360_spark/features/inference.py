@@ -1,0 +1,612 @@
+"""Statistical inference operators (round-5 session-3 additions).
+
+Reference parity note: the upstream Azure/cortana-intelligence-customer360
+checkout is empty (SURVEY.md §0); SURVEY §2.8/§2.12 are the normative
+inventory. This module rounds out the experimentation family with the
+non-parametric / multiple-testing toolkit an analyst reaches for when
+the t-test's normality assumption fails:
+
+- stat_mann_whitney    rank-sum U test (tie-corrected normal approx)
+                       comparing order values across two segments
+- stat_brown_forsythe  median-based Levene test for variance
+                       homogeneity across all five market segments
+- stat_cohens_kappa    inter-rater agreement between two binary
+                       labelers (priority rule vs. observed returns)
+- stat_fdr_bh          per-nation two-proportion z-tests corrected by
+                       Benjamini-Hochberg FDR (step-up, adjusted p)
+- ml_isotonic_pava     weighted isotonic regression of discount on
+                       quantity via the exact minimax characterization
+
+Cross-engine float discipline (compat.py): every test statistic is a
+closed-form expression over EXACT integer/DECIMAL sufficient statistics,
+and the expression is shared as ONE SQL text string evaluated by both
+engines (Spark via ``F.expr``, DuckDB verbatim), so the IEEE operation
+order is identical by construction. Normal-tail p-values use the
+Abramowitz-Stegun 7.1.26 erf polynomial (|err| < 1.5e-7) because
+neither engine exposes erf portably; p-values are rounded to 6 dp
+BEFORE any threshold comparison so knife-edge decisions can't diverge.
+
+Scale notes (100 TB posture): each operator collapses the fact table to
+sufficient statistics in one or two key-partitioned shuffles (value
+groups for ranks, segment groups for variances, nation groups for
+proportions, quantity buckets for isotonic), and all remaining math
+runs on tiny frames (<= a few thousand rows) that Spark broadcasts.
+The only global window (Mann-Whitney's cumulative rank) runs over the
+DISTINCT-VALUE table, already reduced by the groupBy, and is replaced
+by a range-partitioned two-pass prefix sum on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import bcount, dsum, dsum_sql
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _p_two_sided(zabs: str) -> str:
+    """SQL text for the two-sided normal tail 2*(1-Phi(|z|)) using the
+    Abramowitz-Stegun 7.1.26 erf polynomial: 1-erf(x) = poly(t)*exp(-x^2)
+    with x = |z|/sqrt(2), t = 1/(1+0.3275911*x). The SAME string is
+    evaluated by Spark (F.expr) and DuckDB, so both engines execute the
+    identical IEEE operation tree."""
+    x = f"({zabs} * 0.7071067811865476)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741)"
+        f" * {t} - 0.284496736) * {t} + 0.254829592) * {t})"
+    )
+    return f"({poly} * exp(-({x} * {x})))"
+
+
+# ---------------------------------------------------------------------------
+# stat_mann_whitney
+# ---------------------------------------------------------------------------
+
+_MW_SEGS = ("BUILDING", "MACHINERY")
+
+# Closed-form columns over exact BIGINT sufficient statistics
+# (r1x2 = 2*R1 midrank sum, tsum = sum(t^3 - t) tie correction).
+_MW_U1 = "(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0)"
+_MW_SIG2 = (
+    "((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)"
+    " * ((CAST(n AS DOUBLE) + 1.0)"
+    " - CAST(tsum AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))"
+)
+_MW_Z = (
+    f"(({_MW_U1} - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)"
+    f" / sqrt({_MW_SIG2}))"
+)
+
+
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: are BUILDING order
+    values stochastically larger than MACHINERY ones?
+
+    Midranks are computed WITHOUT a per-row global sort: one groupBy on
+    the value collapses the sample to distinct values with (total,
+    group-1) counts, and a cumulative count over that distinct-value
+    table yields every midrank. 2*midrank = 2*cum_before + t + 1 is an
+    exact BIGINT, so the rank sum R1, U, and the tie correction
+    sum(t^3-t) are integer-exact in both engines; only the final
+    z/p are floats, computed from one shared expression string.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .where(F.col("c_mktsegment").isin(*_MW_SEGS))
+    )
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("o_totalprice").alias("x"),
+            (F.col("c_mktsegment") == _MW_SEGS[0]).cast("long").alias("in1"),
+        )
+    )
+    vals = obs.groupBy("x").agg(
+        bcount().alias("tv"), F.sum("in1").cast("long").alias("n1v")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    vals = vals.withColumn("cumb", F.sum("tv").over(w) - F.col("tv"))
+    suff = vals.agg(
+        F.sum(
+            F.col("n1v") * (2 * F.col("cumb") + F.col("tv") + 1)
+        ).cast("long").alias("r1x2"),
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("tv").cast("long").alias("n"),
+        F.sum(
+            F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")
+        ).cast("long").alias("tsum"),
+    ).withColumn("n2", F.col("n") - F.col("n1"))
+    return suff.select(
+        "n1",
+        "n2",
+        F.expr(_MW_U1).alias("u1"),
+        "tsum",
+        F.round(F.expr(_MW_Z), 6).alias("z"),
+        F.round(F.expr(_p_two_sided(f"abs({_MW_Z})")), 6).alias("p_approx"),
+    )
+
+
+_MANN_WHITNEY_SQL = f"""
+WITH obs AS (
+  SELECT o.o_totalprice AS x,
+         CASE WHEN c.c_mktsegment = '{_MW_SEGS[0]}' THEN 1 ELSE 0 END AS in1
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('{_MW_SEGS[0]}', '{_MW_SEGS[1]}')),
+vals AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS tv, CAST(SUM(in1) AS BIGINT) AS n1v
+  FROM obs GROUP BY x),
+cum AS (
+  SELECT *, SUM(tv) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv AS cumb
+  FROM vals),
+suff AS (
+  SELECT CAST(SUM(n1v * (2 * cumb + tv + 1)) AS BIGINT) AS r1x2,
+         CAST(SUM(n1v) AS BIGINT) AS n1,
+         CAST(SUM(tv) AS BIGINT) AS n,
+         CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tsum
+  FROM cum),
+s2 AS (SELECT *, n - n1 AS n2 FROM suff)
+SELECT n1, n2, {_MW_U1} AS u1, tsum,
+       round({_MW_Z}, 6) AS z,
+       round({_p_two_sided(f'abs({_MW_Z})')}, 6) AS p_approx
+FROM s2
+"""
+
+QUERIES["stat_mann_whitney"] = stat_mann_whitney
+ORACLE["stat_mann_whitney"] = _MANN_WHITNEY_SQL
+
+
+# ---------------------------------------------------------------------------
+# stat_brown_forsythe
+# ---------------------------------------------------------------------------
+
+_BF_K = 5  # market segments
+# SSB = a - ssz^2/nn, SSW = ssw; F = (SSB/(k-1)) / (SSW/(N-k)).
+_BF_F = (
+    "(((a - ssz * ssz / CAST(nn AS DOUBLE)) / (5.0 - 1.0))"
+    " / (ssw / (CAST(nn AS DOUBLE) - 5.0)))"
+)
+
+
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-based Levene) test: do the five market
+    segments have equal order-value spread?
+
+    The group center is the LOWER MEDIAN — the ((n+1) DIV 2)-th
+    smallest value, selected by an explicit per-segment row_number —
+    because it is an exact data element both engines agree on
+    bit-for-bit (interpolated medians differ in the low bits across
+    engines: DuckDB computes lo + 0.5*(hi-lo), Spark 0.5*lo + 0.5*hi).
+    z = |x - median| is then a deterministic double per row, and the
+    one-way ANOVA on z collapses to per-segment DECIMAL-exact sums
+    (n, S_z, S_zz) feeding one shared closed-form F expression.
+
+    Shape: one shuffle on (segment) for the median window, one
+    re-aggregation for the sums; the 5-row segment frame is broadcast
+    back for the |x - med| pass.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("x"),
+            "o_orderkey",
+        )
+    )
+    wr = Window.partitionBy("seg").orderBy(F.col("x").asc(), F.col("o_orderkey").asc())
+    med = (
+        obs.withColumn("rn", F.row_number().over(wr))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("seg")))
+        .where(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select("seg", F.col("x").alias("med"))
+    )
+    z = obs.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    per = z.groupBy("seg").agg(
+        bcount().alias("nj"),
+        dsum("z").alias("sz"),
+        dsum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    suff = per.agg(
+        F.sum("nj").cast("long").alias("nn"),
+        dsum("sz").alias("ssz"),
+        dsum(F.col("sz") * F.col("sz") / F.col("nj").cast("double")).alias("a"),
+        dsum(
+            F.col("szz") - F.col("sz") * F.col("sz") / F.col("nj").cast("double")
+        ).alias("ssw"),
+    )
+    return suff.select(
+        "nn",
+        F.lit(_BF_K).cast("int").alias("k"),
+        F.round(F.expr(_BF_F), 6).alias("f_bf"),
+    )
+
+
+_BROWN_FORSYTHE_SQL = f"""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS x, o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+rn AS (
+  SELECT seg, x,
+         ROW_NUMBER() OVER (PARTITION BY seg
+                            ORDER BY x ASC, o_orderkey ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY seg) AS cnt
+  FROM obs),
+med AS (SELECT seg, x AS med FROM rn WHERE rn = (cnt + 1) // 2),
+z AS (
+  SELECT obs.seg, abs(obs.x - med.med) AS z
+  FROM obs JOIN med ON obs.seg = med.seg),
+per AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS nj,
+         {dsum_sql('z')} AS sz,
+         {dsum_sql('z * z')} AS szz
+  FROM z GROUP BY seg),
+suff AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS nn,
+         {dsum_sql('sz')} AS ssz,
+         {dsum_sql('sz * sz / CAST(nj AS DOUBLE)')} AS a,
+         {dsum_sql('szz - sz * sz / CAST(nj AS DOUBLE)')} AS ssw
+  FROM per)
+SELECT nn, CAST({_BF_K} AS INT) AS k, round({_BF_F}, 6) AS f_bf
+FROM suff
+"""
+
+QUERIES["stat_brown_forsythe"] = stat_brown_forsythe
+ORACLE["stat_brown_forsythe"] = _BROWN_FORSYTHE_SQL
+
+
+# ---------------------------------------------------------------------------
+# stat_cohens_kappa
+# ---------------------------------------------------------------------------
+
+_KAPPA_PO = "(CAST(n11 + n00 AS DOUBLE) / CAST(nn AS DOUBLE))"
+_KAPPA_PE = (
+    "((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)"
+    " + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))"
+    " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))"
+)
+_KAPPA = f"(({_KAPPA_PO} - {_KAPPA_PE}) / (1.0 - {_KAPPA_PE}))"
+
+
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary order labelers: rater A flags
+    high-priority orders (1-URGENT/2-HIGH), rater B flags orders that
+    experienced a return (any lineitem with l_returnflag = 'R').
+    Chance-corrected agreement = (po - pe) / (1 - pe).
+
+    Shape: lineitem collapses to a per-order return flag in one
+    groupBy(l_orderkey); the join back to orders is co-partitioned on
+    the same key, and the 2x2 contingency table is four BIGINT cells
+    from one final aggregate — kappa itself is a shared closed-form
+    expression over those exact integers.
+    """
+    returns = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("b"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("a"),
+    )
+    j = o.join(returns, F.col("o_orderkey") == F.col("l_orderkey"), "left").select(
+        "a", F.coalesce(F.col("b"), F.lit(0)).alias("b")
+    )
+    cells = j.agg(
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+        bcount().alias("nn"),
+    )
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        "nn",
+        F.round(F.expr(_KAPPA_PO), 6).alias("po"),
+        F.round(F.expr(_KAPPA_PE), 6).alias("pe"),
+        F.round(F.expr(_KAPPA), 6).alias("kappa"),
+    )
+
+
+_COHENS_KAPPA_SQL = f"""
+WITH returns AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS a,
+         COALESCE(r.b, 0) AS b
+  FROM orders o LEFT JOIN returns r ON o.o_orderkey = r.l_orderkey),
+cells AS (
+  SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM j)
+SELECT n11, n10, n01, n00, nn,
+       round({_KAPPA_PO}, 6) AS po,
+       round({_KAPPA_PE}, 6) AS pe,
+       round({_KAPPA}, 6) AS kappa
+FROM cells
+"""
+
+QUERIES["stat_cohens_kappa"] = stat_cohens_kappa
+ORACLE["stat_cohens_kappa"] = _COHENS_KAPPA_SQL
+
+
+# ---------------------------------------------------------------------------
+# stat_fdr_bh
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = 0.05
+_BH_M = 25  # nations
+# Two-proportion z: nation return rate vs. rest-of-world, pooled SE.
+_FDR_Z = (
+    "((CAST(rj AS DOUBLE) / CAST(nj AS DOUBLE)"
+    " - CAST(rr - rj AS DOUBLE) / CAST(nr - nj AS DOUBLE))"
+    " / sqrt((CAST(rr AS DOUBLE) / CAST(nr AS DOUBLE))"
+    " * (1.0 - CAST(rr AS DOUBLE) / CAST(nr AS DOUBLE))"
+    " * (1.0 / CAST(nj AS DOUBLE) + 1.0 / CAST(nr - nj AS DOUBLE))))"
+)
+
+
+def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation return-rate z-tests with Benjamini-Hochberg FDR.
+
+    Each nation's lineitem return rate ('R' flag share) is compared to
+    the rest of the world with a pooled two-proportion z-test; the 25
+    p-values then go through the BH step-up: sort ascending, reject
+    the largest prefix where p_(i) <= i/m * alpha, and report the
+    monotone adjusted p (reverse running minimum of p*m/i, capped at 1).
+
+    Determinism: z and p come from one shared expression over exact
+    BIGINT counts; p is rounded to 6 dp BEFORE the threshold compare
+    and before the adjusted-p window, so the step-up decisions are
+    bit-identical across engines. The BH pass itself runs on a 25-row
+    frame — driver-trivial at any scale; the heavy lifting is the two
+    fact-table shuffles (orderkey join, custkey join) that produce the
+    per-nation counts with map-side partial aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_returnflag") == "R").cast("long").alias("r")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(bcount().alias("nj"), F.sum("r").cast("long").alias("rj"))
+    )
+    tot = per.agg(
+        F.sum("nj").cast("long").alias("nr"), F.sum("rj").cast("long").alias("rr")
+    )
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "nj",
+        "rj",
+        F.round(F.expr(_FDR_Z), 6).alias("z"),
+        F.round(F.expr(_p_two_sided(f"abs({_FDR_Z})")), 6).alias("p"),
+    )
+    wi = Window.orderBy(F.col("p").asc(), F.col("n_name").asc())
+    wrev = Window.orderBy(F.col("p").desc(), F.col("n_name").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        scored.withColumn("i", F.row_number().over(wi))
+        .withColumn(
+            "p_adj",
+            F.round(
+                F.least(
+                    F.min(
+                        F.col("p") * F.lit(float(_BH_M)) / F.col("i").cast("double")
+                    ).over(wrev),
+                    F.lit(1.0),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "flag",
+            F.when(
+                F.col("p") <= F.col("i").cast("double") * F.lit(_BH_ALPHA / _BH_M),
+                F.col("i"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    k = ranked.agg(F.max("flag").alias("kmax"))
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .select(
+            "n_name",
+            "nj",
+            "rj",
+            "z",
+            "p",
+            "p_adj",
+            (F.col("i") <= F.col("kmax")).cast("int").alias("rejected"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_FDR_BH_SQL = f"""
+WITH per AS (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS BIGINT) AS nj,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS rj
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name),
+tot AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS nr, CAST(SUM(rj) AS BIGINT) AS rr
+  FROM per),
+scored AS (
+  SELECT n_name, nj, rj,
+         round({_FDR_Z}, 6) AS z,
+         round({_p_two_sided(f'abs({_FDR_Z})')}, 6) AS p
+  FROM per CROSS JOIN tot),
+numbered AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p ASC, n_name ASC) AS i
+  FROM scored),
+ranked AS (
+  SELECT *,
+         round(LEAST(MIN(p * {float(_BH_M)} / CAST(i AS DOUBLE))
+               OVER (ORDER BY p DESC, n_name DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             1.0), 6) AS p_adj
+  FROM numbered),
+k AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= CAST(i AS DOUBLE) * {_BH_ALPHA / _BH_M}
+                           THEN i ELSE 0 END), 0) AS kmax
+  FROM ranked)
+SELECT n_name, nj, rj, z, p, p_adj,
+       CAST(CASE WHEN i <= kmax THEN 1 ELSE 0 END AS INT) AS rejected
+FROM ranked CROSS JOIN k
+ORDER BY n_name
+"""
+
+QUERIES["stat_fdr_bh"] = stat_fdr_bh
+ORACLE["stat_fdr_bh"] = _FDR_BH_SQL
+
+
+# ---------------------------------------------------------------------------
+# ml_isotonic_pava
+# ---------------------------------------------------------------------------
+
+
+def ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression of mean discount on quantity via
+    the exact minimax characterization g(k) = max_{i<=k} min_{j>=k}
+    wavg(i..j) — the closed form of the pool-adjacent-violators fit
+    (Barlow et al. 1972), which needs no iteration and therefore
+    oracles exactly.
+
+    Shape at scale: lineitem collapses to <=50 quantity buckets in one
+    map-side-combined groupBy; DECIMAL prefix sums over that 50-row
+    frame make every interval mean an exact-difference quotient, and
+    the (i, k, j) triple frame is ~22k broadcast-joined rows — all the
+    O(n^2) work happens on the bucket frame, never the fact table.
+    min/max over doubles are order-free, so the fit is bit-identical
+    across engines; the monotonicity g(1) <= ... <= g(50) is pinned in
+    tests.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("q"), F.col("l_discount").alias("y")
+    )
+    # Keep the per-bucket sum in DECIMAL (no double round-trip): prefix
+    # differences below must be EXACT so interval means are identical
+    # quotients in both engines.
+    b = li.groupBy("q").agg(
+        bcount().alias("nb"), F.sum(F.col("y").cast("decimal(30,6)")).alias("sy")
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    b = (
+        b.withColumn("cw", F.sum("nb").over(w))
+        .withColumn("cy", F.sum("sy").over(w))
+        .select(
+            "q",
+            "nb",
+            "sy",
+            "cw",
+            "cy",
+            (F.col("cw") - F.col("nb")).alias("cwb"),
+            (F.col("cy") - F.col("sy")).alias("cyb"),
+        )
+        .localCheckpoint()  # <=50 rows; reused by three self-joins below
+    )
+    lo = b.select(
+        F.col("q").alias("qi"), F.col("cwb").alias("cwb_i"), F.col("cyb").alias("cyb_i")
+    )
+    hi = b.select(
+        F.col("q").alias("qj"), F.col("cw").alias("cw_j"), F.col("cy").alias("cy_j")
+    )
+    ranges = (
+        lo.join(hi, F.col("qi") <= F.col("qj"))
+        .select(
+            "qi",
+            "qj",
+            (
+                (F.col("cy_j") - F.col("cyb_i")).cast("double")
+                / (F.col("cw_j") - F.col("cwb_i")).cast("double")
+            ).alias("mean_ij"),
+        )
+    )
+    ks = b.select(F.col("q").alias("k"))
+    triples = ranges.join(
+        F.broadcast(ks), (F.col("qi") <= F.col("k")) & (F.col("qj") >= F.col("k"))
+    )
+    inner = triples.groupBy("k", "qi").agg(F.min("mean_ij").alias("minj"))
+    fit = inner.groupBy("k").agg(F.max("minj").alias("g"))
+    return (
+        b.join(fit, F.col("q") == F.col("k"))
+        .select(
+            "q",
+            F.col("nb").alias("n"),
+            F.round(F.col("sy").cast("double") / F.col("nb").cast("double"), 6).alias(
+                "raw_mean"
+            ),
+            F.round("g", 6).alias("fitted"),
+        )
+        .orderBy("q")
+    )
+
+
+_ISOTONIC_SQL = f"""
+WITH b0 AS (
+  SELECT CAST(trunc(l_quantity) AS INT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         SUM(CAST(l_discount AS DECIMAL(30,6))) AS sy
+  FROM lineitem GROUP BY 1),
+b AS (
+  SELECT q, nb, sy,
+         SUM(nb) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(sy) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+  FROM b0),
+b2 AS (
+  SELECT q, nb, sy, cw, cy,
+         cw - nb AS cwb, cy - sy AS cyb
+  FROM b),
+ranges AS (
+  SELECT lo.q AS qi, hi.q AS qj,
+         CAST(hi.cy - lo.cyb AS DOUBLE)
+           / CAST(hi.cw - lo.cwb AS DOUBLE) AS mean_ij
+  FROM b2 lo JOIN b2 hi ON lo.q <= hi.q),
+triples AS (
+  SELECT k.q AS k, r.qi, r.mean_ij
+  FROM ranges r JOIN b2 k ON r.qi <= k.q AND r.qj >= k.q),
+inner_min AS (
+  SELECT k, qi, MIN(mean_ij) AS minj FROM triples GROUP BY k, qi),
+fit AS (SELECT k, MAX(minj) AS g FROM inner_min GROUP BY k)
+SELECT b2.q, b2.nb AS n,
+       round(CAST(b2.sy AS DOUBLE) / CAST(b2.nb AS DOUBLE), 6) AS raw_mean,
+       round(fit.g, 6) AS fitted
+FROM b2 JOIN fit ON b2.q = fit.k
+ORDER BY b2.q
+"""
+
+QUERIES["ml_isotonic_pava"] = ml_isotonic_pava
+ORACLE["ml_isotonic_pava"] = _ISOTONIC_SQL

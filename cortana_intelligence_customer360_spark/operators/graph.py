@@ -21,7 +21,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import bcount
+from ..compat import bcount, dsum, dsum_sql
 from ..sources.tables import load_table
 
 _DAMPING = 0.85
@@ -1234,3 +1234,100 @@ w{t} AS (
 
 QUERIES["graph_random_walk_deepwalk"] = graph_random_walk_deepwalk
 ORACLE["graph_random_walk_deepwalk"] = _walk_sql()
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: for
+    non-adjacent part pairs, score = sum over common neighbors m of
+    1/ln(deg(m)) — common-neighbor counting that discounts promiscuous
+    hubs (Adamic & Adar 2003), the standard upgrade over raw counts.
+
+    Shape: identical single self-join wedge plan as
+    graph_common_neighbors (same mutual-top-k truncated adjacency, so
+    wedge count is bounded by nodes*cap^2 under any skew); the only
+    addition is the per-middle weight 1/ln(deg_m), a deterministic
+    double joined in BEFORE the wedge groupBy so the score reduces
+    with map-side partial aggregation. deg_m >= 2 for every wedge
+    middle by construction (a wedge needs two distinct neighbors), so
+    ln(deg_m) > 0 always. Scores go through DECIMAL per-term rounding
+    (compat rule 1) to be order-free, and the top-k orders by the
+    6 dp-rounded score with (a, b) tiebreak so the cut is
+    deterministic in both engines.
+    """
+    und = _copurchase_und(spark, sf_dir)
+    e = _truncated_adjacency(und)
+    deg = e.groupBy("src").agg(bcount().alias("deg"))
+    # deg = 1 nodes can never be a wedge middle (a wedge needs two
+    # distinct neighbors); filter BEFORE the 1/ln(deg) weight so ANSI
+    # mode never evaluates a ln(1) = 0 divisor.
+    ew = e.join(
+        deg.where(F.col("deg") >= 2).select(
+            "src", (1.0 / F.log(F.col("deg").cast("double"))).alias("aa")
+        ),
+        "src",
+    )
+    wedges = (
+        ew.select(F.col("src").alias("m"), F.col("dst").alias("a"), "aa")
+        .join(
+            e.select(F.col("src").alias("m"), F.col("dst").alias("b")),
+            "m",
+        )
+        .where(F.col("a") < F.col("b"))
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        bcount().alias("n_common"), F.round(dsum("aa"), 6).alias("aa_score")
+    )
+    nonadj = scored.join(
+        und.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return nonadj.orderBy(
+        F.col("aa_score").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(_CN_TOPK)
+
+
+_ADAMIC_ADAR_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+sym AS (
+  SELECT pa AS src, pb AS dst, w FROM und
+  UNION ALL SELECT pb AS src, pa AS dst, w FROM und),
+kept AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY w DESC, dst ASC) AS rk
+    FROM sym)
+  WHERE rk <= {_CN_ADJ_CAP}),
+e AS (
+  SELECT k.src, k.dst FROM kept k
+  WHERE EXISTS (SELECT 1 FROM kept r
+                WHERE r.src = k.dst AND r.dst = k.src)),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+wedges AS (
+  SELECT x.dst AS a, y.dst AS b, 1.0 / ln(CAST(d.deg AS DOUBLE)) AS aa
+  FROM e x
+  JOIN e y ON x.src = y.src AND x.dst < y.dst
+  JOIN deg d ON d.src = x.src),
+scored AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         round({dsum_sql('aa')}, 6) AS aa_score
+  FROM wedges GROUP BY a, b),
+nonadj AS (
+  SELECT scored.* FROM scored
+  WHERE NOT EXISTS (SELECT 1 FROM und
+                    WHERE und.pa = scored.a AND und.pb = scored.b))
+SELECT a, b, n_common, aa_score
+FROM nonadj
+ORDER BY aa_score DESC, a ASC, b ASC
+LIMIT {_CN_TOPK}
+"""
+
+QUERIES["graph_adamic_adar"] = graph_adamic_adar
+ORACLE["graph_adamic_adar"] = _ADAMIC_ADAR_SQL

@@ -783,3 +783,62 @@ FROM nation
 
 QUERIES["scan_csv_multiline"] = scan_csv_multiline
 ORACLE["scan_csv_multiline"] = _SCAN_CSV_MULTILINE_SQL
+
+
+def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns: read a freshly written
+    priority-partitioned orders layout back through the `_metadata`
+    struct (file_name, row_index, file_size) and verify the physical
+    layout against arithmetic derivable from the logical table.
+
+    The write repartitions on the partition column first, so each
+    priority directory holds EXACTLY ONE file; then per partition
+    n_files = count(distinct file_name) = 1, max(_metadata.row_index)
+    = n_rows - 1 and sum = n*(n-1)/2 — the oracle checks all of them
+    from `orders` alone, proving row_index is a true per-file row
+    position. Rebuilt unconditionally each run (no stale-scratch
+    reuse; the partial-write hazard from ADVICE r4 can't arise).
+
+    At scale this is the lineage/debugging surface: `_metadata` rides
+    along the scan for free (no extra I/O beyond the footer), which is
+    how a 100 TB pipeline attributes bad rows to source files without
+    a filename UDF or an extra join.
+    """
+    out = scratch_dir("scan_metadata_cols", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition("o_orderpriority").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(out)
+    back = spark.read.parquet(out).select(
+        "o_orderpriority",
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.row_index").alias("ri"),
+        F.col("_metadata.file_size").alias("fsz"),
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            bcount().alias("n_rows"),
+            F.countDistinct("fname").cast("long").alias("n_files"),
+            F.sum("ri").cast("long").alias("sum_row_index"),
+            F.max("ri").cast("long").alias("max_row_index"),
+            (F.min("fsz") > 0).cast("int").alias("file_size_positive"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SCAN_METADATA_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST((n_rows * (n_rows - 1)) // 2 AS BIGINT) AS sum_row_index,
+       n_rows - 1 AS max_row_index,
+       CAST(1 AS INT) AS file_size_positive
+FROM c ORDER BY o_orderpriority
+"""
+
+QUERIES["scan_metadata_cols"] = scan_metadata_cols
+ORACLE["scan_metadata_cols"] = _SCAN_METADATA_SQL

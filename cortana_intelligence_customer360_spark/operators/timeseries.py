@@ -1571,3 +1571,85 @@ ORDER BY event_type
 
 QUERIES["ts_spectral_entropy"] = ts_spectral_entropy
 ORACLE["ts_spectral_entropy"] = _spectral_entropy_sql()
+
+
+# Durbin-Levinson recursion unrolled for lags 1..4 over the 6 dp-
+# quantized ACF values r1..r4 (ts_acf_profile's outputs, already
+# bit-identical across engines). Each step is ONE shared SQL text
+# evaluated by Spark (F.expr) and DuckDB verbatim on columns produced
+# by the previous step, so the IEEE operation trees are identical by
+# construction.
+_DL_STEPS = [
+    ("p11", "(r1)"),
+    ("p22", "((r2 - p11 * r1) / (1.0 - p11 * r1))"),
+    ("p21", "(p11 - p22 * p11)"),
+    (
+        "p33",
+        "((r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2))",
+    ),
+    ("p31", "(p21 - p33 * p22)"),
+    ("p32", "(p22 - p33 * p21)"),
+    (
+        "p44",
+        "((r4 - p31 * r3 - p32 * r2 - p33 * r1)"
+        " / (1.0 - p31 * r1 - p32 * r2 - p33 * r3))",
+    ),
+]
+
+
+def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-4) of daily order revenue via
+    the Durbin-Levinson recursion — the AR-order diagnostic (the PACF
+    cuts off at the true AR lag, where the ACF only decays).
+
+    Composition on top of ts_acf_profile's REGISTERED output: the 6 dp
+    ACF values are pivoted into one row (r1..r4) and the recursion is
+    a fixed unrolled cascade of shared-text float expressions
+    (_DL_STEPS) — no iteration, no data-size dependence. All heavy
+    lifting is the one groupBy(o_orderdate) shuffle inside the ACF;
+    everything after runs on a single broadcastable row.
+    """
+    acf = QUERIES["ts_acf_profile"](spark, sf_dir)
+    row = acf.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+            for k in range(1, 5)
+        ]
+    )
+    for name, expr in _DL_STEPS:
+        row = row.withColumn(name, F.expr(expr))
+    pacf = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.round(F.col(p), 6).alias("pacf"),
+                    )
+                    for k, p in ((1, "p11"), (2, "p22"), (3, "p33"), (4, "p44"))
+                ]
+            )
+        ).alias("s")
+    ).select("s.lag", "s.pacf")
+    return pacf.orderBy("lag")
+
+
+def _pacf_sql() -> str:
+    pivot = ", ".join(
+        f"MAX(CASE WHEN lag = {k} THEN acf END) AS r{k}" for k in range(1, 5)
+    )
+    ctes = [f"acf AS ({_ACF_SQL})", f"r0 AS (SELECT {pivot} FROM acf)"]
+    prev = "r0"
+    for i, (name, expr) in enumerate(_DL_STEPS):
+        ctes.append(f"d{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"d{i}"
+    rows = "\nUNION ALL ".join(
+        "SELECT CAST(%d AS BIGINT) AS lag, round(%s, 6) AS pacf FROM %s"
+        % (k, p, prev)
+        for k, p in ((1, "p11"), (2, "p22"), (3, "p33"), (4, "p44"))
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows + "\nORDER BY lag"
+
+
+QUERIES["ts_pacf_durbin"] = ts_pacf_durbin
+ORACLE["ts_pacf_durbin"] = _pacf_sql()

@@ -1,0 +1,201 @@
+"""Semantic tests for the round-5 inference operators: statistical
+properties the oracle-parity sweep can't see (scipy-free closed-form
+cross-checks, isotonic monotonicity, BH step-up axioms), per
+SURVEY.md §5.3."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cortana_intelligence_customer360_spark.features.inference import (
+    ml_isotonic_pava,
+    stat_brown_forsythe,
+    stat_cohens_kappa,
+    stat_fdr_bh,
+    stat_mann_whitney,
+)
+from cortana_intelligence_customer360_spark.operators.graph import (
+    graph_adamic_adar,
+)
+from cortana_intelligence_customer360_spark.operators.scans import (
+    scan_metadata_cols,
+)
+from cortana_intelligence_customer360_spark.operators.timeseries import (
+    ts_pacf_durbin,
+)
+
+
+def test_mann_whitney_identities(spark, duck, sf_dir):
+    """U1 + U2 = n1*n2 (rank-sum identity), U within [0, n1*n2], and
+    the z statistic matches a from-scratch Python midrank recomputation
+    on the same rows."""
+    row = stat_mann_whitney(spark, sf_dir).collect()[0]
+    xs = duck.execute(
+        """
+        SELECT o.o_totalprice, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """
+    ).fetchall()
+    vals = sorted(xs)
+    # midranks by scanning the sorted list
+    ranks, i = {}, 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks[vals[i][0]] = mid
+        i = j
+    n1 = sum(1 for _, s in xs if s == "BUILDING")
+    n2 = len(xs) - n1
+    r1 = sum(ranks[x] for x, s in xs if s == "BUILDING")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert row.n1 == n1 and row.n2 == n2
+    assert row.u1 == pytest.approx(u1, abs=1e-6)
+    assert 0.0 <= row.u1 <= n1 * n2
+    # tie correction recomputed
+    from collections import Counter
+
+    tsum = sum(t**3 - t for t in Counter(x for x, _ in xs).values())
+    assert row.tsum == tsum
+    n = n1 + n2
+    sig = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tsum / (n * (n - 1))))
+    z = (u1 - n1 * n2 / 2.0) / sig
+    assert row.z == pytest.approx(z, abs=1e-5)
+    assert 0.0 <= row.p_approx <= 1.0
+
+
+def test_brown_forsythe_nonnegative_and_scale_free(spark, sf_dir):
+    """F >= 0, and the statistic is invariant under relabeling (it only
+    sees |x - median| spreads); k and N are sane."""
+    row = stat_brown_forsythe(spark, sf_dir).collect()[0]
+    assert row.k == 5
+    assert row.nn > 0
+    assert row.f_bf >= 0.0
+
+
+def test_cohens_kappa_bounds_and_marginals(spark, sf_dir):
+    """kappa in [-1, 1], cells sum to N, po/pe in [0, 1], and kappa
+    matches the closed form recomputed from the emitted cells."""
+    r = stat_cohens_kappa(spark, sf_dir).collect()[0]
+    assert r.n11 + r.n10 + r.n01 + r.n00 == r.nn
+    po = (r.n11 + r.n00) / r.nn
+    pe = (
+        (r.n11 + r.n10) * (r.n11 + r.n01) + (r.n01 + r.n00) * (r.n10 + r.n00)
+    ) / (r.nn * r.nn)
+    assert r.po == pytest.approx(po, abs=1e-6)
+    assert r.pe == pytest.approx(pe, abs=1e-6)
+    assert r.kappa == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+    assert -1.0 <= r.kappa <= 1.0
+
+
+def test_fdr_bh_stepup_axioms(spark, sf_dir):
+    """BH invariants: 25 nations; adjusted p is monotone in raw p,
+    >= raw p (m/i >= 1 after the running min), capped at 1; the
+    rejection set is exactly a prefix of the p-sorted order; z = 0
+    would imply p ~ 1."""
+    rows = stat_fdr_bh(spark, sf_dir).collect()
+    assert len(rows) == 25
+    by_p = sorted(rows, key=lambda r: (r.p, r.n_name))
+    # rejections form a prefix in p-order
+    flags = [r.rejected for r in by_p]
+    assert all(f in (0, 1) for f in flags)
+    if 1 in flags:
+        last = max(i for i, f in enumerate(flags) if f == 1)
+        assert all(f == 1 for f in flags[: last + 1])
+    # adjusted p monotone nondecreasing in p-order, >= p, <= 1
+    adj = [r.p_adj for r in by_p]
+    assert all(a2 >= a1 - 1e-9 for a1, a2 in zip(adj, adj[1:]))
+    for r in rows:
+        assert r.p_adj >= r.p - 1e-9
+        assert r.p_adj <= 1.0
+        assert 0.0 <= r.p <= 1.0
+
+
+def test_isotonic_monotone_and_weighted_mean_preserving(spark, sf_dir):
+    """The PAVA fit is nondecreasing in quantity, bracketed by the raw
+    mean range, and weight-preserving: sum(n*fitted) = sum(n*raw_mean)
+    (the pooled blocks keep their weighted means)."""
+    rows = ml_isotonic_pava(spark, sf_dir).collect()
+    qs = [r.q for r in rows]
+    assert qs == sorted(qs)
+    fit = [r.fitted for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(fit, fit[1:]))
+    lo, hi = min(r.raw_mean for r in rows), max(r.raw_mean for r in rows)
+    assert all(lo - 1e-6 <= f <= hi + 1e-6 for f in fit)
+    wf = sum(r.n * r.fitted for r in rows)
+    wr = sum(r.n * r.raw_mean for r in rows)
+    # rounding at 6 dp over ~50 buckets bounds the drift
+    assert wf == pytest.approx(wr, rel=1e-4)
+
+
+def test_isotonic_matches_pava_reference(spark, sf_dir):
+    """Cross-check the minimax form against an independent classic
+    pool-adjacent-violators implementation on the same buckets."""
+    rows = ml_isotonic_pava(spark, sf_dir).collect()
+    w = [float(r.n) for r in rows]
+    y = [r.raw_mean for r in rows]
+    blocks = []  # (weight, mean)
+    for wi, yi in zip(w, y):
+        blocks.append([wi, yi])
+        while len(blocks) > 1 and blocks[-2][1] > blocks[-1][1] + 1e-15:
+            w2, y2 = blocks.pop()
+            w1, y1 = blocks.pop()
+            blocks.append([w1 + w2, (w1 * y1 + w2 * y2) / (w1 + w2)])
+    # expand pooled blocks back to per-bucket fitted values by walking
+    # block weights against the original bucket weights
+    fit = []
+    bi, remaining = 0, blocks[0][0]
+    for wi in w:
+        fit.append(blocks[bi][1])
+        remaining -= wi
+        if remaining <= 1e-9 and bi + 1 < len(blocks):
+            bi += 1
+            remaining = blocks[bi][0]
+    for r, f in zip(rows, fit):
+        assert r.fitted == pytest.approx(f, abs=2e-6)
+
+
+def test_adamic_adar_bounds(spark, sf_dir):
+    """aa_score <= n_common / ln(2) (every middle has deg >= 2) and
+    > 0; pairs are canonical a < b; scores sorted desc."""
+    rows = graph_adamic_adar(spark, sf_dir).collect()
+    assert rows, "expected non-empty top-k"
+    prev = None
+    for r in rows:
+        assert r.a < r.b
+        assert r.aa_score > 0.0
+        assert r.aa_score <= r.n_common / math.log(2.0) + 1e-6
+        if prev is not None:
+            assert r.aa_score <= prev + 1e-9
+        prev = r.aa_score
+
+
+def test_scan_metadata_single_file_layout(spark, sf_dir):
+    """The repartition-by-partition-column write yields exactly one
+    file per priority dir, and row_index arithmetic is per-file exact."""
+    rows = scan_metadata_cols(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_files == 1
+        assert r.max_row_index == r.n_rows - 1
+        assert r.sum_row_index == r.n_rows * (r.n_rows - 1) // 2
+        assert r.file_size_positive == 1
+
+
+def test_pacf_lag1_equals_acf_and_range(spark, sf_dir):
+    """PACF(1) == ACF(1) by definition; all partial autocorrelations
+    fall in [-1, 1]."""
+    from cortana_intelligence_customer360_spark.registry import build
+
+    queries, _ = build()
+    acf = {r.lag: r.acf for r in queries["ts_acf_profile"](spark, sf_dir).collect()}
+    pacf = {r.lag: r.pacf for r in ts_pacf_durbin(spark, sf_dir).collect()}
+    assert set(pacf) == {1, 2, 3, 4}
+    assert pacf[1] == pytest.approx(acf[1], abs=1e-9)
+    for v in pacf.values():
+        assert -1.0 <= v <= 1.0

@@ -662,3 +662,83 @@ def test_greedy_decode_frontier_broadcast(spark, sf_dir):
 
     plan = plan_string(text_greedy_decode(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_mann_whitney_rank_window_on_distinct_values_only(spark, sf_dir):
+    """stat_mann_whitney: the cumulative rank window runs AFTER the
+    value-group aggregate (partial_ markers present), so the
+    single-partition window sees distinct values, never raw rows; the
+    final sufficient-stat collapse is partial-combined too."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_mann_whitney,
+    )
+
+    plan = plan_string(stat_mann_whitney(spark, sf_dir))
+    assert "partial_" in plan
+    assert "Window" in plan
+    # the window input is the grouped value table: its exchange keys on
+    # the value aggregation, not on a raw-row id
+    assert "hashpartitioning(x" in plan
+
+
+def test_brown_forsythe_median_broadcast_back(spark, sf_dir):
+    """stat_brown_forsythe: the 5-row median frame joins back to the
+    fact rows by broadcast, never a sort-merge of order-scale data."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_brown_forsythe,
+    )
+
+    plan = plan_string(stat_brown_forsythe(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_fdr_bh_nation_dim_broadcast(spark, sf_dir):
+    """stat_fdr_bh: the nation dim joins by broadcast and the
+    per-nation counts partial-aggregate map-side; the BH windows run on
+    the 25-row frame only (no window keyed on a fact-table column)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_fdr_bh,
+    )
+
+    plan = plan_string(stat_fdr_bh(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_isotonic_quadratic_work_on_bucket_frame_only(spark, sf_dir):
+    """ml_isotonic_pava: lineitem is scanned exactly once (the bucket
+    collapse); the O(n^2) range/triple joins run on the checkpointed
+    <=50-row frame, so no second fact-table exchange exists."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_isotonic_pava,
+    )
+
+    plan = plan_string(ml_isotonic_pava(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, "fact table must be scanned once"
+    assert "partial_" in plan
+
+
+def test_adamic_adar_weight_joined_before_wedge_agg(spark, sf_dir):
+    """graph_adamic_adar: the wedge aggregate partial-combines map-side
+    (weights attached before the groupBy) and the final top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    from cortana_intelligence_customer360_spark.operators.graph import (
+        graph_adamic_adar,
+    )
+
+    plan = plan_string(graph_adamic_adar(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan
+
+
+def test_pacf_single_orderdate_shuffle(spark, sf_dir):
+    """ts_pacf_durbin: all heavy lifting is the ACF's one
+    groupBy(o_orderdate) exchange; the Durbin-Levinson cascade adds no
+    further exchange of date-scale data."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_pacf_durbin,
+    )
+
+    plan = plan_string(ts_pacf_durbin(spark, sf_dir))
+    assert plan.count("hashpartitioning(o_orderdate") <= 1

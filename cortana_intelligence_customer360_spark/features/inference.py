@@ -610,3 +610,277 @@ ORDER BY b2.q
 
 QUERIES["ml_isotonic_pava"] = ml_isotonic_pava
 ORACLE["ml_isotonic_pava"] = _ISOTONIC_SQL
+
+
+# ---------------------------------------------------------------------------
+# ml_adaboost_stumps
+# ---------------------------------------------------------------------------
+
+_ADA_ROUNDS = 3
+_ADA_CANDS = [
+    ("quantity", 10.0, 1), ("quantity", 25.0, 1), ("quantity", 40.0, 1),
+    ("quantity", 10.0, -1), ("quantity", 25.0, -1), ("quantity", 40.0, -1),
+    ("discount", 0.02, 1), ("discount", 0.05, 1), ("discount", 0.08, 1),
+    ("discount", 0.02, -1), ("discount", 0.05, -1), ("discount", 0.08, -1),
+    ("tax", 0.02, 1), ("tax", 0.04, 1), ("tax", 0.06, 1),
+    ("tax", 0.02, -1), ("tax", 0.04, -1), ("tax", 0.06, -1),
+]
+# Shared expression texts (Spark F.expr == DuckDB verbatim) over columns
+# (q, dc, tx, feature, thr, pol, y, margin, alpha): the stump response,
+# the boosting weight, and the margin update.
+_ADA_VAL = "(CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN dc ELSE tx END)"
+_ADA_H = f"(pol * (CASE WHEN {_ADA_VAL} <= thr THEN 1 ELSE -1 END))"
+_ADA_W = "exp(-margin)"
+_ADA_UPD = f"(margin + alpha * CAST(y * {_ADA_H} AS DOUBLE))"
+_ADA_ALPHA = "round(0.5 * ln((1.0 - eps) / eps), 6)"
+
+
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost.M1 over decision stumps, 3 unrolled rounds: predict
+    returned lineitems (l_returnflag = 'R' -> y = +1) from quantity /
+    discount / tax against a fixed 18-candidate stump grid (3 features
+    x 3 thresholds x 2 polarities). Emits one row per round: the
+    chosen stump, its weighted error eps, its vote alpha, and the
+    ensemble's 0/1 training error after that round.
+
+    Determinism discipline: boosting weights are never materialized —
+    w_i = exp(-margin_i) with margin_i = sum_t alpha_t y_i h_t(x_i)
+    rebuilt from shared-text expressions, eps is rounded to 6 dp
+    BEFORE both the argmin comparison and the alpha = ln((1-eps)/eps)
+    transform, and ties break on (feature, thr, pol), so the greedy
+    stump choice — the only data-dependent branch — is bit-identical
+    across engines. Weighted sums go through DECIMAL (compat rule 1).
+
+    Shape at scale: each round is one crossJoin against the broadcast
+    18-row candidate grid with map-side partial aggregation (the
+    shuffle moves 18 sufficient-stat rows per partition, never data),
+    plus one single-row broadcast join to apply the chosen stump; the
+    chosen-stump frame is localCheckpointed so round t+1's lineage
+    starts from a 1-row literal, the standard checkpoint-per-round
+    boosting layout.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(-1).alias("y"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_discount").alias("dc"),
+        F.col("l_tax").alias("tx"),
+    )
+    cands = F.broadcast(
+        spark.createDataFrame(_ADA_CANDS, "feature string, thr double, pol int")
+    )
+    data = li.withColumn("margin", F.lit(0.0))
+    out = []
+    for t in range(1, _ADA_ROUNDS + 1):
+        j = data.crossJoin(cands).select(
+            "feature", "thr", "pol",
+            F.expr(_ADA_H).alias("h"),
+            "y",
+            F.expr(_ADA_W).alias("w"),
+        )
+        errs = j.groupBy("feature", "thr", "pol").agg(
+            dsum(F.when(F.col("h") != F.col("y"), F.col("w")).otherwise(0.0)).alias(
+                "err"
+            ),
+            dsum("w").alias("tot"),
+        )
+        best = (
+            errs.withColumn("eps", F.round(F.col("err") / F.col("tot"), 6))
+            .orderBy("eps", "feature", "thr", "pol")
+            .limit(1)
+            .withColumn("alpha", F.expr(_ADA_ALPHA))
+            .select("feature", "thr", "pol", "eps", "alpha")
+            .localCheckpoint()
+        )
+        data = data.crossJoin(F.broadcast(best)).select(
+            "y", "q", "dc", "tx", F.expr(_ADA_UPD).alias("margin")
+        )
+        acc = data.agg(
+            (
+                F.sum(
+                    F.when(
+                        F.when(F.col("margin") > 0, 1).otherwise(-1) != F.col("y"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("raw")
+        ).select(F.round("raw", 6).alias("train_err"))
+        out.append(
+            best.select(
+                F.lit(t).cast("long").alias("t"),
+                "feature",
+                "thr",
+                "pol",
+                "eps",
+                "alpha",
+            ).crossJoin(F.broadcast(acc))
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("t")
+
+
+def _ada_sql() -> str:
+    cands = ", ".join(
+        f"('{f}', {thr}, {pol})" for f, thr, pol in _ADA_CANDS
+    )
+    ctes = [
+        f"cands(feature, thr, pol) AS (VALUES {cands})",
+        "d0 AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y, "
+        "l_quantity AS q, l_discount AS dc, l_tax AS tx, 0.0 AS margin "
+        "FROM lineitem)",
+    ]
+    selects = []
+    for t in range(1, _ADA_ROUNDS + 1):
+        p = t - 1
+        ctes.append(
+            f"""e{t} AS (
+  SELECT feature, thr, pol,
+         {dsum_sql(f'CASE WHEN {_ADA_H} <> y THEN {_ADA_W} ELSE 0.0 END')} AS err,
+         {dsum_sql(_ADA_W)} AS tot
+  FROM d{p} CROSS JOIN cands
+  GROUP BY feature, thr, pol)"""
+        )
+        ctes.append(
+            f"""b{t} AS (
+  SELECT feature, thr, pol, eps, {_ADA_ALPHA} AS alpha
+  FROM (SELECT *, round(err / tot, 6) AS eps FROM e{t})
+  ORDER BY eps, feature, thr, pol LIMIT 1)"""
+        )
+        ctes.append(
+            f"""d{t} AS (
+  SELECT y, q, dc, tx, {_ADA_UPD} AS margin
+  FROM d{p} CROSS JOIN b{t})"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+  SELECT round(CAST(SUM(CASE WHEN (CASE WHEN margin > 0 THEN 1 ELSE -1 END) <> y
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS train_err
+  FROM d{t})"""
+        )
+        selects.append(
+            f"SELECT CAST({t} AS BIGINT) AS t, feature, thr, pol, eps, alpha,"
+            f" train_err FROM b{t} CROSS JOIN a{t}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+        + "\nORDER BY t"
+    )
+
+
+QUERIES["ml_adaboost_stumps"] = ml_adaboost_stumps
+ORACLE["ml_adaboost_stumps"] = _ada_sql()
+
+
+# ---------------------------------------------------------------------------
+# feat_uplift_split
+# ---------------------------------------------------------------------------
+
+# Shared closed-form texts over exact BIGINT cells
+# (nt, st, nc, sc): rates, uplift, and its unpooled 95% CI.
+_UPLIFT_PT = "(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))"
+_UPLIFT_PC = "(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))"
+_UPLIFT = f"({_UPLIFT_PT} - {_UPLIFT_PC})"
+_UPLIFT_SE = (
+    f"sqrt({_UPLIFT_PT} * (1.0 - {_UPLIFT_PT}) / CAST(nt AS DOUBLE)"
+    f" + {_UPLIFT_PC} * (1.0 - {_UPLIFT_PC}) / CAST(nc AS DOUBLE))"
+)
+
+
+def feat_uplift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment uplift estimate from a deterministic 50/50 hash
+    split: 'treated' customers are those whose md5(custkey) bucket is
+    even-half — a reproducible assignment pure in the key (the same
+    discipline as sample_hash_pct), so the A/B split survives retries,
+    repartitioning, and engine changes. The outcome is late-period
+    conversion (any order from 1997 on); uplift is the treated-minus-
+    control conversion-rate difference per market segment with the
+    unpooled two-proportion 95% CI.
+
+    In a real campaign the assignment column comes from the experiment
+    system; the hash split makes the operator self-contained and the
+    expected uplift ~0 (null experiment), which the CI should bracket
+    — pinned in tests.
+
+    Shape: one groupBy(o_custkey) collapses orders to a conversion
+    flag, one broadcast-friendly left join keeps zero-order customers
+    in the cohort, and the 5-segment cell frame feeds shared-text
+    closed forms. All counts are BIGINT-exact, so only the final
+    rate/CI floats exist, computed identically in both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (
+            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+            < 50
+        ).cast("long").alias("treated"),
+    )
+    conv = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.lit(1).alias("converted"))
+    )
+    j = cust.join(conv, cust.c_custkey == conv.o_custkey, "left").select(
+        "c_mktsegment",
+        "treated",
+        F.coalesce(F.col("converted"), F.lit(0)).cast("long").alias("conv"),
+    )
+    cells = j.groupBy("c_mktsegment").agg(
+        F.sum("treated").cast("long").alias("nt"),
+        F.sum(F.col("treated") * F.col("conv")).cast("long").alias("st"),
+        F.sum(1 - F.col("treated")).cast("long").alias("nc"),
+        F.sum((1 - F.col("treated")) * F.col("conv")).cast("long").alias("sc"),
+    )
+    return cells.select(
+        "c_mktsegment",
+        "nt",
+        "st",
+        "nc",
+        "sc",
+        F.round(F.expr(_UPLIFT_PT), 6).alias("rate_t"),
+        F.round(F.expr(_UPLIFT_PC), 6).alias("rate_c"),
+        F.round(F.expr(_UPLIFT), 6).alias("uplift"),
+        F.round(F.expr(f"{_UPLIFT} - 1.96 * {_UPLIFT_SE}"), 6).alias("ci_lo"),
+        F.round(F.expr(f"{_UPLIFT} + 1.96 * {_UPLIFT_SE}"), 6).alias("ci_hi"),
+    ).orderBy("c_mktsegment")
+
+
+_UPLIFT_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 < 50 THEN 1 ELSE 0 END AS treated
+  FROM customer),
+conv AS (
+  SELECT o_custkey, 1 AS converted
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY o_custkey),
+j AS (
+  SELECT c.c_mktsegment, c.treated,
+         CAST(COALESCE(v.converted, 0) AS BIGINT) AS conv
+  FROM cust c LEFT JOIN conv v ON c.c_custkey = v.o_custkey),
+cells AS (
+  SELECT c_mktsegment,
+         CAST(SUM(treated) AS BIGINT) AS nt,
+         CAST(SUM(treated * conv) AS BIGINT) AS st,
+         CAST(SUM(1 - treated) AS BIGINT) AS nc,
+         CAST(SUM((1 - treated) * conv) AS BIGINT) AS sc
+  FROM j GROUP BY c_mktsegment)
+SELECT c_mktsegment, nt, st, nc, sc,
+       round({_UPLIFT_PT}, 6) AS rate_t,
+       round({_UPLIFT_PC}, 6) AS rate_c,
+       round({_UPLIFT}, 6) AS uplift,
+       round({_UPLIFT} - 1.96 * {_UPLIFT_SE}, 6) AS ci_lo,
+       round({_UPLIFT} + 1.96 * {_UPLIFT_SE}, 6) AS ci_hi
+FROM cells
+ORDER BY c_mktsegment
+"""
+
+QUERIES["feat_uplift_split"] = feat_uplift_split
+ORACLE["feat_uplift_split"] = _UPLIFT_SQL

@@ -1653,3 +1653,107 @@ def _pacf_sql() -> str:
 
 QUERIES["ts_pacf_durbin"] = ts_pacf_durbin
 ORACLE["ts_pacf_durbin"] = _pacf_sql()
+
+
+# Croston smoothing constant and its complement as literal text so both
+# engines parse the identical doubles.
+_CROSTON_A = "0.2"
+_CROSTON_B = "0.8"
+# EWMA closed form per part over demand events ordered by day (rn, n):
+# z_n = (1-a)^(n-1) y_1 + a * sum_{k=2..n} (1-a)^(n-k) y_k, and the
+# inter-arrival smoother starts at the FIRST gap (rn = 2):
+# p_n = (1-a)^(n-2) g_2 + a * sum_{k=3..n} (1-a)^(n-k) g_k.
+_CROSTON_ZTERM = (
+    f"(CASE WHEN rn = 1 THEN power({_CROSTON_B}, CAST(n - 1 AS DOUBLE)) * yv"
+    f" ELSE {_CROSTON_A} * power({_CROSTON_B}, CAST(n - rn AS DOUBLE)) * yv END)"
+)
+_CROSTON_PTERM = (
+    f"(CASE WHEN rn = 2 THEN power({_CROSTON_B}, CAST(n - 2 AS DOUBLE)) * g"
+    f" WHEN rn > 2 THEN {_CROSTON_A} * power({_CROSTON_B},"
+    f" CAST(n - rn AS DOUBLE)) * g ELSE NULL END)"
+)
+_CROSTON_MIN_DAYS = 8
+
+
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972): per
+    part, exponentially smooth the nonzero demand SIZES and the
+    INTER-ARRIVAL gaps separately; the demand-rate forecast is z/p.
+    The standard forecast for spare-parts-style series where most days
+    sell nothing — exactly what per-part order history looks like.
+
+    The recursion is replaced by its closed form: an EWMA after n
+    observations is a fixed linear combination with weights
+    a*(1-a)^(n-k) (init term (1-a)^(n-1)), so both smoothers become
+    one groupBy(part) over per-event terms — no iteration, fully
+    oracle-able. Terms go through DECIMAL per-term rounding (compat
+    rule 1) so the power() libm wiggle can never reorder a sum.
+
+    Shape: one shuffle keys the order-line join (orderkey), one keys
+    the per-(part, day) demand collapse, and the event window +
+    final aggregate reuse that part partitioning. Parts with fewer
+    than 8 demand days are dropped (too sparse to smooth).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    demands = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_partkey",
+            (epoch_us("o_orderdate") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        )
+        .agg(dsum("l_quantity").alias("yv"))
+    )
+    wp = Window.partitionBy("l_partkey").orderBy("day")
+    ev = (
+        demands.withColumn("rn", F.row_number().over(wp))
+        .withColumn("n", F.count("*").over(Window.partitionBy("l_partkey")))
+        .withColumn("g", (F.col("day") - F.lag("day", 1).over(wp)).cast("double"))
+        .where(F.col("n") >= _CROSTON_MIN_DAYS)
+    )
+    agg = ev.groupBy("l_partkey").agg(
+        F.max("n").cast("long").alias("n_days"),
+        dsum(F.expr(_CROSTON_ZTERM)).alias("z"),
+        dsum(F.expr(_CROSTON_PTERM)).alias("p"),
+    )
+    return agg.select(
+        "l_partkey",
+        "n_days",
+        F.round("z", 6).alias("z"),
+        F.round("p", 6).alias("p"),
+        F.round(F.col("z") / F.col("p"), 6).alias("croston_rate"),
+    ).orderBy("l_partkey")
+
+
+_CROSTON_SQL = f"""
+WITH demands AS (
+  SELECT l.l_partkey,
+         {epoch_us_sql('o.o_orderdate')} // 86400000000 AS day,
+         {dsum_sql('l.l_quantity')} AS yv
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+ev AS (
+  SELECT l_partkey, yv,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n,
+         CAST(day - LAG(day, 1) OVER (PARTITION BY l_partkey ORDER BY day)
+              AS DOUBLE) AS g
+  FROM demands),
+agg AS (
+  SELECT l_partkey,
+         CAST(MAX(n) AS BIGINT) AS n_days,
+         {dsum_sql(_CROSTON_ZTERM)} AS z,
+         {dsum_sql(_CROSTON_PTERM)} AS p
+  FROM ev
+  WHERE n >= {_CROSTON_MIN_DAYS}
+  GROUP BY l_partkey)
+SELECT l_partkey, n_days, round(z, 6) AS z, round(p, 6) AS p,
+       round(z / p, 6) AS croston_rate
+FROM agg
+ORDER BY l_partkey
+"""
+
+QUERIES["ts_croston"] = ts_croston
+ORACLE["ts_croston"] = _CROSTON_SQL

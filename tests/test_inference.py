@@ -199,3 +199,89 @@ def test_pacf_lag1_equals_acf_and_range(spark, sf_dir):
     assert pacf[1] == pytest.approx(acf[1], abs=1e-9)
     for v in pacf.values():
         assert -1.0 <= v <= 1.0
+
+
+def test_adaboost_rounds_consistent(spark, sf_dir):
+    """Per round: eps in (0, 0.5] (both polarities are candidates, so
+    the argmin can't exceed 1/2), alpha = 0.5*ln((1-eps)/eps) at 6 dp,
+    the chosen stump comes from the candidate grid, and train_err is a
+    valid 0/1 rate."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        _ADA_CANDS,
+        ml_adaboost_stumps,
+    )
+
+    rows = ml_adaboost_stumps(spark, sf_dir).collect()
+    assert [r.t for r in rows] == [1, 2, 3]
+    grid = set(_ADA_CANDS)
+    for r in rows:
+        assert (r.feature, r.thr, r.pol) in grid
+        assert 0.0 < r.eps <= 0.5
+        assert r.alpha == pytest.approx(
+            round(0.5 * math.log((1 - r.eps) / r.eps), 6), abs=1e-9
+        )
+        assert 0.0 <= r.train_err <= 1.0
+
+
+def test_croston_matches_iterative_recursion(spark, duck, sf_dir):
+    """The closed-form EWMA equals the textbook iterative Croston
+    update for a sampled part, and structural bounds hold: p >= 1
+    (daily gaps are >= 1), z > 0, rate = z/p."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_croston,
+    )
+
+    rows = ts_croston(spark, sf_dir).collect()
+    assert rows, "expected at least one part with >= 8 demand days"
+    for r in rows:
+        assert r.n_days >= 8
+        assert r.z > 0.0
+        assert r.p >= 1.0 - 1e-9
+        assert r.croston_rate == pytest.approx(r.z / r.p, abs=2e-6)
+    pk = rows[0].l_partkey
+    series = duck.execute(
+        """
+        SELECT CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT)
+                 // 86400000000 AS day,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS y
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey = ?
+        GROUP BY 1 ORDER BY 1
+        """,
+        [pk],
+    ).fetchall()
+    a = 0.2
+    z = series[0][1]
+    for _, y in series[1:]:
+        z = a * y + (1 - a) * z
+    p = None
+    prev = series[0][0]
+    for day, _ in series[1:]:
+        g = day - prev
+        p = g if p is None else a * g + (1 - a) * p
+        prev = day
+    assert rows[0].z == pytest.approx(z, abs=1e-4)
+    assert rows[0].p == pytest.approx(p, abs=1e-4)
+
+
+def test_uplift_null_experiment_cells(spark, duck, sf_dir):
+    """The hash split partitions every segment exactly (nt + nc =
+    segment size), rates are valid proportions, and the CI brackets
+    the point estimate symmetrically."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        feat_uplift_split,
+    )
+
+    rows = feat_uplift_split(spark, sf_dir).collect()
+    seg_sizes = dict(
+        duck.execute(
+            "SELECT c_mktsegment, COUNT(*) FROM customer GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(rows) == len(seg_sizes)
+    for r in rows:
+        assert r.nt + r.nc == seg_sizes[r.c_mktsegment]
+        assert 0 <= r.st <= r.nt and 0 <= r.sc <= r.nc
+        assert 0.0 <= r.rate_t <= 1.0 and 0.0 <= r.rate_c <= 1.0
+        assert r.ci_lo <= r.uplift <= r.ci_hi
+        assert r.uplift == pytest.approx(r.rate_t - r.rate_c, abs=2e-6)

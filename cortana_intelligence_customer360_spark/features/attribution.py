@@ -732,7 +732,9 @@ FROM users u LEFT JOIN cand c ON u.user_id = c.user_id AND c.rn = 1
 """
 
 
-def _global_ranked_cumsum(df: DataFrame, value_col: str, order_cols) -> DataFrame:
+def _global_ranked_cumsum(
+    df: DataFrame, value_col: str, order_cols, checkpoint: bool = True
+) -> DataFrame:
     """Global rank + running DECIMAL sum WITHOUT the single-partition
     collapse a partitionless window causes: range-repartition on the
     ordering, rank/accumulate LOCALLY per partition, then add the
@@ -755,6 +757,15 @@ def _global_ranked_cumsum(df: DataFrame, value_col: str, order_cols) -> DataFram
             ),
         )
     )
+    # Pin pid ONCE: spark_partition_id depends on the physical range
+    # exchange, and the offsets branch and the final join would
+    # otherwise re-execute that exchange independently — an AQE replan
+    # (or re-sampled range boundaries) between the two executions
+    # would pair rows with offsets from a DIFFERENT partitioning and
+    # silently corrupt the global ranks. (checkpoint=False exists only
+    # so plan tests can inspect the pre-checkpoint exchange shape.)
+    if checkpoint:
+        local = local.localCheckpoint()
     totals = local.groupBy("pid").agg(
         F.max("lrn").alias("cnt"), F.sum(value_col).alias("psum")
     )

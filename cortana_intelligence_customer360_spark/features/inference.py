@@ -31,9 +31,13 @@ sufficient statistics in one or two key-partitioned shuffles (value
 groups for ranks, segment groups for variances, nation groups for
 proportions, quantity buckets for isotonic), and all remaining math
 runs on tiny frames (<= a few thousand rows) that Spark broadcasts.
-The only global window (Mann-Whitney's cumulative rank) runs over the
-DISTINCT-VALUE table, already reduced by the groupBy, and is replaced
-by a range-partitioned two-pass prefix sum on a real cluster.
+Global/segment ranks (Mann-Whitney's cumulative count, Brown-
+Forsythe's median) are distributed by DETERMINISTIC VALUE BUCKETS —
+floor(x/256), a pure function of the data — so prefix sums shard into
+per-bucket windows plus a tiny bucket-offset frame, with no
+partitionless window and no dependence on runtime partition ids
+(spark_partition_id pairs rows with offsets from a different
+partitioning if an exchange is ever replanned).
 """
 
 from __future__ import annotations
@@ -112,8 +116,32 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = obs.groupBy("x").agg(
         bcount().alias("tv"), F.sum("in1").cast("long").alias("n1v")
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    vals = vals.withColumn("cumb", F.sum("tv").over(w) - F.col("tv"))
+    # Distinct-price cardinality grows with the data, so the cumulative
+    # count is distributed by DETERMINISTIC VALUE BUCKETS (bkt =
+    # floor(x/256), a pure function of the data — immune to exchange
+    # replans, unlike spark_partition_id): per-bucket totals feed a
+    # tiny offset window, and the data-sized window runs per bucket.
+    vals = vals.withColumn("bkt", F.floor(F.col("x") / F.lit(256.0)).cast("long"))
+    boff = (
+        vals.groupBy("bkt")
+        .agg(F.sum("tv").alias("btv"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("btv").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "boff")
+    )
+    wloc = Window.partitionBy("bkt").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    vals = vals.join(F.broadcast(boff), "bkt").withColumn(
+        "cumb", F.col("boff") + F.sum("tv").over(wloc) - F.col("tv")
+    )
     suff = vals.agg(
         F.sum(
             F.col("n1v") * (2 * F.col("cumb") + F.col("tv") + 1)
@@ -203,10 +231,38 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
         )
     )
-    wr = Window.partitionBy("seg").orderBy(F.col("x").asc(), F.col("o_orderkey").asc())
+    # Per-segment rank distributed by DETERMINISTIC VALUE BUCKETS
+    # (seg, floor(x/256)) — a pure function of the data, immune to
+    # exchange replans — so no 5-partition segment window ever holds a
+    # fifth of the fact table in one task: per-(seg, bucket) counts
+    # feed a tiny per-segment offset window, and row_number runs per
+    # bucket. rank-in-segment = bucket offset + local rank.
+    obs2 = obs.withColumn("bkt", F.floor(F.col("x") / F.lit(256.0)).cast("long"))
+    boff = (
+        obs2.groupBy("seg", "bkt")
+        .agg(bcount().alias("btv"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("btv").over(
+                    Window.partitionBy("seg")
+                    .orderBy("bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("seg", "bkt", "boff")
+    )
+    wloc = Window.partitionBy("seg", "bkt").orderBy(
+        F.col("x").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = obs2.join(F.broadcast(boff), ["seg", "bkt"]).withColumn(
+        "rn", F.col("boff") + F.row_number().over(wloc)
+    )
+    seg_cnt = ranked.groupBy("seg").agg(bcount().alias("cnt"))
     med = (
-        obs.withColumn("rn", F.row_number().over(wr))
-        .withColumn("cnt", F.count("*").over(Window.partitionBy("seg")))
+        ranked.join(F.broadcast(seg_cnt), "seg")
         .where(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
         .select("seg", F.col("x").alias("med"))
     )

@@ -424,9 +424,29 @@ def test_global_ranking_is_range_partitioned_not_single_window(spark, sf_dir):
         agg_pareto_revenue,
     )
 
+    from cortana_intelligence_customer360_spark.features.attribution import (
+        _global_ranked_cumsum,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    # The ranking core (pre-checkpoint) must range-partition the data.
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec"))
+    )
+    core = _global_ranked_cumsum(
+        per_cust, "rev_dec", [F.col("rev_dec").desc(), "o_custkey"],
+        checkpoint=False,
+    )
+    assert "rangepartitioning" in plan_string(core).lower()
+    # The registered ops consume the pinned (checkpointed) ranking, so
+    # their plans read the materialized frame instead of re-running the
+    # exchange per branch — the fix for offset/pid inconsistency.
     for fn in (agg_pareto_revenue, agg_gini_revenue):
         plan = plan_string(fn(spark, sf_dir))
-        assert "rangepartitioning" in plan.lower(), fn.__name__
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan, fn.__name__
 
 
 def test_ip_cidr_dim_is_broadcast(spark, sf_dir):
@@ -679,6 +699,9 @@ def test_mann_whitney_rank_window_on_distinct_values_only(spark, sf_dir):
     # the window input is the grouped value table: its exchange keys on
     # the value aggregation, not on a raw-row id
     assert "hashpartitioning(x" in plan
+    # ...and the cumulative count shards into per-bucket windows (the
+    # deterministic value-bucket pattern), never a partitionless window
+    assert "hashpartitioning(bkt" in plan
 
 
 def test_brown_forsythe_median_broadcast_back(spark, sf_dir):
@@ -691,6 +714,9 @@ def test_brown_forsythe_median_broadcast_back(spark, sf_dir):
     plan = plan_string(stat_brown_forsythe(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
+    # the per-segment median rank shards into (seg, bucket) windows,
+    # not a 5-task segment window
+    assert "hashpartitioning(seg" in plan
 
 
 def test_fdr_bh_nation_dim_broadcast(spark, sf_dir):

@@ -940,3 +940,93 @@ ORDER BY c_mktsegment
 
 QUERIES["feat_uplift_split"] = feat_uplift_split
 ORACLE["feat_uplift_split"] = _UPLIFT_SQL
+
+
+# ---------------------------------------------------------------------------
+# ml_confusion_threshold_sweep
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = [round(0.01 * i, 2) for i in range(0, 11)]
+# Shared closed-form texts over exact BIGINT confusion cells.
+_SWEEP_PREC = "(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))"
+_SWEEP_REC = "(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))"
+_SWEEP_F1 = (
+    f"(CASE WHEN tp = 0 THEN 0.0 ELSE"
+    f" 2.0 * {_SWEEP_PREC} * {_SWEEP_REC} / ({_SWEEP_PREC} + {_SWEEP_REC}) END)"
+)
+
+
+def ml_confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation sweep: confusion matrix, precision,
+    recall, and F1 at every threshold of an 11-point grid, scoring
+    lineitem returns (y = l_returnflag = 'R') by discount — the
+    operating-point table a practitioner reads before picking a
+    production threshold (the curve-summary counterpart of
+    ml_auc_roc's single scalar).
+
+    Shape: ONE pass over the fact table against the broadcast 11-row
+    threshold frame with map-side partial aggregation — the shuffle
+    carries 11 sufficient-stat rows per partition. All cells are
+    BIGINT-exact; precision/recall/F1 are shared-text closed forms
+    (tp = 0 guards the F1 zero-denominator). Guaranteed degenerate
+    rows (threshold 0.0 predicts everything positive) keep the sweep
+    self-validating: recall = 1 there, pinned in tests.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.col("l_discount").alias("s"),
+    )
+    thr = F.broadcast(
+        spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS], "thr double")
+    )
+    cells = (
+        li.crossJoin(thr)
+        .withColumn("pred", (F.col("s") >= F.col("thr")).cast("long"))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.col("y") * F.col("pred")).cast("long").alias("tp"),
+            F.sum((1 - F.col("y")) * F.col("pred")).cast("long").alias("fp"),
+            F.sum(F.col("y") * (1 - F.col("pred"))).cast("long").alias("fn"),
+            F.sum((1 - F.col("y")) * (1 - F.col("pred"))).cast("long").alias("tn"),
+        )
+    )
+    return cells.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.expr(_SWEEP_PREC), 6).alias("precision"),
+        F.round(F.expr(_SWEEP_REC), 6).alias("recall"),
+        F.round(F.expr(_SWEEP_F1), 6).alias("f1"),
+    ).orderBy("thr")
+
+
+def _sweep_sql() -> str:
+    vals = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    return f"""
+WITH li AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         l_discount AS s
+  FROM lineitem),
+thr(thr) AS (VALUES {vals}),
+cells AS (
+  SELECT thr,
+         CAST(SUM(y * pred) AS BIGINT) AS tp,
+         CAST(SUM((1 - y) * pred) AS BIGINT) AS fp,
+         CAST(SUM(y * (1 - pred)) AS BIGINT) AS fn,
+         CAST(SUM((1 - y) * (1 - pred)) AS BIGINT) AS tn
+  FROM (SELECT y, thr, CASE WHEN s >= thr THEN 1 ELSE 0 END AS pred
+        FROM li CROSS JOIN thr)
+  GROUP BY thr)
+SELECT thr, tp, fp, fn, tn,
+       round({_SWEEP_PREC}, 6) AS precision,
+       round({_SWEEP_REC}, 6) AS recall,
+       round({_SWEEP_F1}, 6) AS f1
+FROM cells
+ORDER BY thr
+"""
+
+
+QUERIES["ml_confusion_threshold_sweep"] = ml_confusion_threshold_sweep
+ORACLE["ml_confusion_threshold_sweep"] = _sweep_sql()

@@ -842,3 +842,38 @@ FROM c ORDER BY o_orderpriority
 
 QUERIES["scan_metadata_cols"] = scan_metadata_cols
 ORACLE["scan_metadata_cols"] = _SCAN_METADATA_SQL
+
+
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file resilience: a dataset directory containing one
+    valid nation parquet file plus one garbage file read with
+    ``ignoreCorruptFiles`` — the ingest posture for a 100 TB lake
+    where a bad upload must not fail the whole pipeline, only drop
+    the unreadable split (paired with dq_freshness/observe metrics to
+    detect the drop). The aggregate proves the good rows all arrived
+    and the corrupt bytes contributed nothing.
+
+    Rebuilt unconditionally each run (fresh write + fresh garbage
+    file), so no stale-scratch hazard.
+    """
+    out = scratch_dir("scan_ignore_corrupt_files", sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").parquet(out)
+    with open(os.path.join(out, "part-corrupt-bytes.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet file payload \x00\x01\x02")
+    back = spark.read.option("ignoreCorruptFiles", "true").parquet(out)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(bcount().alias("n_nations"), F.max("n_name").alias("max_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+_SCAN_IGNORE_CORRUPT_SQL = """
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MAX(n_name) AS max_name
+FROM nation GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["scan_ignore_corrupt_files"] = scan_ignore_corrupt_files
+ORACLE["scan_ignore_corrupt_files"] = _SCAN_IGNORE_CORRUPT_SQL

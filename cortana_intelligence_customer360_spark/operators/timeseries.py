@@ -1757,3 +1757,97 @@ ORDER BY l_partkey
 
 QUERIES["ts_croston"] = ts_croston
 ORACLE["ts_croston"] = _CROSTON_SQL
+
+
+_XCORR_MAX_LAG = 7
+# Pearson correlation from DECIMAL-exact sufficient sums — one shared
+# closed-form text over (np, sa, sb, sab, saa, sbb).
+_XCORR_R = (
+    "((CAST(np AS DOUBLE) * sab - sa * sb)"
+    " / (sqrt(CAST(np AS DOUBLE) * saa - sa * sa)"
+    " * sqrt(CAST(np AS DOUBLE) * sbb - sb * sb)))"
+)
+
+
+def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation profile between the daily click and
+    purchase counts: Pearson r of (clicks_t, purchases_{t+lag}) for
+    lag -7..+7 — 'do clicks lead purchases, and by how many days?',
+    the cross-series counterpart of ts_acf_profile.
+
+    Shape: the event table collapses to one ~700-row daily frame in a
+    single groupBy(day) shuffle; the 15-lag explode and the shifted
+    self-join run on that bounded frame (join key day+lag), so input
+    scale only affects the first aggregate. Sufficient sums go through
+    DECIMAL; r is one shared closed-form text, rounded to 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("a"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("b"),
+        )
+    )
+    lags = F.broadcast(
+        spark.createDataFrame(
+            [(l,) for l in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)], "lag long"
+        )
+    )
+    left = daily.select("day", "a").crossJoin(lags)
+    right = daily.select(F.col("day").alias("rday"), "b")
+    pairs = left.join(
+        right, F.col("rday") == F.col("day") + F.col("lag")
+    ).select("lag", F.col("a").cast("double").alias("a"), F.col("b").cast("double").alias("b"))
+    suff = pairs.groupBy("lag").agg(
+        bcount().alias("np"),
+        dsum("a").alias("sa"),
+        dsum("b").alias("sb"),
+        dsum(F.col("a") * F.col("b")).alias("sab"),
+        dsum(F.col("a") * F.col("a")).alias("saa"),
+        dsum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    return suff.select(
+        "lag", "np", F.round(F.expr(_XCORR_R), 6).alias("xcorr")
+    ).orderBy("lag")
+
+
+def _xcorr_sql() -> str:
+    vals = ", ".join(
+        f"({l})" for l in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT {epoch_us_sql('ts')} // 86400000000 AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1),
+lags(lag) AS (VALUES {vals}),
+pairs AS (
+  SELECT l.lag, CAST(x.a AS DOUBLE) AS a, CAST(y.b AS DOUBLE) AS b
+  FROM daily x CROSS JOIN lags l
+  JOIN daily y ON y.day = x.day + l.lag),
+suff AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS np,
+         {dsum_sql('a')} AS sa, {dsum_sql('b')} AS sb,
+         {dsum_sql('a * b')} AS sab,
+         {dsum_sql('a * a')} AS saa,
+         {dsum_sql('b * b')} AS sbb
+  FROM pairs GROUP BY lag)
+SELECT lag, np, round({_XCORR_R}, 6) AS xcorr
+FROM suff
+ORDER BY lag
+"""
+
+
+QUERIES["ts_lead_lag_xcorr"] = ts_lead_lag_xcorr
+ORACLE["ts_lead_lag_xcorr"] = _xcorr_sql()

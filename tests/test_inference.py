@@ -285,3 +285,58 @@ def test_uplift_null_experiment_cells(spark, duck, sf_dir):
         assert 0.0 <= r.rate_t <= 1.0 and 0.0 <= r.rate_c <= 1.0
         assert r.ci_lo <= r.uplift <= r.ci_hi
         assert r.uplift == pytest.approx(r.rate_t - r.rate_c, abs=2e-6)
+
+
+def test_confusion_sweep_degenerate_and_monotone(spark, sf_dir):
+    """Threshold 0 predicts everything positive (recall = 1, tn = fn =
+    0); cells always sum to N; raising the threshold can only shrink
+    the predicted-positive set (tp+fp nonincreasing, recall
+    nonincreasing)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_confusion_threshold_sweep,
+    )
+
+    rows = ml_confusion_threshold_sweep(spark, sf_dir).collect()
+    assert len(rows) == 11
+    n = rows[0].tp + rows[0].fp + rows[0].fn + rows[0].tn
+    z = rows[0]
+    assert z.thr == 0.0 and z.fn == 0 and z.tn == 0 and z.recall == 1.0
+    prev_pos, prev_rec = None, None
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn == n
+        pos = r.tp + r.fp
+        if prev_pos is not None:
+            assert pos <= prev_pos
+            assert r.recall <= prev_rec + 1e-9
+        prev_pos, prev_rec = pos, r.recall
+
+
+def test_ignore_corrupt_files_reads_all_good_rows(spark, duck, sf_dir):
+    """The garbage file is skipped and every nation row survives."""
+    from cortana_intelligence_customer360_spark.operators.scans import (
+        scan_ignore_corrupt_files,
+    )
+
+    rows = scan_ignore_corrupt_files(spark, sf_dir).collect()
+    expected = dict(
+        duck.execute(
+            "SELECT n_regionkey, COUNT(*) FROM nation GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r.n_regionkey: r.n_nations for r in rows} == expected
+
+
+def test_xcorr_symmetric_frame_and_bounds(spark, sf_dir):
+    """15 lags; |r| <= 1; pair count shrinks by |lag| relative to lag 0
+    (the overlap window), and the lag-0 row uses every common day."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_lead_lag_xcorr,
+    )
+
+    rows = {r.lag: r for r in ts_lead_lag_xcorr(spark, sf_dir).collect()}
+    assert set(rows) == set(range(-7, 8))
+    n0 = rows[0].np
+    for lag, r in rows.items():
+        assert abs(r.xcorr) <= 1.0 + 1e-9
+        assert r.np <= n0
+        assert r.np >= n0 - abs(lag)

@@ -1030,3 +1030,345 @@ ORDER BY thr
 
 QUERIES["ml_confusion_threshold_sweep"] = ml_confusion_threshold_sweep
 ORACLE["ml_confusion_threshold_sweep"] = _sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# stat_anova_oneway + stat_pairwise_bonferroni
+# ---------------------------------------------------------------------------
+
+# One-way ANOVA from per-group DECIMAL sums: SSB = sum nj*mj^2 - N*m^2
+# = a - s^2/N with a = sum(sj^2/nj); SSW = sum(ssj) - a.
+_ANOVA_F = (
+    "(((a - ss * ss / CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))"
+    " / ((q - a) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))))"
+)
+
+
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic one-way ANOVA: does mean order value differ across the
+    five market segments? (stat_brown_forsythe tests the VARIANCES;
+    this is the companion test on the MEANS.)
+
+    One co-partitioned join + one groupBy(segment) reduce the fact
+    table to per-segment DECIMAL-exact (n, S, SS); the F statistic is
+    a single shared-text closed form over those five rows. k is
+    counted, not assumed.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x"))
+    )
+    per = obs.groupBy("seg").agg(
+        bcount().alias("nj"),
+        dsum("x").alias("sj"),
+        dsum(F.col("x") * F.col("x")).alias("ssj"),
+    )
+    suff = per.agg(
+        bcount().alias("k"),
+        F.sum("nj").cast("long").alias("nn"),
+        dsum("sj").alias("ss"),
+        dsum(F.col("sj") * F.col("sj") / F.col("nj").cast("double")).alias("a"),
+        dsum("ssj").alias("q"),
+    )
+    return suff.select(
+        "k", "nn", F.round(F.expr(_ANOVA_F), 6).alias("f_stat")
+    )
+
+
+_ANOVA_SQL = f"""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+per AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS nj,
+         {dsum_sql('x')} AS sj,
+         {dsum_sql('x * x')} AS ssj
+  FROM obs GROUP BY seg),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(nj) AS BIGINT) AS nn,
+         {dsum_sql('sj')} AS ss,
+         {dsum_sql('sj * sj / CAST(nj AS DOUBLE)')} AS a,
+         {dsum_sql('ssj')} AS q
+  FROM per)
+SELECT k, nn, round({_ANOVA_F}, 6) AS f_stat
+FROM suff
+"""
+
+QUERIES["stat_anova_oneway"] = stat_anova_oneway
+ORACLE["stat_anova_oneway"] = _ANOVA_SQL
+
+
+# Pairwise mean contrast with Bonferroni-corrected 95% CI: 10 segment
+# pairs -> per-comparison quantile 1 - 0.025/10; the normal quantile is
+# a fixed literal (z for 0.9975 = 2.807033768343811) shared by both
+# engines, and the pooled SE uses the per-segment variances.
+_BONF_Z = "2.807033768343811"
+_BONF_SE = "sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))"
+_BONF_DIFF = "(ma - mb)"
+
+
+def stat_pairwise_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 10 pairwise segment mean-revenue contrasts with
+    Bonferroni-corrected 95% CIs (z for alpha/2/10) — the post-hoc
+    table after stat_anova_oneway rejects. A pair is 'significant'
+    when its corrected CI excludes zero; the knife-edge comparison
+    runs on 6 dp-rounded bounds so it can't diverge across engines.
+
+    Shape: the same one-shuffle per-segment sufficient stats as the
+    ANOVA, then a 5x5 broadcast self-join (10 canonical pairs) of the
+    tiny segment frame — per-pair means/variances derive from DECIMAL
+    sums, the contrast math is shared-text.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x"))
+    )
+    per = obs.groupBy("seg").agg(
+        bcount().alias("n"),
+        dsum("x").alias("s"),
+        dsum(F.col("x") * F.col("x")).alias("ss"),
+    ).select(
+        "seg",
+        "n",
+        (F.col("s") / F.col("n").cast("double")).alias("m"),
+        (
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n").cast("double"))
+            / (F.col("n").cast("double") - 1.0)
+        ).alias("v"),
+    )
+    a = per.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = per.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.round(F.expr(_BONF_DIFF), 6).alias("mean_diff"),
+        F.round(F.expr(f"{_BONF_DIFF} - {_BONF_Z} * {_BONF_SE}"), 6).alias("ci_lo"),
+        F.round(F.expr(f"{_BONF_DIFF} + {_BONF_Z} * {_BONF_SE}"), 6).alias("ci_hi"),
+    ).withColumn(
+        "significant",
+        ((F.col("ci_lo") > 0.0) | (F.col("ci_hi") < 0.0)).cast("int"),
+    ).orderBy("seg_a", "seg_b")
+
+
+_BONF_SQL = f"""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+per0 AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('x')} AS s,
+         {dsum_sql('x * x')} AS ss
+  FROM obs GROUP BY seg),
+per AS (
+  SELECT seg, n, s / CAST(n AS DOUBLE) AS m,
+         (ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+  FROM per0),
+pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b,
+         a.n AS na, a.m AS ma, a.v AS va,
+         b.n AS nb, b.m AS mb, b.v AS vb
+  FROM per a JOIN per b ON a.seg < b.seg)
+SELECT seg_a, seg_b,
+       round({_BONF_DIFF}, 6) AS mean_diff,
+       round({_BONF_DIFF} - {_BONF_Z} * {_BONF_SE}, 6) AS ci_lo,
+       round({_BONF_DIFF} + {_BONF_Z} * {_BONF_SE}, 6) AS ci_hi,
+       CAST(CASE WHEN round({_BONF_DIFF} - {_BONF_Z} * {_BONF_SE}, 6) > 0.0
+                   OR round({_BONF_DIFF} + {_BONF_Z} * {_BONF_SE}, 6) < 0.0
+                 THEN 1 ELSE 0 END AS INT) AS significant
+FROM pairs
+ORDER BY seg_a, seg_b
+"""
+
+QUERIES["stat_pairwise_bonferroni"] = stat_pairwise_bonferroni
+ORACLE["stat_pairwise_bonferroni"] = _BONF_SQL
+
+
+# ---------------------------------------------------------------------------
+# ml_tree_depth2
+# ---------------------------------------------------------------------------
+
+_TREE_CANDS = [
+    ("quantity", 10.0), ("quantity", 25.0), ("quantity", 40.0),
+    ("discount", 0.02), ("discount", 0.05), ("discount", 0.08),
+    ("tax", 0.02), ("tax", 0.04), ("tax", 0.06),
+]
+_TREE_VAL = "(CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN dc ELSE tx END)"
+_TREE_LEFT = f"(CASE WHEN {_TREE_VAL} <= thr THEN 1 ELSE 0 END)"
+# Weighted post-split gini over exact BIGINT cells (nl, pl, nr, pr),
+# rounded 6 dp BEFORE the argmin so the greedy choice is engine-stable.
+_TREE_SIDE_L = (
+    "(CASE WHEN nl = 0 THEN 0.0 ELSE CAST(nl AS DOUBLE) * (1.0"
+    " - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))"
+    " * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))"
+    " - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))"
+    " * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))) END)"
+)
+_TREE_SIDE_R = (
+    "(CASE WHEN nr = 0 THEN 0.0 ELSE CAST(nr AS DOUBLE) * (1.0"
+    " - (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))"
+    " * (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))"
+    " - (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))"
+    " * (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))) END)"
+)
+_TREE_SCORE = (
+    f"round(({_TREE_SIDE_L} + {_TREE_SIDE_R}) / CAST(nl + nr AS DOUBLE), 6)"
+)
+
+
+def _tree_best_split(df, cands):
+    """argmin weighted-gini candidate over ``df``: one crossJoin
+    against the broadcast 9-row grid, BIGINT cells, 6 dp-rounded score,
+    (score, feature, thr) tiebreak; 1-row checkpointed result."""
+    j = df.crossJoin(cands).withColumn("lf", F.expr(_TREE_LEFT))
+    per = j.groupBy("feature", "thr").agg(
+        F.sum("lf").cast("long").alias("nl"),
+        F.sum(F.col("lf") * F.col("y")).cast("long").alias("pl"),
+        F.sum(1 - F.col("lf")).cast("long").alias("nr"),
+        F.sum((1 - F.col("lf")) * F.col("y")).cast("long").alias("pr"),
+    )
+    return (
+        per.withColumn("score", F.expr(_TREE_SCORE))
+        .orderBy("score", "feature", "thr")
+        .limit(1)
+        .localCheckpoint()
+    )
+
+
+def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy depth-2 CART-style decision tree predicting lineitem
+    returns from quantity/discount/tax over a fixed 9-candidate split
+    grid: root split by minimum weighted gini, then the best split
+    per child, then four majority-vote leaves. Emits the 3 internal
+    nodes (path, split, n, pos, post-split gini) and 4 leaves (path,
+    n, pos, majority pred; ties predict 0).
+
+    Greedy split choice — the only data-dependent branching — compares
+    6 dp-rounded ginis from BIGINT cells with a (score, feature, thr)
+    tiebreak, so it's bit-identical across engines (the adaboost
+    discipline). Shape: three crossJoin+groupBy passes against the
+    broadcast grid (map-side partial agg; shuffle carries 9
+    sufficient-stat rows per partition) plus four leaf counts; chosen
+    splits are 1-row checkpointed broadcast frames.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_discount").alias("dc"),
+        F.col("l_tax").alias("tx"),
+    )
+    cands = F.broadcast(
+        spark.createDataFrame(_TREE_CANDS, "feature string, thr double")
+    )
+    root = _tree_best_split(li, cands)
+    go_left = F.expr(f"{_TREE_VAL} <= thr")
+    dl = li.crossJoin(F.broadcast(root)).where(go_left).select(li.columns)
+    dr = li.crossJoin(F.broadcast(root)).where(~go_left).select(li.columns)
+    bl = _tree_best_split(dl, cands)
+    br = _tree_best_split(dr, cands)
+
+    def split_row(node, best):
+        return best.select(
+            F.lit(node).alias("node"),
+            "feature",
+            "thr",
+            (F.col("nl") + F.col("nr")).alias("n"),
+            (F.col("pl") + F.col("pr")).alias("pos"),
+            F.col("score").alias("gini_after"),
+            F.lit(None).cast("int").alias("pred"),
+        )
+
+    def leaf_row(node, df, best, left):
+        cond = go_left if left else ~go_left
+        sub = df.crossJoin(F.broadcast(best)).where(cond)
+        return sub.agg(
+            F.lit(node).alias("node"),
+            F.lit(None).cast("string").alias("feature"),
+            F.lit(None).cast("double").alias("thr"),
+            bcount().alias("n"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("pos"),
+            F.lit(None).cast("double").alias("gini_after"),
+        ).withColumn(
+            "pred", (F.col("pos") * 2 > F.col("n")).cast("int")
+        )
+    parts = [
+        split_row("root", root),
+        split_row("L", bl),
+        split_row("R", br),
+        leaf_row("LL", dl, bl, True),
+        leaf_row("LR", dl, bl, False),
+        leaf_row("RL", dr, br, True),
+        leaf_row("RR", dr, br, False),
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res.orderBy("node")
+
+
+def _tree_sql() -> str:
+    cands = ", ".join(f"('{f}', {t})" for f, t in _TREE_CANDS)
+    cells = f"""SELECT feature, thr,
+         CAST(SUM({_TREE_LEFT}) AS BIGINT) AS nl,
+         CAST(SUM({_TREE_LEFT} * y) AS BIGINT) AS pl,
+         CAST(SUM(1 - {_TREE_LEFT}) AS BIGINT) AS nr,
+         CAST(SUM((1 - {_TREE_LEFT}) * y) AS BIGINT) AS pr"""
+    best = f"""SELECT feature, thr, nl, pl, nr, pr, {_TREE_SCORE} AS score
+  FROM {{src}}
+  ORDER BY {_TREE_SCORE}, feature, thr LIMIT 1"""
+    leaf = """SELECT '{node}' AS node, CAST(NULL AS VARCHAR) AS feature,
+       CAST(NULL AS DOUBLE) AS thr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(y), 0) AS BIGINT) AS pos,
+       CAST(NULL AS DOUBLE) AS gini_after,
+       CAST(CASE WHEN COALESCE(SUM(y), 0) * 2 > COUNT(*)
+                 THEN 1 ELSE 0 END AS INT) AS pred
+FROM {src}"""
+    split = """SELECT '{node}' AS node, feature, thr, nl + nr AS n,
+       pl + pr AS pos, score AS gini_after, CAST(NULL AS INT) AS pred
+FROM {src}"""
+    return f"""
+WITH cands(feature, thr) AS (VALUES {cands}),
+d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             l_quantity AS q, l_discount AS dc, l_tax AS tx
+      FROM lineitem),
+re AS ({cells} FROM d CROSS JOIN cands GROUP BY feature, thr),
+rb AS ({best.format(src='re')}),
+dl AS (SELECT d.* FROM d CROSS JOIN rb WHERE {_TREE_VAL} <= thr),
+dr AS (SELECT d.* FROM d CROSS JOIN rb WHERE NOT ({_TREE_VAL} <= thr)),
+le AS ({cells} FROM dl CROSS JOIN cands GROUP BY feature, thr),
+lb AS ({best.format(src='le')}),
+rre AS ({cells} FROM dr CROSS JOIN cands GROUP BY feature, thr),
+rrb AS ({best.format(src='rre')}),
+dll AS (SELECT dl.* FROM dl CROSS JOIN lb WHERE {_TREE_VAL} <= thr),
+dlr AS (SELECT dl.* FROM dl CROSS JOIN lb WHERE NOT ({_TREE_VAL} <= thr)),
+drl AS (SELECT dr.* FROM dr CROSS JOIN rrb WHERE {_TREE_VAL} <= thr),
+drr AS (SELECT dr.* FROM dr CROSS JOIN rrb WHERE NOT ({_TREE_VAL} <= thr))
+{split.format(node='root', src='rb')}
+UNION ALL {split.format(node='L', src='lb')}
+UNION ALL {split.format(node='R', src='rrb')}
+UNION ALL {leaf.format(node='LL', src='dll')}
+UNION ALL {leaf.format(node='LR', src='dlr')}
+UNION ALL {leaf.format(node='RL', src='drl')}
+UNION ALL {leaf.format(node='RR', src='drr')}
+ORDER BY node
+"""
+
+
+QUERIES["ml_tree_depth2"] = ml_tree_depth2
+ORACLE["ml_tree_depth2"] = _tree_sql()

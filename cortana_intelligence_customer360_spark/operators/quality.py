@@ -595,3 +595,67 @@ ORACLE = {
     "dq_anomaly": _DQ_ANOMALY_SQL,
     "dq_referential_integrity": _DQ_RI_SQL,
 }
+
+
+# Candidate functional dependencies to audit: (rule id, table,
+# LHS cols, RHS col). A rule HOLDS when no LHS group sees >1 distinct
+# RHS value — the profiling step that discovers real keys/hierarchies
+# before schema normalization or dedup keying.
+_FD_RULES = [
+    ("orders: o_orderkey -> o_custkey",
+     "orders", ("o_orderkey",), "o_custkey"),
+    ("lineitem: l_orderkey -> l_suppkey", "lineitem", ("l_orderkey",), "l_suppkey"),
+    ("lineitem: l_partkey -> l_suppkey", "lineitem", ("l_partkey",), "l_suppkey"),
+    ("orders: o_custkey -> o_orderpriority",
+     "orders", ("o_custkey",), "o_orderpriority"),
+]
+
+
+def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate rule LHS -> RHS,
+    count the LHS groups and the groups violating the dependency
+    (> 1 distinct RHS), emitting a holds flag. One row per rule.
+
+    Shape: one groupBy per rule with map-side partial aggregation
+    (count_distinct carries a per-group RHS hash set bounded by the
+    real RHS fanout); the union of the four 1-row results is
+    driver-trivial. Exactly the profiling pass a 100 TB normalization
+    job runs before picking dedup or merge keys.
+    """
+    out = None
+    for name, table, lhs, rhs in _FD_RULES:
+        t = load_table(spark, sf_dir, table)
+        g = (
+            t.groupBy(*[F.col(c) for c in lhs])
+            .agg(F.countDistinct(rhs).alias("ndv"))
+            .agg(
+                F.lit(name).alias("rule"),
+                bcount().alias("n_groups"),
+                F.sum((F.col("ndv") > 1).cast("long")).cast("long").alias(
+                    "n_violating"
+                ),
+            )
+            .withColumn("holds", (F.col("n_violating") == 0).cast("int"))
+        )
+        out = g if out is None else out.unionByName(g)
+    return out.orderBy("rule")
+
+
+def _fd_sql() -> str:
+    selects = []
+    for name, table, lhs, rhs in _FD_RULES:
+        keys = ", ".join(lhs)
+        selects.append(
+            f"""SELECT '{name}' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(CASE WHEN SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS INT) AS holds
+FROM (SELECT {keys}, COUNT(DISTINCT {rhs}) AS ndv
+      FROM {table} GROUP BY {keys})"""
+        )
+    return "\nUNION ALL ".join(selects) + "\nORDER BY rule"
+
+
+QUERIES["dq_functional_deps"] = dq_functional_deps
+ORACLE["dq_functional_deps"] = _fd_sql()

@@ -340,3 +340,63 @@ def test_xcorr_symmetric_frame_and_bounds(spark, sf_dir):
         assert abs(r.xcorr) <= 1.0 + 1e-9
         assert r.np <= n0
         assert r.np >= n0 - abs(lag)
+
+
+def test_anova_and_bonferroni_consistent(spark, sf_dir):
+    """ANOVA F >= 0 with k = 5; the post-hoc pairwise table has
+    exactly C(5,2) = 10 canonical pairs, each CI brackets its diff,
+    and 'significant' is exactly 'CI excludes zero'."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_anova_oneway,
+        stat_pairwise_bonferroni,
+    )
+
+    a = stat_anova_oneway(spark, sf_dir).collect()[0]
+    assert a.k == 5 and a.nn > 0 and a.f_stat >= 0.0
+    rows = stat_pairwise_bonferroni(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.seg_a < r.seg_b
+        assert r.ci_lo <= r.mean_diff <= r.ci_hi
+        assert r.significant == int(r.ci_lo > 0.0 or r.ci_hi < 0.0)
+
+
+def test_functional_deps_known_truths(spark, sf_dir):
+    """The composite lineitem key rule must HOLD (it is the table's
+    primary key); the single-column fanout rules must fail with
+    violating-group counts bounded by group counts."""
+    from cortana_intelligence_customer360_spark.operators.quality import (
+        dq_functional_deps,
+    )
+
+    rows = {r.rule: r for r in dq_functional_deps(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    pk = rows["orders: o_orderkey -> o_custkey"]
+    assert pk.holds == 1 and pk.n_violating == 0
+    for r in rows.values():
+        assert 0 <= r.n_violating <= r.n_groups
+        assert r.holds == int(r.n_violating == 0)
+
+
+def test_tree_depth2_structure(spark, sf_dir):
+    """Node bookkeeping: child ns sum to the root n, leaf ns sum to
+    each child's n, pos <= n everywhere, splits come from the grid,
+    and every leaf majority prediction matches its own counts."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        _TREE_CANDS,
+        ml_tree_depth2,
+    )
+
+    rows = {r.node: r for r in ml_tree_depth2(spark, sf_dir).collect()}
+    assert set(rows) == {"root", "L", "R", "LL", "LR", "RL", "RR"}
+    grid = set(_TREE_CANDS)
+    for n in ("root", "L", "R"):
+        assert (rows[n].feature, rows[n].thr) in grid
+        assert 0.0 <= rows[n].gini_after <= 0.5
+    assert rows["L"].n + rows["R"].n == rows["root"].n
+    assert rows["LL"].n + rows["LR"].n == rows["L"].n
+    assert rows["RL"].n + rows["RR"].n == rows["R"].n
+    for n in ("LL", "LR", "RL", "RR"):
+        r = rows[n]
+        assert 0 <= r.pos <= r.n
+        assert r.pred == int(r.pos * 2 > r.n)

@@ -1318,3 +1318,80 @@ GROUP BY doc_id
 
 QUERIES["text_bpe_encode"] = text_bpe_encode
 ORACLE["text_bpe_encode"] = _bpe_encode_sql()
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word trigrams that FIRST appear in that document
+    (first = smallest doc_id), i.e. how much new surface text each doc
+    contributes to the corpus — the memorization/near-duplication
+    screen run before adding a crawl slice to a training mix (novelty
+    ~ 0 means the doc is stitched from already-seen text).
+
+    Shape: trigram explode is map-only; one trigram-keyed groupBy
+    computes the global first-seer with map-side partial MIN, and the
+    join back is on the same trigram partitioning before the per-doc
+    aggregate. Everything is integers and strings — exact oracle, no
+    float discipline needed beyond the final 6 dp ratio.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+    )
+    tris = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
+    )
+    ex = docs.select("doc_id", F.explode(tris).alias("tri")).distinct()
+    first = ex.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        ex.join(first, "tri")
+        .groupBy("doc_id")
+        .agg(
+            bcount().alias("n_tri"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tri",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_tri").cast("double"), 6
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+_NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+ex AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(len(l) - 2),
+                i -> concat_ws(' ', l[i+1], l[i+2], l[i+3]))) AS tri
+  FROM toks WHERE len(l) >= 3),
+first AS (
+  SELECT tri, MIN(doc_id) AS first_doc FROM ex GROUP BY tri),
+per AS (
+  SELECT e.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tri,
+         CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM ex e JOIN first f ON e.tri = f.tri
+  GROUP BY e.doc_id)
+SELECT doc_id, n_tri, n_novel,
+       round(CAST(n_novel AS DOUBLE) / CAST(n_tri AS DOUBLE), 6) AS novelty
+FROM per
+ORDER BY doc_id
+"""
+
+QUERIES["text_ngram_novelty"] = text_ngram_novelty
+ORACLE["text_ngram_novelty"] = _NGRAM_NOVELTY_SQL

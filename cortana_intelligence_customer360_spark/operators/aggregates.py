@@ -980,3 +980,63 @@ ORDER BY c_mktsegment
 
 QUERIES["agg_geo_harmonic_means"] = agg_geo_harmonic_means
 ORACLE["agg_geo_harmonic_means"] = _AGG_GEO_HARM_SQL
+
+
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows in BATCH mode via Spark's native
+    session_window() TVF (30-minute gap) — the dynamic-gap grouping
+    construct the streaming path uses (stream_session_window), applied
+    to at-rest data for backfill/reprocessing, so batch and streaming
+    sessionization share ONE definition. Emits per (user, session):
+    start/end epoch-µs and the event count.
+
+    Oracle: session_window's semantics are reproduced with the classic
+    gaps-and-islands rewrite — a new session starts when the gap from
+    the previous event exceeds 30 min; end = last event + gap. All
+    integer epoch-µs arithmetic, so the match is exact.
+
+    Shape: one user-keyed shuffle; the TVF merges sessions inside the
+    aggregation (no self-join), which is what makes it the 100 TB
+    sessionizer — state is bounded by open sessions per user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        bcount().alias("n_events")
+    )
+    return agg.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).cast("long").alias("start_us"),
+        F.unix_micros(F.col("session_window.end")).cast("long").alias("end_us"),
+        "n_events",
+    ).orderBy("user_id", "start_us")
+
+
+_SESSION_BATCH_SQL = f"""
+WITH ev AS (
+  SELECT user_id, {epoch_us_sql('ts')} AS us FROM events),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {_SESS_GAP_US} OR
+                   LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev),
+grp AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) + {_SESS_GAP_US} AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM grp
+GROUP BY user_id, sess
+ORDER BY user_id, start_us
+"""
+
+QUERIES["agg_session_window_batch"] = agg_session_window_batch
+ORACLE["agg_session_window_batch"] = _SESSION_BATCH_SQL

@@ -1331,3 +1331,57 @@ LIMIT {_CN_TOPK}
 
 QUERIES["graph_adamic_adar"] = graph_adamic_adar
 ORACLE["graph_adamic_adar"] = _ADAMIC_ADAR_SQL
+
+
+_ARES_K = 50
+# Efraimidis-Spirakis key with DETERMINISTIC pseudo-randomness: u from
+# the md5 bucket (pure function of doc_id, reproducible across engines
+# and retries), key = u^(1/w). Rounded to 12 dp so the pow() libm
+# wiggle can't reorder the top-k cut; ties break on doc_id.
+_ARES_KEY = (
+    "round(pow((CAST(bkt AS DOUBLE) + 0.5) / 4294967296.0,"
+    " 1.0 / CAST(w AS DOUBLE)), 12)"
+)
+
+
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-Res): select 50 documents with probability proportional to
+    length (w = n_chars) by ranking on key = u^(1/w) — the
+    quality/length-weighted corpus subsampling step of a training-data
+    mix, made reproducible by deriving u from md5(doc_id) instead of a
+    RNG (the sample_hash_pct discipline: survives retries,
+    repartitioning, and engine changes).
+
+    Shape: map-only key computation at scan speed, then one
+    TakeOrderedAndProject top-k — no shuffle of the corpus, no sort of
+    more than k rows per partition.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("bkt"),
+    )
+    keyed = docs.withColumn("ares_key", F.expr(_ARES_KEY))
+    return (
+        keyed.select("doc_id", "w", "ares_key")
+        .orderBy(F.col("ares_key").desc(), F.col("doc_id").asc())
+        .limit(_ARES_K)
+    )
+
+
+_ARES_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bkt
+  FROM documents)
+SELECT doc_id, w, {_ARES_KEY} AS ares_key
+FROM docs
+ORDER BY ares_key DESC, doc_id ASC
+LIMIT {_ARES_K}
+"""
+
+QUERIES["sample_weighted_ares"] = sample_weighted_ares
+ORACLE["sample_weighted_ares"] = _ARES_SQL

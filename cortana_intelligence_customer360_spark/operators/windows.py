@@ -699,3 +699,64 @@ GROUP BY user_id
 
 QUERIES["win_drawdown"] = win_drawdown
 ORACLE["win_drawdown"] = _DRAWDOWN_SQL
+
+
+def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer that RESETS at every URGENT order —
+    the conditional-reset cumulative pattern (budget refills, counter
+    resets, post-incident accumulation) expressed with the
+    gaps-and-islands rewrite: the reset marker's running count defines
+    the island, and the DECIMAL running sum restarts per island.
+
+    Shape: both windows share ONE (customer)-keyed sort — Catalyst
+    collapses them into a single Window node over the same exchange —
+    and the DECIMAL frame keeps the cumulative exact (compat rule 1).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("is_reset"),
+    ).withColumn(
+        "grp",
+        F.sum("is_reset").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wg = Window.partitionBy("o_custkey", "grp").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return marked.select(
+        "o_custkey",
+        "o_orderkey",
+        "grp",
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(wg)
+        .cast("double")
+        .alias("run_rev"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_WIN_RESET_SQL = """
+WITH marked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_reset
+  FROM orders),
+grp AS (
+  SELECT *, SUM(is_reset) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked)
+SELECT o_custkey, o_orderkey, grp,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+            OVER (PARTITION BY o_custkey, grp
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS run_rev
+FROM grp
+ORDER BY o_custkey, o_orderkey
+"""
+
+QUERIES["win_reset_running_sum"] = win_reset_running_sum
+ORACLE["win_reset_running_sum"] = _WIN_RESET_SQL

@@ -400,3 +400,77 @@ def test_tree_depth2_structure(spark, sf_dir):
         r = rows[n]
         assert 0 <= r.pos <= r.n
         assert r.pred == int(r.pos * 2 > r.n)
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """The smallest doc_id with >= 3 tokens introduces every one of
+    its trigrams (novelty = 1); all ratios in [0, 1], counts sane."""
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_ngram_novelty,
+    )
+
+    rows = text_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    first = rows[0]
+    assert first.novelty == 1.0 and first.n_novel == first.n_tri
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_tri
+        assert 0.0 <= r.novelty <= 1.0
+
+
+def test_session_window_batch_matches_streaming_semantics(spark, sf_dir):
+    """Sessions never overlap per user, every session spans >= gap of
+    its neighbor, and end = last event + 30 min (so end - start >=
+    30 min always)."""
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_session_window_batch,
+    )
+
+    rows = agg_session_window_batch(spark, sf_dir).collect()
+    gap = 30 * 60 * 1_000_000
+    by_user: dict = {}
+    for r in rows:
+        assert r.end_us - r.start_us >= gap
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r.start_us)
+        for a, b in zip(sess, sess[1:]):
+            assert b.start_us >= a.end_us  # gap-closed: no overlap
+
+
+def test_reset_running_sum_restarts_at_urgent(spark, duck, sf_dir):
+    """For a customer with an URGENT order: the running sum AT the
+    urgent order equals that order's own price (fresh island)."""
+    from cortana_intelligence_customer360_spark.operators.windows import (
+        win_reset_running_sum,
+    )
+
+    urgent = duck.execute(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT' LIMIT 5
+        """
+    ).fetchall()
+    assert urgent
+    rows = {
+        r.o_orderkey: r for r in win_reset_running_sum(spark, sf_dir).collect()
+    }
+    for key, price in urgent:
+        assert abs(rows[key].run_rev - price) < 1e-6
+
+
+def test_weighted_ares_favors_long_docs(spark, duck, sf_dir):
+    """The sample is biased toward heavy docs: the mean n_chars of the
+    50 selected exceeds the corpus mean; keys are in (0, 1) descending."""
+    from cortana_intelligence_customer360_spark.operators.graph import (
+        sample_weighted_ares,
+    )
+
+    rows = sample_weighted_ares(spark, sf_dir).collect()
+    assert len(rows) == 50
+    keys = [r.ares_key for r in rows]
+    assert all(0.0 < k < 1.0 for k in keys)
+    assert keys == sorted(keys, reverse=True)
+    corpus_mean = duck.execute("SELECT AVG(n_chars) FROM documents").fetchone()[0]
+    sample_mean = sum(r.w for r in rows) / len(rows)
+    assert sample_mean > corpus_mean

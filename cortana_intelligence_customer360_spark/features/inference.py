@@ -707,13 +707,15 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     stump choice — the only data-dependent branch — is bit-identical
     across engines. Weighted sums go through DECIMAL (compat rule 1).
 
-    Shape at scale: each round is one crossJoin against the broadcast
-    18-row candidate grid with map-side partial aggregation (the
-    shuffle moves 18 sufficient-stat rows per partition, never data),
-    plus one single-row broadcast join to apply the chosen stump; the
-    chosen-stump frame is localCheckpointed so round t+1's lineage
-    starts from a 1-row literal, the standard checkpoint-per-round
-    boosting layout.
+    Shape at scale: each round is ONE narrow aggregation pass over the
+    fact table — the 18 candidate errors are 18 conditional DECIMAL
+    aggregates computed in one whole-stage-codegen scan (NO 18x row
+    expansion; the shuffle moves one sufficient-stat row per
+    partition), and the round's training error rides in the same pass.
+    Margin updates are single-row broadcast-join projections, so the
+    whole fit is 4 scans of the data, each map-side-combined. The
+    oracle keeps the equivalent crossJoin+groupBy formulation — the
+    per-term DECIMAL quantization makes both layouts sum identically.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.when(F.col("l_returnflag") == "R", 1).otherwise(-1).alias("y"),
@@ -721,55 +723,84 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").alias("dc"),
         F.col("l_tax").alias("tx"),
     )
-    cands = F.broadcast(
-        spark.createDataFrame(_ADA_CANDS, "feature string, thr double, pol int")
+    feat_col = {"quantity": "q", "discount": "dc", "tax": "tx"}
+    _TRAIN_ERR = (
+        "round(CAST(SUM(CASE WHEN (CASE WHEN margin > 0 THEN 1 ELSE -1 END)"
+        " <> y THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)"
     )
-    data = li.withColumn("margin", F.lit(0.0))
-    out = []
-    for t in range(1, _ADA_ROUNDS + 1):
-        j = data.crossJoin(cands).select(
-            "feature", "thr", "pol",
-            F.expr(_ADA_H).alias("h"),
+
+    def one_pass(data):
+        """18 candidate errors + total weight + ensemble 0/1 error, in
+        ONE aggregation (1-row checkpointed result). The per-row weight
+        is cast to DECIMAL once in a projection — CASE-selecting the
+        pre-cast decimal sums identically to the oracle's
+        cast-the-CASE-result form, at 1/19th the exp()/cast work."""
+        prj = data.select(
             "y",
-            F.expr(_ADA_W).alias("w"),
+            "q",
+            "dc",
+            "tx",
+            "margin",
+            F.expr("CAST(exp(-margin) AS DECIMAL(30,6))").alias("wd"),
         )
-        errs = j.groupBy("feature", "thr", "pol").agg(
-            dsum(F.when(F.col("h") != F.col("y"), F.col("w")).otherwise(0.0)).alias(
-                "err"
-            ),
-            dsum("w").alias("tot"),
+        aggs = []
+        for i, (f, thr, pol) in enumerate(_ADA_CANDS):
+            h = f"({pol} * (CASE WHEN {feat_col[f]} <= {thr} THEN 1 ELSE -1 END))"
+            aggs.append(
+                F.expr(
+                    f"CAST(SUM(CASE WHEN {h} <> y THEN wd"
+                    f" ELSE CAST(0.0 AS DECIMAL(30,6)) END) AS DOUBLE)"
+                ).alias(f"err{i}")
+            )
+        aggs.append(F.expr("CAST(SUM(wd) AS DOUBLE)").alias("tot"))
+        aggs.append(F.expr(_TRAIN_ERR).alias("train_err"))
+        return prj.agg(*aggs).localCheckpoint()
+
+    def pick_best(p):
+        stumps = F.array(
+            *[
+                F.struct(
+                    F.lit(f).alias("feature"),
+                    F.lit(thr).alias("thr"),
+                    F.lit(pol).alias("pol"),
+                    F.col(f"err{i}").alias("err"),
+                )
+                for i, (f, thr, pol) in enumerate(_ADA_CANDS)
+            ]
         )
-        best = (
-            errs.withColumn("eps", F.round(F.col("err") / F.col("tot"), 6))
+        return (
+            p.select(F.explode(stumps).alias("s"), "tot")
+            .select("s.*", "tot")
+            .withColumn("eps", F.round(F.col("err") / F.col("tot"), 6))
             .orderBy("eps", "feature", "thr", "pol")
             .limit(1)
             .withColumn("alpha", F.expr(_ADA_ALPHA))
             .select("feature", "thr", "pol", "eps", "alpha")
             .localCheckpoint()
         )
-        data = data.crossJoin(F.broadcast(best)).select(
+
+    data = li.withColumn("margin", F.lit(0.0))
+    bests, accs = [], []
+    for t in range(1, _ADA_ROUNDS + 1):
+        p = one_pass(data)
+        if t > 1:
+            accs.append(p.select("train_err"))  # ensemble error after t-1
+        bests.append(pick_best(p))
+        data = data.crossJoin(F.broadcast(bests[-1])).select(
             "y", "q", "dc", "tx", F.expr(_ADA_UPD).alias("margin")
         )
-        acc = data.agg(
-            (
-                F.sum(
-                    F.when(
-                        F.when(F.col("margin") > 0, 1).otherwise(-1) != F.col("y"), 1
-                    ).otherwise(0)
-                ).cast("double")
-                / F.count("*")
-            ).alias("raw")
-        ).select(F.round("raw", 6).alias("train_err"))
-        out.append(
-            best.select(
-                F.lit(t).cast("long").alias("t"),
-                "feature",
-                "thr",
-                "pol",
-                "eps",
-                "alpha",
-            ).crossJoin(F.broadcast(acc))
-        )
+    accs.append(data.agg(F.expr(_TRAIN_ERR).alias("train_err")))
+    out = [
+        best.select(
+            F.lit(t).cast("long").alias("t"),
+            "feature",
+            "thr",
+            "pol",
+            "eps",
+            "alpha",
+        ).crossJoin(F.broadcast(acc))
+        for t, (best, acc) in enumerate(zip(bests, accs), start=1)
+    ]
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)

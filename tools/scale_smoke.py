@@ -113,6 +113,15 @@ HEAVY = [
     "win_error_burst",
     "maint_compact_small_files",
     "sql_recursive_cte",
+    # round-5 session-3 additions
+    "ml_adaboost_stumps",
+    "ml_tree_depth2",
+    "ts_croston",
+    "graph_adamic_adar",
+    "text_ngram_novelty",
+    "stat_mann_whitney",
+    "ml_isotonic_pava",
+    "agg_session_window_batch",
     "agg_window_tvf",
     "diff_snapshots",
     "udf_map_in_arrow",

@@ -873,3 +873,96 @@ ORACLE = {
     "feat_sessionize": _SESSIONIZE_SQL,
     "feat_profile_join": _profile_join_sql(),
 }
+
+
+_STATIONARY_ITERS = 8
+
+
+def feat_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: 8 power
+    iterations pi <- pi P over the row-normalized transition matrix
+    from feat_markov_transitions — 'where does a user's behavior
+    settle', the long-run companion of the one-step transition view.
+
+    Determinism: transition probabilities quantize to 6 dp (identical
+    across engines, proven by the transitions oracle); each iteration
+    re-rounds pi to 6 dp and sums the <=5 per-state terms through
+    DECIMAL, so the whole recursion is a fixed cascade of exact
+    comparisons. All iterations run on the |types|^2 = 25-row frame —
+    the single event-scale shuffle is the lag-pair window inside the
+    transition matrix build.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(bcount().alias("n"))
+    wp = Window.partitionBy("prev_type")
+    P = counts.select(
+        "prev_type",
+        "event_type",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    ).localCheckpoint()  # 25 rows; reused every iteration
+    states = P.select(F.col("prev_type").alias("state")).distinct()
+    n_states = states.count()  # <= 5, a metadata-scale driver value
+    pi = states.select(
+        "state", F.round(F.lit(1.0) / F.lit(float(n_states)), 6).alias("pi")
+    )
+    for _ in range(_STATIONARY_ITERS):
+        stepped = (
+            pi.join(P, pi.state == P.prev_type)
+            .select(
+                F.col("event_type").alias("state"),
+                (F.col("pi") * F.col("p")).cast("decimal(30,6)").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.round(F.sum("term").cast("double"), 6).alias("pi"))
+        )
+        pi = stepped.localCheckpoint()
+    return pi.orderBy("state")
+
+
+def _stationary_sql() -> str:
+    base = """
+pairs AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+counts AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+P AS (
+  SELECT prev_type, event_type,
+         round(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+  FROM counts),
+states AS (SELECT DISTINCT prev_type AS state FROM P),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+pi0 AS (
+  SELECT state, round(1.0 / CAST(k AS DOUBLE), 6) AS pi FROM states, nn)"""
+    sql = "WITH " + base
+    prev = "pi0"
+    steps = []
+    for i in range(1, _STATIONARY_ITERS + 1):
+        steps.append(
+            f"""
+pi{i} AS (
+  SELECT P.event_type AS state,
+         round(CAST(SUM(CAST({prev}.pi * P.p AS DECIMAL(30,6))) AS DOUBLE),
+               6) AS pi
+  FROM {prev} JOIN P ON {prev}.state = P.prev_type
+  GROUP BY P.event_type)"""
+        )
+        prev = f"pi{i}"
+    return (
+        sql + "," + ",".join(steps)
+        + f"\nSELECT state, pi FROM pi{_STATIONARY_ITERS} ORDER BY state"
+    )
+
+
+QUERIES["feat_markov_stationary"] = feat_markov_stationary
+ORACLE["feat_markov_stationary"] = _stationary_sql()

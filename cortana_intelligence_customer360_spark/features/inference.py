@@ -1403,3 +1403,120 @@ ORDER BY node
 
 QUERIES["ml_tree_depth2"] = ml_tree_depth2
 ORACLE["ml_tree_depth2"] = _tree_sql()
+
+
+# ---------------------------------------------------------------------------
+# stat_power_curve
+# ---------------------------------------------------------------------------
+
+_POWER_EFFECTS = [2000.0, 4000.0, 6000.0, 8000.0, 10000.0]
+_Z_ALPHA2 = "1.959963984540054"  # Phi^-1(0.975), fixed literal
+
+
+def _phi(x: str) -> str:
+    """Shared-text standard normal CDF via the A&S tail: Phi(x) =
+    1 - tail/2 for x >= 0, tail/2 otherwise (tail = two-sided p of
+    |x|)."""
+    half = f"({_p_two_sided(f'abs({x})')} / 2.0)"
+    return f"(CASE WHEN {x} >= 0.0 THEN 1.0 - {half} ELSE {half} END)"
+
+
+def stat_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample power curve for the BUILDING-vs-MACHINERY order-value
+    comparison: for a grid of absolute effect sizes, the probability a
+    two-sided alpha = 0.05 z-test detects the shift at the CURRENT
+    sample sizes and pooled spread — the experiment-planning readout
+    ('how big a shift could this A/B even see?').
+
+    power = Phi(es/SE - z_a/2) with SE = sd_pooled*sqrt(1/n1 + 1/n2);
+    sd comes from DECIMAL-exact sums and is rounded 6 dp before use,
+    the grid joins as a broadcast 5-row frame, and Phi is the shared
+    A&S text — so the whole curve is closed-form engine-stable.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .where(F.col("c_mktsegment").isin(*_MW_SEGS))
+    )
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("o_totalprice").alias("x"),
+            (F.col("c_mktsegment") == _MW_SEGS[0]).cast("long").alias("in1"),
+        )
+    )
+    suff = obs.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        bcount().alias("n"),
+        dsum("x").alias("s"),
+        dsum(F.col("x") * F.col("x")).alias("ss"),
+    ).select(
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        "n",
+        F.round(
+            F.expr(
+                "sqrt((ss - s * s / CAST(n AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) - 2.0))"
+            ),
+            6,
+        ).alias("sd"),
+    )
+    es = F.broadcast(
+        spark.createDataFrame([(e,) for e in _POWER_EFFECTS], "effect double")
+    )
+    curve = suff.crossJoin(es).withColumn(
+        "se",
+        F.round(
+            F.expr(
+                "sd * sqrt(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))"
+            ),
+            6,
+        ),
+    )
+    zb = f"(effect / se - {_Z_ALPHA2})"
+    return curve.select(
+        "effect",
+        "n1",
+        "n2",
+        "se",
+        F.round(F.expr(_phi(zb)), 6).alias("power"),
+    ).orderBy("effect")
+
+
+def _power_sql() -> str:
+    vals = ", ".join(f"({e})" for e in _POWER_EFFECTS)
+    zb = f"(effect / se - {_Z_ALPHA2})"
+    return f"""
+WITH obs AS (
+  SELECT o.o_totalprice AS x,
+         CASE WHEN c.c_mktsegment = '{_MW_SEGS[0]}' THEN 1 ELSE 0 END AS in1
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('{_MW_SEGS[0]}', '{_MW_SEGS[1]}')),
+suff AS (
+  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('x')} AS s,
+         {dsum_sql('x * x')} AS ss
+  FROM obs),
+sd AS (
+  SELECT n1, n - n1 AS n2, n,
+         round(sqrt((ss - s * s / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 2.0)), 6) AS sd
+  FROM suff),
+es(effect) AS (VALUES {vals}),
+curve AS (
+  SELECT effect, n1, n2,
+         round(sd * sqrt(1.0 / CAST(n1 AS DOUBLE)
+               + 1.0 / CAST(n2 AS DOUBLE)), 6) AS se
+  FROM sd CROSS JOIN es)
+SELECT effect, n1, n2, se,
+       round({_phi(zb)}, 6) AS power
+FROM curve
+ORDER BY effect
+"""
+
+
+QUERIES["stat_power_curve"] = stat_power_curve
+ORACLE["stat_power_curve"] = _power_sql()

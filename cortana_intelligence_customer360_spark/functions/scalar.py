@@ -1268,3 +1268,39 @@ GROUP BY o_orderstatus
 
 QUERIES["sql_scripting_while"] = sql_scripting_while
 ORACLE["sql_scripting_while"] = _SQL_SCRIPTING_SQL
+
+
+def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause (Spark 3.4+): table AND column names
+    bound from parameters at plan time — templated/multi-tenant SQL
+    without string concatenation (injection-safe dynamic DDL-free
+    routing). The query names its table and its group-by column
+    through IDENTIFIER-bound parameters.
+
+    Oracle: the statically-written equivalent — IDENTIFIER is purely
+    a name-resolution feature, so results must be identical.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ident_orders_view"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MAX(o_totalprice) AS max_price
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        ORDER BY o_orderstatus
+        """,
+        args={"tbl": "ident_orders_view", "col": "o_orderstatus"},
+    )
+
+
+_SQL_IDENTIFIER_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["sql_identifier_dynamic"] = sql_identifier_dynamic
+ORACLE["sql_identifier_dynamic"] = _SQL_IDENTIFIER_SQL

@@ -22,7 +22,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import _DEC
+from ..compat import _DEC, bcount
 from ..sources.tables import load_table
 
 _PCA_K = 8
@@ -471,3 +471,75 @@ def _rp_sql(dims: int = _EMB_DIMS) -> str:
 
 QUERIES["emb_random_projection"] = emb_random_projection
 ORACLE["emb_random_projection"] = _rp_sql()
+
+
+_COS_HIST_MOD = 5  # deterministic sample: vec_id % 5 == 0
+_COS_HIST_BINS = 20
+
+
+def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution diagnostic: histogram of all
+    pairwise cosines over a deterministic 1-in-5 sample of the corpus
+    (vec_id % 5 == 0), 20 bins over [-1, 1] — the embedding-collapse /
+    anisotropy screen (a healthy space is centered near 0; a collapsed
+    one piles up near 1) run before trusting any cosine threshold.
+
+    Dots are the same left-fold as sim_knn_exact, rounded 6 dp BEFORE
+    binning so floor((cos+1)/2*20) can't straddle engines; the bin is
+    clamped so cos = 1.0 lands in the top bin. The quadratic pair join
+    runs only on the bounded sample (diagnostics contract: sample size
+    is fixed, not data-sized).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % _COS_HIST_MOD == 0
+    )
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    dots = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .select(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "va", "vb", lambda x, y: x.cast("double") * y.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("cos")
+        )
+    )
+    binned = dots.select(
+        F.least(
+            F.floor((F.col("cos") + 1.0) / 2.0 * _COS_HIST_BINS).cast("long"),
+            F.lit(_COS_HIST_BINS - 1),
+        ).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(bcount().alias("n_pairs"))
+        .orderBy("bin")
+    )
+
+
+_COS_HIST_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_COS_HIST_MOD} = 0),
+flat AS (
+  SELECT vec_id, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+  FROM s, LATERAL (SELECT UNNEST(range(len(s.embedding))) AS i) r),
+dots AS (
+  SELECT round(SUM(p.v * c.v), 6) AS cos
+  FROM flat p JOIN flat c ON p.pos = c.pos AND p.vec_id < c.vec_id
+  GROUP BY p.vec_id, c.vec_id),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((cos + 1.0) / 2.0 * {_COS_HIST_BINS}) AS BIGINT),
+               {_COS_HIST_BINS - 1}) AS bin
+  FROM dots)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+QUERIES["emb_cosine_histogram"] = emb_cosine_histogram
+ORACLE["emb_cosine_histogram"] = _COS_HIST_SQL

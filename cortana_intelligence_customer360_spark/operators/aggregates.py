@@ -1040,3 +1040,54 @@ ORDER BY user_id, start_us
 
 QUERIES["agg_session_window_batch"] = agg_session_window_batch
 ORACLE["agg_session_window_batch"] = _SESSION_BATCH_SQL
+
+
+_HOP_SLIDE_US = 15 * 60 * 1_000_000
+_HOP_LEN_US = 60 * 60 * 1_000_000
+_HOP_K = _HOP_LEN_US // _HOP_SLIDE_US  # windows covering each event
+
+
+def agg_hopping_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows in BATCH mode via the
+    window() TVF with a slide — 1-hour windows every 15 minutes, so
+    each event lands in exactly 4 overlapping windows (the smoothing
+    readout dashboards want; tumbling is the slide = length special
+    case already covered by agg_window_tvf).
+
+    Oracle: Spark aligns hop starts to epoch multiples of the slide,
+    so the 4 covering windows are start = (ts DIV slide - k) * slide
+    for k = 0..3 — exact integer arithmetic cross-joined against a
+    4-row offset table.
+
+    Shape: the TVF's explode is map-side (4x row fan-out before the
+    partial agg), then one shuffle on (window, type) — the fan-out
+    factor is the constant length/slide ratio, never data-dependent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    agg = ev.groupBy(win.alias("w"), "event_type").agg(
+        bcount().alias("n_events")
+    )
+    return agg.select(
+        F.unix_micros(F.col("w.start")).cast("long").alias("start_us"),
+        "event_type",
+        "n_events",
+    ).orderBy("start_us", "event_type")
+
+
+_HOPPING_SQL = f"""
+WITH ev AS (
+  SELECT {epoch_us_sql('ts')} AS us, event_type FROM events),
+hops AS (
+  SELECT (us // {_HOP_SLIDE_US} - k.k) * {_HOP_SLIDE_US} AS start_us,
+         event_type
+  FROM ev CROSS JOIN (SELECT UNNEST(range({_HOP_K})) AS k) k)
+SELECT CAST(start_us AS BIGINT) AS start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM hops
+GROUP BY 1, 2
+ORDER BY start_us, event_type
+"""
+
+QUERIES["agg_hopping_window_batch"] = agg_hopping_window_batch
+ORACLE["agg_hopping_window_batch"] = _HOPPING_SQL

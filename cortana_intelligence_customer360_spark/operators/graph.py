@@ -1385,3 +1385,75 @@ LIMIT {_ARES_K}
 
 QUERIES["sample_weighted_ares"] = sample_weighted_ares
 ORACLE["sample_weighted_ares"] = _ARES_SQL
+
+
+# Degree assortativity: Pearson r over edge-endpoint degree pairs,
+# shared closed-form text over DECIMAL-exact sums.
+_ASSORT_R = (
+    "((CAST(m AS DOUBLE) * sxy - sx * sy)"
+    " / (sqrt(CAST(m AS DOUBLE) * sxx - sx * sx)"
+    " * sqrt(CAST(m AS DOUBLE) * syy - sy * sy)))"
+)
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph (Newman 2002): the
+    Pearson correlation of (deg(src), deg(dst)) over all directed
+    edges — do well-connected nodes attach to other hubs (r > 0,
+    social) or to leaves (r < 0, hub-and-spoke)? The supplier<->customer
+    bipartite trade graph should read strongly negative, pinned in
+    tests.
+
+    Shape: the degree table joins the edge list twice on its ends —
+    both joins key on the src/dst hash partitioning the edge list
+    already has — and everything reduces to six DECIMAL-exact sums
+    feeding one shared closed-form expression. One row out.
+    """
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(bcount().alias("deg"))
+    paired = (
+        edges.join(deg.select(F.col("src"), F.col("deg").alias("dx")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")),
+            "dst",
+        )
+        .select(F.col("dx").cast("double").alias("x"), F.col("dy").cast("double").alias("y"))
+    )
+    suff = paired.agg(
+        bcount().alias("m"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return suff.select("m", F.round(F.expr(_ASSORT_R), 6).alias("assortativity"))
+
+
+_ASSORT_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+paired AS (
+  SELECT CAST(dx.deg AS DOUBLE) AS x, CAST(dy.deg AS DOUBLE) AS y
+  FROM edges e
+  JOIN deg dx ON e.src = dx.src
+  JOIN deg dy ON e.dst = dy.src),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+         {dsum_sql('x * y')} AS sxy,
+         {dsum_sql('x * x')} AS sxx,
+         {dsum_sql('y * y')} AS syy
+  FROM paired)
+SELECT m, round({_ASSORT_R}, 6) AS assortativity
+FROM suff
+"""
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+ORACLE["graph_degree_assortativity"] = _ASSORT_SQL

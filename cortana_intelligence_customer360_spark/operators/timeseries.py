@@ -1851,3 +1851,75 @@ ORDER BY lag
 
 QUERIES["ts_lead_lag_xcorr"] = ts_lead_lag_xcorr
 ORACLE["ts_lead_lag_xcorr"] = _xcorr_sql()
+
+
+# Seasonal/trend strength (Hyndman & Athanasopoulos FPP): variance
+# ratios over the decomposition components, from DECIMAL-exact sums.
+_STRENGTH_FS = (
+    "GREATEST(0.0, 1.0 - (vrr / CAST(n AS DOUBLE)"
+    " - (srr / CAST(n AS DOUBLE)) * (srr / CAST(n AS DOUBLE)))"
+    " / (vsr / CAST(n AS DOUBLE)"
+    " - (ssr / CAST(n AS DOUBLE)) * (ssr / CAST(n AS DOUBLE))))"
+)
+_STRENGTH_FT = (
+    "GREATEST(0.0, 1.0 - (vrr / CAST(n AS DOUBLE)"
+    " - (srr / CAST(n AS DOUBLE)) * (srr / CAST(n AS DOUBLE)))"
+    " / (vtr / CAST(n AS DOUBLE)"
+    " - (str_ / CAST(n AS DOUBLE)) * (str_ / CAST(n AS DOUBLE))))"
+)
+
+
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH of the daily revenue series (FPP3
+    definitions): F_s = max(0, 1 - Var(R)/Var(S+R)) and
+    F_t = max(0, 1 - Var(R)/Var(T+R)) over ts_seasonal_decompose's
+    registered components — the one-number 'is this series worth a
+    seasonal model?' diagnostic on top of the full decomposition.
+
+    Composition discipline: the decomposition's emitted columns are
+    already 6 dp-quantized and hash-identical across engines, so this
+    op only adds DECIMAL-exact sufficient sums over that bounded
+    day-level frame and two shared-text variance-ratio expressions.
+    """
+    d = QUERIES["ts_seasonal_decompose"](spark, sf_dir)
+    comp = d.select(
+        F.col("residual").alias("r"),
+        (F.col("seasonal") + F.col("residual")).alias("sr"),
+        (F.col("trend") + F.col("residual")).alias("tr"),
+    )
+    suff = comp.agg(
+        bcount().alias("n"),
+        dsum("r").alias("srr"),
+        dsum(F.col("r") * F.col("r")).alias("vrr"),
+        dsum("sr").alias("ssr"),
+        dsum(F.col("sr") * F.col("sr")).alias("vsr"),
+        dsum("tr").alias("str_"),
+        dsum(F.col("tr") * F.col("tr")).alias("vtr"),
+    )
+    return suff.select(
+        "n",
+        F.round(F.expr(_STRENGTH_FS), 6).alias("f_seasonal"),
+        F.round(F.expr(_STRENGTH_FT), 6).alias("f_trend"),
+    )
+
+
+def _seasonal_strength_sql() -> str:
+    return f"""
+WITH decomp AS ({_SEASONAL_SQL}),
+comp AS (
+  SELECT residual AS r, seasonal + residual AS sr, trend + residual AS tr
+  FROM decomp),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('r')} AS srr, {dsum_sql('r * r')} AS vrr,
+         {dsum_sql('sr')} AS ssr, {dsum_sql('sr * sr')} AS vsr,
+         {dsum_sql('tr')} AS str_, {dsum_sql('tr * tr')} AS vtr
+  FROM comp)
+SELECT n, round({_STRENGTH_FS}, 6) AS f_seasonal,
+       round({_STRENGTH_FT}, 6) AS f_trend
+FROM suff
+"""
+
+
+QUERIES["ts_seasonal_strength"] = ts_seasonal_strength
+ORACLE["ts_seasonal_strength"] = _seasonal_strength_sql()

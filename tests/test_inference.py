@@ -569,3 +569,44 @@ def test_identifier_clause_matches_static_sql(spark, sf_dir):
     assert statuses == sorted(statuses)
     assert set(statuses) <= {"F", "O", "P"}
     assert all(r.n_orders > 0 for r in rows)
+
+
+def test_seasonal_strength_in_unit_interval(spark, sf_dir):
+    """Both strengths live in [0, 1] by the max(0, .) clamp, and n
+    matches the decomposition's emitted row count."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_seasonal_strength,
+    )
+    from cortana_intelligence_customer360_spark.registry import build
+
+    queries, _ = build()
+    r = ts_seasonal_strength(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.f_seasonal <= 1.0
+    assert 0.0 <= r.f_trend <= 1.0
+    assert r.n == queries["ts_seasonal_decompose"](spark, sf_dir).count()
+
+
+def test_hashing_trick_dims_and_mass(spark, duck, sf_dir):
+    """Dims are in [0, 64); per-doc total counts equal the doc's
+    non-empty token count."""
+    from cortana_intelligence_customer360_spark.features.core import (
+        feat_hashing_trick,
+    )
+
+    rows = feat_hashing_trick(spark, sf_dir).collect()
+    assert rows
+    per_doc: dict = {}
+    for r in rows:
+        assert 0 <= r.dim < 64
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n
+    expected = dict(
+        duck.execute(
+            """
+            SELECT doc_id, COUNT(*) FROM (
+              SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 50)
+            WHERE tok <> '' GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert per_doc == expected

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import bcount, dsum, dsum_sql, dsum_where_sql, epoch_us, epoch_us_sql
+from ..compat import bcount, davg, davg_sql, dsum, dsum_sql, dsum_where_sql, epoch_us, epoch_us_sql
 from ..operators.aggregates import event_type_pivot, pivot_oracle_sql
 from ..sources.tables import EVENT_TYPES, load_table
 
@@ -1016,3 +1016,74 @@ ORDER BY doc_id, dim
 
 QUERIES["feat_hashing_trick"] = feat_hashing_trick
 ORACLE["feat_hashing_trick"] = _HASHING_TRICK_SQL
+
+
+def ml_ranking_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-metric evaluation harness — MRR, NDCG, hit@1 and hit@3 —
+    scoring the global-popularity ranking as a next-event predictor
+    over every (prev -> next) transition: the baseline every
+    recommender (feat_next_best_offer, feat_item_similarity) must
+    beat, and the metric kit used to compare them.
+
+    The predicted list is the event types by global frequency
+    (count desc, name asc — deterministic); the 'relevant item' is the
+    user's ACTUAL next event. Ranks are small integers, so 1/rank and
+    1/log2(rank+1) are deterministic per row and the means go through
+    DECIMAL — exact oracle. One user-keyed window for transitions, a
+    broadcast 5-row rank join, one global aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pop = (
+        ev.groupBy("event_type")
+        .agg(bcount().alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("event_type").asc())
+    ranks = pop.select(
+        "event_type", F.row_number().over(wr).cast("long").alias("rnk")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select("next_type")
+    )
+    scored = nxt.join(
+        F.broadcast(ranks), F.col("next_type") == F.col("event_type")
+    )
+    return scored.agg(
+        bcount().alias("n_transitions"),
+        F.round(davg(1.0 / F.col("rnk").cast("double")), 6).alias("mrr"),
+        F.round(
+            davg(F.expr("1.0 / (ln(CAST(rnk AS DOUBLE) + 1.0) / ln(2.0))")), 6
+        ).alias("ndcg"),
+        F.round(davg((F.col("rnk") == 1).cast("double")), 6).alias("hit1"),
+        F.round(davg((F.col("rnk") <= 3).cast("double")), 6).alias("hit3"),
+    )
+
+
+_RANKING_EVAL_SQL = f"""
+WITH pop AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+ranks AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, event_type ASC) AS BIGINT)
+           AS rnk
+  FROM pop),
+nxt AS (
+  SELECT LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+scored AS (
+  SELECT r.rnk FROM nxt JOIN ranks r ON nxt.next_type = r.event_type)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       round({davg_sql('1.0 / CAST(rnk AS DOUBLE)')}, 6) AS mrr,
+       round({davg_sql('1.0 / (ln(CAST(rnk AS DOUBLE) + 1.0) / ln(2.0))')}, 6)
+         AS ndcg,
+       round({davg_sql('CASE WHEN rnk = 1 THEN 1.0 ELSE 0.0 END')}, 6) AS hit1,
+       round({davg_sql('CASE WHEN rnk <= 3 THEN 1.0 ELSE 0.0 END')}, 6) AS hit3
+FROM scored
+"""
+
+QUERIES["ml_ranking_eval_popularity"] = ml_ranking_eval_popularity
+ORACLE["ml_ranking_eval_popularity"] = _RANKING_EVAL_SQL

@@ -1923,3 +1923,97 @@ FROM suff
 
 QUERIES["ts_seasonal_strength"] = ts_seasonal_strength
 ORACLE["ts_seasonal_strength"] = _seasonal_strength_sql()
+
+
+# Ljung-Box over the quantized ACF profile; chi-square tail via the
+# Wilson-Hilferty cube-root normal approximation (shared text).
+_LB_K = 7  # lags == _ACF_MAX_LAG
+
+
+def _wh_chi2_tail(x: str, k: int) -> str:
+    """P(Chi2_k > x) by Wilson-Hilferty: 1 - Phi(((x/k)^(1/3) - (1 -
+    2/(9k))) / sqrt(2/(9k))) — one shared closed-form text. The normal
+    score is quantized to 6 dp BEFORE the Phi tail so the pow() libm
+    wiggle can't reach the final rounding (caught live: a 1-ulp pow
+    difference flipped the 6th decimal of p across engines)."""
+    c = f"(2.0 / (9.0 * {float(k)}))"
+    z = (
+        f"round((pow({x} / {float(k)}, 1.0 / 3.0) - (1.0 - {c}))"
+        f" / sqrt({c}), 6)"
+    )
+    half = (
+        f"(CASE WHEN {z} >= 0.0"
+        f" THEN ({_AS_TAIL(z)}) / 2.0"
+        f" ELSE 1.0 - ({_AS_TAIL(z)}) / 2.0 END)"
+    )
+    return half
+
+
+def _AS_TAIL(zabs_signed: str) -> str:
+    """Two-sided A&S normal tail of |z| (same polynomial the inference
+    module uses), inlined here to keep timeseries self-contained."""
+    x = f"(abs({zabs_signed}) * 0.7071067811865476)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741)"
+        f" * {t} - 0.284496736) * {t} + 0.254829592) * {t})"
+    )
+    return f"({poly} * exp(-({x} * {x})))"
+
+
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily-revenue ACF (lags 1-7):
+    Q = n(n+2) * sum r_k^2/(n-k) with an approximate chi-square_7
+    p-value (Wilson-Hilferty) — 'is this series white noise?', the
+    gatekeeper before fitting any AR structure (ts_pacf_durbin).
+
+    Composed on ts_acf_profile's registered 6 dp ACF and exact pair
+    counts; Q's terms go through DECIMAL, and the p-value is one
+    shared-text closed form, so the whole test is engine-stable. All
+    math runs on the 7-row ACF frame — input scale only touches the
+    ACF's one daily shuffle.
+    """
+    acf = QUERIES["ts_acf_profile"](spark, sf_dir)
+    # n = series length = n_pairs at lag k plus k (exact integers)
+    terms = acf.select(
+        "lag",
+        "acf",
+        (F.col("n_pairs") + F.col("lag")).alias("n"),
+    )
+    suff = terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(acf * acf / (CAST(n - lag AS DOUBLE)) AS DECIMAL(30,18))"
+            )
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    q = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * s)"
+    return suff.select(
+        "n",
+        F.round(F.expr(q), 6).alias("q_stat"),
+        F.round(F.expr(_wh_chi2_tail(q, _LB_K)), 5).alias("p_approx"),
+    )
+
+
+def _ljung_box_sql() -> str:
+    q = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * s)"
+    return f"""
+WITH acf AS ({_ACF_SQL}),
+terms AS (
+  SELECT lag, acf, n_pairs + lag AS n FROM acf),
+suff AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(acf * acf / (CAST(n - lag AS DOUBLE))
+              AS DECIMAL(30,18))) AS DOUBLE) AS s
+  FROM terms)
+SELECT n, round({q}, 6) AS q_stat,
+       round({_wh_chi2_tail(q, _LB_K)}, 5) AS p_approx
+FROM suff
+"""
+
+
+QUERIES["ts_ljung_box"] = ts_ljung_box
+ORACLE["ts_ljung_box"] = _ljung_box_sql()

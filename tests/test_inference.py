@@ -610,3 +610,35 @@ def test_hashing_trick_dims_and_mass(spark, duck, sf_dir):
         ).fetchall()
     )
     assert per_doc == expected
+
+
+def test_ljung_box_composes_with_acf(spark, sf_dir):
+    """Q recomputed from the emitted ACF matches, p in [0, 1], n > 0."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_ljung_box,
+    )
+    from cortana_intelligence_customer360_spark.registry import build
+
+    queries, _ = build()
+    r = ts_ljung_box(spark, sf_dir).collect()[0]
+    acf = queries["ts_acf_profile"](spark, sf_dir).collect()
+    n = max(a.n_pairs + a.lag for a in acf)
+    q = n * (n + 2) * sum(a.acf**2 / (n - a.lag) for a in acf)
+    assert r.n == n
+    assert r.q_stat == pytest.approx(q, rel=1e-4)
+    assert 0.0 <= r.p_approx <= 1.0
+
+
+def test_ranking_eval_metric_orderings(spark, sf_dir):
+    """hit1 <= hit3 <= 1, hit1 <= mrr <= 1 (rank-1 mass lower-bounds
+    MRR), ndcg >= mrr (log2 discount decays slower than 1/rank), and
+    the transition count is positive."""
+    from cortana_intelligence_customer360_spark.features.core import (
+        ml_ranking_eval_popularity,
+    )
+
+    r = ml_ranking_eval_popularity(spark, sf_dir).collect()[0]
+    assert r.n_transitions > 0
+    assert 0.0 <= r.hit1 <= r.hit3 <= 1.0
+    assert r.hit1 - 1e-9 <= r.mrr <= 1.0
+    assert r.ndcg >= r.mrr - 1e-9

@@ -1520,3 +1520,158 @@ ORDER BY effect
 
 QUERIES["stat_power_curve"] = stat_power_curve
 ORACLE["stat_power_curve"] = _power_sql()
+
+
+# ---------------------------------------------------------------------------
+# ml_gmm_em_1d
+# ---------------------------------------------------------------------------
+
+_GMM_ITERS = 3
+
+
+def _gmm_g(mu: str, var: str) -> str:
+    """Unnormalized Gaussian density text (the 1/sqrt(2 pi) cancels in
+    the responsibility ratio)."""
+    return f"(exp(-((x - {mu}) * (x - {mu})) / (2.0 * {var})) / sqrt({var}))"
+
+
+# Responsibility of component 1, quantized to 9 dp: r1 is the ONLY
+# value whose low bits depend on libm exp(); rounding it pins every
+# downstream product/sum to identical doubles in both engines (the
+# per-term 1e10-magnitude M-step sums would otherwise sit exactly on
+# the DECIMAL rounding grid).
+_GMM_R1 = (
+    f"round((w1 * {_gmm_g('mu1', 'v1')})"
+    f" / (w1 * {_gmm_g('mu1', 'v1')}"
+    f" + (1.0 - w1) * {_gmm_g('mu2', 'v2')}), 9)"
+)
+# M-step closed forms over the DECIMAL-exact E sums.
+_GMM_STEP = {
+    "w1": "round(sr1 / CAST(n AS DOUBLE), 6)",
+    "mu1": "round(sx1 / sr1, 6)",
+    "v1": "round(sxx1 / sr1 - (sx1 / sr1) * (sx1 / sr1), 6)",
+    "mu2": "round(sx2 / sr2, 6)",
+    "v2": "round(sxx2 / sr2 - (sx2 / sr2) * (sx2 / sr2), 6)",
+}
+
+
+def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EM for a 2-component 1-D Gaussian mixture over
+    order values, 3 unrolled iterations — soft clustering where
+    k-means' hard assignment misleads (overlapping price regimes).
+    Emits the parameter trajectory: one row per iteration with
+    (w1, mu1, v1, mu2, v2).
+
+    Determinism ladder: (1) init is mean +- sd from DECIMAL-exact
+    moments, 6 dp; (2) each E-step responsibility is quantized to 9 dp
+    (the only libm-dependent value), so every M-step product and
+    DECIMAL sum is bit-identical; (3) each M-step parameter rounds to
+    6 dp before the next iteration. The E+M pair is ONE aggregation
+    pass over the fact table against the broadcast 1-row parameter
+    frame — 3 iterations = 3 linear scans, map-side combined.
+    """
+    # Work in PRICE-MILLIONS: DECIMAL(30,6) quantization of a double is
+    # only unambiguous while |v| < ~4e9 (above that the double's ulp
+    # exceeds the 1e-6 grid and the double->decimal cast becomes
+    # representation-dependent across engines — caught live on the
+    # r*x^2 sums). Scaling x to ~0.1-0.6 keeps every term far inside
+    # the safe range; all emitted parameters are in scaled units.
+    obs = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / F.lit(1000000.0)).alias("x")
+    )
+    stats = obs.agg(
+        bcount().alias("n"), dsum("x").alias("s"), dsum(F.col("x") * F.col("x")).alias("ss")
+    )
+    p = stats.select(
+        F.lit(0.5).alias("w1"),
+        F.expr(
+            "round(s / CAST(n AS DOUBLE)"
+            " - sqrt((ss - s * s / CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) - 1.0)), 6)"
+        ).alias("mu1"),
+        F.expr(
+            "round((ss - s * s / CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) - 1.0), 6)"
+        ).alias("v1"),
+        F.expr(
+            "round(s / CAST(n AS DOUBLE)"
+            " + sqrt((ss - s * s / CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) - 1.0)), 6)"
+        ).alias("mu2"),
+        F.expr(
+            "round((ss - s * s / CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) - 1.0), 6)"
+        ).alias("v2"),
+    ).localCheckpoint()
+    trajectory = []
+    for it in range(1, _GMM_ITERS + 1):
+        j = obs.crossJoin(F.broadcast(p)).withColumn("r1", F.expr(_GMM_R1))
+        e = j.agg(
+            bcount().alias("n"),
+            dsum("r1").alias("sr1"),
+            dsum(F.col("r1") * F.col("x")).alias("sx1"),
+            dsum(F.col("r1") * F.col("x") * F.col("x")).alias("sxx1"),
+            dsum(1.0 - F.col("r1")).alias("sr2"),
+            dsum((1.0 - F.col("r1")) * F.col("x")).alias("sx2"),
+            dsum((1.0 - F.col("r1")) * F.col("x") * F.col("x")).alias("sxx2"),
+        )
+        p = e.select(
+            *[F.expr(expr).alias(name) for name, expr in _GMM_STEP.items()]
+        ).localCheckpoint()
+        trajectory.append(
+            p.select(F.lit(it).cast("long").alias("iter"), "w1", "mu1", "v1", "mu2", "v2")
+        )
+    res = trajectory[0]
+    for df in trajectory[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("iter")
+
+
+def _gmm_sql() -> str:
+    init = """
+obs AS (SELECT o_totalprice / 1000000.0 AS x FROM orders),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {s} AS s, {ss} AS ss
+  FROM obs),
+p0 AS (
+  SELECT 0.5 AS w1,
+         round(s / CAST(n AS DOUBLE)
+           - sqrt((ss - s * s / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0)), 6) AS mu1,
+         round((ss - s * s / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0), 6) AS v1,
+         round(s / CAST(n AS DOUBLE)
+           + sqrt((ss - s * s / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0)), 6) AS mu2,
+         round((ss - s * s / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0), 6) AS v2
+  FROM st)""".format(s=dsum_sql("x"), ss=dsum_sql("x * x"))
+    ctes = [init]
+    prev = "p0"
+    for it in range(1, _GMM_ITERS + 1):
+        ctes.append(
+            f"""
+e{it} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('r1')} AS sr1,
+         {dsum_sql('r1 * x')} AS sx1,
+         {dsum_sql('r1 * x * x')} AS sxx1,
+         {dsum_sql('1.0 - r1')} AS sr2,
+         {dsum_sql('(1.0 - r1) * x')} AS sx2,
+         {dsum_sql('(1.0 - r1) * x * x')} AS sxx2
+  FROM (SELECT x, {_GMM_R1} AS r1 FROM obs CROSS JOIN {prev})),
+p{it} AS (
+  SELECT {', '.join(f'{expr} AS {name}' for name, expr in _GMM_STEP.items())}
+  FROM e{it})"""
+        )
+        prev = f"p{it}"
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({it} AS BIGINT) AS iter, w1, mu1, v1, mu2, v2 FROM p{it}"
+        for it in range(1, _GMM_ITERS + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + rows + "\nORDER BY iter"
+
+
+QUERIES["ml_gmm_em_1d"] = ml_gmm_em_1d
+ORACLE["ml_gmm_em_1d"] = _gmm_sql()

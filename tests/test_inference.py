@@ -642,3 +642,23 @@ def test_ranking_eval_metric_orderings(spark, sf_dir):
     assert 0.0 <= r.hit1 <= r.hit3 <= 1.0
     assert r.hit1 - 1e-9 <= r.mrr <= 1.0
     assert r.ndcg >= r.mrr - 1e-9
+
+
+def test_gmm_em_component_separation(spark, sf_dir):
+    """Weights stay a distribution, variances positive, component
+    means straddle the global mean and SEPARATE monotonically over
+    iterations (EM increases likelihood; with symmetric init the
+    components pull apart)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_gmm_em_1d,
+    )
+
+    rows = ml_gmm_em_1d(spark, sf_dir).collect()
+    assert [r.iter for r in rows] == [1, 2, 3]
+    seps = []
+    for r in rows:
+        assert 0.0 < r.w1 < 1.0
+        assert r.v1 > 0.0 and r.v2 > 0.0
+        assert r.mu1 < r.mu2
+        seps.append(r.mu2 - r.mu1)
+    assert seps == sorted(seps)

@@ -1675,3 +1675,114 @@ p{it} AS (
 
 QUERIES["ml_gmm_em_1d"] = ml_gmm_em_1d
 ORACLE["ml_gmm_em_1d"] = _gmm_sql()
+
+
+# ---------------------------------------------------------------------------
+# ml_als_user_step
+# ---------------------------------------------------------------------------
+
+_ALS_LAMBDA = "0.1"
+# Deterministic 3-decimal item factors in [-0.5, 0.5): md5 buckets of
+# "brand|dim" — anchored decimals, so every downstream product is an
+# exact DECIMAL value.
+_ALS_FACTOR = (
+    "(CAST(('0x' || substr(md5(p_brand || '|{d}'), 1, 8))::BIGINT % 1000"
+    " AS DOUBLE) / 1000.0 - 0.5)"
+)
+_ALS_FACTOR_SPARK = (
+    "(CAST(conv(substring(md5(concat(p_brand, '|{d}')), 1, 8), 16, 10) % 1000"
+    " AS DOUBLE) / 1000.0 - 0.5)"
+)
+# Closed-form 2x2 ridge solve over per-user sums
+# (a11 = S f1^2 + lambda, a12 = S f1 f2, a22 = S f2^2 + lambda,
+#  b1 = S f1 r, b2 = S f2 r).
+_ALS_DET = (
+    f"((s11 + {_ALS_LAMBDA}) * (s22 + {_ALS_LAMBDA}) - s12 * s12)"
+)
+_ALS_U1 = f"(((s22 + {_ALS_LAMBDA}) * b1 - s12 * b2) / {_ALS_DET})"
+_ALS_U2 = f"(((s11 + {_ALS_LAMBDA}) * b2 - s12 * b1) / {_ALS_DET})"
+
+
+def ml_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step for rank-2 matrix factorization of the
+    customer x brand purchase matrix: item (brand) factors are fixed
+    deterministic values, and every customer's factor pair solves its
+    2x2 ridge normal equations in closed form — the distributed least
+    squares update at the heart of ALS recommenders, expressed without
+    any iteration or RNG.
+
+    Determinism: item factors are md5-anchored 3-decimal values, and
+    ratings are integer counts, so every per-user sum is an EXACT
+    DECIMAL (no float discipline needed until the final closed-form
+    solve, which is a shared-text expression). Shape: one orderkey
+    join, one (custkey, brand) collapse, a broadcast 25-row factor
+    join, then the per-customer solve rides the same custkey
+    aggregation — two fact shuffles total.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "p_brand")
+        .agg(bcount().alias("r"))
+    )
+    factors = (
+        load_table(spark, sf_dir, "part")
+        .select("p_brand")
+        .distinct()
+        .select(
+            "p_brand",
+            F.expr(_ALS_FACTOR_SPARK.format(d=1)).alias("f1"),
+            F.expr(_ALS_FACTOR_SPARK.format(d=2)).alias("f2"),
+        )
+    )
+    j = ratings.join(F.broadcast(factors), "p_brand")
+    suff = j.groupBy("o_custkey").agg(
+        bcount().alias("n_brands"),
+        dsum(F.col("f1") * F.col("f1")).alias("s11"),
+        dsum(F.col("f1") * F.col("f2")).alias("s12"),
+        dsum(F.col("f2") * F.col("f2")).alias("s22"),
+        dsum(F.col("f1") * F.col("r")).alias("b1"),
+        dsum(F.col("f2") * F.col("r")).alias("b2"),
+    )
+    return suff.select(
+        "o_custkey",
+        "n_brands",
+        F.round(F.expr(_ALS_U1), 6).alias("u1"),
+        F.round(F.expr(_ALS_U2), 6).alias("u2"),
+    ).orderBy("o_custkey")
+
+
+_ALS_SQL = f"""
+WITH ratings AS (
+  SELECT o.o_custkey, p.p_brand, CAST(COUNT(*) AS BIGINT) AS r
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+factors AS (
+  SELECT p_brand,
+         {_ALS_FACTOR.format(d=1)} AS f1,
+         {_ALS_FACTOR.format(d=2)} AS f2
+  FROM (SELECT DISTINCT p_brand FROM part)),
+suff AS (
+  SELECT r.o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_brands,
+         {dsum_sql('f1 * f1')} AS s11,
+         {dsum_sql('f1 * f2')} AS s12,
+         {dsum_sql('f2 * f2')} AS s22,
+         {dsum_sql('f1 * r')} AS b1,
+         {dsum_sql('f2 * r')} AS b2
+  FROM ratings r JOIN factors f ON r.p_brand = f.p_brand
+  GROUP BY r.o_custkey)
+SELECT o_custkey, n_brands,
+       round({_ALS_U1}, 6) AS u1,
+       round({_ALS_U2}, 6) AS u2
+FROM suff
+ORDER BY o_custkey
+"""
+
+QUERIES["ml_als_user_step"] = ml_als_user_step
+ORACLE["ml_als_user_step"] = _ALS_SQL

@@ -1051,3 +1051,109 @@ FROM canon GROUP BY 1
 
 QUERIES["dedup_url_canonical"] = dedup_url_canonical
 ORACLE["dedup_url_canonical"] = _URL_CANONICAL_SQL
+
+
+_SN_BUCKET = 4096
+_SN_LEV_MAX = 3
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo 1995):
+    sort records by a blocking key, compare each record only to its
+    next 2 neighbors in sort order, and keep candidate pairs whose
+    names are within edit distance 3 — the linear-pair-count
+    alternative to blocked all-pairs matching. Output: the candidate
+    histogram by edit distance.
+
+    Scale-correct global neighborhood WITHOUT a single-partition sort:
+    the sort key (c_name, zero-padded) buckets by its numeric suffix
+    DIV 4096 — a pure function of the key, so bucket order == sort
+    order — windows run per bucket, and the <=2-row bucket boundaries
+    are stitched by joining each bucket's 2-row tail to the next
+    bucket's 2-row head (tail_rank + head_rank <= 3 reproduces global
+    neighbor distance <= 2 exactly). All integers/strings — exact
+    oracle.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_name",
+        (
+            F.substring("c_name", 10, 18).cast("long") / F.lit(_SN_BUCKET)
+        ).cast("long").alias("bkt"),
+    )
+    w = Window.partitionBy("bkt").orderBy("c_name")
+    wd = Window.partitionBy("bkt").orderBy(F.col("c_name").desc())
+    inb = cust.select(
+        "c_name",
+        "bkt",
+        F.lead("c_name", 1).over(w).alias("n1"),
+        F.lead("c_name", 2).over(w).alias("n2"),
+    )
+    within = inb.select(
+        "c_name", F.explode(F.array("n1", "n2")).alias("nb")
+    ).where(F.col("nb").isNotNull())
+    tail = cust.withColumn("tr", F.row_number().over(wd)).where(F.col("tr") <= 2)
+    head = cust.withColumn("hr", F.row_number().over(w)).where(F.col("hr") <= 2)
+    straddle = (
+        tail.select("c_name", "bkt", "tr")
+        .join(
+            head.select(
+                F.col("c_name").alias("nb"),
+                (F.col("bkt") - 1).alias("bkt"),
+                "hr",
+            ),
+            "bkt",
+        )
+        .where(F.col("tr") + F.col("hr") <= 3)
+        .select("c_name", "nb")
+    )
+    pairs = within.unionByName(straddle).select(
+        F.levenshtein("c_name", "nb").cast("long").alias("lev")
+    )
+    return (
+        pairs.where(F.col("lev") <= _SN_LEV_MAX)
+        .groupBy("lev")
+        .agg(bcount().alias("n_pairs"))
+        .orderBy("lev")
+    )
+
+
+_SORTED_NEIGHBORHOOD_SQL = f"""
+WITH cust AS (
+  SELECT c_name,
+         CAST(CAST(substr(c_name, 10, 18) AS BIGINT) / {_SN_BUCKET} AS BIGINT)
+           AS bkt
+  FROM customer),
+inb AS (
+  SELECT c_name, bkt,
+         LEAD(c_name, 1) OVER (PARTITION BY bkt ORDER BY c_name) AS n1,
+         LEAD(c_name, 2) OVER (PARTITION BY bkt ORDER BY c_name) AS n2
+  FROM cust),
+within AS (
+  SELECT c_name, nb FROM (
+    SELECT c_name, UNNEST([n1, n2]) AS nb FROM inb)
+  WHERE nb IS NOT NULL),
+tail AS (
+  SELECT c_name, bkt,
+         ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY c_name DESC) AS tr
+  FROM cust QUALIFY tr <= 2),
+head AS (
+  SELECT c_name AS nb, bkt - 1 AS bkt,
+         ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY c_name) AS hr
+  FROM cust QUALIFY hr <= 2),
+straddle AS (
+  SELECT t.c_name, h.nb
+  FROM tail t JOIN head h ON t.bkt = h.bkt
+  WHERE t.tr + h.hr <= 3),
+pairs AS (
+  SELECT levenshtein(c_name, nb) AS lev FROM within
+  UNION ALL
+  SELECT levenshtein(c_name, nb) AS lev FROM straddle)
+SELECT CAST(lev AS BIGINT) AS lev, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+WHERE lev <= {_SN_LEV_MAX}
+GROUP BY lev
+ORDER BY lev
+"""
+
+QUERIES["dedup_sorted_neighborhood"] = dedup_sorted_neighborhood
+ORACLE["dedup_sorted_neighborhood"] = _SORTED_NEIGHBORHOOD_SQL

@@ -662,3 +662,60 @@ def test_gmm_em_component_separation(spark, sf_dir):
         assert r.mu1 < r.mu2
         seps.append(r.mu2 - r.mu1)
     assert seps == sorted(seps)
+
+
+def test_als_solve_matches_numpy_for_one_user(spark, duck, sf_dir):
+    """The closed-form 2x2 ridge solve equals an independent normal-
+    equation solve rebuilt in Python for a sampled customer."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_als_user_step,
+    )
+
+    rows = ml_als_user_step(spark, sf_dir).collect()
+    assert rows
+    ck = rows[0].o_custkey
+    data = duck.execute(
+        """
+        WITH ratings AS (
+          SELECT o.o_custkey, p.p_brand, COUNT(*) AS r
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_custkey = ?
+          GROUP BY 1, 2)
+        SELECT p_brand, r,
+          CAST(('0x' || substr(md5(p_brand || '|1'), 1, 8))::BIGINT % 1000
+               AS DOUBLE) / 1000.0 - 0.5 AS f1,
+          CAST(('0x' || substr(md5(p_brand || '|2'), 1, 8))::BIGINT % 1000
+               AS DOUBLE) / 1000.0 - 0.5 AS f2
+        FROM ratings
+        """,
+        [ck],
+    ).fetchall()
+    lam = 0.1
+    s11 = sum(f1 * f1 for _, _, f1, _ in data) + lam
+    s12 = sum(f1 * f2 for _, _, f1, f2 in data)
+    s22 = sum(f2 * f2 for _, _, _, f2 in data) + lam
+    b1 = sum(f1 * r for _, r, f1, _ in data)
+    b2 = sum(f2 * r for _, r, _, f2 in data)
+    det = s11 * s22 - s12 * s12
+    u1 = (s22 * b1 - s12 * b2) / det
+    u2 = (s11 * b2 - s12 * b1) / det
+    assert rows[0].u1 == pytest.approx(u1, abs=1e-4)
+    assert rows[0].u2 == pytest.approx(u2, abs=1e-4)
+    assert rows[0].n_brands == len(data)
+
+
+def test_sorted_neighborhood_pair_budget(spark, duck, sf_dir):
+    """The candidate count is bounded by the linear pair budget
+    2n - 3 (each record meets at most its next 2 neighbors), and every
+    histogram bucket respects lev <= 3."""
+    from cortana_intelligence_customer360_spark.llmops.dedup import (
+        dedup_sorted_neighborhood,
+    )
+
+    rows = dedup_sorted_neighborhood(spark, sf_dir).collect()
+    n = duck.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    total = sum(r.n_pairs for r in rows)
+    assert total <= 2 * n - 3
+    assert all(0 <= r.lev <= 3 for r in rows)

@@ -1786,3 +1786,125 @@ ORDER BY o_custkey
 
 QUERIES["ml_als_user_step"] = ml_als_user_step
 ORACLE["ml_als_user_step"] = _ALS_SQL
+
+
+# ---------------------------------------------------------------------------
+# stat_spearman_corr
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_midranks(df, col: str, width: float):
+    """Value -> 2*midrank (exact BIGINT) over ``df[col]``, computed with
+    the deterministic value-bucket prefix sum (floor(v/width) buckets, a
+    pure function of the data): groupBy the value, per-bucket counts
+    feed a tiny offset window, the data-sized window runs per bucket.
+    2*midrank = 2*cum_before + tie_count + 1."""
+    vals = df.groupBy(F.col(col).alias("v")).agg(bcount().alias("tv"))
+    vals = vals.withColumn(
+        "bkt", F.floor(F.col("v") / F.lit(width)).cast("long")
+    )
+    boff = (
+        vals.groupBy("bkt")
+        .agg(F.sum("tv").alias("btv"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("btv").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "boff")
+    )
+    wloc = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        vals.join(F.broadcast(boff), "bkt")
+        .withColumn("cumb", F.col("boff") + F.sum("tv").over(wloc) - F.col("tv"))
+        .select(
+            "v", (2 * F.col("cumb") + F.col("tv") + 1).cast("long").alias("mr2")
+        )
+    )
+
+
+def _midrank_sql(src: str, col: str) -> str:
+    """DuckDB twin of :func:`_bucketed_midranks` (plain global window —
+    the oracle side has no distribution concern)."""
+    return f"""
+  SELECT v, 2 * (SUM(tv) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv)
+           + tv + 1 AS mr2
+  FROM (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS tv
+        FROM {src} GROUP BY 1)"""
+
+
+_SPEARMAN_RHO = (
+    "((CAST(n AS DOUBLE) * sxy - sx * sy)"
+    " / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)"
+    " * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)))"
+)
+
+
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and the
+    customer's account balance — the monotone-association test that
+    ignores the price distribution's heavy tail (Pearson's blind spot).
+
+    Midranks (tie-aware) for BOTH variables come from the
+    deterministic value-bucket prefix sum; doubled midranks are exact
+    BIGINTs, so every sufficient sum is exact DECIMAL and rho is one
+    shared-text closed form. Shape: two value collapses + two
+    co-partitioned joins back onto the pair frame, then one aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pairs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("o_totalprice").alias("xv"), F.col("c_acctbal").alias("yv"))
+    )
+    rx = _bucketed_midranks(pairs, "xv", 256.0).select(
+        F.col("v").alias("xv"), F.col("mr2").alias("mrx")
+    )
+    ry = _bucketed_midranks(pairs, "yv", 64.0).select(
+        F.col("v").alias("yv"), F.col("mr2").alias("mry")
+    )
+    ranked = pairs.join(rx, "xv").join(ry, "yv").select(
+        F.col("mrx").cast("double").alias("x"), F.col("mry").cast("double").alias("y")
+    )
+    suff = ranked.agg(
+        bcount().alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return suff.select("n", F.round(F.expr(_SPEARMAN_RHO), 6).alias("spearman_rho"))
+
+
+_SPEARMAN_SQL = f"""
+WITH pairs AS (
+  SELECT o.o_totalprice AS xv, c.c_acctbal AS yv
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+rx AS ({_midrank_sql('pairs', 'xv')}),
+ry AS ({_midrank_sql('pairs', 'yv')}),
+ranked AS (
+  SELECT CAST(rx.mr2 AS DOUBLE) AS x, CAST(ry.mr2 AS DOUBLE) AS y
+  FROM pairs
+  JOIN rx ON pairs.xv = rx.v
+  JOIN ry ON pairs.yv = ry.v),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+         {dsum_sql('x * y')} AS sxy,
+         {dsum_sql('x * x')} AS sxx,
+         {dsum_sql('y * y')} AS syy
+  FROM ranked)
+SELECT n, round({_SPEARMAN_RHO}, 6) AS spearman_rho
+FROM suff
+"""
+
+QUERIES["stat_spearman_corr"] = stat_spearman_corr
+ORACLE["stat_spearman_corr"] = _SPEARMAN_SQL

@@ -2017,3 +2017,104 @@ FROM suff
 
 QUERIES["ts_ljung_box"] = ts_ljung_box
 ORACLE["ts_ljung_box"] = _ljung_box_sql()
+
+
+# OLS of daily revenue (in MILLIONS — the |v| < 4e9 DECIMAL rule) on
+# daily order count; closed-form slope/intercept, quantized 6 dp
+# before residuals.
+_EG_BETA = (
+    "round((CAST(n AS DOUBLE) * sxy - sx * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)"
+)
+_EG_ALPHA = "round((sy - beta * sx) / CAST(n AS DOUBLE), 6)"
+
+
+def ts_residual_mean_reversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger-style residual diagnostics: regress daily revenue
+    on daily order count (OLS, closed form), then measure how strongly
+    the residual series mean-reverts via its lag-1 autocorrelation —
+    rho near 1 means the 'relationship residual' wanders (no
+    cointegration-like stability), rho near 0 means deviations correct
+    within a day. The pair-trading / steady-relationship screen.
+
+    Revenue is scaled to millions before any DECIMAL quantization (the
+    4e9 rule); alpha/beta quantize to 6 dp before residuals so the
+    residual column is engine-identical; the lag join runs on the
+    bounded daily frame (ACF discipline).
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            bcount().alias("cnt"),
+            dsum(F.col("o_totalprice") / F.lit(1000000.0)).alias("rev"),
+        )
+    )
+    suff = daily.agg(
+        bcount().alias("n"),
+        dsum(F.col("cnt").cast("double")).alias("sx"),
+        dsum("rev").alias("sy"),
+        dsum(F.col("cnt").cast("double") * F.col("rev")).alias("sxy"),
+        dsum(F.col("cnt").cast("double") * F.col("cnt").cast("double")).alias("sxx"),
+    )
+    fit = suff.withColumn("beta", F.expr(_EG_BETA)).withColumn(
+        "alpha", F.expr(_EG_ALPHA)
+    )
+    resid = daily.crossJoin(F.broadcast(fit.select("n", "alpha", "beta"))).select(
+        "day",
+        "n",
+        (
+            F.col("rev")
+            - (F.col("alpha") + F.col("beta") * F.col("cnt").cast("double"))
+        ).alias("e"),
+    )
+    w = Window.orderBy("day")
+    lagged = resid.withColumn("el", F.lag("e", 1).over(w))
+    out = lagged.agg(
+        F.max("n").cast("long").alias("n_days"),
+        dsum(F.when(F.col("el").isNotNull(), F.col("e") * F.col("el"))).alias("num"),
+        dsum(F.col("e") * F.col("e")).alias("den"),
+    )
+    return out.crossJoin(F.broadcast(fit.select("alpha", "beta"))).select(
+        "n_days",
+        "beta",
+        "alpha",
+        F.round(F.col("num") / F.col("den"), 6).alias("resid_rho1"),
+    )
+
+
+def _eg_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         {dsum_sql('o_totalprice / 1000000.0')} AS rev
+  FROM orders GROUP BY 1),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('CAST(cnt AS DOUBLE)')} AS sx,
+         {dsum_sql('rev')} AS sy,
+         {dsum_sql('CAST(cnt AS DOUBLE) * rev')} AS sxy,
+         {dsum_sql('CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)')} AS sxx
+  FROM daily),
+fit2 AS (
+  SELECT n, beta, {_EG_ALPHA} AS alpha
+  FROM (SELECT *, {_EG_BETA} AS beta FROM suff)),
+resid AS (
+  SELECT d.day, f.n,
+         d.rev - (f.alpha + f.beta * CAST(d.cnt AS DOUBLE)) AS e
+  FROM daily d CROSS JOIN fit2 f),
+lagged AS (
+  SELECT n, e, LAG(e, 1) OVER (ORDER BY day) AS el FROM resid),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+         {dsum_sql('CASE WHEN el IS NOT NULL THEN e * el END')} AS num,
+         {dsum_sql('e * e')} AS den
+  FROM lagged)
+SELECT n_days, f.beta, f.alpha, round(num / den, 6) AS resid_rho1
+FROM agg CROSS JOIN fit2 f
+"""
+
+
+QUERIES["ts_residual_mean_reversion"] = ts_residual_mean_reversion
+ORACLE["ts_residual_mean_reversion"] = _eg_sql()

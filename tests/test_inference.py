@@ -719,3 +719,60 @@ def test_sorted_neighborhood_pair_budget(spark, duck, sf_dir):
     total = sum(r.n_pairs for r in rows)
     assert total <= 2 * n - 3
     assert all(0 <= r.lev <= 3 for r in rows)
+
+
+def test_spearman_invariance_and_range(spark, duck, sf_dir):
+    """|rho| <= 1; recomputing Spearman from scipy-free rankdata in
+    Python on the same pairs matches."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_spearman_corr,
+    )
+
+    r = stat_spearman_corr(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.spearman_rho <= 1.0
+    pairs = duck.execute(
+        """
+        SELECT o.o_totalprice, c.c_acctbal
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        mr = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            m = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                mr[order[k]] = m
+            i = j
+        return mr
+
+    xs = midranks([p[0] for p in pairs])
+    ys = midranks([p[1] for p in pairs])
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    rho = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert r.spearman_rho == pytest.approx(rho, abs=1e-5)
+    assert r.n == n
+
+
+def test_residual_mean_reversion_bounds(spark, sf_dir):
+    """|rho1| <= 1 and beta > 0 (more orders on a day means more
+    revenue, mechanically)."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_residual_mean_reversion,
+    )
+
+    r = ts_residual_mean_reversion(spark, sf_dir).collect()[0]
+    assert r.n_days > 100
+    assert r.beta > 0.0
+    assert -1.0 <= r.resid_rho1 <= 1.0

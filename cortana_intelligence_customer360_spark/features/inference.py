@@ -1908,3 +1908,128 @@ FROM suff
 
 QUERIES["stat_spearman_corr"] = stat_spearman_corr
 ORACLE["stat_spearman_corr"] = _SPEARMAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# agg_robust_means
+# ---------------------------------------------------------------------------
+
+
+def agg_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates for order value: the 5%-winsorized
+    mean (tails clamped to the exact 5th/95th order statistics) and the
+    5% trimmed mean (tails dropped) next to the raw mean — the
+    outlier-resistant KPIs a reporting layer wants when a few whale
+    orders move the naive average.
+
+    Order statistics are EXACT lower-kth elements (k = ceil(q*n),
+    integer arithmetic) located on the distinct-value table via the
+    deterministic value-bucket prefix sum — no sort of the fact table,
+    no interpolation ambiguity. Winsorized/trimmed sums weight each
+    distinct value by exact integer copy counts, so everything is
+    anchored DECIMAL until the final divisions.
+    """
+    obs = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("xv")
+    )
+    vt = obs.groupBy(F.col("xv").alias("v")).agg(bcount().alias("tv"))
+    vt = vt.withColumn("bkt", F.floor(F.col("v") / F.lit(256.0)).cast("long"))
+    boff = (
+        vt.groupBy("bkt")
+        .agg(F.sum("tv").alias("btv"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("btv").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "boff")
+    )
+    wloc = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    vt = vt.join(F.broadcast(boff), "bkt").withColumn(
+        "cumb", F.col("boff") + F.sum("tv").over(wloc) - F.col("tv")
+    )
+    tot = vt.agg(F.sum("tv").cast("long").alias("n")).select(
+        "n",
+        F.expr("(5 * n + 99) DIV 100").alias("k05"),
+        F.expr("(95 * n + 99) DIV 100").alias("k95"),
+    )
+    j = vt.crossJoin(F.broadcast(tot))
+    thr = j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k05").alias("k05"),
+        F.max("k95").alias("k95"),
+        F.min(F.when(F.col("cumb") + F.col("tv") >= F.col("k05"), F.col("v"))).alias(
+            "lo"
+        ),
+        F.min(F.when(F.col("cumb") + F.col("tv") >= F.col("k95"), F.col("v"))).alias(
+            "hi"
+        ),
+    )
+    k = vt.crossJoin(F.broadcast(thr))
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cumb") + F.col("tv"), F.col("k95"))
+        - F.greatest(F.col("cumb"), F.col("k05")),
+    )
+    clamp = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    out = k.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("lo").alias("p05"),
+        F.max("hi").alias("p95"),
+        dsum(F.col("v") * F.col("tv").cast("double")).alias("sraw"),
+        dsum(clamp * F.col("tv").cast("double")).alias("swin"),
+        dsum(F.col("v") * kept.cast("double")).alias("strim"),
+        F.sum(kept).cast("long").alias("ntrim"),
+    )
+    return out.select(
+        "n",
+        "p05",
+        "p95",
+        F.round(F.expr("sraw / CAST(n AS DOUBLE)"), 6).alias("raw_mean"),
+        F.round(F.expr("swin / CAST(n AS DOUBLE)"), 6).alias("winsorized_mean"),
+        F.round(F.expr("strim / CAST(ntrim AS DOUBLE)"), 6).alias("trimmed_mean"),
+    )
+
+
+_ROBUST_MEANS_SQL = f"""
+WITH vt AS (
+  SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS tv
+  FROM orders GROUP BY 1),
+cum AS (
+  SELECT *, SUM(tv) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv AS cumb
+  FROM vt),
+tot AS (
+  SELECT CAST(SUM(tv) AS BIGINT) AS n,
+         (5 * CAST(SUM(tv) AS BIGINT) + 99) // 100 AS k05,
+         (95 * CAST(SUM(tv) AS BIGINT) + 99) // 100 AS k95
+  FROM vt),
+thr AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(k05) AS k05, MAX(k95) AS k95,
+         MIN(CASE WHEN cumb + tv >= k05 THEN v END) AS lo,
+         MIN(CASE WHEN cumb + tv >= k95 THEN v END) AS hi
+  FROM cum CROSS JOIN tot),
+k AS (SELECT cum.*, thr.* FROM cum CROSS JOIN thr),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(lo) AS p05, MAX(hi) AS p95,
+         {dsum_sql('v * CAST(tv AS DOUBLE)')} AS sraw,
+         {dsum_sql('LEAST(GREATEST(v, lo), hi) * CAST(tv AS DOUBLE)')} AS swin,
+         {dsum_sql('v * CAST(GREATEST(CAST(0 AS BIGINT), LEAST(cumb + tv, k95) - GREATEST(cumb, k05)) AS DOUBLE)')} AS strim,
+         CAST(SUM(GREATEST(CAST(0 AS BIGINT),
+              LEAST(cumb + tv, k95) - GREATEST(cumb, k05))) AS BIGINT) AS ntrim
+  FROM k)
+SELECT n, p05, p95,
+       round(sraw / CAST(n AS DOUBLE), 6) AS raw_mean,
+       round(swin / CAST(n AS DOUBLE), 6) AS winsorized_mean,
+       round(strim / CAST(ntrim AS DOUBLE), 6) AS trimmed_mean
+FROM agg
+"""
+
+QUERIES["agg_robust_means"] = agg_robust_means
+ORACLE["agg_robust_means"] = _ROBUST_MEANS_SQL

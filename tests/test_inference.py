@@ -776,3 +776,28 @@ def test_residual_mean_reversion_bounds(spark, sf_dir):
     assert r.n_days > 100
     assert r.beta > 0.0
     assert -1.0 <= r.resid_rho1 <= 1.0
+
+
+def test_robust_means_orderings(spark, duck, sf_dir):
+    """p05 <= p95; trimmed and winsorized means lie between the
+    thresholds; Python recomputation of the winsorized mean matches."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        agg_robust_means,
+    )
+
+    r = agg_robust_means(spark, sf_dir).collect()[0]
+    assert r.p05 <= r.p95
+    assert r.p05 <= r.winsorized_mean <= r.p95
+    assert r.p05 <= r.trimmed_mean <= r.p95
+    xs = sorted(
+        v for (v,) in duck.execute("SELECT o_totalprice FROM orders").fetchall()
+    )
+    n = len(xs)
+    k05 = -(-5 * n // 100)
+    k95 = -(-95 * n // 100)
+    lo, hi = xs[k05 - 1], xs[k95 - 1]
+    assert r.p05 == lo and r.p95 == hi
+    win = sum(min(max(v, lo), hi) for v in xs) / n
+    assert r.winsorized_mean == pytest.approx(win, rel=1e-9)
+    trim = sum(xs[k05:k95]) / (k95 - k05)
+    assert r.trimmed_mean == pytest.approx(trim, rel=1e-9)

@@ -1395,3 +1395,100 @@ ORDER BY doc_id
 
 QUERIES["text_ngram_novelty"] = text_ngram_novelty
 ORACLE["text_ngram_novelty"] = _NGRAM_NOVELTY_SQL
+
+
+_PMI_TOP_TOKENS = 30
+_PMI_MIN_CO = 5
+_PMI_TOPK = 50
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information collocations: for the 30 highest
+    document-frequency tokens, score every co-occurring pair by
+    PMI = ln(N * df_ab / (df_a * df_b)) over document-level presence —
+    the classic collocation/association miner (which tokens travel
+    together beyond chance?).
+
+    Shape: doc-token presence is a distinct projection; the vocabulary
+    cap bounds the pair join at top^2 regardless of corpus size (the
+    frequency-capped-index discipline); PMI is one ln() on exact
+    integer ratios, rounded 6 dp before the top-k ordering so the cut
+    is engine-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    n_docs = docs.agg(bcount().alias("nd"))
+    wdf = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    top = (
+        dt.groupBy("tok")
+        .agg(bcount().alias("df"))
+        .withColumn("rk", F.row_number().over(wdf))
+        .where(F.col("rk") <= _PMI_TOP_TOKENS)
+        .select("tok", "df")
+    )
+    kept = dt.join(F.broadcast(top), "tok")
+    a = kept.select(
+        F.col("doc_id"), F.col("tok").alias("ta"), F.col("df").alias("dfa")
+    )
+    b = kept.select(
+        F.col("doc_id"), F.col("tok").alias("tb"), F.col("df").alias("dfb")
+    )
+    co = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(bcount().alias("co"))
+        .where(F.col("co") >= _PMI_MIN_CO)
+    )
+    return (
+        co.crossJoin(F.broadcast(n_docs))
+        .select(
+            "ta",
+            "tb",
+            "co",
+            F.round(
+                F.expr(
+                    "ln(CAST(co AS DOUBLE) * CAST(nd AS DOUBLE)"
+                    " / (CAST(dfa AS DOUBLE) * CAST(dfb AS DOUBLE)))"
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("ta").asc(), F.col("tb").asc())
+        .limit(_PMI_TOPK)
+    )
+
+
+_PMI_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+top AS (
+  SELECT tok, df FROM (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rk
+    FROM dt GROUP BY tok)
+  WHERE rk <= {_PMI_TOP_TOKENS}),
+kept AS (SELECT dt.doc_id, dt.tok, t.df FROM dt JOIN top t ON dt.tok = t.tok),
+co AS (
+  SELECT a.tok AS ta, b.tok AS tb, a.df AS dfa, b.df AS dfb,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= {_PMI_MIN_CO})
+SELECT ta, tb, co,
+       round(ln(CAST(co AS DOUBLE) * CAST(nd AS DOUBLE)
+             / (CAST(dfa AS DOUBLE) * CAST(dfb AS DOUBLE))), 6) AS pmi
+FROM co CROSS JOIN nd
+ORDER BY pmi DESC, ta ASC, tb ASC
+LIMIT {_PMI_TOPK}
+"""
+
+QUERIES["text_pmi_collocations"] = text_pmi_collocations
+ORACLE["text_pmi_collocations"] = _PMI_SQL

@@ -2118,3 +2118,86 @@ FROM agg CROSS JOIN fit2 f
 
 QUERIES["ts_residual_mean_reversion"] = ts_residual_mean_reversion
 ORACLE["ts_residual_mean_reversion"] = _eg_sql()
+
+
+_PEAK_WING = 3
+
+
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on daily order revenue: a day is a peak
+    when it strictly exceeds every day within +-3 days (integer-cents
+    comparisons — no float ties), reported with its wing-relative
+    prominence (peak minus the higher of the two wing maxima). The
+    alerting primitive behind 'unusual day' detection.
+
+    Shape: the fact table collapses to the bounded daily frame first;
+    the 6 lag/lead comparisons are one window pass over that frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    cols = {}
+    for k in range(1, _PEAK_WING + 1):
+        cols[f"lb{k}"] = F.lag("cents", k).over(w)
+        cols[f"la{k}"] = F.lead("cents", k).over(w)
+    d = daily
+    for name, c in cols.items():
+        d = d.withColumn(name, c)
+    neighbors = [F.col(f"lb{k}") for k in range(1, _PEAK_WING + 1)] + [
+        F.col(f"la{k}") for k in range(1, _PEAK_WING + 1)
+    ]
+    is_peak = F.lit(True)
+    for nb in neighbors:
+        is_peak = is_peak & nb.isNotNull() & (F.col("cents") > nb)
+    wingmax = F.greatest(*neighbors)
+    return (
+        d.where(is_peak)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            (F.col("cents") / F.lit(100.0)).alias("revenue"),
+            ((F.col("cents") - wingmax) / F.lit(100.0)).alias("prominence"),
+        )
+        .orderBy("day")
+    )
+
+
+def _peak_sql() -> str:
+    lags = ",\n         ".join(
+        f"LAG(cents, {k}) OVER (ORDER BY day) AS lb{k},\n         "
+        f"LEAD(cents, {k}) OVER (ORDER BY day) AS la{k}"
+        for k in range(1, _PEAK_WING + 1)
+    )
+    nbs = [f"lb{k}" for k in range(1, _PEAK_WING + 1)] + [
+        f"la{k}" for k in range(1, _PEAK_WING + 1)
+    ]
+    notnull = " AND ".join(f"{n} IS NOT NULL" for n in nbs)
+    above = " AND ".join(f"cents > {n}" for n in nbs)
+    wingmax = f"GREATEST({', '.join(nbs)})"
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT day, cents,
+         {lags}
+  FROM daily)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(cents - {wingmax} AS DOUBLE) / 100.0 AS prominence
+FROM lagged
+WHERE {notnull} AND {above}
+ORDER BY day
+"""
+
+
+QUERIES["ts_peak_detection"] = ts_peak_detection
+ORACLE["ts_peak_detection"] = _peak_sql()

@@ -801,3 +801,51 @@ def test_robust_means_orderings(spark, duck, sf_dir):
     assert r.winsorized_mean == pytest.approx(win, rel=1e-9)
     trim = sum(xs[k05:k95]) / (k95 - k05)
     assert r.trimmed_mean == pytest.approx(trim, rel=1e-9)
+
+
+def test_pmi_symmetric_bounds(spark, duck, sf_dir):
+    """Canonical pairs ta < tb, co >= 5, and PMI <= ln(N/max(dfa,dfb))
+    (co can't exceed min(dfa, dfb))."""
+    import math as m
+
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_pmi_collocations,
+    )
+
+    rows = text_pmi_collocations(spark, sf_dir).collect()
+    assert rows
+    nd = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    for r in rows:
+        assert r.ta < r.tb
+        assert r.co >= 5
+        # co <= min(df) => pmi <= ln(N / max(df)) <= ln(N / co)
+        assert r.pmi <= m.log(nd / r.co) + 1e-6
+
+
+def test_peak_detection_strict_local_maxima(spark, duck, sf_dir):
+    """Every reported peak strictly exceeds its 3-day wings in the
+    recomputed daily series; prominence is positive."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_peak_detection,
+    )
+
+    rows = ts_peak_detection(spark, sf_dir).collect()
+    daily = dict(
+        duck.execute(
+            """
+            SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS VARCHAR),
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    )
+    import datetime as dt
+
+    days_sorted = sorted(daily)
+    idx = {d: i for i, d in enumerate(days_sorted)}
+    for r in rows:
+        assert r.prominence > 0.0
+        i = idx[r.day]
+        for k in range(1, 4):
+            assert daily[days_sorted[i - k]] < daily[r.day]
+            assert daily[days_sorted[i + k]] < daily[r.day]

@@ -2201,3 +2201,117 @@ ORDER BY day
 
 QUERIES["ts_peak_detection"] = ts_peak_detection
 ORACLE["ts_peak_detection"] = _peak_sql()
+
+
+# Theta method (Assimakopoulos & Nikolopoulos 2000), theta = 2,
+# SES alpha = 0.2: literal-text constants shared by both engines.
+_THETA_A = "0.2"
+_THETA_B = "0.8"
+_THETA_TREND_B = (
+    "round((CAST(n AS DOUBLE) * sty - st * sy)"
+    " / (CAST(n AS DOUBLE) * stt - st * st), 6)"
+)
+_THETA_TREND_A = "round((sy - b * st) / CAST(n AS DOUBLE), 6)"
+_THETA_SES_TERM = (
+    f"(CASE WHEN rn = 1 THEN power({_THETA_B}, CAST(n - 1 AS DOUBLE)) * th"
+    f" ELSE {_THETA_A} * power({_THETA_B}, CAST(n - rn AS DOUBLE)) * th END)"
+)
+
+
+def ts_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Theta forecast (M3 competition winner) for next-day revenue:
+    average of (a) the linear-trend extrapolation and (b) SES over the
+    theta(2)-line 2y - trend, which doubles the series' local
+    curvature. All three pieces are closed forms — OLS on the time
+    index, the EWMA weight-sum for SES (croston discipline) — so the
+    whole forecast oracles exactly.
+
+    Revenue runs in MILLIONS (DECIMAL 4e9 rule); trend parameters
+    quantize to 6 dp before the theta-line so every SES term is an
+    engine-identical double. One fact collapse to the daily frame;
+    everything else is bounded-frame windows.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(dsum(F.col("o_totalprice") / F.lit(1000000.0)).alias("y"))
+    )
+    w = Window.orderBy("day")
+    d = daily.withColumn("rn", F.row_number().over(w).cast("long"))
+    suff = d.agg(
+        bcount().alias("n"),
+        dsum(F.col("rn").cast("double")).alias("st"),
+        dsum("y").alias("sy"),
+        dsum(F.col("rn").cast("double") * F.col("y")).alias("sty"),
+        dsum(F.col("rn").cast("double") * F.col("rn").cast("double")).alias("stt"),
+    )
+    fit = suff.withColumn("b", F.expr(_THETA_TREND_B)).withColumn(
+        "a", F.expr(_THETA_TREND_A)
+    )
+    th = d.crossJoin(F.broadcast(fit.select("n", "a", "b"))).select(
+        "rn",
+        "n",
+        "a",
+        "b",
+        (
+            2.0 * F.col("y")
+            - (F.col("a") + F.col("b") * F.col("rn").cast("double"))
+        ).alias("th"),
+    )
+    ses = th.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.round(dsum(F.expr(_THETA_SES_TERM)), 6).alias("ses_theta2"),
+    )
+    return ses.select(
+        "n",
+        "a",
+        "b",
+        "ses_theta2",
+        F.round(
+            F.expr(
+                "0.5 * (a + b * (CAST(n AS DOUBLE) + 1.0)) + 0.5 * ses_theta2"
+            ),
+            6,
+        ).alias("theta_forecast"),
+    )
+
+
+def _theta_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         {dsum_sql('o_totalprice / 1000000.0')} AS y
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT day, y,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn
+  FROM daily),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('CAST(rn AS DOUBLE)')} AS st,
+         {dsum_sql('y')} AS sy,
+         {dsum_sql('CAST(rn AS DOUBLE) * y')} AS sty,
+         {dsum_sql('CAST(rn AS DOUBLE) * CAST(rn AS DOUBLE)')} AS stt
+  FROM suff_src),
+fit AS (
+  SELECT n, b, {_THETA_TREND_A} AS a
+  FROM (SELECT *, {_THETA_TREND_B} AS b FROM suff)),
+th AS (
+  SELECT d.rn, f.n, f.a, f.b,
+         2.0 * d.y - (f.a + f.b * CAST(d.rn AS DOUBLE)) AS th
+  FROM d CROSS JOIN fit f),
+ses AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(a) AS a, MAX(b) AS b,
+         round({dsum_sql(_THETA_SES_TERM)}, 6) AS ses_theta2
+  FROM th)
+SELECT n, a, b, ses_theta2,
+       round(0.5 * (a + b * (CAST(n AS DOUBLE) + 1.0)) + 0.5 * ses_theta2, 6)
+         AS theta_forecast
+FROM ses
+""".replace("suff_src", "d")
+
+
+QUERIES["ts_theta_method"] = ts_theta_method
+ORACLE["ts_theta_method"] = _theta_sql()

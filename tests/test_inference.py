@@ -849,3 +849,20 @@ def test_peak_detection_strict_local_maxima(spark, duck, sf_dir):
         for k in range(1, 4):
             assert daily[days_sorted[i - k]] < daily[r.day]
             assert daily[days_sorted[i + k]] < daily[r.day]
+
+
+def test_theta_forecast_composition(spark, sf_dir):
+    """The emitted forecast equals the average of the trend
+    extrapolation and the SES component, recomputed from the emitted
+    pieces; the SES of the theta2 line is finite and the trend slope
+    is small relative to the mean (stationary-ish daily revenue)."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_theta_method,
+    )
+
+    r = ts_theta_method(spark, sf_dir).collect()[0]
+    trend_next = r.a + r.b * (r.n + 1.0)
+    assert r.theta_forecast == pytest.approx(
+        0.5 * trend_next + 0.5 * r.ses_theta2, abs=2e-6
+    )
+    assert r.n > 100

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..compat import epoch_us
+from ..compat import bcount, epoch_us
 from ..sources.tables import load_table
 
 
@@ -1304,3 +1304,86 @@ FROM orders GROUP BY 1 ORDER BY 1
 
 QUERIES["sql_identifier_dynamic"] = sql_identifier_dynamic
 ORACLE["sql_identifier_dynamic"] = _SQL_IDENTIFIER_SQL
+
+
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 SQL scripting): run a dynamically
+    composed statement with USING-bound parameters — the stored-proc
+    style entry point for templated jobs. The inner statement
+    aggregates orders above a bound threshold.
+
+    Oracle: the statically-written equivalent; EXECUTE IMMEDIATE is a
+    dispatch mechanism, not a semantic change.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ei_orders_view")
+    spark.sql("DECLARE OR REPLACE VARIABLE ei_thr DOUBLE DEFAULT 150000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  MAX(o_totalprice) AS max_price
+           FROM ei_orders_view WHERE o_totalprice > ?
+           GROUP BY 1 ORDER BY 1'
+          USING ei_thr
+        """
+    )
+
+
+_SQL_EXEC_IMMEDIATE_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_totalprice) AS max_price
+FROM orders WHERE o_totalprice > 150000.0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["sql_execute_immediate"] = sql_execute_immediate
+ORACLE["sql_execute_immediate"] = _SQL_EXEC_IMMEDIATE_SQL
+
+
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: AES-ECB encrypt customer names
+    with a literal key, decrypt them back, and prove the roundtrip is
+    the identity (per-segment row counts + max recovered name +
+    ciphertext-distinctness check). ECB is used ONLY because the
+    roundtrip must be deterministic for the oracle; production
+    envelope encryption uses GCM with random IVs (and is therefore
+    R-tier by nature).
+
+    Oracle: derivable entirely from the plaintext table — the
+    operator's claim IS that decrypt(encrypt(x)) = x.
+    """
+    key = F.lit("0123456789abcdef")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_name",
+        F.expr(
+            "aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'),"
+            " '0123456789abcdef', 'ECB')"
+        ).cast("string").alias("rt_name"),
+        F.expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB')").alias("ct"),
+    )
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            bcount().alias("n"),
+            F.sum((F.col("rt_name") == F.col("c_name")).cast("long"))
+            .cast("long")
+            .alias("n_roundtrip_ok"),
+            F.countDistinct("ct").cast("long").alias("n_distinct_ct"),
+            F.max("rt_name").alias("max_name"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_AES_ROUNDTRIP_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct_ct,
+       MAX(c_name) AS max_name
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["fn_aes_roundtrip"] = fn_aes_roundtrip
+ORACLE["fn_aes_roundtrip"] = _AES_ROUNDTRIP_SQL

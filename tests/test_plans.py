@@ -768,3 +768,80 @@ def test_pacf_single_orderdate_shuffle(spark, sf_dir):
 
     plan = plan_string(ts_pacf_durbin(spark, sf_dir))
     assert plan.count("hashpartitioning(o_orderdate") <= 1
+
+
+def test_adaboost_single_pass_no_expansion(spark, sf_dir):
+    """ml_adaboost_stumps: candidate errors are conditional aggregates
+    in one codegen scan — no join of the fact table against the
+    candidate grid survives in the plan (only 1-row broadcast stump
+    applications), and aggregation partial-combines map-side."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_adaboost_stumps,
+    )
+
+    plan = plan_string(ml_adaboost_stumps(spark, sf_dir))
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gmm_em_broadcast_params_only(spark, sf_dir):
+    """ml_gmm_em_1d: every iteration joins the fact table only against
+    broadcast 1-row parameter frames; no data-sized shuffle join."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_gmm_em_1d,
+    )
+
+    plan = plan_string(ml_gmm_em_1d(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # iterations run eagerly at checkpoint time; the emitted plan is a
+    # union of the pinned 1-row parameter frames
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_als_factor_join_broadcast(spark, sf_dir):
+    """ml_als_user_step: the 25-row brand-factor join is broadcast and
+    the per-customer solve rides a partial-combined aggregation."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_als_user_step,
+    )
+
+    plan = plan_string(ml_als_user_step(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_croston_partkey_partitioned_windows(spark, sf_dir):
+    """ts_croston: the event windows key on the part, and the demand
+    collapse partial-aggregates before its shuffle."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_croston,
+    )
+
+    plan = plan_string(ts_croston(spark, sf_dir))
+    assert "hashpartitioning(l_partkey" in plan
+    assert "partial_" in plan
+
+
+def test_spearman_no_partitionless_data_window(spark, sf_dir):
+    """stat_spearman_corr: both midrank passes shard by value bucket
+    (hashpartitioning(bkt)), never a partitionless window over the
+    value tables."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_spearman_corr,
+    )
+
+    plan = plan_string(stat_spearman_corr(spark, sf_dir))
+    assert plan.count("hashpartitioning(bkt") >= 2
+    assert "partial_" in plan
+
+
+def test_sorted_neighborhood_bucketed_windows(spark, sf_dir):
+    """dedup_sorted_neighborhood: neighbor windows key on the sort-key
+    bucket; the boundary stitch joins tiny tail/head frames."""
+    from cortana_intelligence_customer360_spark.llmops.dedup import (
+        dedup_sorted_neighborhood,
+    )
+
+    plan = plan_string(dedup_sorted_neighborhood(spark, sf_dir))
+    assert "hashpartitioning(bkt" in plan

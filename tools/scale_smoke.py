@@ -122,6 +122,12 @@ HEAVY = [
     "stat_mann_whitney",
     "ml_isotonic_pava",
     "agg_session_window_batch",
+    "ml_als_user_step",
+    "ml_gmm_em_1d",
+    "stat_spearman_corr",
+    "agg_robust_means",
+    "text_pmi_collocations",
+    "dedup_sorted_neighborhood",
     "agg_window_tvf",
     "diff_snapshots",
     "udf_map_in_arrow",

@@ -1492,3 +1492,158 @@ LIMIT {_PMI_TOPK}
 
 QUERIES["text_pmi_collocations"] = text_pmi_collocations
 ORACLE["text_pmi_collocations"] = _PMI_SQL
+
+
+_TR_VOCAB = 100
+_TR_ITERS = 3
+_TR_DAMP = "0.85"
+_TR_TOPK = 20
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the token ADJACENCY graph (co-occurrence weight =
+    count of adjacent positions corpus-wide), restricted to the top-100
+    document-frequency tokens so the graph is bounded at any corpus
+    size; 3 damped iterations, top-20 keywords.
+
+    Determinism: edge weights and weighted degrees are exact BIGINTs;
+    per-edge contributions quantize to DECIMAL(38,12) before each
+    node sum (the graph_pagerank discipline); the final top-k orders
+    by the 9 dp-rounded rank with token tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.struct(
+            F.element_at("t", i + 1).alias("a"), F.element_at("t", i + 2).alias("b")
+        ),
+    )
+    adj = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(grams).alias("g"))
+        .select("g.a", "g.b")
+        .where((F.col("a") != "") & (F.col("b") != "") & (F.col("a") != F.col("b")))
+    )
+    dt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    wv = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    vocab = (
+        dt.groupBy("tok")
+        .agg(bcount().alias("df"))
+        .withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") <= _TR_VOCAB)
+        .select("tok")
+    )
+    und = (
+        adj.join(F.broadcast(vocab.select(F.col("tok").alias("a"))), "a")
+        .join(F.broadcast(vocab.select(F.col("tok").alias("b"))), "b")
+        .select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(bcount().alias("w"))
+    )
+    sym = und.select(
+        F.col("x").alias("src"), F.col("y").alias("dst"), "w"
+    ).unionByName(und.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w"))
+    sym = sym.localCheckpoint()  # vocab^2-bounded edge list, reused per iter
+    wdeg = sym.groupBy("src").agg(F.sum("w").cast("long").alias("wd"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nn = nodes.count()  # <= 100, metadata-scale
+    ranks = nodes.select("node", F.lit(round(1.0 / nn, 9)).alias("rank"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            sym.join(wdeg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select(
+                "dst",
+                (
+                    F.col("rank") * F.col("w").cast("double")
+                    / F.col("wd").cast("double")
+                ).cast("decimal(38,12)").alias("q"),
+            )
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("q").cast("double").alias("acc"))
+        ranks = (
+            nodes.join(summed, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(1.0 - {_TR_DAMP}) / CAST({nn} AS DOUBLE)"
+                    f" + {_TR_DAMP} * COALESCE(acc, 0.0)"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("node", F.round("rank", 9).alias("textrank"))
+        .orderBy(F.col("textrank").desc(), F.col("node").asc())
+        .limit(_TR_TOPK)
+    )
+
+
+def _textrank_sql() -> str:
+    base = f"""
+toks AS (SELECT str_split(text, ' ') AS t FROM documents),
+adj AS (
+  SELECT g['a'] AS a, g['b'] AS b FROM (
+    SELECT UNNEST(list_transform(range(len(t) - 1),
+           i -> {{'a': t[i+1], 'b': t[i+2]}})) AS g
+    FROM toks WHERE len(t) >= 2)
+  WHERE g['a'] <> '' AND g['b'] <> '' AND g['a'] <> g['b']),
+dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rk
+    FROM dt GROUP BY tok)
+  WHERE rk <= {_TR_VOCAB}),
+und AS (
+  SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM adj
+  WHERE a IN (SELECT tok FROM vocab) AND b IN (SELECT tok FROM vocab)
+  GROUP BY 1, 2),
+sym AS (
+  SELECT x AS src, y AS dst, w FROM und
+  UNION ALL SELECT y AS src, x AS dst, w FROM und),
+wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wd FROM sym GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM nodes),
+r0 AS (SELECT node, round(1.0 / CAST(k AS DOUBLE), 9) AS rank FROM nodes, nn)"""
+    steps = []
+    for i in range(_TR_ITERS):
+        steps.append(f"""
+s{i} AS (
+  SELECT e.dst,
+         CAST(SUM(CAST(r.rank * CAST(e.w AS DOUBLE) / CAST(d.wd AS DOUBLE)
+              AS DECIMAL(38,12))) AS DOUBLE) AS acc
+  FROM sym e
+  JOIN wdeg d ON e.src = d.src
+  JOIN r{i} r ON e.src = r.node
+  GROUP BY 1),
+r{i + 1} AS (
+  SELECT n.node,
+         (1.0 - {_TR_DAMP}) / CAST(nn.k AS DOUBLE)
+           + {_TR_DAMP} * COALESCE(s.acc, 0.0) AS rank
+  FROM nodes n CROSS JOIN nn LEFT JOIN s{i} s ON n.node = s.dst)""")
+    return (
+        "WITH "
+        + ",".join([base] + steps)
+        + f"""
+SELECT node, round(rank, 9) AS textrank
+FROM r{_TR_ITERS}
+ORDER BY textrank DESC, node ASC
+LIMIT {_TR_TOPK}"""
+    )
+
+
+QUERIES["text_textrank_keywords"] = text_textrank_keywords
+ORACLE["text_textrank_keywords"] = _textrank_sql()

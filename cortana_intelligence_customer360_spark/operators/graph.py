@@ -1457,3 +1457,107 @@ FROM suff
 
 QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
 ORACLE["graph_degree_assortativity"] = _ASSORT_SQL
+
+
+_PPR_SEEDS = 10
+_PPR_ITERS = 5
+
+
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: random walks RESTART at a seed set (the
+    10 highest-degree customer nodes, deterministic tiebreak) instead
+    of uniformly — 'importance relative to my best customers', the
+    graph-recommendation primitive (PPR-based related-entity retrieval).
+
+    Same fixed-iteration DECIMAL(38,12) contribution quantization and
+    edges-never-reshuffle shape as graph_pagerank; the only change is
+    the teleport vector: (1-d)*seed_mass(node) + d*incoming. Seeds get
+    1/|S| mass, everyone else 0 — so rank mass stays conserved and the
+    oracle unrolls identically.
+    """
+    edges = _weighted_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.max("outdeg").alias("deg"))
+    ws = Window.orderBy(F.col("deg").desc(), F.col("src").asc())
+    seeds = (
+        deg.where(F.col("src") < _SUPP_OFFSET)  # customer nodes only
+        .withColumn("rk", F.row_number().over(ws))
+        .where(F.col("rk") <= _PPR_SEEDS)
+        .select(F.col("src").alias("node"), F.lit(1.0 / _PPR_SEEDS).alias("seed"))
+    )
+    base = nodes.join(F.broadcast(seeds), "node", "left").select(
+        "node", F.coalesce("seed", F.lit(0.0)).alias("seed")
+    )
+    ranks = base.select("node", "seed", F.col("seed").alias("rank"))
+    for _ in range(_PPR_ITERS):
+        contrib = edges.join(
+            ranks.select(F.col("node").alias("src"), "rank").hint("shuffle_hash"),
+            "src",
+        ).select(
+            "dst",
+            (F.col("rank") / F.col("outdeg").cast("double")).cast(_DEC).alias("q"),
+        )
+        summed = contrib.groupBy("dst").agg(
+            F.sum("q").cast("double").alias("acc")
+        )
+        ranks = (
+            base.join(summed, F.col("node") == summed.dst, "left")
+            .select(
+                "node",
+                "seed",
+                (
+                    (1.0 - _DAMPING) * F.col("seed")
+                    + F.lit(_DAMPING) * F.coalesce("acc", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return ranks.select("node", F.round("rank", 9).alias("ppr"))
+
+
+def _ppr_sql() -> str:
+    base = f"""
+pairs AS (
+  SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+seeds AS (
+  SELECT src AS node, 1.0 / {_PPR_SEEDS} AS seed FROM (
+    SELECT src, ROW_NUMBER() OVER (ORDER BY outdeg DESC, src ASC) AS rk
+    FROM deg WHERE src < {_SUPP_OFFSET})
+  WHERE rk <= {_PPR_SEEDS}),
+base AS (
+  SELECT n.node, COALESCE(s.seed, 0.0) AS seed
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+r0 AS (SELECT node, seed, seed AS rank FROM base)"""
+    steps = []
+    for i in range(_PPR_ITERS):
+        steps.append(f"""
+s{i} AS (
+  SELECT e.dst,
+         CAST(SUM(CAST(r.rank / CAST(d.outdeg AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) AS acc
+  FROM edges e
+  JOIN r{i} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY 1),
+r{i + 1} AS (
+  SELECT b.node, b.seed,
+         (1.0 - {_DAMPING}) * b.seed
+           + {_DAMPING} * COALESCE(s.acc, 0.0) AS rank
+  FROM base b LEFT JOIN s{i} s ON b.node = s.dst)""")
+    return (
+        "WITH "
+        + ",".join([base] + steps)
+        + f"\nSELECT node, round(rank, 9) AS ppr FROM r{_PPR_ITERS}"
+    )
+
+
+QUERIES["graph_pagerank_personalized"] = graph_pagerank_personalized
+ORACLE["graph_pagerank_personalized"] = _ppr_sql()

@@ -2033,3 +2033,111 @@ FROM agg
 
 QUERIES["agg_robust_means"] = agg_robust_means
 ORACLE["agg_robust_means"] = _ROBUST_MEANS_SQL
+
+
+# ---------------------------------------------------------------------------
+# feat_weibull_fit
+# ---------------------------------------------------------------------------
+
+# Weibull probability-plot regression: y = ln(-ln(1 - F)) on x = ln(g),
+# median-rank plotting positions F = (i - 0.3)/(n + 0.4). x and y are
+# quantized 6 dp before the OLS sums (ln libm discipline).
+_WEIB_SHAPE = (
+    "round((CAST(n AS DOUBLE) * sxy - sx * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)"
+)
+_WEIB_SCALE = "round(exp(-((sy - shape * sx) / CAST(n AS DOUBLE)) / shape), 6)"
+
+
+def feat_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull reliability fit for inter-order gaps (days between a
+    customer's consecutive orders): median-rank probability-plot
+    regression — the classic closed-form Weibull estimator (shape < 1
+    reads as 'churn hazard decreases with tenure', > 1 as wear-out).
+    Complements feat_kaplan_meier's nonparametric curve with a
+    2-parameter model.
+
+    Ranks are tie-averaged midranks from the value-bucket prefix sum
+    over the INTEGER gap domain (bounded, so the value table is tiny);
+    plotting positions, ln transforms and the OLS solve are shared
+    closed-form text over 6 dp-quantized coordinates.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = (
+        o.withColumn("g", F.datediff(F.col("d"), F.lag("d", 1).over(w)))
+        .where(F.col("g").isNotNull() & (F.col("g") >= 1))
+        .select(F.col("g").cast("long").alias("g"))
+    )
+    vt = gaps.groupBy(F.col("g").alias("v")).agg(bcount().alias("tv"))
+    # integer domain (days) is bounded: a plain ordered window over the
+    # distinct-gap table is already metadata-scale
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vt = vt.withColumn("cumb", F.sum("tv").over(wv) - F.col("tv"))
+    n_tot = vt.agg(F.sum("tv").cast("long").alias("n"))
+    pts = vt.crossJoin(F.broadcast(n_tot)).select(
+        "tv",
+        F.round(F.log(F.col("v").cast("double")), 6).alias("x"),
+        F.round(
+            F.expr(
+                "ln(-ln(1.0 - ((CAST(cumb AS DOUBLE)"
+                " + (CAST(tv AS DOUBLE) + 1.0) / 2.0) - 0.3)"
+                " / (CAST(n AS DOUBLE) + 0.4)))"
+            ),
+            6,
+        ).alias("y"),
+    )
+    suff = pts.agg(
+        F.sum("tv").cast("long").alias("n2"),
+        dsum(F.col("x") * F.col("tv").cast("double")).alias("sx"),
+        dsum(F.col("y") * F.col("tv").cast("double")).alias("sy"),
+        dsum(F.col("x") * F.col("y") * F.col("tv").cast("double")).alias("sxy"),
+        dsum(F.col("x") * F.col("x") * F.col("tv").cast("double")).alias("sxx"),
+    ).withColumnRenamed("n2", "n")
+    return (
+        suff.withColumn("shape", F.expr(_WEIB_SHAPE))
+        .select(
+            "n",
+            "shape",
+            F.expr(_WEIB_SCALE).alias("scale_days"),
+        )
+    )
+
+
+_WEIBULL_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+gaps AS (
+  SELECT CAST(date_diff('day',
+           LAG(d) OVER (PARTITION BY o_custkey ORDER BY d), d) AS BIGINT) AS g
+  FROM o),
+gg AS (SELECT g FROM gaps WHERE g IS NOT NULL AND g >= 1),
+vt AS (
+  SELECT g AS v, CAST(COUNT(*) AS BIGINT) AS tv FROM gg GROUP BY 1),
+cum AS (
+  SELECT *, SUM(tv) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv AS cumb
+  FROM vt),
+nt AS (SELECT CAST(SUM(tv) AS BIGINT) AS n FROM vt),
+pts AS (
+  SELECT tv,
+         round(ln(CAST(v AS DOUBLE)), 6) AS x,
+         round(ln(-ln(1.0 - ((CAST(cumb AS DOUBLE)
+               + (CAST(tv AS DOUBLE) + 1.0) / 2.0) - 0.3)
+               / (CAST(n AS DOUBLE) + 0.4))), 6) AS y
+  FROM cum CROSS JOIN nt),
+suff AS (
+  SELECT CAST(SUM(tv) AS BIGINT) AS n,
+         {dsum_sql('x * CAST(tv AS DOUBLE)')} AS sx,
+         {dsum_sql('y * CAST(tv AS DOUBLE)')} AS sy,
+         {dsum_sql('x * y * CAST(tv AS DOUBLE)')} AS sxy,
+         {dsum_sql('x * x * CAST(tv AS DOUBLE)')} AS sxx
+  FROM pts)
+SELECT n, shape, {_WEIB_SCALE} AS scale_days
+FROM (SELECT *, {_WEIB_SHAPE} AS shape FROM suff)
+"""
+
+QUERIES["feat_weibull_fit"] = feat_weibull_fit
+ORACLE["feat_weibull_fit"] = _WEIBULL_SQL

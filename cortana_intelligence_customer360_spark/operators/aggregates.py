@@ -1091,3 +1091,66 @@ ORDER BY start_us, event_type
 
 QUERIES["agg_hopping_window_batch"] = agg_hopping_window_batch
 ORACLE["agg_hopping_window_batch"] = _HOPPING_SQL
+
+
+_CONC_HOLD_DAYS = 7
+_CONC_TOPK = 10
+
+
+def agg_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency sweep line: treating each order as active
+    for 7 days, the running (+starts, -expiries) balance gives the
+    number of simultaneously active orders per day; report the top-10
+    busiest days — the capacity-planning primitive (max concurrent
+    sessions/jobs/holds) computed without ever joining intervals.
+
+    Shape: one groupBy(day) collapse emits starts; expiries are the
+    same counts shifted 7 days (a projection, not a second scan via
+    self-union of +1/-1 deltas on the bounded daily frame); the
+    running sum is exact integer arithmetic over that frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(bcount().alias("starts"))
+    )
+    deltas = daily.select("day", F.col("starts").alias("delta")).unionByName(
+        daily.select(
+            F.date_add("day", _CONC_HOLD_DAYS).alias("day"),
+            (-F.col("starts")).alias("delta"),
+        )
+    )
+    merged = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    conc = merged.withColumn("concurrent", F.sum("delta").over(w))
+    return (
+        conc.select(F.col("day").cast("string").alias("day"), "concurrent")
+        .orderBy(F.col("concurrent").desc(), F.col("day").asc())
+        .limit(_CONC_TOPK)
+    )
+
+
+_CONCURRENCY_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS starts
+  FROM orders GROUP BY 1),
+deltas AS (
+  SELECT day, starts AS delta FROM daily
+  UNION ALL
+  SELECT day + INTERVAL {_CONC_HOLD_DAYS} DAY, -starts FROM daily),
+merged AS (
+  SELECT CAST(day AS DATE) AS day, CAST(SUM(delta) AS BIGINT) AS delta
+  FROM deltas GROUP BY 1),
+conc AS (
+  SELECT day, SUM(delta) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+  FROM merged)
+SELECT CAST(day AS VARCHAR) AS day, CAST(concurrent AS BIGINT) AS concurrent
+FROM conc
+ORDER BY concurrent DESC, day ASC
+LIMIT {_CONC_TOPK}
+"""
+
+QUERIES["agg_interval_concurrency"] = agg_interval_concurrency
+ORACLE["agg_interval_concurrency"] = _CONCURRENCY_SQL

@@ -912,3 +912,39 @@ def test_textrank_top_keywords_are_frequent_tokens(spark, duck, sf_dir):
         ).fetchall()
     }
     assert all(r.node in vocab for r in rows)
+
+
+def test_weibull_fit_plausible_params(spark, sf_dir):
+    """Shape and scale are positive; the scale lands inside the
+    observed gap range (a probability-plot fit can't leave it)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        feat_weibull_fit,
+    )
+
+    r = feat_weibull_fit(spark, sf_dir).collect()[0]
+    assert r.n > 100
+    assert r.shape > 0.0
+    assert 1.0 <= r.scale_days <= 3000.0
+
+
+def test_interval_concurrency_conservation(spark, duck, sf_dir):
+    """Each top day's concurrency equals the number of orders in its
+    trailing 7-day window, recomputed directly."""
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_interval_concurrency,
+    )
+
+    rows = agg_interval_concurrency(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows[:3]:
+        expected = duck.execute(
+            """
+            SELECT COUNT(*) FROM orders
+            WHERE CAST(date_trunc('day', o_orderdate) AS DATE)
+                    > CAST(? AS DATE) - INTERVAL 7 DAY
+              AND CAST(date_trunc('day', o_orderdate) AS DATE)
+                    <= CAST(? AS DATE)
+            """,
+            [r.day, r.day],
+        ).fetchone()[0]
+        assert r.concurrent == expected

@@ -2141,3 +2141,149 @@ FROM (SELECT *, {_WEIB_SHAPE} AS shape FROM suff)
 
 QUERIES["feat_weibull_fit"] = feat_weibull_fit
 ORACLE["feat_weibull_fit"] = _WEIBULL_SQL
+
+
+# ---------------------------------------------------------------------------
+# ml_pinball_quantile_eval
+# ---------------------------------------------------------------------------
+
+_PINBALL_TAU = "0.9"
+_PINBALL_QS = (50, 75, 90)
+
+
+def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-loss (pinball) evaluation at tau = 0.9: per market
+    segment, score three constant predictors — the exact P50, P75 and
+    P90 order statistics of order value — under the pinball loss.
+    The P90 candidate must win (the tau-quantile minimizes pinball
+    loss), pinned in tests; this is the evaluation harness quantile
+    forecasts are graded with.
+
+    Quantiles are exact lower-ceil(q*n)-th elements per segment from
+    the (segment, value-bucket) prefix sum — no fact sort, no
+    interpolation; losses are anchored-decimal sums (prices in
+    MILLIONS per the 4e9 rule) with a shared-text mean.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_totalprice") / F.lit(1000000.0)).alias("y"),
+        )
+    )
+    vt = obs.groupBy("seg", F.col("y").alias("v")).agg(bcount().alias("tv"))
+    vt = vt.withColumn("bkt", F.floor(F.col("v") * F.lit(4096.0)).cast("long"))
+    boff = (
+        vt.groupBy("seg", "bkt")
+        .agg(F.sum("tv").alias("btv"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("btv").over(
+                    Window.partitionBy("seg")
+                    .orderBy("bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("seg", "bkt", "boff")
+    )
+    wloc = Window.partitionBy("seg", "bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vt.join(F.broadcast(boff), ["seg", "bkt"]).withColumn(
+        "cumb", F.col("boff") + F.sum("tv").over(wloc) - F.col("tv")
+    )
+    nseg = cum.groupBy("seg").agg(F.sum("tv").cast("long").alias("n"))
+    j = cum.join(F.broadcast(nseg), "seg")
+    qs = j.groupBy("seg").agg(
+        F.max("n").cast("long").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cumb") + F.col("tv")
+                    >= F.expr(f"({q} * n + 99) DIV 100"),
+                    F.col("v"),
+                )
+            ).alias(f"p{q}")
+            for q in _PINBALL_QS
+        ],
+    )
+    scored = obs.join(F.broadcast(qs), "seg")
+    losses = scored.groupBy("seg").agg(
+        F.max("n").cast("long").alias("n"),
+        *[
+            dsum(
+                F.expr(
+                    f"CASE WHEN y >= p{q}"
+                    f" THEN {_PINBALL_TAU} * (y - p{q})"
+                    f" ELSE (1.0 - {_PINBALL_TAU}) * (p{q} - y) END"
+                )
+            ).alias(f"sl{q}")
+            for q in _PINBALL_QS
+        ],
+    )
+    out = losses.select(
+        "seg",
+        "n",
+        *[
+            F.round(F.expr(f"sl{q} / CAST(n AS DOUBLE)"), 6).alias(f"loss_p{q}")
+            for q in _PINBALL_QS
+        ],
+    )
+    return out.orderBy("seg")
+
+
+def _pinball_sql() -> str:
+    kths = ",\n         ".join(
+        f"MIN(CASE WHEN cumb + tv >= ({q} * n + 99) // 100 THEN v END) AS p{q}"
+        for q in _PINBALL_QS
+    )
+    sls = ",\n         ".join(
+        dsum_sql(
+            f"CASE WHEN y >= p{q} THEN {_PINBALL_TAU} * (y - p{q})"
+            f" ELSE (1.0 - {_PINBALL_TAU}) * (p{q} - y) END"
+        )
+        + f" AS sl{q}"
+        for q in _PINBALL_QS
+    )
+    outs = ",\n       ".join(
+        f"round(sl{q} / CAST(n AS DOUBLE), 6) AS loss_p{q}" for q in _PINBALL_QS
+    )
+    return f"""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice / 1000000.0 AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+vt AS (
+  SELECT seg, y AS v, CAST(COUNT(*) AS BIGINT) AS tv
+  FROM obs GROUP BY 1, 2),
+cum AS (
+  SELECT *, SUM(tv) OVER (PARTITION BY seg ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv AS cumb
+  FROM vt),
+nseg AS (SELECT seg, CAST(SUM(tv) AS BIGINT) AS n FROM vt GROUP BY seg),
+qs AS (
+  SELECT cum.seg, CAST(MAX(n) AS BIGINT) AS n,
+         {kths}
+  FROM cum JOIN nseg ON cum.seg = nseg.seg
+  GROUP BY cum.seg),
+scored AS (
+  SELECT obs.seg, obs.y, qs.n,
+         {', '.join(f'qs.p{q}' for q in _PINBALL_QS)}
+  FROM obs JOIN qs ON obs.seg = qs.seg),
+losses AS (
+  SELECT seg, CAST(MAX(n) AS BIGINT) AS n,
+         {sls}
+  FROM scored GROUP BY seg)
+SELECT seg, n,
+       {outs}
+FROM losses
+ORDER BY seg
+"""
+
+
+QUERIES["ml_pinball_quantile_eval"] = ml_pinball_quantile_eval
+ORACLE["ml_pinball_quantile_eval"] = _pinball_sql()

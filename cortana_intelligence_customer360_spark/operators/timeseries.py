@@ -2315,3 +2315,92 @@ FROM ses
 
 QUERIES["ts_theta_method"] = ts_theta_method
 ORACLE["ts_theta_method"] = _theta_sql()
+
+
+def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy kit over the daily revenue series: MAE, RMSE
+    and MASE for the two canonical baselines — naive (yesterday) and
+    seasonal-naive (same weekday last week) — one row per method. The
+    scoreboard every forecasting op (ts_theta_method, ts_backtest_sma,
+    ts_holt_winters) is judged against; MASE scales by the naive MAE,
+    so values < 1 beat 'just use yesterday'.
+
+    Revenue in millions (DECIMAL 4e9 rule: squared errors stay small);
+    all errors are lag-column arithmetic on the bounded daily frame,
+    DECIMAL-summed, shared-text final ratios.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(dsum(F.col("o_totalprice") / F.lit(1000000.0)).alias("y"))
+    )
+    w = Window.orderBy("day")
+    d = (
+        daily.withColumn("p_naive", F.lag("y", 1).over(w))
+        .withColumn("p_snaive", F.lag("y", 7).over(w))
+        .where(F.col("p_snaive").isNotNull())
+    )
+    e1 = F.col("y") - F.col("p_naive")
+    e7 = F.col("y") - F.col("p_snaive")
+    suff = d.agg(
+        bcount().alias("n"),
+        dsum(F.abs(e1)).alias("ae1"),
+        dsum(e1 * e1).alias("se1"),
+        dsum(F.abs(e7)).alias("ae7"),
+        dsum(e7 * e7).alias("se7"),
+    )
+    naive = suff.select(
+        F.lit("naive").alias("method"),
+        "n",
+        F.round(F.expr("ae1 / CAST(n AS DOUBLE)"), 6).alias("mae"),
+        F.round(F.expr("sqrt(se1 / CAST(n AS DOUBLE))"), 6).alias("rmse"),
+        F.round(F.lit(1.0), 6).alias("mase"),
+    )
+    snaive = suff.select(
+        F.lit("seasonal_naive").alias("method"),
+        "n",
+        F.round(F.expr("ae7 / CAST(n AS DOUBLE)"), 6).alias("mae"),
+        F.round(F.expr("sqrt(se7 / CAST(n AS DOUBLE))"), 6).alias("rmse"),
+        F.round(F.expr("(ae7 / CAST(n AS DOUBLE)) / (ae1 / CAST(n AS DOUBLE))"), 6).alias(
+            "mase"
+        ),
+    )
+    return naive.unionByName(snaive).orderBy("method")
+
+
+def _forecast_accuracy_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         {dsum_sql('o_totalprice / 1000000.0')} AS y
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT y,
+         LAG(y, 1) OVER (ORDER BY day) AS p_naive,
+         LAG(y, 7) OVER (ORDER BY day) AS p_snaive
+  FROM daily),
+k AS (SELECT * FROM d WHERE p_snaive IS NOT NULL),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('abs(y - p_naive)')} AS ae1,
+         {dsum_sql('(y - p_naive) * (y - p_naive)')} AS se1,
+         {dsum_sql('abs(y - p_snaive)')} AS ae7,
+         {dsum_sql('(y - p_snaive) * (y - p_snaive)')} AS se7
+  FROM k)
+SELECT 'naive' AS method, n,
+       round(ae1 / CAST(n AS DOUBLE), 6) AS mae,
+       round(sqrt(se1 / CAST(n AS DOUBLE)), 6) AS rmse,
+       round(1.0, 6) AS mase
+FROM suff
+UNION ALL
+SELECT 'seasonal_naive' AS method, n,
+       round(ae7 / CAST(n AS DOUBLE), 6) AS mae,
+       round(sqrt(se7 / CAST(n AS DOUBLE)), 6) AS rmse,
+       round((ae7 / CAST(n AS DOUBLE)) / (ae1 / CAST(n AS DOUBLE)), 6) AS mase
+FROM suff
+ORDER BY method
+"""
+
+
+QUERIES["ts_forecast_accuracy"] = ts_forecast_accuracy
+ORACLE["ts_forecast_accuracy"] = _forecast_accuracy_sql()

@@ -948,3 +948,33 @@ def test_interval_concurrency_conservation(spark, duck, sf_dir):
             [r.day, r.day],
         ).fetchone()[0]
         assert r.concurrent == expected
+
+
+def test_forecast_accuracy_sanity(spark, sf_dir):
+    """MASE(naive) = 1 by definition; both methods share the same
+    evaluation window; RMSE >= MAE always."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_forecast_accuracy,
+    )
+
+    rows = {r.method: r for r in ts_forecast_accuracy(spark, sf_dir).collect()}
+    assert set(rows) == {"naive", "seasonal_naive"}
+    assert rows["naive"].mase == 1.0
+    assert rows["naive"].n == rows["seasonal_naive"].n
+    for r in rows.values():
+        assert r.rmse >= r.mae - 1e-9
+        assert r.mae > 0.0
+
+
+def test_pinball_p90_minimizes_tau09_loss(spark, sf_dir):
+    """The tau-quantile minimizes pinball loss: loss at the P90
+    candidate must be the smallest of the three in every segment."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_pinball_quantile_eval,
+    )
+
+    rows = ml_pinball_quantile_eval(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.loss_p90 <= r.loss_p75 + 1e-9
+        assert r.loss_p75 <= r.loss_p50 + 1e-9

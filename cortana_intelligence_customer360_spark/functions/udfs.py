@@ -532,3 +532,53 @@ GROUP BY 1
 
 QUERIES["udf_sql_declared"] = udf_sql_declared
 ORACLE["udf_sql_declared"] = _UDF_SQL_DECLARED_SQL
+
+
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (Iterator[pd.Series] ->
+    Iterator[pd.Series]): the Arrow-batched form that lets expensive
+    per-executor initialization (model load, dictionary build) happen
+    ONCE per task instead of once per batch — here a price banding
+    whose 'model' is a thresholds array constructed before the batch
+    loop, applied vectorized with numpy.searchsorted.
+
+    Oracle: the equivalent CASE bands — pins the iterator execution
+    path end to end (batch boundaries must not change results).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def band_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        thresholds = np.array([50_000.0, 200_000.0, 400_000.0])  # once per task
+        for s in batches:
+            yield pd.Series(
+                np.searchsorted(thresholds, s.to_numpy(), side="right")
+            )
+
+    orders = load_table(spark, sf_dir, "orders")
+    banded = orders.select(
+        band_iter(F.col("o_totalprice")).alias("band"),
+        "o_totalprice",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_UDF_ITER_SQL = """
+SELECT CASE WHEN o_totalprice >= 400000.0 THEN 3
+            WHEN o_totalprice >= 200000.0 THEN 2
+            WHEN o_totalprice >= 50000.0 THEN 1
+            ELSE 0 END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["udf_pandas_iterator"] = udf_pandas_iterator
+ORACLE["udf_pandas_iterator"] = _UDF_ITER_SQL

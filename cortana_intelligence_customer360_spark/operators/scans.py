@@ -877,3 +877,93 @@ FROM nation GROUP BY 1 ORDER BY 1
 
 QUERIES["scan_ignore_corrupt_files"] = scan_ignore_corrupt_files
 ORACLE["scan_ignore_corrupt_files"] = _SCAN_IGNORE_CORRUPT_SQL
+
+
+def _make_jsonl_sink_source(out_dir: str):
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, path, count):
+            self.path = path
+            self.count = count
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, rows):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            _os.makedirs(self.path, exist_ok=True)
+            fname = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(fname, "w") as fh:
+                for row in rows:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Msg(fname, n)
+
+    class _JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "c360_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options["path"])
+
+    return _JsonlSink
+
+
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API — the WRITER side: a custom sink
+    (here JSON-lines files, standing in for any bespoke downstream —
+    internal service, exotic format, message bus) registered and
+    driven through the normal ``df.write.format(...)`` path, one
+    writer per partition with commit messages. The written dataset is
+    read back through spark.read.json and aggregated, proving the
+    custom sink round-trips every row.
+
+    Scratch is wiped before the write (no stale-file reuse, per the
+    ADVICE r4 _SUCCESS lesson — here the wipe is the guard).
+    """
+    import shutil
+
+    out = scratch_dir("sink_python_datasource", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        spark.dataSource.register(_make_jsonl_sink_source(out))
+    except Exception:
+        pass  # already registered in this session
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.write.format("c360_jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.json(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            bcount().alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PY_SINK_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["sink_python_datasource"] = sink_python_datasource
+ORACLE["sink_python_datasource"] = _PY_SINK_SQL

@@ -978,3 +978,40 @@ def test_pinball_p90_minimizes_tau09_loss(spark, sf_dir):
     for r in rows:
         assert r.loss_p90 <= r.loss_p75 + 1e-9
         assert r.loss_p75 <= r.loss_p50 + 1e-9
+
+
+def test_pandas_iterator_batch_boundary_invariance(spark, sf_dir):
+    """The iterator UDF's result can't depend on Arrow batch size:
+    re-running with a tiny maxRecordsPerBatch yields identical rows."""
+    from cortana_intelligence_customer360_spark.functions.udfs import (
+        udf_pandas_iterator,
+    )
+
+    base = sorted(map(tuple, udf_pandas_iterator(spark, sf_dir).collect()))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    try:
+        spark.conf.set(key, "7")
+        small = sorted(map(tuple, udf_pandas_iterator(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert base == small
+
+
+def test_python_sink_writes_every_partition(spark, sf_dir):
+    """The custom sink produces one file per non-empty input partition
+    and round-trips the full row count."""
+    import glob
+    import os
+
+    from cortana_intelligence_customer360_spark.operators.scans import (
+        scratch_dir,
+        sink_python_datasource,
+    )
+
+    rows = sink_python_datasource(spark, sf_dir).collect()
+    out = scratch_dir("sink_python_datasource", sf_dir)
+    files = glob.glob(os.path.join(out, "part-*.jsonl"))
+    assert files, "expected jsonl part files"
+    n_lines = sum(1 for f in files for _ in open(f))
+    assert n_lines == sum(r.n_orders for r in rows)

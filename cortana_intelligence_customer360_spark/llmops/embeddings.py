@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import _DEC, bcount
@@ -543,3 +543,80 @@ FROM binned GROUP BY bin ORDER BY bin
 
 QUERIES["emb_cosine_histogram"] = emb_cosine_histogram
 ORACLE["emb_cosine_histogram"] = _COS_HIST_SQL
+
+
+_HAM_PROBES = 5
+_HAM_TOPK = 10
+
+
+def emb_sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit Hamming ANN sketch: each 64-dim embedding compresses
+    to ONE 64-bit integer of coordinate signs, and candidate
+    similarity is 64 - popcount(xor) — the 512x-smaller prefilter a
+    vector pipeline runs before exact cosine re-ranking (SimHash for
+    dense vectors). Emits the top-10 sketch neighbors per probe
+    (vec_id < 5).
+
+    Everything is exact integer bit math (bit_count(xor) in both
+    engines), so the oracle matches bit-for-bit — no float anywhere.
+    At scale the sketch table is a map-only projection and the probe
+    join broadcasts 5 rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 63 sign bits (not 64): bit 63 would overflow DuckDB's signed
+    # BIGINT left shift; one dropped dimension costs ~1.6% of the
+    # sketch's resolution and keeps both engines in exact integer range.
+    bits = F.expr(
+        "aggregate(zip_with(slice(embedding, 1, 63),"
+        " sequence(0, least(size(embedding), 63) - 1),"
+        " (v, i) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), i)"
+        " ELSE CAST(0 AS BIGINT) END),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    )
+    sk = emb.select("vec_id", bits.alias("sig"))
+    probes = sk.where(F.col("vec_id") < _HAM_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("sig").alias("psig")
+    )
+    scored = sk.crossJoin(F.broadcast(probes)).where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.expr("bit_count(sig ^ psig)").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "hamming", F.expr("bit_count(sig ^ psig)").cast("long")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _HAM_TOPK)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "hamming", "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+_HAMMING_SQL = f"""
+WITH sk AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(LEAST(len(embedding), 63)),
+              i -> CASE WHEN embedding[i + 1] > 0
+                        THEN (CAST(1 AS BIGINT) << i)
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS probe_id, sig AS psig FROM sk WHERE vec_id < {_HAM_PROBES}),
+scored AS (
+  SELECT p.probe_id, s.vec_id AS neighbor_id,
+         CAST(bit_count(xor(s.sig, p.psig)) AS BIGINT) AS hamming
+  FROM sk s CROSS JOIN probes p
+  WHERE s.vec_id <> p.probe_id),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        ORDER BY hamming ASC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT probe_id, neighbor_id, hamming, rank
+FROM ranked WHERE rank <= {_HAM_TOPK}
+ORDER BY probe_id, rank
+"""
+
+QUERIES["emb_sign_hamming_topk"] = emb_sign_hamming_topk
+ORACLE["emb_sign_hamming_topk"] = _HAMMING_SQL

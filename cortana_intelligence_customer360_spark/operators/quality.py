@@ -659,3 +659,44 @@ FROM (SELECT {keys}, COUNT(DISTINCT {rhs}) AS ndv
 
 QUERIES["dq_functional_deps"] = dq_functional_deps
 ORACLE["dq_functional_deps"] = _fd_sql()
+
+
+_DUPKEY_TOPK = 10
+
+
+def dq_duplicate_keys_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface the WORST offenders behind a failed uniqueness
+    expectation: the 10 most-duplicated (l_orderkey, l_linenumber)
+    pairs with their multiplicities — counts alone (dq_checks) tell an
+    operator THAT the key is broken; this tells them WHERE to look.
+    (The synthetic lineitem really does violate this classic TPC-H
+    key — discovered by dq_functional_deps.)
+
+    One map-side-combined groupBy + TakeOrderedAndProject; ties break
+    on the key so the cut is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(bcount().alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy(
+            F.col("n_copies").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(_DUPKEY_TOPK)
+    )
+
+
+_DUPKEY_SQL = f"""
+SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM lineitem
+GROUP BY 1, 2
+HAVING COUNT(*) > 1
+ORDER BY n_copies DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT {_DUPKEY_TOPK}
+"""
+
+QUERIES["dq_duplicate_keys_sample"] = dq_duplicate_keys_sample
+ORACLE["dq_duplicate_keys_sample"] = _DUPKEY_SQL

@@ -2404,3 +2404,103 @@ ORDER BY method
 
 QUERIES["ts_forecast_accuracy"] = ts_forecast_accuracy
 ORACLE["ts_forecast_accuracy"] = _forecast_accuracy_sql()
+
+
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing days in the daily
+    click-revenue series (events 'value' for purchases): a full date
+    scaffold left-joins the observed days, and each gap day gets
+    prev + (next - prev) * offset/gap — the standard time-series
+    imputation (ts_gap_fill's forward-fill sibling).
+
+    The interpolation weights are exact integer day offsets; values
+    are 6 dp-quantized before the affine blend so both engines blend
+    identical doubles. Scaffold and windows live on the bounded daily
+    frame.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day")
+    ).agg(F.round(dsum("value"), 6).alias("v"))
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).collect()[0]
+    scaffold = spark.range(bounds.lo, bounds.hi + 1).select(
+        F.col("id").alias("day")
+    )
+    j = scaffold.join(daily, "day", "left")
+    w = Window.orderBy("day")
+    wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = w.rowsBetween(0, Window.unboundedFollowing)
+    filled = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(wprev))
+        .withColumn(
+            "pd",
+            F.last(F.when(F.col("v").isNotNull(), F.col("day")), True).over(wprev),
+        )
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wnext))
+        .withColumn(
+            "nd",
+            F.first(F.when(F.col("v").isNotNull(), F.col("day")), True).over(wnext),
+        )
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.round(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("day") - F.col("pd")).cast("double")
+                / (F.col("nd") - F.col("pd")).cast("double")
+            ),
+            6,
+        )
+    )
+    return (
+        filled.where(F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .select(
+            "day",
+            (F.col("v").isNull()).cast("int").alias("imputed"),
+            interp.alias("value"),
+        )
+        .orderBy("day")
+    )
+
+
+_INTERP_SQL = f"""
+WITH daily AS (
+  SELECT {epoch_us_sql('ts')} // 86400000000 AS day,
+         round({dsum_sql('value')}, 6) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+scaffold AS (
+  SELECT CAST(UNNEST(range(lo, hi + 1)) AS BIGINT) AS day FROM bounds),
+j AS (SELECT s.day, d.v FROM scaffold s LEFT JOIN daily d ON s.day = d.day),
+filled AS (
+  SELECT day, v,
+         LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wp AS pd,
+         FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wn AS nd
+  FROM j
+  WINDOW wp AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT day,
+       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS imputed,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE round(pv + (nv - pv)
+                 * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)), 6)
+       END AS value
+FROM filled
+WHERE pv IS NOT NULL AND nv IS NOT NULL
+ORDER BY day
+"""
+
+QUERIES["ts_linear_interpolate"] = ts_linear_interpolate
+ORACLE["ts_linear_interpolate"] = _INTERP_SQL

@@ -1015,3 +1015,73 @@ def test_python_sink_writes_every_partition(spark, sf_dir):
     assert files, "expected jsonl part files"
     n_lines = sum(1 for f in files for _ in open(f))
     assert n_lines == sum(r.n_orders for r in rows)
+
+
+def test_interpolation_exact_on_observed_days(spark, duck, sf_dir):
+    """Observed days pass through untouched (imputed = 0 and value
+    equals the daily sum); imputed days lie between their anchors."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_linear_interpolate,
+    )
+
+    rows = ts_linear_interpolate(spark, sf_dir).collect()
+    observed = {r.day: r for r in rows if r.imputed == 0}
+    imputed = [r for r in rows if r.imputed == 1]
+    truth = dict(
+        duck.execute(
+            """
+            SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                     // 86400000000 AS day,
+                   round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6)
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    for day, r in observed.items():
+        assert r.value == pytest.approx(truth[day], abs=1e-6)
+    days = sorted(truth)
+    for r in imputed:
+        prev = max(d for d in days if d < r.day)
+        nxt = min(d for d in days if d > r.day)
+        lo, hi = sorted((truth[prev], truth[nxt]))
+        assert lo - 1e-6 <= r.value <= hi + 1e-6
+
+
+def test_duplicate_key_sample_really_duplicated(spark, duck, sf_dir):
+    """Every sampled key is genuinely duplicated with the exact
+    multiplicity."""
+    from cortana_intelligence_customer360_spark.operators.quality import (
+        dq_duplicate_keys_sample,
+    )
+
+    rows = dq_duplicate_keys_sample(spark, sf_dir).collect()
+    for r in rows:
+        n = duck.execute(
+            "SELECT COUNT(*) FROM lineitem WHERE l_orderkey = ? AND l_linenumber = ?",
+            [r.l_orderkey, r.l_linenumber],
+        ).fetchone()[0]
+        assert n == r.n_copies > 1
+
+
+def test_hamming_sketch_agrees_with_signs(spark, duck, sf_dir):
+    """The top-1 sketch neighbor of probe 0 has the minimal true
+    sign-disagreement count (recomputed from the raw vectors over the
+    63 sketched dims)."""
+    from cortana_intelligence_customer360_spark.llmops.embeddings import (
+        emb_sign_hamming_topk,
+    )
+
+    rows = [r for r in emb_sign_hamming_topk(spark, sf_dir).collect() if r.probe_id == 0]
+    assert len(rows) == 10
+    vecs = dict(
+        duck.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    )
+    p = vecs[0]
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(a[:63], b[:63]) if (x > 0) != (y > 0))
+
+    best = min(
+        (ham(p, v), vid) for vid, v in vecs.items() if vid != 0
+    )
+    assert (rows[0].hamming, rows[0].neighbor_id) == best

@@ -2287,3 +2287,156 @@ ORDER BY seg
 
 QUERIES["ml_pinball_quantile_eval"] = ml_pinball_quantile_eval
 ORACLE["ml_pinball_quantile_eval"] = _pinball_sql()
+
+
+# ---------------------------------------------------------------------------
+# ml_grid_search_cv
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 3
+
+
+def ml_grid_search_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated grid search over the 9-stump candidate grid
+    (quantity/discount/tax thresholds predicting returns): rows get
+    deterministic md5 folds; for every fold the candidate with the
+    lowest TRAIN error (other folds) is selected and scored on the
+    held-out fold — the honest CV estimate of the selection procedure,
+    not of any fixed model. One row per fold: chosen stump, train
+    error, test error.
+
+    Shape: ONE aggregation pass computes the full (candidate x fold)
+    error matrix as conditional BIGINT cells (27 numerators /
+    denominators in a single codegen scan); selection and scoring run
+    on that tiny matrix. Errors are exact integer ratios rounded 6 dp
+    before the argmin (engine-stable greedy, the adaboost discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_discount").alias("dc"),
+        F.col("l_tax").alias("tx"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CV_FOLDS
+        ).alias("fold"),
+    )
+    feat_col = {"quantity": "q", "discount": "dc", "tax": "tx"}
+    aggs = []
+    for i, (f, thr) in enumerate(_TREE_CANDS):
+        pred = f"(CASE WHEN {feat_col[f]} <= {thr} THEN 1 ELSE 0 END)"
+        for k in range(_CV_FOLDS):
+            aggs.append(
+                F.expr(
+                    f"CAST(SUM(CASE WHEN fold = {k} AND {pred} <> y"
+                    f" THEN 1 ELSE 0 END) AS BIGINT)"
+                ).alias(f"e{i}_{k}")
+            )
+    for k in range(_CV_FOLDS):
+        aggs.append(
+            F.expr(f"CAST(SUM(CASE WHEN fold = {k} THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                f"n{k}"
+            )
+        )
+    cells = li.agg(*aggs).localCheckpoint()
+    # per fold: train err over OTHER folds, test err on the fold —
+    # expand the 1-row matrix to (candidate, fold) rows
+    rows = []
+    for i, (f, thr) in enumerate(_TREE_CANDS):
+        for k in range(_CV_FOLDS):
+            other = [j for j in range(_CV_FOLDS) if j != k]
+            tr_num = " + ".join(f"e{i}_{j}" for j in other)
+            tr_den = " + ".join(f"n{j}" for j in other)
+            rows.append(
+                F.struct(
+                    F.lit(k).cast("long").alias("fold"),
+                    F.lit(f).alias("feature"),
+                    F.lit(thr).alias("thr"),
+                    F.expr(
+                        f"round(CAST({tr_num} AS DOUBLE)"
+                        f" / CAST({tr_den} AS DOUBLE), 6)"
+                    ).alias("train_err"),
+                    F.expr(
+                        f"round(CAST(e{i}_{k} AS DOUBLE)"
+                        f" / CAST(n{k} AS DOUBLE), 6)"
+                    ).alias("test_err"),
+                )
+            )
+    mat = cells.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+    wsel = Window.partitionBy("fold").orderBy(
+        F.col("train_err").asc(), F.col("feature").asc(), F.col("thr").asc()
+    )
+    return (
+        mat.withColumn("rk", F.row_number().over(wsel))
+        .where(F.col("rk") == 1)
+        .select("fold", "feature", "thr", "train_err", "test_err")
+        .orderBy("fold")
+    )
+
+
+def _grid_cv_sql() -> str:
+    feat_col = {"quantity": "q", "discount": "dc", "tax": "tx"}
+    cell_exprs = []
+    for i, (f, thr) in enumerate(_TREE_CANDS):
+        pred = f"(CASE WHEN {feat_col[f]} <= {thr} THEN 1 ELSE 0 END)"
+        for k in range(_CV_FOLDS):
+            cell_exprs.append(
+                f"CAST(SUM(CASE WHEN fold = {k} AND {pred} <> y"
+                f" THEN 1 ELSE 0 END) AS BIGINT) AS e{i}_{k}"
+            )
+    for k in range(_CV_FOLDS):
+        cell_exprs.append(
+            f"CAST(SUM(CASE WHEN fold = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n{k}"
+        )
+    unions = []
+    for i, (f, thr) in enumerate(_TREE_CANDS):
+        for k in range(_CV_FOLDS):
+            other = [j for j in range(_CV_FOLDS) if j != k]
+            tr_num = " + ".join(f"e{i}_{j}" for j in other)
+            tr_den = " + ".join(f"n{j}" for j in other)
+            unions.append(
+                f"SELECT CAST({k} AS BIGINT) AS fold, '{f}' AS feature,"
+                f" {thr} AS thr,"
+                f" round(CAST({tr_num} AS DOUBLE) / CAST({tr_den} AS DOUBLE), 6)"
+                f" AS train_err,"
+                f" round(CAST(e{i}_{k} AS DOUBLE) / CAST(n{k} AS DOUBLE), 6)"
+                f" AS test_err FROM cells"
+            )
+    return f"""
+WITH li AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         l_quantity AS q, l_discount AS dc, l_tax AS tx,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+             || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+             % {_CV_FOLDS} AS fold
+  FROM lineitem),
+cells AS (
+  SELECT {', '.join(cell_exprs)}
+  FROM li),
+mat AS ({' UNION ALL '.join(unions)}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fold
+        ORDER BY train_err ASC, feature ASC, thr ASC) AS rk
+  FROM mat)
+SELECT fold, feature, thr, train_err, test_err
+FROM ranked WHERE rk = 1
+ORDER BY fold
+"""
+
+
+QUERIES["ml_grid_search_cv"] = ml_grid_search_cv
+ORACLE["ml_grid_search_cv"] = _grid_cv_sql()

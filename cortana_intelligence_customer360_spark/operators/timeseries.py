@@ -2504,3 +2504,118 @@ ORDER BY day
 
 QUERIES["ts_linear_interpolate"] = ts_linear_interpolate
 ORACLE["ts_linear_interpolate"] = _INTERP_SQL
+
+
+_HAAR_LEVELS = 3
+
+
+def ts_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level Haar wavelet decomposition of daily revenue:
+    multi-resolution energy split — detail energies per level (1-day,
+    2-day, 4-day structure) plus the level-3 approximation energy, the
+    'at which time-scale does variance live?' diagnostic that
+    complements the Fourier periodogram.
+
+    Revenue runs in hundreds-of-millions units so every coefficient
+    product stays far below the DECIMAL-safe 4e9 bound; pair averages
+    and differences are /2 halvings of identical doubles (exact IEEE),
+    and each level is one groupBy on the bounded (and halving) daily
+    frame. The series is truncated to a multiple of 2^3 so every level
+    pairs exactly.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("double")
+                / F.lit(100000000.0)
+            ).alias("y")
+        )
+    )
+    w = Window.orderBy("day")
+    d = daily.withColumn("rn", F.row_number().over(w).cast("long"))
+    n8 = d.agg(
+        F.expr(f"(MAX(rn) DIV {2 ** _HAAR_LEVELS}) * {2 ** _HAAR_LEVELS}").alias("n8")
+    )
+    cur = d.crossJoin(F.broadcast(n8)).where(F.col("rn") <= F.col("n8")).select(
+        "rn", "y"
+    )
+    out = []
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        paired = cur.groupBy(F.expr("(rn + 1) DIV 2").alias("p")).agg(
+            (F.sum("y") / F.lit(2.0)).alias("a"),
+            (
+                F.sum(
+                    F.expr("y * CASE WHEN rn % 2 = 1 THEN 1.0 ELSE -1.0 END")
+                )
+                / F.lit(2.0)
+            ).alias("dd"),
+        )
+        out.append(
+            paired.agg(
+                F.lit(f"d{lvl}").alias("component"),
+                bcount().alias("n_coeffs"),
+                F.round(dsum(F.col("dd") * F.col("dd")), 6).alias("energy"),
+            )
+        )
+        cur = paired.select(F.col("p").alias("rn"), F.col("a").alias("y"))
+    out.append(
+        cur.agg(
+            F.lit(f"a{_HAAR_LEVELS}").alias("component"),
+            bcount().alias("n_coeffs"),
+            F.round(dsum(F.col("y") * F.col("y")), 6).alias("energy"),
+        )
+    )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("component")
+
+
+def _haar_sql() -> str:
+    ctes = [
+        """daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100000000.0 AS y
+  FROM orders GROUP BY 1)""",
+        """d0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn, y
+  FROM daily)""",
+        f"""n8 AS (SELECT (MAX(rn) // {2 ** _HAAR_LEVELS})
+             * {2 ** _HAAR_LEVELS} AS n8 FROM d0)""",
+        "c0 AS (SELECT rn, y FROM d0 CROSS JOIN n8 WHERE rn <= n8)",
+    ]
+    selects = []
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        ctes.append(
+            f"""p{lvl} AS (
+  SELECT (rn + 1) // 2 AS p,
+         SUM(y) / 2.0 AS a,
+         SUM(y * CASE WHEN rn % 2 = 1 THEN 1.0 ELSE -1.0 END) / 2.0 AS dd
+  FROM c{lvl - 1} GROUP BY 1)"""
+        )
+        ctes.append(f"c{lvl} AS (SELECT p AS rn, a AS y FROM p{lvl})")
+        selects.append(
+            f"""SELECT 'd{lvl}' AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+       round({dsum_sql('dd * dd')}, 6) AS energy
+FROM p{lvl}"""
+        )
+    selects.append(
+        f"""SELECT 'a{_HAAR_LEVELS}' AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+       round({dsum_sql('y * y')}, 6) AS energy
+FROM c{_HAAR_LEVELS}"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY component"
+    )
+
+
+QUERIES["ts_haar_wavelet"] = ts_haar_wavelet
+ORACLE["ts_haar_wavelet"] = _haar_sql()

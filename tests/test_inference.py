@@ -1085,3 +1085,64 @@ def test_hamming_sketch_agrees_with_signs(spark, duck, sf_dir):
         (ham(p, v), vid) for vid, v in vecs.items() if vid != 0
     )
     assert (rows[0].hamming, rows[0].neighbor_id) == best
+
+
+def test_grid_cv_folds_and_selection(spark, sf_dir):
+    """One winner per fold from the grid; errors are valid rates; the
+    winner's train error is minimal among candidates (spot-check via
+    determinism: rerun gives identical winners)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        _TREE_CANDS,
+        ml_grid_search_cv,
+    )
+
+    rows = ml_grid_search_cv(spark, sf_dir).collect()
+    assert [r.fold for r in rows] == [0, 1, 2]
+    grid = set(_TREE_CANDS)
+    for r in rows:
+        assert (r.feature, r.thr) in grid
+        assert 0.0 <= r.train_err <= 1.0
+        assert 0.0 <= r.test_err <= 1.0
+    again = ml_grid_search_cv(spark, sf_dir).collect()
+    assert list(map(tuple, rows)) == list(map(tuple, again))
+
+
+def test_haar_energy_conservation(spark, sf_dir):
+    """Parseval for Haar with the 1/2 normalization: sum of all
+    component energies equals HALF the truncated signal's energy per
+    level of nesting — concretely, E(signal)/8 weighting telescopes to
+    E(a3) + E(d3) + 2*E(d2)... easier exact check: the decomposition
+    satisfies E(a_l) + E(d_l) = E(a_{l-1}) / 2 at every level, so
+    E(a3)+E(d3) + E(d2)/1 ... verify the telescoping numerically by
+    rebuilding from the emitted energies and the raw series energy."""
+    import duckdb as _d
+
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_haar_wavelet,
+    )
+
+    rows = {r.component: r.energy for r in ts_haar_wavelet(spark, sf_dir).collect()}
+    assert set(rows) == {"d1", "d2", "d3", "a3"}
+    # telescoping: E0/2 = E(a1)+E(d1); E(a1)/2 = E(a2)+E(d2); ...
+    # => E0 = 2*E(d1) + 4*E(d2) + 8*E(d3) + 8*E(a3)
+    con = _d.connect()
+    import os
+
+    sf = os.environ.get("C360_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    e0 = con.execute(
+        """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS day,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100000000.0 AS y
+          FROM orders GROUP BY 1),
+        d0 AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, y FROM daily),
+        n8 AS (SELECT (MAX(rn) // 8) * 8 AS n8 FROM d0)
+        SELECT SUM(y * y) FROM d0 CROSS JOIN n8 WHERE rn <= n8
+        """
+    ).fetchone()[0]
+    rebuilt = 2 * rows["d1"] + 4 * rows["d2"] + 8 * rows["d3"] + 8 * rows["a3"]
+    assert rebuilt == pytest.approx(e0, rel=1e-6)

@@ -2440,3 +2440,232 @@ ORDER BY fold
 
 QUERIES["ml_grid_search_cv"] = ml_grid_search_cv
 ORACLE["ml_grid_search_cv"] = _grid_cv_sql()
+
+
+# ---------------------------------------------------------------------------
+# ml_conformal_interval
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_PCT = 90
+
+
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for order value: customers
+    split 3 ways by md5 (train/calibration/test); the predictor is the
+    TRAIN segment mean; the 90% interval half-width is the
+    ceil((n_cal+1)*0.9)-th smallest calibration residual (the split
+    conformal quantile, distribution-free); empirical coverage is then
+    measured on TEST — the finite-sample-guaranteed uncertainty
+    machinery modern ML pipelines bolt onto any point predictor.
+
+    Residual order statistics come from the value-bucket prefix sum
+    (residuals in price-millions, 4e9 rule); every split and threshold
+    decision is md5/integer-exact, so the whole procedure oracles.
+    Tests pin coverage near the nominal 90%.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (
+            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 3
+        ).alias("part"),
+    )
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "part",
+            (F.col("o_totalprice") / F.lit(1000000.0)).alias("y"),
+        )
+    )
+    mean_train = (
+        obs.where(F.col("part") == 0)
+        .groupBy("seg")
+        .agg((dsum("y") / bcount().cast("double")).alias("mu"))
+    )
+    resid = obs.where(F.col("part") != 0).join(
+        F.broadcast(mean_train), "seg"
+    ).select(
+        "part", F.abs(F.col("y") - F.col("mu")).alias("r")
+    )
+    cal = resid.where(F.col("part") == 1)
+    vt = cal.groupBy(F.col("r").alias("v")).agg(bcount().alias("tv"))
+    vt = vt.withColumn("bkt", F.floor(F.col("v") * F.lit(4096.0)).cast("long"))
+    boff = (
+        vt.groupBy("bkt")
+        .agg(F.sum("tv").alias("btv"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("btv").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "boff")
+    )
+    wloc = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vt.join(F.broadcast(boff), "bkt").withColumn(
+        "cumb", F.col("boff") + F.sum("tv").over(wloc) - F.col("tv")
+    )
+    ncal = cum.agg(F.sum("tv").cast("long").alias("n_cal")).select(
+        "n_cal",
+        F.expr(
+            f"({_CONF_ALPHA_PCT} * (n_cal + 1) + 99) DIV 100"
+        ).alias("k"),
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(ncal))
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.min(
+                F.when(F.col("cumb") + F.col("tv") >= F.col("k"), F.col("v"))
+            ).alias("q"),
+        )
+    )
+    test = resid.where(F.col("part") == 2)
+    cov = test.crossJoin(F.broadcast(qhat)).agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        bcount().alias("n_test"),
+        F.max("q").alias("q"),
+        F.sum((F.col("r") <= F.col("q")).cast("long")).cast("long").alias("n_in"),
+    )
+    return cov.select(
+        "n_cal",
+        "n_test",
+        F.round(F.col("q"), 6).alias("interval_halfwidth"),
+        F.round(
+            F.expr("CAST(n_in AS DOUBLE) / CAST(n_test AS DOUBLE)"), 6
+        ).alias("coverage"),
+    )
+
+
+_CONFORMAL_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 3
+           AS part
+  FROM customer),
+obs AS (
+  SELECT c.c_mktsegment AS seg, c.part, o.o_totalprice / 1000000.0 AS y
+  FROM orders o JOIN cust c ON o.o_custkey = c.c_custkey),
+mean_train AS (
+  SELECT seg, {dsum_sql('y')} / CAST(COUNT(*) AS DOUBLE) AS mu
+  FROM obs WHERE part = 0 GROUP BY seg),
+resid AS (
+  SELECT o.part, abs(o.y - m.mu) AS r
+  FROM obs o JOIN mean_train m ON o.seg = m.seg
+  WHERE o.part <> 0),
+vt AS (
+  SELECT r AS v, CAST(COUNT(*) AS BIGINT) AS tv
+  FROM resid WHERE part = 1 GROUP BY 1),
+cum AS (
+  SELECT *, SUM(tv) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv AS cumb
+  FROM vt),
+ncal AS (
+  SELECT CAST(SUM(tv) AS BIGINT) AS n_cal,
+         ({_CONF_ALPHA_PCT} * (CAST(SUM(tv) AS BIGINT) + 1) + 99) // 100 AS k
+  FROM vt),
+qhat AS (
+  SELECT CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+         MIN(CASE WHEN cumb + tv >= k THEN v END) AS q
+  FROM cum CROSS JOIN ncal)
+SELECT q.n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       round(MAX(q.q), 6) AS interval_halfwidth,
+       round(CAST(SUM(CASE WHEN t.r <= q.q THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM resid t CROSS JOIN qhat q
+WHERE t.part = 2
+GROUP BY q.n_cal
+"""
+
+QUERIES["ml_conformal_interval"] = ml_conformal_interval
+ORACLE["ml_conformal_interval"] = _CONFORMAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# agg_abc_classification
+# ---------------------------------------------------------------------------
+
+from .attribution import _global_ranked_cumsum  # noqa: E402
+
+
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue
+    contribution; class A = parts covering the first 80% of cumulative
+    revenue, B = next 15%, C = the tail — the standard ops-analytics
+    split driving stocking and audit policy. One row per class with
+    part count and exact revenue share.
+
+    The revenue-descending rank + running DECIMAL share use the
+    distributed ranking helper (range partition + pinned offsets —
+    no partitionless window); class boundaries compare exact DECIMAL
+    cumulative shares so the cut is engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("rev_dec")
+    )
+    tot = per_part.agg(F.sum("rev_dec").alias("tot_dec"))
+    ranked = _global_ranked_cumsum(
+        per_part, "rev_dec", [F.col("rev_dec").desc(), "l_partkey"]
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev_dec",
+        F.when(
+            (F.col("cum_dec") - F.col("rev_dec")) * 100 < F.col("tot_dec") * 80, "A"
+        )
+        .when(
+            (F.col("cum_dec") - F.col("rev_dec")) * 100 < F.col("tot_dec") * 95, "B"
+        )
+        .otherwise("C")
+        .alias("abc"),
+        "tot_dec",
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            bcount().alias("n_parts"),
+            F.round(
+                (F.sum("rev_dec") / F.max("tot_dec")).cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
+
+
+_ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS rev_dec
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(rev_dec) AS tot_dec FROM per_part),
+ranked AS (
+  SELECT rev_dec,
+         SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+  FROM per_part),
+classed AS (
+  SELECT rev_dec,
+         CASE WHEN (cum_dec - rev_dec) * 100 < tot_dec * 80 THEN 'A'
+              WHEN (cum_dec - rev_dec) * 100 < tot_dec * 95 THEN 'B'
+              ELSE 'C' END AS abc,
+         tot_dec
+  FROM ranked CROSS JOIN tot)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(CAST(SUM(rev_dec) / MAX(tot_dec) AS DOUBLE), 6) AS revenue_share
+FROM classed
+GROUP BY abc
+ORDER BY abc
+"""
+
+QUERIES["agg_abc_classification"] = agg_abc_classification
+ORACLE["agg_abc_classification"] = _ABC_SQL

@@ -1146,3 +1146,34 @@ def test_haar_energy_conservation(spark, sf_dir):
     ).fetchone()[0]
     rebuilt = 2 * rows["d1"] + 4 * rows["d2"] + 8 * rows["d3"] + 8 * rows["a3"]
     assert rebuilt == pytest.approx(e0, rel=1e-6)
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    """Split-conformal coverage on the held-out test split lands near
+    the nominal 90% (distribution-free guarantee: >= 90% - slack in
+    expectation; allow sampling noise both ways)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_conformal_interval,
+    )
+
+    r = ml_conformal_interval(spark, sf_dir).collect()[0]
+    assert r.n_cal > 50 and r.n_test > 50
+    assert r.interval_halfwidth > 0.0
+    assert 0.82 <= r.coverage <= 0.98
+
+
+def test_abc_shares_and_ordering(spark, sf_dir):
+    """Shares sum to 1; class A's revenue share is >= 0.8 by
+    construction (first class to cross the threshold) and A has the
+    fewest parts per unit of revenue (n_A < n_C for a concentrated
+    distribution... assert the defining share bounds instead)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        agg_abc_classification,
+    )
+
+    rows = {r.abc: r for r in agg_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total_share = sum(r.revenue_share for r in rows.values())
+    assert total_share == pytest.approx(1.0, abs=1e-5)
+    assert rows["A"].revenue_share >= 0.79
+    assert rows["C"].revenue_share <= 0.06

@@ -1154,3 +1154,103 @@ LIMIT {_CONC_TOPK}
 
 QUERIES["agg_interval_concurrency"] = agg_interval_concurrency
 ORACLE["agg_interval_concurrency"] = _CONCURRENCY_SQL
+
+
+_PI_BASE_YEAR = 1996
+_PI_CURR_YEAR = 1997
+
+
+def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres and Paasche price indexes between 1996 and 1997 per
+    market segment: L = S(p1 q0)/S(p0 q0) (base-period basket), P =
+    S(p1 q1)/S(p0 q1) (current basket), plus Fisher's geometric mean —
+    the FP&A inflation decomposition over matched parts (parts traded
+    in BOTH years by the segment).
+
+    Per-(segment, part, year) unit prices are DECIMAL-exact sum
+    ratios rounded 6 dp; the index sums are anchored products of those
+    quantized prices with integer quantities — everything engine-
+    stable, two fact shuffles (orderkey join, then the group collapse).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("yr").isin(_PI_BASE_YEAR, _PI_CURR_YEAR))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "l_partkey", "yr")
+        .agg(
+            dsum("l_quantity").alias("q"),
+            dsum("l_extendedprice").alias("v"),
+        )
+        .select(
+            "seg",
+            "l_partkey",
+            "yr",
+            "q",
+            F.round(F.col("v") / F.col("q"), 6).alias("p"),
+        )
+    )
+    b0 = base.where(F.col("yr") == _PI_BASE_YEAR).select(
+        "seg", "l_partkey", F.col("q").alias("q0"), F.col("p").alias("p0")
+    )
+    b1 = base.where(F.col("yr") == _PI_CURR_YEAR).select(
+        "seg", "l_partkey", F.col("q").alias("q1"), F.col("p").alias("p1")
+    )
+    m = b0.join(b1, ["seg", "l_partkey"])
+    suff = m.groupBy("seg").agg(
+        bcount().alias("n_parts"),
+        dsum(F.col("p1") * F.col("q0")).alias("l_num"),
+        dsum(F.col("p0") * F.col("q0")).alias("l_den"),
+        dsum(F.col("p1") * F.col("q1")).alias("p_num"),
+        dsum(F.col("p0") * F.col("q1")).alias("p_den"),
+    )
+    return suff.select(
+        "seg",
+        "n_parts",
+        F.round(F.expr("l_num / l_den"), 6).alias("laspeyres"),
+        F.round(F.expr("p_num / p_den"), 6).alias("paasche"),
+        F.round(F.expr("sqrt((l_num / l_den) * (p_num / p_den))"), 6).alias(
+            "fisher"
+        ),
+    ).orderBy("seg")
+
+
+_PRICE_INDEX_SQL = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS seg, l.l_partkey, year(o.o_orderdate) AS yr,
+         {dsum_sql('l.l_quantity')} AS q,
+         round({dsum_sql('l.l_extendedprice')} / {dsum_sql('l.l_quantity')}, 6)
+           AS p
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE year(o.o_orderdate) IN ({_PI_BASE_YEAR}, {_PI_CURR_YEAR})
+  GROUP BY 1, 2, 3),
+m AS (
+  SELECT b0.seg, b0.q AS q0, b0.p AS p0, b1.q AS q1, b1.p AS p1
+  FROM base b0
+  JOIN base b1 ON b0.seg = b1.seg AND b0.l_partkey = b1.l_partkey
+  WHERE b0.yr = {_PI_BASE_YEAR} AND b1.yr = {_PI_CURR_YEAR}),
+suff AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         {dsum_sql('p1 * q0')} AS l_num,
+         {dsum_sql('p0 * q0')} AS l_den,
+         {dsum_sql('p1 * q1')} AS p_num,
+         {dsum_sql('p0 * q1')} AS p_den
+  FROM m GROUP BY seg)
+SELECT seg, n_parts,
+       round(l_num / l_den, 6) AS laspeyres,
+       round(p_num / p_den, 6) AS paasche,
+       round(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+FROM suff
+ORDER BY seg
+"""
+
+QUERIES["agg_price_index"] = agg_price_index
+ORACLE["agg_price_index"] = _PRICE_INDEX_SQL

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import _DEC, bcount, dsum, dsum_sql, epoch_us, epoch_us_sql
+from ..compat import _DEC, bcount, davg, davg_sql, dsum, dsum_sql, epoch_us, epoch_us_sql
 from ..sources.tables import load_table
 
 _DEC = "decimal(30,6)"
@@ -2619,3 +2619,119 @@ FROM c{_HAAR_LEVELS}"""
 
 QUERIES["ts_haar_wavelet"] = ts_haar_wavelet
 ORACLE["ts_haar_wavelet"] = _haar_sql()
+
+
+# Syntetos-Boylan demand-pattern cut points, as literal text.
+_SBC_ADI = "1.32"
+_SBC_CV2 = "0.49"
+
+
+def ts_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand classification: each part's demand
+    pattern lands in one of four quadrants by ADI (average inter-demand
+    interval) and CV^2 (squared coefficient of variation of demand
+    sizes) — smooth / intermittent / erratic / lumpy, the router that
+    decides WHICH forecaster (SES vs ts_croston) each series gets.
+    Emits the per-class part counts plus mean ADI/CV^2.
+
+    Same one-shuffle demand collapse as ts_croston; ADI and CV^2 are
+    closed forms over exact per-part integer/DECIMAL sums, and the
+    quadrant compare uses 6 dp-rounded values so the cut is
+    engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    demands = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_partkey",
+            (epoch_us("o_orderdate") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        )
+        .agg(dsum("l_quantity").alias("yv"))
+    )
+    per = demands.groupBy("l_partkey").agg(
+        bcount().alias("nd"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        dsum("yv").alias("s"),
+        dsum(F.col("yv") * F.col("yv")).alias("ss"),
+    ).where(F.col("nd") >= 4)
+    scored = per.select(
+        "l_partkey",
+        F.round(
+            F.expr("CAST(d1 - d0 AS DOUBLE) / (CAST(nd AS DOUBLE) - 1.0)"), 6
+        ).alias("adi"),
+        F.round(
+            F.expr(
+                "(ss / CAST(nd AS DOUBLE)"
+                " - (s / CAST(nd AS DOUBLE)) * (s / CAST(nd AS DOUBLE)))"
+                " / ((s / CAST(nd AS DOUBLE)) * (s / CAST(nd AS DOUBLE)))"
+            ),
+            6,
+        ).alias("cv2"),
+    )
+    cls = F.when(
+        (F.col("adi") < float(_SBC_ADI)) & (F.col("cv2") < float(_SBC_CV2)),
+        "smooth",
+    ).when(
+        (F.col("adi") >= float(_SBC_ADI)) & (F.col("cv2") < float(_SBC_CV2)),
+        "intermittent",
+    ).when(
+        (F.col("adi") < float(_SBC_ADI)) & (F.col("cv2") >= float(_SBC_CV2)),
+        "erratic",
+    ).otherwise("lumpy")
+    return (
+        scored.select(cls.alias("pattern"), "adi", "cv2")
+        .groupBy("pattern")
+        .agg(
+            bcount().alias("n_parts"),
+            F.round(davg("adi"), 6).alias("mean_adi"),
+            F.round(davg("cv2"), 6).alias("mean_cv2"),
+        )
+        .orderBy("pattern")
+    )
+
+
+def _sbc_sql() -> str:
+    return f"""
+WITH demands AS (
+  SELECT l.l_partkey,
+         {epoch_us_sql('o.o_orderdate')} // 86400000000 AS day,
+         {dsum_sql('l.l_quantity')} AS yv
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+per AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nd,
+         MIN(day) AS d0, MAX(day) AS d1,
+         {dsum_sql('yv')} AS s,
+         {dsum_sql('yv * yv')} AS ss
+  FROM demands GROUP BY 1
+  HAVING COUNT(*) >= 4),
+scored AS (
+  SELECT l_partkey,
+         round(CAST(d1 - d0 AS DOUBLE) / (CAST(nd AS DOUBLE) - 1.0), 6) AS adi,
+         round((ss / CAST(nd AS DOUBLE)
+               - (s / CAST(nd AS DOUBLE)) * (s / CAST(nd AS DOUBLE)))
+               / ((s / CAST(nd AS DOUBLE)) * (s / CAST(nd AS DOUBLE))), 6)
+           AS cv2
+  FROM per),
+classed AS (
+  SELECT CASE WHEN adi < {_SBC_ADI} AND cv2 < {_SBC_CV2} THEN 'smooth'
+              WHEN adi >= {_SBC_ADI} AND cv2 < {_SBC_CV2} THEN 'intermittent'
+              WHEN adi < {_SBC_ADI} AND cv2 >= {_SBC_CV2} THEN 'erratic'
+              ELSE 'lumpy' END AS pattern,
+         adi, cv2
+  FROM scored)
+SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round({davg_sql('adi')}, 6) AS mean_adi,
+       round({davg_sql('cv2')}, 6) AS mean_cv2
+FROM classed
+GROUP BY pattern
+ORDER BY pattern
+"""
+
+
+QUERIES["ts_demand_classification"] = ts_demand_classification
+ORACLE["ts_demand_classification"] = _sbc_sql()

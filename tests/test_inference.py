@@ -1177,3 +1177,48 @@ def test_abc_shares_and_ordering(spark, sf_dir):
     assert total_share == pytest.approx(1.0, abs=1e-5)
     assert rows["A"].revenue_share >= 0.79
     assert rows["C"].revenue_share <= 0.06
+
+
+def test_demand_classification_partition(spark, duck, sf_dir):
+    """Every part with >= 4 demand days lands in exactly one quadrant;
+    class means respect the quadrant cut points."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_demand_classification,
+    )
+
+    rows = {r.pattern: r for r in ts_demand_classification(spark, sf_dir).collect()}
+    n_eligible = duck.execute(
+        """
+        SELECT COUNT(*) FROM (
+          SELECT l_partkey FROM (
+            SELECT l.l_partkey,
+                   CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT)
+                     // 86400000000 AS day
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2)
+          GROUP BY l_partkey HAVING COUNT(*) >= 4)
+        """
+    ).fetchone()[0]
+    assert sum(r.n_parts for r in rows.values()) == n_eligible
+    if "smooth" in rows:
+        assert rows["smooth"].mean_adi < 1.32
+        assert rows["smooth"].mean_cv2 < 0.49
+    if "lumpy" in rows:
+        assert rows["lumpy"].mean_adi >= 1.32
+        assert rows["lumpy"].mean_cv2 >= 0.49
+
+
+def test_price_index_fisher_between(spark, sf_dir):
+    """Fisher is the geometric mean of Laspeyres and Paasche, hence
+    lies between them; all indexes are positive."""
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_price_index,
+    )
+
+    rows = agg_price_index(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        lo, hi = sorted((r.laspeyres, r.paasche))
+        assert lo - 1e-6 <= r.fisher <= hi + 1e-6
+        assert r.laspeyres > 0 and r.paasche > 0
+        assert r.n_parts > 0

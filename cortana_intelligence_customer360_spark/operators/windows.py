@@ -760,3 +760,85 @@ ORDER BY o_custkey, o_orderkey
 
 QUERIES["win_reset_running_sum"] = win_reset_running_sum
 ORACLE["win_reset_running_sum"] = _WIN_RESET_SQL
+
+
+_IM_HOLD = 7  # days each order keeps a hold open
+
+
+def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per customer: each order opens a 7-day hold
+    [day, day+7); overlapping holds merge into maximal islands via the
+    classic rewrite — a new island starts where the interval's start
+    exceeds the running max of all previous ends. Emits per customer:
+    island count and total distinct covered days — the 'how much
+    calendar does this account actually occupy' primitive
+    (entitlements, on-call coverage, lock windows).
+
+    Exact integer day arithmetic; both windows (running max, island
+    id) share one customer-keyed sort. Island totals are
+    sum(island_end_max - island_start) over a per-island aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (epoch_us("o_orderdate") / F.lit(86_400_000_000)).cast("long").alias("s"),
+    )
+    iv = o.select(
+        "o_custkey", "s", (F.col("s") + _IM_HOLD).alias("e")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    marked = iv.withColumn(
+        "prev_max_e", F.max("e").over(wprev)
+    ).withColumn(
+        "new_island",
+        (F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))).cast(
+            "long"
+        ),
+    )
+    grp = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = grp.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("is_s"), F.max("e").alias("is_e")
+    )
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            bcount().alias("n_islands"),
+            F.sum(F.col("is_e") - F.col("is_s")).cast("long").alias("covered_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_INTERVAL_MERGE_SQL = f"""
+WITH iv AS (
+  SELECT DISTINCT o_custkey,
+         {epoch_us_sql('o_orderdate')} // 86400000000 AS s,
+         {epoch_us_sql('o_orderdate')} // 86400000000 + {_IM_HOLD} AS e
+  FROM orders),
+marked AS (
+  SELECT *,
+         MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM iv),
+grp AS (
+  SELECT *,
+         SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY o_custkey ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked),
+islands AS (
+  SELECT o_custkey, island, MIN(s) AS is_s, MAX(e) AS is_e
+  FROM grp GROUP BY 1, 2)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(is_e - is_s) AS BIGINT) AS covered_days
+FROM islands
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+QUERIES["win_interval_merge"] = win_interval_merge
+ORACLE["win_interval_merge"] = _INTERVAL_MERGE_SQL

@@ -1222,3 +1222,25 @@ def test_price_index_fisher_between(spark, sf_dir):
         assert lo - 1e-6 <= r.fisher <= hi + 1e-6
         assert r.laspeyres > 0 and r.paasche > 0
         assert r.n_parts > 0
+
+
+def test_interval_merge_bounds(spark, duck, sf_dir):
+    """Covered days per customer is at least 7 (one hold), at most
+    7 * n_distinct_order_days, and islands never exceed order days."""
+    from cortana_intelligence_customer360_spark.operators.windows import (
+        win_interval_merge,
+    )
+
+    rows = win_interval_merge(spark, sf_dir).collect()
+    days = dict(
+        duck.execute(
+            """
+            SELECT o_custkey, COUNT(DISTINCT CAST(o_orderdate AS DATE))
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    )
+    for r in rows:
+        nd = days[r.o_custkey]
+        assert 7 <= r.covered_days <= 7 * nd
+        assert 1 <= r.n_islands <= nd

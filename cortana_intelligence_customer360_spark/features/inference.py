@@ -2669,3 +2669,205 @@ ORDER BY abc
 
 QUERIES["agg_abc_classification"] = agg_abc_classification
 ORACLE["agg_abc_classification"] = _ABC_SQL
+
+
+# ---------------------------------------------------------------------------
+# ml_youden_threshold + ml_slice_error_analysis
+# ---------------------------------------------------------------------------
+
+
+def ml_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection by Youden's J = recall + specificity
+    - 1 over the 11-threshold sweep (composition on top of
+    ml_confusion_threshold_sweep's cells): the single threshold a
+    binary alert should ship with when costs are symmetric. Emits the
+    winning row with its J.
+
+    J is computed from exact BIGINT cells, rounded 6 dp before the
+    argmax (tiebreak: smaller threshold), so the pick is engine-stable.
+    """
+    sweep = QUERIES["ml_confusion_threshold_sweep"](spark, sf_dir)
+    j = sweep.withColumn(
+        "youden_j",
+        F.round(
+            F.expr(
+                "CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)"
+                " + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0"
+            ),
+            6,
+        ),
+    )
+    w = Window.orderBy(F.col("youden_j").desc(), F.col("thr").asc())
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("thr", "tp", "fp", "fn", "tn", "youden_j")
+    )
+
+
+def _youden_sql() -> str:
+    return f"""
+WITH sweep AS ({_sweep_sql()}),
+j AS (
+  SELECT thr, tp, fp, fn, tn,
+         round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+               + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0, 6)
+           AS youden_j
+  FROM sweep)
+SELECT thr, tp, fp, fn, tn, youden_j
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY youden_j DESC, thr ASC) AS rk
+      FROM j)
+WHERE rk = 1
+"""
+
+
+QUERIES["ml_youden_threshold"] = ml_youden_threshold
+ORACLE["ml_youden_threshold"] = _youden_sql()
+
+
+def ml_slice_error_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-based model debugging: the globally best stump (gini
+    argmin over the 9-candidate grid, the ml_tree_depth2 root) is
+    scored PER MARKET SEGMENT — error rate, positive rate, and the
+    error lift vs the global error — surfacing the slices where one
+    global model quietly underserves (the fairness/robustness readout
+    run before shipping any single model).
+
+    Two passes: the global cell pass (one conditional-aggregate scan)
+    and the per-slice scoring pass against the broadcast 1-row stump;
+    all rates from BIGINT cells with shared-text ratios.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            (F.col("l_returnflag") == "R").cast("long").alias("y"),
+            F.col("l_quantity").alias("q"),
+            F.col("l_discount").alias("dc"),
+            F.col("l_tax").alias("tx"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    data = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("y", "q", "dc", "tx", F.col("c_mktsegment").alias("seg"))
+    )
+    cands = F.broadcast(
+        spark.createDataFrame(_TREE_CANDS, "feature string, thr double")
+    )
+    best = _tree_best_split(data.select("y", "q", "dc", "tx"), cands)
+    scored = data.crossJoin(F.broadcast(best)).select(
+        "seg",
+        "y",
+        F.expr(_TREE_LEFT).alias("pred"),  # left branch predicts positive?
+    )
+    # predict the MAJORITY side: use pred = left-indicator directly as
+    # the decision and measure disagreement both ways, reporting the
+    # better orientation globally (deterministic: computed from cells)
+    cells = scored.groupBy("seg").agg(
+        bcount().alias("n"),
+        F.sum(F.col("y")).cast("long").alias("pos"),
+        F.sum(F.expr("CASE WHEN pred <> y THEN 1 ELSE 0 END")).cast("long").alias(
+            "err_as_is"
+        ),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("err_as_is").cast("long").alias("ee"),
+    )
+    flip = tot.select(
+        (F.col("ee") * 2 > F.col("nn")).cast("long").alias("flip"),
+        F.round(
+            F.expr(
+                "CASE WHEN ee * 2 > nn"
+                " THEN CAST(nn - ee AS DOUBLE) / CAST(nn AS DOUBLE)"
+                " ELSE CAST(ee AS DOUBLE) / CAST(nn AS DOUBLE) END"
+            ),
+            6,
+        ).alias("global_err"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(flip))
+        .select(
+            "seg",
+            "n",
+            F.round(F.expr("CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)"), 6).alias(
+                "pos_rate"
+            ),
+            F.round(
+                F.expr(
+                    "CASE WHEN flip = 1"
+                    " THEN CAST(n - err_as_is AS DOUBLE) / CAST(n AS DOUBLE)"
+                    " ELSE CAST(err_as_is AS DOUBLE) / CAST(n AS DOUBLE) END"
+                ),
+                6,
+            ).alias("slice_err"),
+            "global_err",
+        )
+        .withColumn(
+            "err_lift",
+            F.round(F.expr("slice_err / global_err"), 6),
+        )
+        .orderBy("seg")
+    )
+
+
+def _slice_sql() -> str:
+    feat_col = {"quantity": "q", "discount": "dc", "tax": "tx"}
+    cells = f"""SELECT feature, thr,
+         CAST(SUM({_TREE_LEFT}) AS BIGINT) AS nl,
+         CAST(SUM({_TREE_LEFT} * y) AS BIGINT) AS pl,
+         CAST(SUM(1 - {_TREE_LEFT}) AS BIGINT) AS nr,
+         CAST(SUM((1 - {_TREE_LEFT}) * y) AS BIGINT) AS pr"""
+    return f"""
+WITH cands(feature, thr) AS (VALUES {', '.join(f"('{f}', {t})" for f, t in _TREE_CANDS)}),
+data AS (
+  SELECT CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         l.l_quantity AS q, l.l_discount AS dc, l.l_tax AS tx,
+         c.c_mktsegment AS seg
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey),
+re AS ({cells} FROM data CROSS JOIN cands GROUP BY feature, thr),
+rb AS (SELECT feature, thr, {_TREE_SCORE} AS score FROM re
+       ORDER BY {_TREE_SCORE}, feature, thr LIMIT 1),
+scored AS (
+  SELECT d.seg, d.y, {_TREE_LEFT} AS pred
+  FROM data d CROSS JOIN rb),
+cells2 AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN pred <> y THEN 1 ELSE 0 END) AS BIGINT)
+           AS err_as_is
+  FROM scored GROUP BY seg),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(err_as_is) AS BIGINT) AS ee
+  FROM cells2),
+flip AS (
+  SELECT CAST(CASE WHEN ee * 2 > nn THEN 1 ELSE 0 END AS BIGINT) AS flip,
+         round(CASE WHEN ee * 2 > nn
+                    THEN CAST(nn - ee AS DOUBLE) / CAST(nn AS DOUBLE)
+                    ELSE CAST(ee AS DOUBLE) / CAST(nn AS DOUBLE) END, 6)
+           AS global_err
+  FROM tot)
+SELECT seg, n,
+       round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+       round(CASE WHEN flip = 1
+                  THEN CAST(n - err_as_is AS DOUBLE) / CAST(n AS DOUBLE)
+                  ELSE CAST(err_as_is AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+         AS slice_err,
+       global_err,
+       round(round(CASE WHEN flip = 1
+                  THEN CAST(n - err_as_is AS DOUBLE) / CAST(n AS DOUBLE)
+                  ELSE CAST(err_as_is AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+             / global_err, 6) AS err_lift
+FROM cells2 CROSS JOIN flip
+ORDER BY seg
+"""
+
+
+QUERIES["ml_slice_error_analysis"] = ml_slice_error_analysis
+ORACLE["ml_slice_error_analysis"] = _slice_sql()

@@ -1244,3 +1244,36 @@ def test_interval_merge_bounds(spark, duck, sf_dir):
         nd = days[r.o_custkey]
         assert 7 <= r.covered_days <= 7 * nd
         assert 1 <= r.n_islands <= nd
+
+
+def test_youden_is_argmax_of_sweep(spark, sf_dir):
+    """Recomputing J from the full sweep confirms the chosen row is
+    the argmax (with the smaller-threshold tiebreak)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_confusion_threshold_sweep,
+        ml_youden_threshold,
+    )
+
+    best = ml_youden_threshold(spark, sf_dir).collect()[0]
+    sweep = ml_confusion_threshold_sweep(spark, sf_dir).collect()
+    js = [
+        (round(r.tp / (r.tp + r.fn) + r.tn / (r.tn + r.fp) - 1.0, 6), -r.thr)
+        for r in sweep
+    ]
+    assert max(js)[0] == pytest.approx(best.youden_j, abs=1e-9)
+
+
+def test_slice_errors_average_to_global(spark, sf_dir):
+    """The n-weighted mean of slice errors equals the global error
+    (same orientation everywhere), and every lift is err/global."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_slice_error_analysis,
+    )
+
+    rows = ml_slice_error_analysis(spark, sf_dir).collect()
+    assert len(rows) == 5
+    n = sum(r.n for r in rows)
+    wavg = sum(r.slice_err * r.n for r in rows) / n
+    assert wavg == pytest.approx(rows[0].global_err, abs=1e-4)
+    for r in rows:
+        assert r.err_lift == pytest.approx(r.slice_err / r.global_err, abs=1e-4)

@@ -620,3 +620,126 @@ ORDER BY probe_id, rank
 
 QUERIES["emb_sign_hamming_topk"] = emb_sign_hamming_topk
 ORACLE["emb_sign_hamming_topk"] = _HAMMING_SQL
+
+
+def ml_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier evaluation on the
+    embedding corpus: md5 75/25 train/test split, per-label centroids
+    from the train vectors (6 dp-quantized per-dimension means), test
+    vectors assigned to the highest-dot-product centroid — per-label
+    test counts, hits, and accuracy. The simplest embedding classifier
+    and the baseline ml_knn_classifier must beat.
+
+    Determinism: centroid components quantize to 6 dp (exact decimal
+    means of identical doubles), per-(vec, label) scores are DECIMAL
+    sums of identical products rounded 6 dp before the argmax
+    (tiebreak: smaller label). Shape: one flat explode, a (label x
+    dim)-bounded centroid aggregate, and a pos-keyed join whose
+    fan-out is the 10-label constant.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "part",
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 4,
+    )
+    flat = emb.select(
+        "vec_id",
+        "label",
+        "part",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select("vec_id", "label", "part", "pos", F.col("v").cast("double").alias("v"))
+    cents = (
+        flat.where(F.col("part") != 0)
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(30,18)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    test = flat.where(F.col("part") == 0)
+    scores = (
+        test.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("v") * F.col("c")).cast("decimal(30,18)"))
+            .cast("double")
+            .alias("dot")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round("dot", 6).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("clabel").asc()
+    )
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("pred"))
+    )
+    return (
+        pred.groupBy("label")
+        .agg(
+            bcount().alias("n_test"),
+            F.sum((F.col("pred") == F.col("label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_test",
+            "n_correct",
+            F.round(
+                F.expr("CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE)"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+_NEAREST_CENTROID_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, embedding,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 4
+           AS part
+  FROM embeddings),
+flat AS (
+  SELECT vec_id, label, part, r.i AS pos,
+         CAST(embedding[r.i + 1] AS DOUBLE) AS v
+  FROM emb, LATERAL (SELECT UNNEST(range(len(emb.embedding))) AS i) r),
+cents AS (
+  SELECT label AS clabel, pos,
+         round(CAST(SUM(CAST(v AS DECIMAL(30,18))) AS DOUBLE) / COUNT(*), 6)
+           AS c
+  FROM flat WHERE part <> 0 GROUP BY 1, 2),
+scores AS (
+  SELECT t.vec_id, t.label, c.clabel,
+         round(CAST(SUM(CAST(t.v * c.c AS DECIMAL(30,18))) AS DOUBLE), 6)
+           AS dot
+  FROM flat t JOIN cents c ON t.pos = c.pos
+  WHERE t.part = 0
+  GROUP BY 1, 2, 3),
+pred AS (
+  SELECT vec_id, label, clabel AS pred
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dot DESC, clabel ASC) AS rk FROM scores)
+  WHERE rk = 1)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM pred
+GROUP BY label
+ORDER BY label
+"""
+
+QUERIES["ml_nearest_centroid_eval"] = ml_nearest_centroid_eval
+ORACLE["ml_nearest_centroid_eval"] = _NEAREST_CENTROID_SQL

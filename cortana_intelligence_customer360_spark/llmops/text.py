@@ -1647,3 +1647,81 @@ LIMIT {_TR_TOPK}"""
 
 QUERIES["text_textrank_keywords"] = text_textrank_keywords
 ORACLE["text_textrank_keywords"] = _textrank_sql()
+
+
+# Ordered suffix-strip rules (longest first), applied once each, only
+# when the stem stays >= 3 chars. Same regexes in both engines (RE2 /
+# Java agree on these literals).
+_STEM_RULES = [("ing$", ""), ("edly$", ""), ("ed$", ""), ("es$", ""), ("s$", "")]
+
+
+def text_stem_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-strip stemming profile (a Porter-lite first pass): apply
+    the classic -ing/-ed/-es/-s strips (guarded to keep stems >= 3
+    chars) to the corpus vocabulary and report per language: distinct
+    tokens before and after, and the vocabulary shrink ratio — the
+    index-size estimate a search pipeline wants before enabling
+    stemming.
+
+    Purely lexical (strings + integers): exact oracle. The stem is one
+    nested conditional expression evaluated at scan speed; the only
+    shuffles are the two distinct-counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    stem = F.col("tok")
+    for pat, rep in _STEM_RULES:
+        candidate = F.regexp_replace(stem, pat, rep)
+        stem = F.when(
+            (F.length(candidate) >= 3) & (candidate != stem), candidate
+        ).otherwise(stem)
+    stemmed = toks.withColumn("stem", stem)
+    return (
+        stemmed.groupBy("lang")
+        .agg(
+            F.countDistinct("tok").cast("long").alias("vocab_raw"),
+            F.countDistinct("stem").cast("long").alias("vocab_stemmed"),
+        )
+        .select(
+            "lang",
+            "vocab_raw",
+            "vocab_stemmed",
+            F.round(
+                F.expr(
+                    "CAST(vocab_stemmed AS DOUBLE) / CAST(vocab_raw AS DOUBLE)"
+                ),
+                6,
+            ).alias("shrink_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _stem_sql() -> str:
+    expr = "tok"
+    for pat, rep in _STEM_RULES:
+        cand = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+        expr = (
+            f"(CASE WHEN length({cand}) >= 3 AND {cand} <> {expr}"
+            f" THEN {cand} ELSE {expr} END)"
+        )
+    return f"""
+WITH toks AS (
+  SELECT lang, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+t AS (SELECT lang, tok, {expr} AS stem FROM toks WHERE tok <> '')
+SELECT lang,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_raw,
+       CAST(COUNT(DISTINCT stem) AS BIGINT) AS vocab_stemmed,
+       round(CAST(COUNT(DISTINCT stem) AS DOUBLE)
+             / CAST(COUNT(DISTINCT tok) AS DOUBLE), 6) AS shrink_ratio
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["text_stem_suffix"] = text_stem_suffix
+ORACLE["text_stem_suffix"] = _stem_sql()

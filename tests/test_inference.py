@@ -1277,3 +1277,36 @@ def test_slice_errors_average_to_global(spark, sf_dir):
     assert wavg == pytest.approx(rows[0].global_err, abs=1e-4)
     for r in rows:
         assert r.err_lift == pytest.approx(r.slice_err / r.global_err, abs=1e-4)
+
+
+def test_stemmer_only_shrinks(spark, sf_dir):
+    """Stemming can only merge tokens: stemmed vocab <= raw vocab, and
+    the ratio is in (0, 1]."""
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_stem_suffix,
+    )
+
+    for r in text_stem_suffix(spark, sf_dir).collect():
+        assert r.vocab_stemmed <= r.vocab_raw
+        assert 0.0 < r.shrink_ratio <= 1.0
+
+
+def test_nearest_centroid_covers_test_split(spark, duck, sf_dir):
+    """Every test vector gets exactly one prediction (per-label n_test
+    sums to the md5 split size); accuracies are valid rates."""
+    from cortana_intelligence_customer360_spark.llmops.embeddings import (
+        ml_nearest_centroid_eval,
+    )
+
+    rows = ml_nearest_centroid_eval(spark, sf_dir).collect()
+    n_test = duck.execute(
+        """
+        SELECT COUNT(*) FROM embeddings
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+              % 4 = 0
+        """
+    ).fetchone()[0]
+    assert sum(r.n_test for r in rows) == n_test
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_test
+        assert 0.0 <= r.accuracy <= 1.0

@@ -2871,3 +2871,122 @@ ORDER BY seg
 
 QUERIES["ml_slice_error_analysis"] = ml_slice_error_analysis
 ORACLE["ml_slice_error_analysis"] = _slice_sql()
+
+
+# ---------------------------------------------------------------------------
+# ml_als_rmse_eval
+# ---------------------------------------------------------------------------
+
+
+def ml_als_rmse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction quality of the ALS half-step: RMSE of the rank-2
+    predictions u . f against the actual customer x brand counts,
+    next to the global-mean baseline RMSE — 'did two latent factors
+    buy anything?' (improvement ratio < 1 means yes). Composes the
+    registered ml_als_user_step factors with the same deterministic
+    brand factors.
+
+    Shape: rebuild ratings (two fact shuffles), broadcast the brand
+    factors, join the customer factors on the custkey partitioning,
+    then one DECIMAL-sum pass for both error totals. Predictions are
+    6 dp-rounded before squaring (shared-text discipline), errors
+    bounded (counts ~ tens), so everything quantizes safely.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "p_brand")
+        .agg(bcount().alias("r"))
+    )
+    factors = (
+        load_table(spark, sf_dir, "part")
+        .select("p_brand")
+        .distinct()
+        .select(
+            "p_brand",
+            F.expr(_ALS_FACTOR_SPARK.format(d=1)).alias("f1"),
+            F.expr(_ALS_FACTOR_SPARK.format(d=2)).alias("f2"),
+        )
+    )
+    users = QUERIES["ml_als_user_step"](spark, sf_dir).select(
+        "o_custkey", "u1", "u2"
+    )
+    joined = (
+        ratings.join(F.broadcast(factors), "p_brand")
+        .join(users, "o_custkey")
+        .select(
+            "r",
+            F.round(
+                F.expr("u1 * f1 + u2 * f2"), 6
+            ).alias("pred"),
+        )
+    )
+    mean_r = joined.agg(
+        (dsum(F.col("r").cast("double")) / F.count("*")).alias("mu")
+    ).select(F.round("mu", 6).alias("mu"))
+    suff = joined.crossJoin(F.broadcast(mean_r)).agg(
+        bcount().alias("n"),
+        dsum(
+            (F.col("r").cast("double") - F.col("pred"))
+            * (F.col("r").cast("double") - F.col("pred"))
+        ).alias("se_model"),
+        dsum(
+            (F.col("r").cast("double") - F.col("mu"))
+            * (F.col("r").cast("double") - F.col("mu"))
+        ).alias("se_base"),
+    )
+    return suff.select(
+        "n",
+        F.round(F.expr("sqrt(se_model / CAST(n AS DOUBLE))"), 6).alias("rmse_model"),
+        F.round(F.expr("sqrt(se_base / CAST(n AS DOUBLE))"), 6).alias("rmse_baseline"),
+        F.round(
+            F.expr(
+                "sqrt(se_model / CAST(n AS DOUBLE))"
+                " / sqrt(se_base / CAST(n AS DOUBLE))"
+            ),
+            6,
+        ).alias("improvement_ratio"),
+    )
+
+
+_ALS_RMSE_SQL = f"""
+WITH ratings AS (
+  SELECT o.o_custkey, p.p_brand, CAST(COUNT(*) AS BIGINT) AS r
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+factors AS (
+  SELECT p_brand,
+         {_ALS_FACTOR.format(d=1)} AS f1,
+         {_ALS_FACTOR.format(d=2)} AS f2
+  FROM (SELECT DISTINCT p_brand FROM part)),
+users AS ({_ALS_SQL.replace('ORDER BY o_custkey', '')}),
+joined AS (
+  SELECT r.r, round(u.u1 * f.f1 + u.u2 * f.f2, 6) AS pred
+  FROM ratings r
+  JOIN factors f ON r.p_brand = f.p_brand
+  JOIN users u ON r.o_custkey = u.o_custkey),
+mu AS (
+  SELECT round({dsum_sql('CAST(r AS DOUBLE)')} / COUNT(*), 6) AS mu
+  FROM joined),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('(CAST(r AS DOUBLE) - pred) * (CAST(r AS DOUBLE) - pred)')}
+           AS se_model,
+         {dsum_sql('(CAST(r AS DOUBLE) - mu) * (CAST(r AS DOUBLE) - mu)')}
+           AS se_base
+  FROM joined CROSS JOIN mu)
+SELECT n,
+       round(sqrt(se_model / CAST(n AS DOUBLE)), 6) AS rmse_model,
+       round(sqrt(se_base / CAST(n AS DOUBLE)), 6) AS rmse_baseline,
+       round(sqrt(se_model / CAST(n AS DOUBLE))
+             / sqrt(se_base / CAST(n AS DOUBLE)), 6) AS improvement_ratio
+FROM suff
+"""
+
+QUERIES["ml_als_rmse_eval"] = ml_als_rmse_eval
+ORACLE["ml_als_rmse_eval"] = _ALS_RMSE_SQL

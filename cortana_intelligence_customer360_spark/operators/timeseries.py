@@ -2735,3 +2735,94 @@ ORDER BY pattern
 
 QUERIES["ts_demand_classification"] = ts_demand_classification
 ORACLE["ts_demand_classification"] = _sbc_sql()
+
+
+_HAMPEL_K = "3.0"
+_HAMPEL_SCALE = "1.4826"  # MAD -> sigma consistency constant
+
+
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter on daily revenue: a day is an outlier when it
+    deviates from its 7-day window MEDIAN by more than 3 * 1.4826 *
+    window-MAD — the robust alternative to z-scores (one spike can't
+    inflate its own threshold the way it inflates a stddev). Emits the
+    flagged days with their robust z.
+
+    Exact discipline: the window median is the 4th element of the
+    SORTED 7-element integer-cents array (collect over a full ROWS
+    frame; windows with < 7 days are skipped), the MAD is the 4th
+    element of the sorted absolute deviations — integer arithmetic
+    until the final robust-z ratio. One window pass on the bounded
+    daily frame.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    arr = daily.withColumn("win", F.collect_list("cents").over(w)).where(
+        F.size("win") == 7
+    )
+    med = F.element_at(F.array_sort("win"), 4)
+    dev = F.element_at(
+        F.array_sort(F.transform("win", lambda x: F.abs(x - med))), 4
+    )
+    scored = arr.select(
+        "day",
+        "cents",
+        med.alias("med"),
+        dev.alias("mad"),
+    ).where(F.col("mad") > 0)
+    rz = F.expr(
+        f"abs(CAST(cents - med AS DOUBLE))"
+        f" / ({_HAMPEL_SCALE} * CAST(mad AS DOUBLE))"
+    )
+    return (
+        scored.withColumn("robust_z", F.round(rz, 6))
+        .where(F.col("robust_z") > float(_HAMPEL_K))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            (F.col("cents") / F.lit(100.0)).alias("revenue"),
+            (F.col("med") / F.lit(100.0)).alias("window_median"),
+            "robust_z",
+        )
+        .orderBy("day")
+    )
+
+
+_HAMPEL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT day, cents,
+         list(cents) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+  FROM daily),
+full7 AS (SELECT * FROM arr WHERE len(win) = 7),
+scored AS (
+  SELECT day, cents,
+         list_sort(win)[4] AS med,
+         list_sort(list_transform(win,
+             x -> abs(x - list_sort(win)[4])))[4] AS mad
+  FROM full7)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(med AS DOUBLE) / 100.0 AS window_median,
+       robust_z
+FROM (SELECT *, round(abs(CAST(cents - med AS DOUBLE))
+             / ({_HAMPEL_SCALE} * CAST(mad AS DOUBLE)), 6) AS robust_z
+      FROM scored WHERE mad > 0)
+WHERE robust_z > {_HAMPEL_K}
+ORDER BY day
+"""
+
+QUERIES["ts_hampel_outliers"] = ts_hampel_outliers
+ORACLE["ts_hampel_outliers"] = _HAMPEL_SQL

@@ -1310,3 +1310,47 @@ def test_nearest_centroid_covers_test_split(spark, duck, sf_dir):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_test
         assert 0.0 <= r.accuracy <= 1.0
+
+
+def test_als_rmse_improves_on_baseline_or_close(spark, sf_dir):
+    """RMSEs are positive; the improvement ratio is well-defined; with
+    random item factors the model can't be dramatically WORSE than the
+    mean (ratio bounded)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_als_rmse_eval,
+    )
+
+    r = ml_als_rmse_eval(spark, sf_dir).collect()[0]
+    assert r.n > 0
+    assert r.rmse_model > 0.0 and r.rmse_baseline > 0.0
+    assert r.improvement_ratio == pytest.approx(
+        r.rmse_model / r.rmse_baseline, abs=1e-4
+    )
+    assert r.improvement_ratio < 5.0
+
+
+def test_hampel_flags_are_robust_outliers(spark, duck, sf_dir):
+    """Every flagged day really deviates from its window median by
+    more than 3 scaled MADs, recomputed in Python."""
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_hampel_outliers,
+    )
+
+    rows = ts_hampel_outliers(spark, sf_dir).collect()
+    daily = dict(
+        duck.execute(
+            """
+            SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS VARCHAR),
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    )
+    days = sorted(daily)
+    idx = {d: i for i, d in enumerate(days)}
+    for r in rows:
+        i = idx[r.day]
+        win = sorted(daily[days[j]] for j in range(i - 3, i + 4))
+        med = win[3]
+        mad = sorted(abs(x - med) for x in win)[3]
+        assert abs(daily[r.day] - med) / (1.4826 * mad) > 3.0

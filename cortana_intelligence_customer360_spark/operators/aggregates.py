@@ -1254,3 +1254,138 @@ ORDER BY seg
 
 QUERIES["agg_price_index"] = agg_price_index
 ORACLE["agg_price_index"] = _PRICE_INDEX_SQL
+
+
+_MP_SWEEPS = 2
+
+
+def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish of the segment x year revenue matrix: two
+    sweeps of alternating row/column median removal decompose each
+    cell into overall + segment effect + year effect + residual — the
+    robust two-way ANOVA (outlier cells can't drag the effects the way
+    means would). Emits one row per cell with its residual and the
+    fitted effects.
+
+    The matrix is 5 segments x 7 years — both dimensions ODD, so every
+    median is an exact middle element of integer cents and the whole
+    polish is exact integer arithmetic (no float anywhere until the
+    final display division by 100). The fact table collapses to the 35
+    cells in one shuffle; sweeps run on that tiny frame via sorted-
+    array medians.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.year("o_orderdate").between(1995, 2001))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("resid")
+        )
+        .withColumn("row_eff", F.lit(0).cast("long"))
+        .withColumn("col_eff", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+
+    def med_of(df, key, val):
+        # exact middle element of the sorted (odd-length) list
+        return df.groupBy(key).agg(
+            F.element_at(
+                F.array_sort(F.collect_list(val)),
+                ((F.size(F.collect_list(val)) + 1) / 2).cast("int"),
+            )
+            .cast("long")
+            .alias("med")
+        )
+
+    for _ in range(_MP_SWEEPS):
+        rmed = med_of(cells, "seg", "resid").withColumnRenamed("med", "rm")
+        cells = (
+            cells.join(F.broadcast(rmed), "seg")
+            .select(
+                "seg",
+                "yr",
+                (F.col("resid") - F.col("rm")).alias("resid"),
+                (F.col("row_eff") + F.col("rm")).alias("row_eff"),
+                "col_eff",
+            )
+            .localCheckpoint()
+        )
+        cmed = med_of(cells, "yr", "resid").withColumnRenamed("med", "cm")
+        cells = (
+            cells.join(F.broadcast(cmed), "yr")
+            .select(
+                "seg",
+                "yr",
+                (F.col("resid") - F.col("cm")).alias("resid"),
+                "row_eff",
+                (F.col("col_eff") + F.col("cm")).alias("col_eff"),
+            )
+            .localCheckpoint()
+        )
+    return cells.select(
+        "seg",
+        "yr",
+        (F.col("resid") / F.lit(100.0)).alias("residual"),
+        (F.col("row_eff") / F.lit(100.0)).alias("segment_effect"),
+        (F.col("col_eff") / F.lit(100.0)).alias("year_effect"),
+    ).orderBy("seg", "yr")
+
+
+def _median_polish_sql() -> str:
+    ctes = [
+        """c0 AS (
+  SELECT c.c_mktsegment AS seg, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS resid,
+         CAST(0 AS BIGINT) AS row_eff, CAST(0 AS BIGINT) AS col_eff
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE year(o.o_orderdate) BETWEEN 1995 AND 2001
+  GROUP BY 1, 2)"""
+    ]
+    cur = "c0"
+    step = 0
+    for _ in range(_MP_SWEEPS):
+        step += 1
+        ctes.append(
+            f"""r{step} AS (
+  SELECT seg, CAST(list_sort(list(resid))[(len(list(resid)) + 1) // 2]
+       AS BIGINT) AS rm
+  FROM {cur} GROUP BY seg),
+cr{step} AS (
+  SELECT c.seg, c.yr, c.resid - r.rm AS resid,
+         c.row_eff + r.rm AS row_eff, c.col_eff
+  FROM {cur} c JOIN r{step} r ON c.seg = r.seg)"""
+        )
+        cur = f"cr{step}"
+        ctes.append(
+            f"""k{step} AS (
+  SELECT yr, CAST(list_sort(list(resid))[(len(list(resid)) + 1) // 2]
+       AS BIGINT) AS cm
+  FROM {cur} GROUP BY yr),
+ck{step} AS (
+  SELECT c.seg, c.yr, c.resid - k.cm AS resid,
+         c.row_eff, c.col_eff + k.cm AS col_eff
+  FROM {cur} c JOIN k{step} k ON c.yr = k.yr)"""
+        )
+        cur = f"ck{step}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT seg, yr,
+       CAST(resid AS DOUBLE) / 100.0 AS residual,
+       CAST(row_eff AS DOUBLE) / 100.0 AS segment_effect,
+       CAST(col_eff AS DOUBLE) / 100.0 AS year_effect
+FROM {cur}
+ORDER BY seg, yr
+"""
+    )
+
+
+QUERIES["agg_median_polish"] = agg_median_polish
+ORACLE["agg_median_polish"] = _median_polish_sql()

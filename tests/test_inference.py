@@ -1354,3 +1354,31 @@ def test_hampel_flags_are_robust_outliers(spark, duck, sf_dir):
         med = win[3]
         mad = sorted(abs(x - med) for x in win)[3]
         assert abs(daily[r.day] - med) / (1.4826 * mad) > 3.0
+
+
+def test_median_polish_decomposition_reconstructs(spark, duck, sf_dir):
+    """overall-free decomposition: segment_effect + year_effect +
+    residual reconstructs each cell exactly (the polish only moves
+    mass between components), and each sweep's row medians of the
+    final residuals are ~0 (within one more sweep's adjustment)."""
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_median_polish,
+    )
+
+    rows = agg_median_polish(spark, sf_dir).collect()
+    assert len(rows) == 35  # 5 segments x 7 years
+    truth = {
+        (seg, yr): cents / 100.0
+        for seg, yr, cents in duck.execute(
+            """
+            SELECT c.c_mktsegment, year(o.o_orderdate),
+                   SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE year(o.o_orderdate) BETWEEN 1995 AND 2001
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        rebuilt = r.segment_effect + r.year_effect + r.residual
+        assert rebuilt == pytest.approx(truth[(r.seg, r.yr)], abs=1e-6)

@@ -1087,3 +1087,117 @@ FROM scored
 
 QUERIES["ml_ranking_eval_popularity"] = ml_ranking_eval_popularity
 ORACLE["ml_ranking_eval_popularity"] = _RANKING_EVAL_SQL
+
+
+def feat_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit: pooled over cohorts, the
+    per-offset retention rate r(k) = active(k)/cohort_size is fit as
+    ln r = a + b*k (OLS over offsets >= 1), giving the weekly decay
+    rate and the retention HALF-LIFE -ln(2)/b — the single number a
+    growth team quotes from the cohort matrix (feat_cohort_retention's
+    registered rollup).
+
+    Retention ratios are exact integer quotients rounded 6 dp, ln is
+    quantized 6 dp before the OLS sums (libm discipline), and the
+    closed-form solve is shared text. All frames are offset-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    user_weeks = ev.select("user_id", week.alias("week")).distinct()
+    first_week = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    joined = user_weeks.join(first_week, "user_id").select(
+        "cohort",
+        (
+            F.datediff(F.col("week"), F.col("cohort")) / F.lit(7)
+        ).cast("long").alias("k"),
+        "user_id",
+    )
+    sizes = joined.where(F.col("k") == 0).groupBy("cohort").agg(
+        bcount().alias("size")
+    )
+    act = joined.groupBy("cohort", "k").agg(bcount().alias("active"))
+    pooled = (
+        act.join(sizes, "cohort")
+        .groupBy("k")
+        .agg(
+            F.sum("active").cast("long").alias("a"),
+            F.sum("size").cast("long").alias("s"),
+        )
+        .where(F.col("k") >= 1)
+        .select(
+            F.col("k").cast("double").alias("x"),
+            F.round(
+                F.log(
+                    F.round(
+                        F.expr("CAST(a AS DOUBLE) / CAST(s AS DOUBLE)"), 6
+                    )
+                ),
+                6,
+            ).alias("lnr"),
+        )
+    )
+    suff = pooled.agg(
+        bcount().alias("n"),
+        dsum("x").alias("sx"),
+        dsum("lnr").alias("sy"),
+        dsum(F.col("x") * F.col("lnr")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    b = (
+        "round((CAST(n AS DOUBLE) * sxy - sx * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)"
+    )
+    return suff.select(
+        "n",
+        F.expr(b).alias("weekly_decay"),
+        F.round(
+            F.expr(
+                f"CASE WHEN {b} < 0.0 THEN -ln(2.0) / {b} END"
+            ),
+            6,
+        ).alias("half_life_weeks"),
+    )
+
+
+_RETENTION_DECAY_SQL = f"""
+WITH user_weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+first_week AS (
+  SELECT user_id, MIN(week) AS cohort FROM user_weeks GROUP BY 1),
+joined AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(u.week AS DATE))
+              / 7 AS BIGINT) AS k,
+         u.user_id
+  FROM user_weeks u JOIN first_week f ON u.user_id = f.user_id),
+sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS size
+  FROM joined WHERE k = 0 GROUP BY 1),
+act AS (
+  SELECT cohort, k, CAST(COUNT(*) AS BIGINT) AS active
+  FROM joined GROUP BY 1, 2),
+pooled AS (
+  SELECT CAST(k AS DOUBLE) AS x,
+         round(ln(round(CAST(SUM(active) AS DOUBLE)
+               / CAST(SUM(size) AS DOUBLE), 6)), 6) AS lnr
+  FROM act JOIN sizes ON act.cohort = sizes.cohort
+  WHERE k >= 1
+  GROUP BY k),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('x')} AS sx, {dsum_sql('lnr')} AS sy,
+         {dsum_sql('x * lnr')} AS sxy, {dsum_sql('x * x')} AS sxx
+  FROM pooled)
+SELECT n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS weekly_decay,
+       round(CASE WHEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) < 0.0
+                  THEN -ln(2.0) / round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END, 6)
+         AS half_life_weeks
+FROM suff
+"""
+
+QUERIES["feat_retention_decay_fit"] = feat_retention_decay_fit
+ORACLE["feat_retention_decay_fit"] = _RETENTION_DECAY_SQL

@@ -1382,3 +1382,19 @@ def test_median_polish_decomposition_reconstructs(spark, duck, sf_dir):
     for r in rows:
         rebuilt = r.segment_effect + r.year_effect + r.residual
         assert rebuilt == pytest.approx(truth[(r.seg, r.yr)], abs=1e-6)
+
+
+def test_retention_decay_negative_and_halflife(spark, sf_dir):
+    """Retention declines with offset (negative decay slope), so the
+    half-life is positive and finite."""
+    from cortana_intelligence_customer360_spark.features.core import (
+        feat_retention_decay_fit,
+    )
+
+    r = feat_retention_decay_fit(spark, sf_dir).collect()[0]
+    assert r.n >= 2
+    assert r.weekly_decay <= 0.0
+    if r.weekly_decay < 0.0:
+        assert r.half_life_weeks > 0.0
+    else:
+        assert r.half_life_weeks is None  # flat retention (tiny fixtures)

@@ -1201,3 +1201,114 @@ FROM suff
 
 QUERIES["feat_retention_decay_fit"] = feat_retention_decay_fit
 ORACLE["feat_retention_decay_fit"] = _RETENTION_DECAY_SQL
+
+
+def feat_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first week), RETAINED (also active the previous week) or
+    RESURRECTED (returning after a gap), plus the week's CHURNED count
+    (active last week, absent now) and the quick ratio
+    (new + resurrected) / churned — the canonical MAU-accounting
+    readout (Social Capital's growth framework).
+
+    One user-keyed lag window over the distinct (user, week) frame
+    classifies everything; churn attributes to prev_week + 7 days via
+    a shifted projection (no self-join). Exact integers throughout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    marked = uw.withColumn("prev", F.lag("week").over(w)).select(
+        "user_id",
+        "week",
+        F.when(F.col("prev").isNull(), "new")
+        .when(F.datediff("week", "prev") == 7, "retained")
+        .otherwise("resurrected")
+        .alias("kind"),
+        "prev",
+    )
+    counts = marked.groupBy("week").agg(
+        F.sum((F.col("kind") == "new").cast("long")).cast("long").alias("n_new"),
+        F.sum((F.col("kind") == "retained").cast("long"))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum((F.col("kind") == "resurrected").cast("long"))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    # churned at week w: active at w-7 and NOT active at w = actives(w-7)
+    # minus retained(w); actives per week from the same frame
+    actives = uw.groupBy("week").agg(bcount().alias("n_active"))
+    shifted = actives.select(
+        F.date_add("week", 7).alias("week"), F.col("n_active").alias("prev_active")
+    )
+    out = (
+        counts.join(shifted, "week", "left")
+        .select(
+            F.col("week").cast("string").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (
+                F.coalesce("prev_active", F.lit(0)) - F.col("n_retained")
+            ).cast("long").alias("n_churned"),
+        )
+        .withColumn(
+            "quick_ratio",
+            F.when(
+                F.col("n_churned") > 0,
+                F.round(
+                    F.expr(
+                        "CAST(n_new + n_resurrected AS DOUBLE)"
+                        " / CAST(n_churned AS DOUBLE)"
+                    ),
+                    6,
+                ),
+            ),
+        )
+        .orderBy("week")
+    )
+    return out
+
+
+_GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+marked AS (
+  SELECT user_id, week,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN date_diff('day', prev, week) = 7 THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM (SELECT user_id, week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
+        FROM uw)),
+counts AS (
+  SELECT week,
+         CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resurrected
+  FROM marked GROUP BY week),
+actives AS (
+  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active FROM uw GROUP BY week),
+shifted AS (
+  SELECT week + INTERVAL 7 DAY AS week, n_active AS prev_active FROM actives)
+SELECT CAST(c.week AS VARCHAR) AS week, c.n_new, c.n_retained,
+       c.n_resurrected,
+       CAST(COALESCE(s.prev_active, 0) - c.n_retained AS BIGINT) AS n_churned,
+       CASE WHEN COALESCE(s.prev_active, 0) - c.n_retained > 0
+            THEN round(CAST(c.n_new + c.n_resurrected AS DOUBLE)
+                 / CAST(COALESCE(s.prev_active, 0) - c.n_retained AS DOUBLE), 6)
+       END AS quick_ratio
+FROM counts c LEFT JOIN shifted s ON c.week = CAST(s.week AS DATE)
+ORDER BY week
+"""
+
+QUERIES["feat_growth_accounting"] = feat_growth_accounting
+ORACLE["feat_growth_accounting"] = _GROWTH_SQL

@@ -743,3 +743,120 @@ ORDER BY label
 
 QUERIES["ml_nearest_centroid_eval"] = ml_nearest_centroid_eval
 ORACLE["ml_nearest_centroid_eval"] = _NEAREST_CENTROID_SQL
+
+
+_TRIPLET_ANCHORS = 20
+
+
+def emb_triplet_violation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding metric-quality audit via triplets: for each anchor
+    (vec_id < 20), compare its cosine to every SAME-label vector
+    (positive) against every OTHER-label vector (negative); a
+    violation is a (pos, neg) pair with cos(a,n) >= cos(a,p). Reports
+    the per-anchor-label violation rate — 0.5 means the space carries
+    no label signal, 0 means perfectly separated.
+
+    Counting trick: no pos x neg pair join — sort each anchor's
+    scored candidates by (cosine desc, id) once; violations = for each
+    positive, the number of negatives ranked at-or-above it, obtained
+    from a running negative count (exact integers). Dots are the
+    left-fold 6 dp discipline of sim_knn_exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < _TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("avec"),
+    )
+    cands = emb.select("vec_id", "label", "embedding")
+    scored = (
+        cands.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            "alabel",
+            (F.col("label") == F.col("alabel")).cast("long").alias("is_pos"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "avec",
+                        "embedding",
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("cos"),
+            "vec_id",
+        )
+    )
+    w = Window.partitionBy("aid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = scored.withColumn(
+        "negs_above", F.sum(1 - F.col("is_pos")).over(w)
+    )
+    per_anchor = ranked.where(F.col("is_pos") == 1).groupBy("aid", "alabel").agg(
+        bcount().alias("n_pos"),
+        F.sum("negs_above").cast("long").alias("violations"),
+    )
+    negs = scored.groupBy("aid").agg(
+        F.sum(1 - F.col("is_pos")).cast("long").alias("n_neg")
+    )
+    return (
+        per_anchor.join(negs, "aid")
+        .groupBy("alabel")
+        .agg(
+            bcount().alias("n_anchors"),
+            F.round(
+                F.expr(
+                    "CAST(SUM(violations) AS DOUBLE)"
+                    " / CAST(SUM(n_pos * n_neg) AS DOUBLE)"
+                ),
+                6,
+            ).alias("violation_rate"),
+        )
+        .orderBy("alabel")
+    )
+
+
+_TRIPLET_SQL = f"""
+WITH anchors AS (
+  SELECT vec_id AS aid, label AS alabel, embedding AS avec
+  FROM embeddings WHERE vec_id < {_TRIPLET_ANCHORS}),
+aflat AS (
+  SELECT aid, alabel, r.i AS pos, CAST(avec[r.i + 1] AS DOUBLE) AS v
+  FROM anchors, LATERAL (SELECT UNNEST(range(len(anchors.avec))) AS i) r),
+cflat AS (
+  SELECT vec_id, label, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
+scored AS (
+  SELECT a.aid, a.alabel, c.vec_id,
+         CAST(CASE WHEN c.label = a.alabel THEN 1 ELSE 0 END AS BIGINT)
+           AS is_pos,
+         round(SUM(a.v * c.v), 6) AS cos
+  FROM aflat a JOIN cflat c ON a.pos = c.pos AND c.vec_id <> a.aid
+  GROUP BY 1, 2, 3, 4),
+ranked AS (
+  SELECT *, SUM(1 - is_pos) OVER (PARTITION BY aid
+        ORDER BY cos DESC, vec_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS negs_above
+  FROM scored),
+per_anchor AS (
+  SELECT aid, alabel, CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(SUM(negs_above) AS BIGINT) AS violations
+  FROM ranked WHERE is_pos = 1 GROUP BY 1, 2),
+negs AS (
+  SELECT aid, CAST(SUM(1 - is_pos) AS BIGINT) AS n_neg
+  FROM scored GROUP BY aid)
+SELECT alabel, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       round(CAST(SUM(violations) AS DOUBLE)
+             / CAST(SUM(n_pos * n_neg) AS DOUBLE), 6) AS violation_rate
+FROM per_anchor p JOIN negs n ON p.aid = n.aid
+GROUP BY alabel
+ORDER BY alabel
+"""
+
+QUERIES["emb_triplet_violation_rate"] = emb_triplet_violation_rate
+ORACLE["emb_triplet_violation_rate"] = _TRIPLET_SQL

@@ -1398,3 +1398,41 @@ def test_retention_decay_negative_and_halflife(spark, sf_dir):
         assert r.half_life_weeks > 0.0
     else:
         assert r.half_life_weeks is None  # flat retention (tiny fixtures)
+
+
+def test_growth_accounting_conservation(spark, duck, sf_dir):
+    """new + retained + resurrected = actives per week, and churned =
+    prev actives - retained."""
+    from cortana_intelligence_customer360_spark.features.core import (
+        feat_growth_accounting,
+    )
+
+    rows = {r.week: r for r in feat_growth_accounting(spark, sf_dir).collect()}
+    actives = dict(
+        duck.execute(
+            """
+            SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR),
+                   COUNT(DISTINCT user_id)
+            FROM events GROUP BY 1
+            """
+        ).fetchall()
+    )
+    weeks = sorted(actives)
+    for i, wk in enumerate(weeks):
+        r = rows[wk]
+        assert r.n_new + r.n_retained + r.n_resurrected == actives[wk]
+        prev = actives[weeks[i - 1]] if i > 0 else 0
+        assert r.n_churned == prev - r.n_retained
+
+
+def test_triplet_violation_rates_bounded(spark, sf_dir):
+    """Rates live in [0, 1]; with metric-uniform synthetic embeddings
+    they hover near 0.5 (no label signal), never at the extremes."""
+    from cortana_intelligence_customer360_spark.llmops.embeddings import (
+        emb_triplet_violation_rate,
+    )
+
+    rows = emb_triplet_violation_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.violation_rate <= 1.0

@@ -2990,3 +2990,233 @@ FROM suff
 
 QUERIES["ml_als_rmse_eval"] = ml_als_rmse_eval
 ORACLE["ml_als_rmse_eval"] = _ALS_RMSE_SQL
+
+
+# ---------------------------------------------------------------------------
+# stat_runs_test + stat_sign_test + agg_expected_shortfall
+# ---------------------------------------------------------------------------
+
+_RUNS_Z = (
+    "((CAST(r AS DOUBLE) - (2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)"
+    " / CAST(np + nm AS DOUBLE) + 1.0))"
+    " / sqrt((2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)"
+    " * (2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)"
+    " - CAST(np AS DOUBLE) - CAST(nm AS DOUBLE)))"
+    " / (CAST(np + nm AS DOUBLE) * CAST(np + nm AS DOUBLE)"
+    " * (CAST(np + nm AS DOUBLE) - 1.0))))"
+)
+
+
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGN of day-over-day revenue
+    changes: too few runs means momentum, too many means oscillation,
+    z ~ 0 means the up/down sequence is random — the nonparametric
+    randomness check behind 'is this trend real?'.
+
+    Signs are exact integer-cents comparisons (zero-change days are
+    dropped); the run count is a sign-change sum over the bounded
+    daily frame; z is one shared closed form over the exact counts.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    diffs = (
+        daily.withColumn("prev", F.lag("cents").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("cents") != F.col("prev")))
+        .select(
+            "day",
+            F.when(F.col("cents") > F.col("prev"), 1).otherwise(-1).alias("s"),
+        )
+    )
+    w2 = Window.orderBy("day")
+    runs = diffs.withColumn("ps", F.lag("s").over(w2)).select(
+        "s",
+        F.when(
+            F.col("ps").isNull() | (F.col("s") != F.col("ps")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    suff = runs.agg(
+        F.sum((F.col("s") == 1).cast("long")).cast("long").alias("np"),
+        F.sum((F.col("s") == -1).cast("long")).cast("long").alias("nm"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    return suff.select(
+        "np",
+        "nm",
+        "r",
+        F.round(F.expr(_RUNS_Z), 6).alias("z"),
+        F.round(F.expr(_p_two_sided(f"abs({_RUNS_Z})")), 6).alias("p_approx"),
+    )
+
+
+_RUNS_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+diffs AS (
+  SELECT day, CASE WHEN cents > prev THEN 1 ELSE -1 END AS s
+  FROM (SELECT day, cents, LAG(cents) OVER (ORDER BY day) AS prev FROM daily)
+  WHERE prev IS NOT NULL AND cents <> prev),
+runs AS (
+  SELECT s,
+         CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END AS new_run
+  FROM (SELECT day, s, LAG(s) OVER (ORDER BY day) AS ps FROM diffs)),
+suff AS (
+  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         CAST(SUM(new_run) AS BIGINT) AS r
+  FROM runs)
+SELECT np, nm, r,
+       round({_RUNS_Z}, 6) AS z,
+       round({_p_two_sided(f'abs({_RUNS_Z})')}, 6) AS p_approx
+FROM suff
+"""
+
+QUERIES["stat_runs_test"] = stat_runs_test
+ORACLE["stat_runs_test"] = _RUNS_SQL
+
+
+_SIGN_Z = "((CAST(npos AS DOUBLE) - CAST(nn AS DOUBLE) / 2.0) / sqrt(CAST(nn AS DOUBLE) / 4.0))"
+
+
+def stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test: did per-customer spend move between 1996 and
+    1997? Customers active in BOTH years contribute sign(spend_97 -
+    spend_96); under no change, positives ~ Binomial(n, 1/2) and
+    z = (n+ - n/2)/sqrt(n/4) — the assumption-free paired test
+    (no symmetry, no normality — just signs).
+
+    Spend per (customer, year) are exact integer cents; ties are
+    dropped per the classic definition. One custkey shuffle, one
+    5-row-free closed form.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    per = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    paired = (
+        per.groupBy("o_custkey")
+        .pivot("yr", [1996, 1997])
+        .agg(F.max("cents"))
+        .where(F.col("1996").isNotNull() & F.col("1997").isNotNull())
+        .where(F.col("1996") != F.col("1997"))
+        .select(
+            (F.col("1997") > F.col("1996")).cast("long").alias("pos")
+        )
+    )
+    suff = paired.agg(
+        bcount().alias("nn"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    return suff.select(
+        "nn",
+        "npos",
+        F.round(F.expr(_SIGN_Z), 6).alias("z"),
+        F.round(F.expr(_p_two_sided(f"abs({_SIGN_Z})")), 6).alias("p_approx"),
+    )
+
+
+_SIGN_SQL = f"""
+WITH per AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2),
+paired AS (
+  SELECT CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END AS pos
+  FROM per a JOIN per b
+    ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+  WHERE a.cents <> b.cents),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(pos) AS BIGINT) AS npos
+  FROM paired)
+SELECT nn, npos,
+       round({_SIGN_Z}, 6) AS z,
+       round({_p_two_sided(f'abs({_SIGN_Z})')}, 6) AS p_approx
+FROM suff
+"""
+
+QUERIES["stat_sign_test"] = stat_sign_test
+ORACLE["stat_sign_test"] = _SIGN_SQL
+
+
+def agg_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and expected shortfall (CVaR) of DAILY revenue at
+    the 5% lower tail: VaR = the exact ceil(0.05*n)-th WORST day,
+    ES = the mean of days at or below it — the risk-desk pair, here
+    over the revenue distribution (a demand-shock readout). Exact
+    order statistics via the cumulative count on the sorted daily
+    frame; tail mean from integer-cents sums.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "day").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = daily.withColumn("rn", F.count("*").over(w))
+    n = daily.agg(bcount().alias("n")).select(
+        "n", F.expr("(5 * n + 99) DIV 100").alias("k")
+    )
+    tail = ranked.crossJoin(F.broadcast(n)).where(F.col("rn") <= F.col("k"))
+    out = tail.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("k").cast("long").alias("k"),
+        F.max("cents").alias("var_cents"),
+        F.sum("cents").cast("long").alias("tail_cents"),
+    )
+    return out.select(
+        "n_days",
+        "k",
+        (F.col("var_cents") / F.lit(100.0)).alias("var_95"),
+        F.round(
+            F.expr("CAST(tail_cents AS DOUBLE) / CAST(k AS DOUBLE) / 100.0"), 6
+        ).alias("expected_shortfall_95"),
+    )
+
+
+_ES_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT cents, COUNT(*) OVER (ORDER BY cents, day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
+  FROM daily),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             (5 * CAST(COUNT(*) AS BIGINT) + 99) // 100 AS k
+      FROM daily),
+tail AS (SELECT * FROM ranked CROSS JOIN n WHERE rn <= k)
+SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MAX(k) AS BIGINT) AS k,
+       CAST(MAX(cents) AS DOUBLE) / 100.0 AS var_95,
+       round(CAST(SUM(cents) AS DOUBLE) / CAST(MAX(k) AS DOUBLE) / 100.0, 6)
+         AS expected_shortfall_95
+FROM tail
+"""
+
+QUERIES["agg_expected_shortfall"] = agg_expected_shortfall
+ORACLE["agg_expected_shortfall"] = _ES_SQL

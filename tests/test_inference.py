@@ -1436,3 +1436,57 @@ def test_triplet_violation_rates_bounded(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0.0 <= r.violation_rate <= 1.0
+
+
+def test_runs_test_counts_consistent(spark, duck, sf_dir):
+    """r <= np + nm, r >= 1, and the sign counts match a Python
+    recomputation over the daily diffs."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_runs_test,
+    )
+
+    r = stat_runs_test(spark, sf_dir).collect()[0]
+    series = [
+        c
+        for _, c in sorted(
+            duck.execute(
+                """
+                SELECT date_trunc('day', o_orderdate),
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                FROM orders GROUP BY 1
+                """
+            ).fetchall()
+        )
+    ]
+    signs = [
+        1 if b > a else -1 for a, b in zip(series, series[1:]) if a != b
+    ]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert r.np == signs.count(1)
+    assert r.nm == signs.count(-1)
+    assert r.r == runs
+    assert 0.0 <= r.p_approx <= 1.0
+
+
+def test_sign_test_binomial_frame(spark, sf_dir):
+    """0 <= npos <= nn and the z matches the binomial normal approx."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_sign_test,
+    )
+
+    r = stat_sign_test(spark, sf_dir).collect()[0]
+    assert 0 <= r.npos <= r.nn
+    z = (r.npos - r.nn / 2.0) / math.sqrt(r.nn / 4.0)
+    assert r.z == pytest.approx(z, abs=1e-5)
+
+
+def test_expected_shortfall_below_var(spark, sf_dir):
+    """ES is a tail mean at or below VaR; k = ceil(5% of days)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        agg_expected_shortfall,
+    )
+
+    r = agg_expected_shortfall(spark, sf_dir).collect()[0]
+    assert r.k == -(-5 * r.n_days // 100)
+    assert r.expected_shortfall_95 <= r.var_95 + 1e-9
+    assert r.expected_shortfall_95 > 0.0

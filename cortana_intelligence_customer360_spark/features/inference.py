@@ -3220,3 +3220,179 @@ FROM tail
 
 QUERIES["agg_expected_shortfall"] = agg_expected_shortfall
 ORACLE["agg_expected_shortfall"] = _ES_SQL
+
+
+# ---------------------------------------------------------------------------
+# agg_inequality_indexes + stat_hill_tail_index + ml_cost_threshold
+# ---------------------------------------------------------------------------
+
+
+def agg_inequality_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Atkinson(0.5) inequality indexes over per-customer
+    revenue — the decomposable complements of agg_gini_revenue (Theil
+    is additively decomposable across subgroups; Atkinson has an
+    explicit inequality-aversion parameter).
+
+    T = mean((x/mu) ln(x/mu)), A = 1 - mean(sqrt x)^2 / mu, both from
+    DECIMAL-exact sums with ln/sqrt terms quantized 6 dp (libm
+    discipline); revenue in millions (4e9 rule). One custkey shuffle.
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice") / F.lit(1000000.0)).alias("x"))
+    )
+    mu = per.agg(
+        F.round((dsum("x") / F.count("*")).cast("double"), 6).alias("mu")
+    )
+    terms = per.crossJoin(F.broadcast(mu)).select(
+        "x",
+        "mu",
+        F.round(F.expr("(x / mu) * ln(x / mu)"), 6).alias("t_term"),
+        F.round(F.expr("sqrt(x)"), 6).alias("sx"),
+    )
+    suff = terms.agg(
+        bcount().alias("n"),
+        F.max("mu").alias("mu"),
+        dsum("t_term").alias("st"),
+        dsum("sx").alias("ssx"),
+    )
+    return suff.select(
+        "n",
+        F.round(F.expr("st / CAST(n AS DOUBLE)"), 6).alias("theil_t"),
+        F.round(
+            F.expr(
+                "1.0 - (ssx / CAST(n AS DOUBLE)) * (ssx / CAST(n AS DOUBLE)) / mu"
+            ),
+            6,
+        ).alias("atkinson_05"),
+    )
+
+
+_INEQ_SQL = f"""
+WITH per AS (
+  SELECT o_custkey, {dsum_sql('o_totalprice / 1000000.0')} AS x
+  FROM orders GROUP BY 1),
+mu AS (
+  SELECT round({dsum_sql('x')} / COUNT(*), 6) AS mu FROM per),
+terms AS (
+  SELECT x, mu,
+         round((x / mu) * ln(x / mu), 6) AS t_term,
+         round(sqrt(x), 6) AS sx
+  FROM per CROSS JOIN mu),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(mu) AS mu,
+         {dsum_sql('t_term')} AS st,
+         {dsum_sql('sx')} AS ssx
+  FROM terms)
+SELECT n,
+       round(st / CAST(n AS DOUBLE), 6) AS theil_t,
+       round(1.0 - (ssx / CAST(n AS DOUBLE)) * (ssx / CAST(n AS DOUBLE)) / mu, 6)
+         AS atkinson_05
+FROM suff
+"""
+
+QUERIES["agg_inequality_indexes"] = agg_inequality_indexes
+ORACLE["agg_inequality_indexes"] = _INEQ_SQL
+
+
+_HILL_K = 100
+
+
+def stat_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the upper-tail index of order values over the
+    top-100 order statistics: alpha = k / sum ln(x_(i)/x_(k+1)) —
+    'how heavy is the whale tail?' (alpha <= 2 means infinite
+    variance). The top-(k+1) frame comes from TakeOrderedAndProject
+    (never a global sort); ln ratios are 6 dp-quantized before the
+    DECIMAL sum.
+    """
+    top = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), F.col("o_orderkey").asc())
+        .limit(_HILL_K + 1)
+    )
+    thr = top.agg(F.min("x").alias("xk"))
+    terms = (
+        top.crossJoin(F.broadcast(thr))
+        .where(F.col("x") > F.col("xk"))
+        .select(F.round(F.expr("ln(x / xk)"), 6).alias("t"))
+    )
+    suff = terms.agg(bcount().alias("k"), dsum("t").alias("s"))
+    return suff.select(
+        "k",
+        F.round(F.expr("CAST(k AS DOUBLE) / s"), 6).alias("hill_alpha"),
+    )
+
+
+_HILL_SQL = f"""
+WITH top AS (
+  SELECT o_totalprice AS x FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {_HILL_K + 1}),
+thr AS (SELECT MIN(x) AS xk FROM top),
+terms AS (
+  SELECT round(ln(x / xk), 6) AS t
+  FROM top CROSS JOIN thr WHERE x > xk),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, {dsum_sql('t')} AS s FROM terms)
+SELECT k, round(CAST(k AS DOUBLE) / s, 6) AS hill_alpha
+FROM suff
+"""
+
+QUERIES["stat_hill_tail_index"] = stat_hill_tail_index
+ORACLE["stat_hill_tail_index"] = _HILL_SQL
+
+
+_COST_FP = "1.0"
+_COST_FN = "5.0"
+
+
+def ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive operating point: with asymmetric error costs
+    (FN = 5x FP), pick the sweep threshold minimizing expected cost
+    per example — the decision-theoretic upgrade over Youden's J
+    (which implicitly prices errors equally). Emits the winner with
+    its normalized cost.
+
+    Costs come from exact BIGINT cells, rounded 6 dp before the
+    argmin (smaller-threshold tiebreak) — engine-stable.
+    """
+    sweep = QUERIES["ml_confusion_threshold_sweep"](spark, sf_dir)
+    cost = sweep.withColumn(
+        "exp_cost",
+        F.round(
+            F.expr(
+                f"({_COST_FP} * CAST(fp AS DOUBLE)"
+                f" + {_COST_FN} * CAST(fn AS DOUBLE))"
+                f" / CAST(tp + fp + fn + tn AS DOUBLE)"
+            ),
+            6,
+        ),
+    )
+    w = Window.orderBy(F.col("exp_cost").asc(), F.col("thr").asc())
+    return (
+        cost.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("thr", "tp", "fp", "fn", "tn", "exp_cost")
+    )
+
+
+def _cost_threshold_sql() -> str:
+    return f"""
+WITH sweep AS ({_sweep_sql()}),
+cost AS (
+  SELECT thr, tp, fp, fn, tn,
+         round(({_COST_FP} * CAST(fp AS DOUBLE)
+               + {_COST_FN} * CAST(fn AS DOUBLE))
+               / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS exp_cost
+  FROM sweep)
+SELECT thr, tp, fp, fn, tn, exp_cost
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY exp_cost ASC, thr ASC) AS rk
+      FROM cost)
+WHERE rk = 1
+"""
+
+
+QUERIES["ml_cost_threshold"] = ml_cost_threshold
+ORACLE["ml_cost_threshold"] = _cost_threshold_sql()

@@ -1725,3 +1725,95 @@ ORDER BY lang
 
 QUERIES["text_stem_suffix"] = text_stem_suffix
 ORACLE["text_stem_suffix"] = _stem_sql()
+
+
+_BURST_TOP = 30
+
+
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio of per-document counts)
+    for the 30 highest-df tokens: function words spread evenly (VMR
+    ~<= 1, Poisson-ish) while topical/content words BURST (VMR >> 1 —
+    they pile into the few documents about their topic) — the
+    classic content-word detector used for keyword weighting.
+
+    Per-doc counts are exact integers (zero-docs included via the doc
+    count, not a join); VMR = (ss/N - (s/N)^2)/(s/N) from DECIMAL
+    sums, one shared closed form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(bcount().alias("nd"))
+    tok_counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(bcount().alias("c"))
+    )
+    wdf = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    top = (
+        tok_counts.groupBy("tok")
+        .agg(bcount().alias("df"))
+        .withColumn("rk", F.row_number().over(wdf))
+        .where(F.col("rk") <= _BURST_TOP)
+        .select("tok", "df")
+    )
+    suff = (
+        tok_counts.join(F.broadcast(top), "tok")
+        .groupBy("tok", "df")
+        .agg(
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+    )
+    vmr = (
+        "((CAST(ss AS DOUBLE) / CAST(nd AS DOUBLE)"
+        " - (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))"
+        " * (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)))"
+        " / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)))"
+    )
+    return (
+        suff.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "df",
+            "s",
+            F.round(F.expr(vmr), 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("tok").asc())
+    )
+
+
+def _burstiness_sql() -> str:
+    vmr = (
+        "((CAST(ss AS DOUBLE) / CAST(nd AS DOUBLE)"
+        " - (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))"
+        " * (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)))"
+        " / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)))"
+    )
+    return f"""
+WITH tok_counts AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1, 2),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+top AS (
+  SELECT tok, df FROM (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rk
+    FROM tok_counts GROUP BY tok)
+  WHERE rk <= {_BURST_TOP}),
+suff AS (
+  SELECT t.tok, t.df,
+         CAST(SUM(c.c) AS BIGINT) AS s,
+         CAST(SUM(c.c * c.c) AS BIGINT) AS ss
+  FROM tok_counts c JOIN top t ON c.tok = t.tok
+  GROUP BY 1, 2)
+SELECT tok, df, s, round({vmr}, 6) AS burstiness
+FROM suff CROSS JOIN nd
+ORDER BY burstiness DESC, tok ASC
+"""
+
+
+QUERIES["text_token_burstiness"] = text_token_burstiness
+ORACLE["text_token_burstiness"] = _burstiness_sql()

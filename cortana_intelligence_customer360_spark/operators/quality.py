@@ -700,3 +700,100 @@ LIMIT {_DUPKEY_TOPK}
 
 QUERIES["dq_duplicate_keys_sample"] = dq_duplicate_keys_sample
 ORACLE["dq_duplicate_keys_sample"] = _DUPKEY_SQL
+
+
+_PSI_BANDS = 10
+_PSI_LO, _PSI_HI = 900.0, 600000.0  # fixed price-band domain
+
+
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1996 and 1997 order-value
+    distributions over 10 FIXED price bands — the model-monitoring
+    drift score (rule of thumb: PSI < 0.1 stable, > 0.25 drifted).
+    Emits the per-band contributions plus band shares, so the drift is
+    attributable, not just a scalar.
+
+    Fixed band edges (log-spaced via the fixed domain, computed as a
+    pure literal grid) keep the banding a pure function of the value;
+    Laplace-smoothed shares avoid ln(0); contributions are 6 dp before
+    the DECIMAL total. One scan with conditional aggregates per year.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    width = (_PSI_HI - _PSI_LO) / _PSI_BANDS
+    band = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - F.lit(_PSI_LO)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(_PSI_BANDS - 1),
+    ).cast("long")
+    cells = o.groupBy(band.alias("band")).agg(
+        F.sum((F.year("o_orderdate") == 1996).cast("long")).cast("long").alias("n0"),
+        F.sum((F.year("o_orderdate") == 1997).cast("long")).cast("long").alias("n1"),
+    )
+    tot = cells.agg(
+        F.sum("n0").cast("long").alias("t0"), F.sum("n1").cast("long").alias("t1")
+    )
+    expr_p = (
+        "((CAST(n0 AS DOUBLE) + 0.5) / (CAST(t0 AS DOUBLE)"
+        f" + 0.5 * {_PSI_BANDS}))"
+    )
+    expr_q = (
+        "((CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE)"
+        f" + 0.5 * {_PSI_BANDS}))"
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n0",
+            "n1",
+            F.round(F.expr(expr_p), 6).alias("share_1996"),
+            F.round(F.expr(expr_q), 6).alias("share_1997"),
+            F.round(
+                F.expr(
+                    f"({expr_q} - {expr_p}) * ln({expr_q} / {expr_p})"
+                ),
+                6,
+            ).alias("psi_contrib"),
+        )
+        .orderBy("band")
+    )
+
+
+def _psi_sql() -> str:
+    width = (_PSI_HI - _PSI_LO) / _PSI_BANDS
+    expr_p = (
+        "((CAST(n0 AS DOUBLE) + 0.5) / (CAST(t0 AS DOUBLE)"
+        f" + 0.5 * {_PSI_BANDS}))"
+    )
+    expr_q = (
+        "((CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE)"
+        f" + 0.5 * {_PSI_BANDS}))"
+    )
+    return f"""
+WITH o AS (
+  SELECT o_totalprice, year(o_orderdate) AS yr FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)),
+cells AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - {_PSI_LO}) / {width}),
+              0), {_PSI_BANDS - 1}) AS BIGINT) AS band,
+         CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM o GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n0) AS BIGINT) AS t0, CAST(SUM(n1) AS BIGINT) AS t1
+  FROM cells)
+SELECT band, n0, n1,
+       round({expr_p}, 6) AS share_1996,
+       round({expr_q}, 6) AS share_1997,
+       round(({expr_q} - {expr_p}) * ln({expr_q} / {expr_p}), 6) AS psi_contrib
+FROM cells CROSS JOIN tot
+ORDER BY band
+"""
+
+
+QUERIES["dq_psi_drift"] = dq_psi_drift
+ORACLE["dq_psi_drift"] = _psi_sql()

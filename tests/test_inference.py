@@ -1490,3 +1490,64 @@ def test_expected_shortfall_below_var(spark, sf_dir):
     assert r.k == -(-5 * r.n_days // 100)
     assert r.expected_shortfall_95 <= r.var_95 + 1e-9
     assert r.expected_shortfall_95 > 0.0
+
+
+def test_inequality_indexes_nonnegative(spark, sf_dir):
+    """Theil and Atkinson are >= 0 (0 = perfect equality) and
+    Atkinson < 1."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        agg_inequality_indexes,
+    )
+
+    r = agg_inequality_indexes(spark, sf_dir).collect()[0]
+    assert r.theil_t >= -1e-6
+    assert -1e-6 <= r.atkinson_05 < 1.0
+
+
+def test_hill_alpha_positive(spark, sf_dir):
+    """The tail index is positive and k = 100 (enough data above the
+    threshold at any fixture scale >= 0.001)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_hill_tail_index,
+    )
+
+    r = stat_hill_tail_index(spark, sf_dir).collect()[0]
+    assert r.k >= 50
+    assert r.hill_alpha > 0.0
+
+
+def test_cost_threshold_dominates_on_cost(spark, sf_dir):
+    """The chosen threshold's expected cost is minimal over the sweep
+    (recomputed with the same 5:1 costs)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_confusion_threshold_sweep,
+        ml_cost_threshold,
+    )
+
+    best = ml_cost_threshold(spark, sf_dir).collect()[0]
+    sweep = ml_confusion_threshold_sweep(spark, sf_dir).collect()
+    costs = [
+        round((1.0 * r.fp + 5.0 * r.fn) / (r.tp + r.fp + r.fn + r.tn), 6)
+        for r in sweep
+    ]
+    assert best.exp_cost == pytest.approx(min(costs), abs=1e-9)
+
+
+def test_burstiness_and_psi_shapes(spark, sf_dir):
+    """Burstiness rows are the capped vocab, sorted desc; PSI bands
+    cover all 10 ids with shares summing to ~1 per year."""
+    from cortana_intelligence_customer360_spark.llmops.text import (
+        text_token_burstiness,
+    )
+    from cortana_intelligence_customer360_spark.operators.quality import (
+        dq_psi_drift,
+    )
+
+    b = text_token_burstiness(spark, sf_dir).collect()
+    assert len(b) == 30
+    vals = [r.burstiness for r in b]
+    assert vals == sorted(vals, reverse=True)
+    p = dq_psi_drift(spark, sf_dir).collect()
+    assert sum(r.share_1996 for r in p) == pytest.approx(1.0, abs=0.01)
+    assert sum(r.share_1997 for r in p) == pytest.approx(1.0, abs=0.01)
+    assert all(r.psi_contrib >= -1e-9 for r in p)  # (q-p)ln(q/p) >= 0

@@ -3396,3 +3396,258 @@ WHERE rk = 1
 
 QUERIES["ml_cost_threshold"] = ml_cost_threshold
 ORACLE["ml_cost_threshold"] = _cost_threshold_sql()
+
+
+# ---------------------------------------------------------------------------
+# stat_kruskal_wallis + stat_lognormal_fit + ml_feature_ablation
+# ---------------------------------------------------------------------------
+
+_KW_H = (
+    "(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * hsum"
+    " - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
+)
+
+
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA: do order values differ across ALL
+    five market segments? (the K-group extension of stat_mann_whitney
+    — same midrank machinery, one H statistic.)
+
+    Midranks come from the value-bucket prefix sum; per-group rank
+    sums are exact in 0.5 units (doubled midranks are BIGINTs), and
+    H = 12/(N(N+1)) * sum R_j^2/n_j - 3(N+1) is one shared closed
+    form with a Wilson-Hilferty chi-square_4 p-value. Tie correction
+    is applied (divide by 1 - sum(t^3-t)/(N^3-N)).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("xv"))
+    )
+    mr = _bucketed_midranks(obs, "xv", 256.0)
+    ranked = obs.join(mr, obs.xv == mr.v).select("seg", "mr2")
+    per = ranked.groupBy("seg").agg(
+        bcount().alias("nj"), F.sum("mr2").cast("long").alias("r2j")
+    )
+    ties = (
+        obs.groupBy("xv")
+        .agg(bcount().alias("tv"))
+        .agg(
+            F.sum(
+                F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")
+            ).cast("long").alias("tsum")
+        )
+    )
+    suff = per.agg(
+        F.sum("nj").cast("long").alias("n"),
+        bcount().alias("k"),
+        # R_j = r2j/2; sum R_j^2/n_j = sum r2j^2/(4 n_j)
+        dsum(
+            F.col("r2j").cast("double")
+            * F.col("r2j").cast("double")
+            / (4.0 * F.col("nj").cast("double"))
+            / F.lit(1000000.0)  # keep DECIMAL terms < 4e9 (sums ~1e12)
+        ).alias("hsum_m"),
+    ).crossJoin(ties)
+    h_raw = _KW_H.replace("hsum", "(hsum_m * 1000000.0)")
+    h_corr = (
+        f"({h_raw} / (1.0 - CAST(tsum AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - CAST(n AS DOUBLE))))"
+    )
+    return suff.select(
+        "n",
+        "k",
+        F.round(F.expr(h_corr), 6).alias("h_stat"),
+        F.round(F.expr(_p_two_sided_chi4(h_corr)), 5).alias("p_approx"),
+    )
+
+
+def _p_two_sided_chi4(x: str) -> str:
+    """Wilson-Hilferty chi-square_4 upper tail (shared text; z
+    quantized 6 dp before the A&S polynomial, the ts_ljung_box
+    lesson)."""
+    c = "(2.0 / 36.0)"
+    z = f"round((pow({x} / 4.0, 1.0 / 3.0) - (1.0 - {c})) / sqrt({c}), 6)"
+    half = f"({_p_two_sided(f'abs({z})')} / 2.0)"
+    return f"(CASE WHEN {z} >= 0.0 THEN {half} ELSE 1.0 - {half} END)"
+
+
+def _kw_sql() -> str:
+    h_raw = _KW_H.replace("hsum", "(hsum_m * 1000000.0)")
+    h_corr = (
+        f"({h_raw} / (1.0 - CAST(tsum AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - CAST(n AS DOUBLE))))"
+    )
+    return f"""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS xv
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+mr AS ({_midrank_sql('obs', 'xv')}),
+ranked AS (
+  SELECT obs.seg, mr.mr2 FROM obs JOIN mr ON obs.xv = mr.v),
+per AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS nj,
+         CAST(SUM(mr2) AS BIGINT) AS r2j
+  FROM ranked GROUP BY seg),
+ties AS (
+  SELECT CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tsum
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tv FROM obs GROUP BY xv)),
+suff AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         {dsum_sql('CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)'
+                   ' / (4.0 * CAST(nj AS DOUBLE)) / 1000000.0')} AS hsum_m
+  FROM per)
+SELECT n, k,
+       round({h_corr}, 6) AS h_stat,
+       round({_p_two_sided_chi4(h_corr)}, 5) AS p_approx
+FROM suff CROSS JOIN ties
+"""
+
+
+QUERIES["stat_kruskal_wallis"] = stat_kruskal_wallis
+ORACLE["stat_kruskal_wallis"] = _kw_sql()
+
+
+def stat_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of order values by moments of ln(x): mu and
+    sigma of the log, the implied distribution median exp(mu) and mean
+    exp(mu + sigma^2/2), and the observed mean — gap between implied
+    and observed mean reads as lognormality violation. ln terms 6 dp
+    (libm), DECIMAL sums, one scan.
+    """
+    obs = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / F.lit(1000000.0)).alias("x")
+    )
+    terms = obs.select(
+        "x", F.round(F.log("x"), 6).alias("lx")
+    )
+    suff = terms.agg(
+        bcount().alias("n"),
+        dsum("lx").alias("s"),
+        dsum(F.col("lx") * F.col("lx")).alias("ss"),
+        dsum("x").alias("sx"),
+    )
+    mu = "(s / CAST(n AS DOUBLE))"
+    sig2 = f"(ss / CAST(n AS DOUBLE) - {mu} * {mu})"
+    return suff.select(
+        "n",
+        F.round(F.expr(mu), 6).alias("log_mu"),
+        F.round(F.expr(f"sqrt({sig2})"), 6).alias("log_sigma"),
+        F.round(F.expr(f"exp({mu})"), 6).alias("implied_median"),
+        F.round(F.expr(f"exp({mu} + {sig2} / 2.0)"), 6).alias("implied_mean"),
+        F.round(F.expr("sx / CAST(n AS DOUBLE)"), 6).alias("observed_mean"),
+    )
+
+
+def _lognormal_sql() -> str:
+    mu = "(s / CAST(n AS DOUBLE))"
+    sig2 = f"(ss / CAST(n AS DOUBLE) - {mu} * {mu})"
+    return f"""
+WITH obs AS (SELECT o_totalprice / 1000000.0 AS x FROM orders),
+terms AS (SELECT x, round(ln(x), 6) AS lx FROM obs),
+suff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('lx')} AS s, {dsum_sql('lx * lx')} AS ss,
+         {dsum_sql('x')} AS sx
+  FROM terms)
+SELECT n,
+       round({mu}, 6) AS log_mu,
+       round(sqrt({sig2}), 6) AS log_sigma,
+       round(exp({mu}), 6) AS implied_median,
+       round(exp({mu} + {sig2} / 2.0), 6) AS implied_mean,
+       round(sx / CAST(n AS DOUBLE), 6) AS observed_mean
+FROM suff
+"""
+
+
+QUERIES["stat_lognormal_fit"] = stat_lognormal_fit
+ORACLE["stat_lognormal_fit"] = _lognormal_sql()
+
+
+def ml_feature_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-feature-out ablation over the stump grid: the best
+    achievable 0/1 error using the FULL grid vs the grid with each
+    feature's candidates removed — a feature whose removal doesn't
+    move the floor is redundant. One conditional-aggregate scan
+    produces every candidate's error; the ablation math runs on the
+    9-cell frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_discount").alias("dc"),
+        F.col("l_tax").alias("tx"),
+    )
+    feat_col = {"quantity": "q", "discount": "dc", "tax": "tx"}
+    aggs = [bcount().alias("n")]
+    for i, (f, thr) in enumerate(_TREE_CANDS):
+        pred = f"(CASE WHEN {feat_col[f]} <= {thr} THEN 1 ELSE 0 END)"
+        # error of the better polarity: min(mismatch, n - mismatch)
+        aggs.append(
+            F.expr(
+                f"CAST(SUM(CASE WHEN {pred} <> y THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"m{i}")
+        )
+    cells = li.agg(*aggs).localCheckpoint()
+    rows = []
+    feats = ["quantity", "discount", "tax"]
+    for drop in ["none"] + feats:
+        kept = [
+            i
+            for i, (f, _) in enumerate(_TREE_CANDS)
+            if f != drop
+        ]
+        best = "LEAST(" + ", ".join(
+            f"LEAST(m{i}, n - m{i})" for i in kept
+        ) + ")"
+        rows.append(
+            F.struct(
+                F.lit(drop).alias("dropped_feature"),
+                F.expr(
+                    f"round(CAST({best} AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+                ).alias("best_err"),
+            )
+        )
+    return (
+        cells.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("dropped_feature")
+    )
+
+
+def _ablation_sql() -> str:
+    feat_col = {"quantity": "q", "discount": "dc", "tax": "tx"}
+    cell_exprs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i, (f, thr) in enumerate(_TREE_CANDS):
+        pred = f"(CASE WHEN {feat_col[f]} <= {thr} THEN 1 ELSE 0 END)"
+        cell_exprs.append(
+            f"CAST(SUM(CASE WHEN {pred} <> y THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS m{i}"
+        )
+    unions = []
+    for drop in ["none", "quantity", "discount", "tax"]:
+        kept = [i for i, (f, _) in enumerate(_TREE_CANDS) if f != drop]
+        best = "LEAST(" + ", ".join(
+            f"LEAST(m{i}, n - m{i})" for i in kept
+        ) + ")"
+        unions.append(
+            f"SELECT '{drop}' AS dropped_feature,"
+            f" round(CAST({best} AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+            f" AS best_err FROM cells"
+        )
+    return f"""
+WITH li AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         l_quantity AS q, l_discount AS dc, l_tax AS tx
+  FROM lineitem),
+cells AS (SELECT {', '.join(cell_exprs)} FROM li)
+{' UNION ALL '.join(unions)}
+ORDER BY dropped_feature
+"""
+
+
+QUERIES["ml_feature_ablation"] = ml_feature_ablation
+ORACLE["ml_feature_ablation"] = _ablation_sql()

@@ -1389,3 +1389,66 @@ ORDER BY seg, yr
 
 QUERIES["agg_median_polish"] = agg_median_polish
 ORACLE["agg_median_polish"] = _median_polish_sql()
+
+
+def agg_supplier_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base concentration trend: the Herfindahl-Hirschman index
+    of supplier revenue shares per year (x10000, the antitrust
+    convention) plus the effective number of suppliers 1/sum(s^2) —
+    'is our spend consolidating into fewer suppliers?'.
+
+    Per-(year, supplier) revenue from DECIMAL sums; shares are
+    identical quotients both engines; share^2 terms are tiny (< 1), so
+    DECIMAL quantization is trivially safe. One orderkey join + one
+    (year, supplier) collapse.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("yr")
+    )
+    per = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("yr", "l_suppkey")
+        .agg(dsum("l_extendedprice").alias("rev"))
+    )
+    tot = per.groupBy("yr").agg(dsum("rev").alias("tot"))
+    shares = per.join(tot, "yr").select(
+        "yr", F.round(F.expr("rev / tot"), 9).alias("s")
+    )
+    return (
+        shares.groupBy("yr")
+        .agg(
+            bcount().alias("n_suppliers"),
+            F.round(dsum(F.col("s") * F.col("s")) * 10000.0, 6).alias("hhi"),
+        )
+        .withColumn(
+            "effective_suppliers",
+            F.round(F.expr("10000.0 / hhi"), 6),
+        )
+        .orderBy("yr")
+    )
+
+
+_HHI_TREND_SQL = f"""
+WITH per AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr, l.l_suppkey,
+         {dsum_sql('l.l_extendedprice')} AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+tot AS (SELECT yr, {dsum_sql('rev')} AS tot FROM per GROUP BY yr),
+shares AS (
+  SELECT per.yr, round(rev / tot, 9) AS s
+  FROM per JOIN tot ON per.yr = tot.yr)
+SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       round({dsum_sql('s * s')} * 10000.0, 6) AS hhi,
+       round(10000.0 / round({dsum_sql('s * s')} * 10000.0, 6), 6)
+         AS effective_suppliers
+FROM shares
+GROUP BY yr
+ORDER BY yr
+"""
+
+QUERIES["agg_supplier_hhi_trend"] = agg_supplier_hhi_trend
+ORACLE["agg_supplier_hhi_trend"] = _HHI_TREND_SQL

@@ -1551,3 +1551,64 @@ def test_burstiness_and_psi_shapes(spark, sf_dir):
     assert sum(r.share_1996 for r in p) == pytest.approx(1.0, abs=0.01)
     assert sum(r.share_1997 for r in p) == pytest.approx(1.0, abs=0.01)
     assert all(r.psi_contrib >= -1e-9 for r in p)  # (q-p)ln(q/p) >= 0
+
+
+def test_kruskal_wallis_bounds(spark, sf_dir):
+    """H >= 0, p in [0,1], all five segments counted."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_kruskal_wallis,
+    )
+
+    r = stat_kruskal_wallis(spark, sf_dir).collect()[0]
+    assert r.k == 5
+    assert r.h_stat >= -1e-6
+    assert 0.0 <= r.p_approx <= 1.0
+
+
+def test_lognormal_jensen_gap(spark, sf_dir):
+    """implied_mean >= implied_median (Jensen, sigma > 0) and sigma is
+    positive."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_lognormal_fit,
+    )
+
+    r = stat_lognormal_fit(spark, sf_dir).collect()[0]
+    assert r.log_sigma > 0.0
+    assert r.implied_mean >= r.implied_median
+
+
+def test_ablation_floor_monotone(spark, sf_dir):
+    """Dropping a feature can only raise (or keep) the error floor."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_feature_ablation,
+    )
+
+    rows = {r.dropped_feature: r.best_err for r in ml_feature_ablation(
+        spark, sf_dir
+    ).collect()}
+    assert set(rows) == {"none", "quantity", "discount", "tax"}
+    for f in ("quantity", "discount", "tax"):
+        assert rows[f] >= rows["none"] - 1e-9
+
+
+def test_hhi_effective_suppliers(spark, duck, sf_dir):
+    """HHI within (0, 10000]; effective suppliers <= actual suppliers;
+    per-year supplier counts match."""
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_supplier_hhi_trend,
+    )
+
+    rows = agg_supplier_hhi_trend(spark, sf_dir).collect()
+    truth = dict(
+        duck.execute(
+            """
+            SELECT year(o.o_orderdate), COUNT(DISTINCT l.l_suppkey)
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.n_suppliers == truth[r.yr]
+        assert 0.0 < r.hhi <= 10000.0
+        assert r.effective_suppliers <= r.n_suppliers + 1e-6

@@ -3460,7 +3460,9 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "k",
         F.round(F.expr(h_corr), 6).alias("h_stat"),
-        F.round(F.expr(_p_two_sided_chi4(h_corr)), 5).alias("p_approx"),
+        # 4 dp: the A&S tail's own exp() wiggle flipped a 5th-decimal
+        # rounding at sf0.001 even with the quantized WH z
+        F.round(F.expr(_p_two_sided_chi4(h_corr)), 4).alias("p_approx"),
     )
 
 
@@ -3502,7 +3504,7 @@ suff AS (
   FROM per)
 SELECT n, k,
        round({h_corr}, 6) AS h_stat,
-       round({_p_two_sided_chi4(h_corr)}, 5) AS p_approx
+       round({_p_two_sided_chi4(h_corr)}, 4) AS p_approx
 FROM suff CROSS JOIN ties
 """
 

@@ -1312,3 +1312,72 @@ ORDER BY week
 
 QUERIES["feat_growth_accounting"] = feat_growth_accounting
 ORACLE["feat_growth_accounting"] = _GROWTH_SQL
+
+
+def feat_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month: average daily active users
+    divided by the month's distinct actives — 'how many of the
+    monthly users show up on a typical day', the habit-strength
+    metric next to feat_growth_accounting's flow view.
+
+    Two distinct-count collapses of the same (user, day) frame
+    (day level and month level); the ratio is an exact-integer
+    quotient rounded 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+    ).distinct()
+    dau = ud.groupBy("month", "day").agg(bcount().alias("dau"))
+    mau = ud.select("month", "user_id").distinct().groupBy("month").agg(
+        bcount().alias("mau")
+    )
+    per_month = dau.groupBy("month").agg(
+        F.sum("dau").cast("long").alias("sum_dau"),
+        bcount().alias("n_days"),
+    )
+    return (
+        per_month.join(mau, "month")
+        .select(
+            F.col("month").cast("string").alias("month"),
+            "n_days",
+            "mau",
+            F.round(
+                F.expr(
+                    "CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE)"
+                    " / CAST(mau AS DOUBLE)"
+                ),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+_DAU_MAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(date_trunc('month', ts) AS DATE) AS month
+  FROM events),
+dau AS (
+  SELECT month, day, CAST(COUNT(*) AS BIGINT) AS dau
+  FROM ud GROUP BY 1, 2),
+mau AS (
+  SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM ud GROUP BY 1),
+per_month AS (
+  SELECT month, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY 1)
+SELECT CAST(p.month AS VARCHAR) AS month, p.n_days, m.mau,
+       round(CAST(p.sum_dau AS DOUBLE) / CAST(p.n_days AS DOUBLE)
+             / CAST(m.mau AS DOUBLE), 6) AS stickiness
+FROM per_month p JOIN mau m ON p.month = m.month
+ORDER BY month
+"""
+
+QUERIES["feat_dau_mau_stickiness"] = feat_dau_mau_stickiness
+ORACLE["feat_dau_mau_stickiness"] = _DAU_MAU_SQL

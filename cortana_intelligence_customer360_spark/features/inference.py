@@ -3653,3 +3653,179 @@ ORDER BY dropped_feature
 
 QUERIES["ml_feature_ablation"] = ml_feature_ablation
 ORACLE["ml_feature_ablation"] = _ablation_sql()
+
+
+# ---------------------------------------------------------------------------
+# stat_mcnemar_test + ml_brier_decomposition
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_CHI2 = (
+    "((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+    " * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))"
+    " / CAST(b + c AS DOUBLE))"
+)
+
+
+def stat_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test comparing two stump classifiers on the
+    SAME rows (discount <= 0.05 vs quantity <= 25 predicting returns):
+    only the disagreement cells matter — b = A right & B wrong, c = A
+    wrong & B right; chi2_1 = (b-c)^2/(b+c). THE test for 'is model A
+    actually better than model B on this dataset' (accuracy deltas
+    alone ignore pairing).
+
+    One conditional-aggregate scan produces the 2x2 disagreement
+    cells; chi-square p via Wilson-Hilferty (df=1), 4 dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        (F.col("l_discount") <= 0.05).cast("long").alias("pa"),
+        (F.col("l_quantity") <= 25.0).cast("long").alias("pb"),
+    )
+    cells = li.agg(
+        bcount().alias("n"),
+        F.sum(
+            F.expr("CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END")
+        ).cast("long").alias("b"),
+        F.sum(
+            F.expr("CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END")
+        ).cast("long").alias("c"),
+    )
+    return cells.select(
+        "n",
+        "b",
+        "c",
+        F.round(F.expr(_MCNEMAR_CHI2), 6).alias("chi2"),
+        F.round(F.expr(_wh_chi2_tail_df1(_MCNEMAR_CHI2)), 4).alias("p_approx"),
+    )
+
+
+def _wh_chi2_tail_df1(x: str) -> str:
+    """chi-square_1 upper tail: exactly 2*(1 - Phi(sqrt(x))) — the A&S
+    two-sided tail of sqrt(x), 6 dp-quantized first."""
+    z = f"round(sqrt({x}), 6)"
+    return _p_two_sided(z)
+
+
+def _mcnemar_sql() -> str:
+    return f"""
+WITH li AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END AS pa,
+         CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END AS pb
+  FROM lineitem),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT)
+           AS b,
+         CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT)
+           AS c
+  FROM li)
+SELECT n, b, c,
+       round({_MCNEMAR_CHI2}, 6) AS chi2,
+       round({_wh_chi2_tail_df1(_MCNEMAR_CHI2)}, 4) AS p_approx
+FROM cells
+"""
+
+
+QUERIES["stat_mcnemar_test"] = stat_mcnemar_test
+ORACLE["stat_mcnemar_test"] = _mcnemar_sql()
+
+
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the discount-as-
+    probability forecast of returns: REL (calibration error) - RES
+    (discrimination) + UNC (irreducible base-rate variance), over the
+    11 distinct discount bins. The decomposition says WHERE a
+    probabilistic score is losing: miscalibration or lack of
+    resolution.
+
+    Bins are the exact distinct discount values (11 of them); all
+    terms come from BIGINT cell counts with quantized per-bin means —
+    engine-stable closed forms; the identity REL - RES + UNC =
+    binned Brier is pinned in tests.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("s"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    bins = li.groupBy("s").agg(
+        bcount().alias("nb"), F.sum("y").cast("long").alias("pos")
+    )
+    tot = bins.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "nb",
+        F.round(F.expr("CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)"), 6).alias(
+            "ob"
+        ),
+        F.round(F.expr("CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)"), 6).alias(
+            "obar"
+        ),
+        F.col("s").cast("double").alias("sb"),
+        "n",
+    )
+    suff = terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("obar").alias("obar"),
+        dsum(
+            F.col("nb").cast("double")
+            * (F.col("sb") - F.col("ob"))
+            * (F.col("sb") - F.col("ob"))
+        ).alias("rel_n"),
+        dsum(
+            F.col("nb").cast("double")
+            * (F.col("ob") - F.col("obar"))
+            * (F.col("ob") - F.col("obar"))
+        ).alias("res_n"),
+    )
+    return suff.select(
+        "n",
+        F.round(F.expr("rel_n / CAST(n AS DOUBLE)"), 6).alias("reliability"),
+        F.round(F.expr("res_n / CAST(n AS DOUBLE)"), 6).alias("resolution"),
+        F.round(F.expr("obar * (1.0 - obar)"), 6).alias("uncertainty"),
+        F.round(
+            F.expr(
+                "rel_n / CAST(n AS DOUBLE) - res_n / CAST(n AS DOUBLE)"
+                " + obar * (1.0 - obar)"
+            ),
+            6,
+        ).alias("brier_binned"),
+    )
+
+
+_BRIER_SQL = f"""
+WITH li AS (
+  SELECT l_discount AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+bins AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(y) AS BIGINT) AS pos
+  FROM li GROUP BY s),
+tot AS (
+  SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS npos
+  FROM bins),
+terms AS (
+  SELECT nb,
+         round(CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS ob,
+         round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obar,
+         CAST(s AS DOUBLE) AS sb, n
+  FROM bins CROSS JOIN tot),
+suff AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(obar) AS obar,
+         {dsum_sql('CAST(nb AS DOUBLE) * (sb - ob) * (sb - ob)')} AS rel_n,
+         {dsum_sql('CAST(nb AS DOUBLE) * (ob - obar) * (ob - obar)')} AS res_n
+  FROM terms)
+SELECT n,
+       round(rel_n / CAST(n AS DOUBLE), 6) AS reliability,
+       round(res_n / CAST(n AS DOUBLE), 6) AS resolution,
+       round(obar * (1.0 - obar), 6) AS uncertainty,
+       round(rel_n / CAST(n AS DOUBLE) - res_n / CAST(n AS DOUBLE)
+             + obar * (1.0 - obar), 6) AS brier_binned
+FROM suff
+"""
+
+QUERIES["ml_brier_decomposition"] = ml_brier_decomposition
+ORACLE["ml_brier_decomposition"] = _BRIER_SQL

@@ -1612,3 +1612,55 @@ def test_hhi_effective_suppliers(spark, duck, sf_dir):
         assert r.n_suppliers == truth[r.yr]
         assert 0.0 < r.hhi <= 10000.0
         assert r.effective_suppliers <= r.n_suppliers + 1e-6
+
+
+def test_mcnemar_disagreement_cells(spark, duck, sf_dir):
+    """b and c match direct recomputation; chi2 = (b-c)^2/(b+c)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        stat_mcnemar_test,
+    )
+
+    r = stat_mcnemar_test(spark, sf_dir).collect()[0]
+    b, c = duck.execute(
+        """
+        SELECT SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END),
+               SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+        FROM (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                     CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END AS pa,
+                     CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END AS pb
+              FROM lineitem)
+        """
+    ).fetchone()
+    assert (r.b, r.c) == (b, c)
+    assert r.chi2 == pytest.approx((b - c) ** 2 / (b + c), rel=1e-5)
+    assert 0.0 <= r.p_approx <= 1.0
+
+
+def test_brier_identity_and_bounds(spark, sf_dir):
+    """REL, RES, UNC >= 0; UNC <= 0.25; the emitted brier equals
+    REL - RES + UNC."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_brier_decomposition,
+    )
+
+    r = ml_brier_decomposition(spark, sf_dir).collect()[0]
+    assert r.reliability >= 0.0
+    assert r.resolution >= 0.0
+    assert 0.0 <= r.uncertainty <= 0.25
+    assert r.brier_binned == pytest.approx(
+        r.reliability - r.resolution + r.uncertainty, abs=1e-5
+    )
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    """Stickiness lives in (0, 1]: a month's average DAU can't exceed
+    its MAU."""
+    from cortana_intelligence_customer360_spark.features.core import (
+        feat_dau_mau_stickiness,
+    )
+
+    rows = feat_dau_mau_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.stickiness <= 1.0
+        assert r.n_days >= 1 and r.mau >= 1

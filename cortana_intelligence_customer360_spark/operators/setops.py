@@ -373,3 +373,70 @@ ORACLE = {
     "set_intersect_all": _INTERSECT_ALL_SQL,
     "set_except_all": _EXCEPT_ALL_SQL,
 }
+
+
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts by (MIN retail price,
+    MAX size): a part survives iff no other part is at most as
+    expensive AND at least as big with one strict — the multi-
+    criteria shortlist operator (cheapest-per-capability).
+
+    NO quadratic dominance join: sort-sweep rewrite — group to
+    distinct prices with their max size, take the running max of size
+    over STRICTLY cheaper prices (deterministic price-bucket prefix
+    max: per-bucket maxima + a tiny bucket-offset frame, the value-
+    bucket discipline), and keep parts whose size equals their price
+    group's max and strictly exceeds that prefix. Exact integer/
+    2-decimal comparisons throughout.
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    grp = parts.groupBy("price").agg(F.max("size").alias("gmax"))
+    grp = grp.withColumn("bkt", F.floor(F.col("price") / F.lit(64.0)).cast("long"))
+    bmax = grp.groupBy("bkt").agg(F.max("gmax").alias("bm"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bmax.withColumn("prevb", F.max("bm").over(wb)).select("bkt", "prevb")
+    wloc = Window.partitionBy("bkt").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pref = (
+        grp.join(F.broadcast(boff), "bkt")
+        .withColumn("prevloc", F.max("gmax").over(wloc))
+        .select(
+            "price",
+            "gmax",
+            F.greatest(
+                F.coalesce("prevb", F.lit(-1).cast("long")),
+                F.coalesce("prevloc", F.lit(-1).cast("long")),
+            ).alias("prefmax"),
+        )
+    )
+    return (
+        parts.join(pref, "price")
+        .where((F.col("size") == F.col("gmax")) & (F.col("size") > F.col("prefmax")))
+        .select("p_partkey", "price", "size")
+        .orderBy("price", "p_partkey")
+    )
+
+
+_SKYLINE_SQL = """
+WITH parts AS (
+  SELECT p_partkey, p_retailprice AS price, CAST(p_size AS BIGINT) AS size
+  FROM part),
+grp AS (SELECT price, MAX(size) AS gmax FROM parts GROUP BY price),
+pref AS (
+  SELECT price, gmax,
+         COALESCE(MAX(gmax) OVER (ORDER BY price
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST(-1 AS BIGINT)) AS prefmax
+  FROM grp)
+SELECT p.p_partkey, p.price, p.size
+FROM parts p JOIN pref ON p.price = pref.price
+WHERE p.size = pref.gmax AND p.size > pref.prefmax
+ORDER BY p.price, p.p_partkey
+"""
+
+QUERIES["agg_skyline_2d"] = agg_skyline_2d
+ORACLE["agg_skyline_2d"] = _SKYLINE_SQL

@@ -1664,3 +1664,25 @@ def test_stickiness_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 < r.stickiness <= 1.0
         assert r.n_days >= 1 and r.mau >= 1
+
+
+def test_skyline_is_exact_pareto_frontier(spark, duck, sf_dir):
+    """Brute-force dominance check: every emitted part is undominated,
+    and every undominated (price, size) combo appears."""
+    from cortana_intelligence_customer360_spark.operators.setops import (
+        agg_skyline_2d,
+    )
+
+    rows = agg_skyline_2d(spark, sf_dir).collect()
+    pts = duck.execute(
+        "SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) FROM part"
+    ).fetchall()
+
+    def dominated(p, s):
+        return any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s)) for _, p2, s2 in pts
+        )
+
+    emitted = {(r.p_partkey) for r in rows}
+    expected = {k for k, p, s in pts if not dominated(p, s)}
+    assert emitted == expected

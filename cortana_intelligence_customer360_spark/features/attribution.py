@@ -1803,7 +1803,7 @@ SELECT t.user_id,
        CAST(t.n_total AS BIGINT) AS n_total,
        COALESCE(fc.decision, 'continue') AS decision,
        CAST(COALESCE(fc.n_at_decision, t.n_total) AS BIGINT) AS n_at_decision,
-       COALESCE(fc.llr_at_decision, t.llr_final) AS llr_stop
+       CAST(COALESCE(fc.llr_at_decision, t.llr_final) AS DOUBLE) AS llr_stop
 FROM t LEFT JOIN fc USING (user_id)
 """
 

@@ -847,7 +847,8 @@ def _ada_sql() -> str:
   FROM d{t})"""
         )
         selects.append(
-            f"SELECT CAST({t} AS BIGINT) AS t, feature, thr, pol, eps, alpha,"
+            f"SELECT CAST({t} AS BIGINT) AS t, feature,"
+            f" CAST(thr AS DOUBLE) AS thr, pol, eps, alpha,"
             f" train_err FROM b{t} CROSS JOIN a{t}"
         )
     return (
@@ -1050,7 +1051,7 @@ cells AS (
   FROM (SELECT y, thr, CASE WHEN s >= thr THEN 1 ELSE 0 END AS pred
         FROM li CROSS JOIN thr)
   GROUP BY thr)
-SELECT thr, tp, fp, fn, tn,
+SELECT CAST(thr AS DOUBLE) AS thr, tp, fp, fn, tn,
        round({_SWEEP_PREC}, 6) AS precision,
        round({_SWEEP_REC}, 6) AS recall,
        round({_SWEEP_F1}, 6) AS f1
@@ -1511,7 +1512,7 @@ curve AS (
          round(sd * sqrt(1.0 / CAST(n1 AS DOUBLE)
                + 1.0 / CAST(n2 AS DOUBLE)), 6) AS se
   FROM sd CROSS JOIN es)
-SELECT effect, n1, n2, se,
+SELECT CAST(effect AS DOUBLE) AS effect, n1, n2, se,
        round({_phi(zb)}, 6) AS power
 FROM curve
 ORDER BY effect
@@ -2432,7 +2433,7 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY fold
         ORDER BY train_err ASC, feature ASC, thr ASC) AS rk
   FROM mat)
-SELECT fold, feature, thr, train_err, test_err
+SELECT fold, feature, CAST(thr AS DOUBLE) AS thr, train_err, test_err
 FROM ranked WHERE rk = 1
 ORDER BY fold
 """

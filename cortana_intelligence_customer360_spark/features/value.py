@@ -966,8 +966,8 @@ agg AS (
          CAST(SUM(pos) AS BIGINT) AS n_pos
   FROM deciles GROUP BY decile)
 SELECT decile, n, n_pos,
-       SUM(n) OVER (ORDER BY decile) AS cum_n,
-       SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+       CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+       CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
        round(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
              / CAST(SUM(n_pos) OVER () AS DOUBLE), 6) AS capture_rate,
        round((CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)

@@ -748,7 +748,7 @@ grp AS (
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
   FROM marked)
-SELECT o_custkey, o_orderkey, grp,
+SELECT o_custkey, o_orderkey, CAST(grp AS BIGINT) AS grp,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
             OVER (PARTITION BY o_custkey, grp
                   ORDER BY o_orderdate, o_orderkey

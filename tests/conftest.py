@@ -59,9 +59,18 @@ def duck():
 
 
 def canon_cell(v) -> str:
-    """Canonical string for one value, absorbing dtype differences that
-    are NOT semantic (int64 vs float64-from-nullable, numpy vs python)
-    while keeping float bit-level differences visible."""
+    """Canonical string for one value — DRIVER-STRICT since round 6.
+
+    The r5 driver hash failure (win_reset_running_sum: rows/schema
+    match, hash fail) proved the real driver does NOT fold integral
+    floats into ints: a DuckDB HUGEINT column reaches pandas as
+    float64 and hashes ``1.0`` against Spark BIGINT's ``1``. The old
+    canon here absorbed exactly that difference, so 505 local parity
+    tests were green while the driver failed. Floats now keep their
+    floatness (``repr``), and only signed zero is normalized (-0.0 ==
+    0.0 semantically and both sides can legitimately produce either).
+    Decimal→float folding stays: fn_cast_decimal hash-PASSED driver
+    round 1, so the driver demonstrably folds Decimal objects."""
     if v is None:
         return "<NULL>"
     if isinstance(v, (np.ndarray, list, tuple)):
@@ -70,8 +79,8 @@ def canon_cell(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "<NULL>"
-        if f == int(f) and abs(f) < 2**53:
-            return str(int(f))
+        if f == 0.0:
+            f = 0.0
         return repr(f)
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))

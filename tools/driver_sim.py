@@ -40,11 +40,13 @@ def canon(v) -> str:
     if isinstance(v, (np.ndarray, list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, (float, np.floating)):
+        # Driver-strict (r6): no integral-float folding — see
+        # tests/conftest.py canon_cell for the r5 failure analysis.
         f = float(v)
         if math.isnan(f):
             return "<NULL>"
-        if f == int(f) and abs(f) < 2**53:
-            return str(int(f))
+        if f == 0.0:
+            f = 0.0
         return repr(f)
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))

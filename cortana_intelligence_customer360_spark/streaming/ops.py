@@ -734,18 +734,20 @@ _TWS_OUT_SCHEMA = T.StructType(
 
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-# transformWithStateInPandas (Spark 4's arbitrary-stateful API) starts a
-# separate Python "state server" worker that speaks protobuf; without
-# google.protobuf the worker crashes at init
-# (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, verified in this
-# container). Gate registration on the dependency — the operators below
-# are complete and self-activate when the environment gains protobuf,
-# exactly like the HAVE_IMAGE_LIBS codec gate in llmops/multimodal.py.
-import importlib.util as _ilu
+# transformWithStateInPandas (Spark 4's arbitrary-stateful API) runs a
+# protobuf-speaking state-server client inside the Python worker; the
+# container lacks google-protobuf, which made these two ops dormant in
+# rounds 4-5. Round 6 closes that with a from-scratch minimal protobuf
+# runtime (vendor/pbshim — public wire-format spec only): the loader
+# path-injects it on the driver and ships it to workers via addPyFile,
+# so the ops self-activate with no environment change. If the real
+# protobuf package is ever installed it takes precedence automatically.
+from cortana_intelligence_customer360_spark.vendor import pbshim_loader as _pbshim
 
 try:
-    HAVE_PROTOBUF = _ilu.find_spec("google.protobuf") is not None
-except ModuleNotFoundError:  # no 'google' namespace package at all
+    _pbshim.activate_driver()
+    HAVE_PROTOBUF = True
+except Exception:  # pragma: no cover - shim import failure
     HAVE_PROTOBUF = False
 
 
@@ -800,21 +802,35 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed ValueState. Under one availableNow pass the emitted update
     equals the batch argmax/count, so it carries a full oracle; the
     cross-batch state-merge path is exercised by
-    stream_transform_state_multi against the SAME oracle."""
+    stream_transform_state_multi against the SAME oracle.
+
+    transformWithState requires a multi-column-family state store, so
+    the RocksDB provider (the 100 TB choice anyway) is pinned for the
+    query and restored after."""
+    _pbshim.ship_to_workers(spark)
     proc = _LatestEventProcessor()
-    ev = _events_stream(spark, sf_dir).select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.col("event_id").cast("long").alias("event_id"),
-        "event_type",
-    )
-    out = ev.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=proc,
-        outputStructType=_TWS_OUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
-    return _drain_to_memory(out, "update")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+        )
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _drain_to_memory(out, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def stream_transform_state_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,21 +838,31 @@ def stream_transform_state_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches: the ValueState must fold across batches; the memory
     sink keeps every per-batch update, so the LAST update per user
     (max n_events — the count is monotone) must equal the batch
-    oracle."""
+    oracle. RocksDB provider pinned as in stream_transform_state."""
+    _pbshim.ship_to_workers(spark)
     proc = _LatestEventProcessor()
-    ev = _events_stream_multi(spark, sf_dir).select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.col("event_id").cast("long").alias("event_id"),
-        "event_type",
-    )
-    out = ev.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=proc,
-        outputStructType=_TWS_OUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
-    updates = _drain_to_memory(out, "update", min_batches=2)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        ev = _events_stream_multi(spark, sf_dir).select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+        )
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        updates = _drain_to_memory(out, "update", min_batches=2)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         updates.withColumn("rn", F.row_number().over(w))

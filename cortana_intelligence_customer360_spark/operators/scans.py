@@ -967,3 +967,73 @@ FROM orders GROUP BY 1 ORDER BY 1
 
 QUERIES["sink_python_datasource"] = sink_python_datasource
 ORACLE["sink_python_datasource"] = _PY_SINK_SQL
+
+
+# -- Avro round-trip (round 6) ----------------------------------------------
+
+_AVRO_FIELDS = [
+    ("s_suppkey", "long"),
+    ("s_name", "string"),
+    ("s_nationkey", "int"),
+    ("s_acctbal", "double"),
+]
+
+
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro round-trip WITHOUT the external spark-avro module (absent
+    from this distribution — probed: "Failed to find data source:
+    avro"): each supplier partition is encoded into one Avro Object
+    Container File blob by the from-scratch public-spec codec
+    (operators/avro_codec.py — magic/metadata/sync-marker layout,
+    zigzag-varint ints, IEEE doubles), persisted through a real
+    distributed parquet sink, re-read, and decoded map-only. Encode
+    and decode are both Arrow-batched mapInPandas with no shuffle and
+    no driver collect: at 100 TB this is one container blob per input
+    split, the same shape a fleet of executors writing avro to object
+    storage would produce. The decode validates magic, writer schema,
+    block lengths, and every sync marker, so the round-trip proves
+    byte-level format fidelity, not just value equality."""
+    import pandas as pd
+
+    from .avro_codec import decode_container, encode_container
+
+    out = scratch_dir("scan_avro_roundtrip", sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        *[n for n, _ in _AVRO_FIELDS]
+    )
+
+    fields = list(_AVRO_FIELDS)
+
+    def _encode(batches):
+        for pdf in batches:
+            blob = encode_container(
+                pdf.itertuples(index=False, name=None), fields
+            )
+            yield pd.DataFrame({"avro": [blob]})
+
+    blob_schema = T.StructType([T.StructField("avro", T.BinaryType())])
+    sup.repartition(4, "s_suppkey").mapInPandas(_encode, blob_schema).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    def _decode(batches):
+        for pdf in batches:
+            for blob in pdf["avro"]:
+                _, rows = decode_container(bytes(blob))
+                yield pd.DataFrame(
+                    rows, columns=[n for n, _ in fields]
+                ).astype(
+                    {"s_suppkey": "int64", "s_nationkey": "int32"}
+                )
+
+    return spark.read.parquet(out).mapInPandas(
+        _decode, TABLE_SCHEMAS["supplier"]
+    )
+
+
+_SCAN_AVRO_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+QUERIES["scan_avro_roundtrip"] = scan_avro_roundtrip
+ORACLE["scan_avro_roundtrip"] = _SCAN_AVRO_SQL

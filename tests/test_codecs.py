@@ -133,3 +133,49 @@ def test_nearest_neighbor_resize_matches_reference():
     fast = img[np.ix_((np.arange(th) * h) // th, (np.arange(tw) * w) // tw)]
     ref = [[img[ty * h // th][tx * w // tw] for tx in range(tw)] for ty in range(th)]
     assert fast.tolist() == ref
+
+
+# -- Avro Object Container File codec (round 6) -----------------------------
+
+from cortana_intelligence_customer360_spark.operators.avro_codec import (  # noqa: E402
+    MAGIC as AVRO_MAGIC,
+    decode_container,
+    encode_container,
+)
+
+_AVRO_FIELDS = [("k", "long"), ("name", "string"), ("n", "int"), ("x", "double")]
+
+
+def test_avro_round_trip():
+    rows = [(1, "a", -5, 1.25), (-9, "β-utf8", 0, -0.0), (2**40, "", 7, 3.5)]
+    blob = encode_container(rows, _AVRO_FIELDS)
+    assert blob[:4] == AVRO_MAGIC
+    fields, got = decode_container(blob)
+    assert fields == _AVRO_FIELDS
+    assert got == rows
+
+
+def test_avro_empty_partition():
+    blob = encode_container([], _AVRO_FIELDS)
+    fields, got = decode_container(blob)
+    assert fields == _AVRO_FIELDS and got == []
+
+
+def test_avro_deterministic():
+    rows = [(1, "a", 2, 3.0)]
+    assert encode_container(rows, _AVRO_FIELDS) == encode_container(
+        rows, _AVRO_FIELDS
+    )
+
+
+def test_avro_sync_marker_validated():
+    rows = [(1, "a", 2, 3.0)]
+    blob = bytearray(encode_container(rows, _AVRO_FIELDS))
+    blob[-1] ^= 0xFF  # corrupt the trailing block sync marker
+    with pytest.raises(ValueError, match="sync marker"):
+        decode_container(bytes(blob))
+
+
+def test_avro_rejects_non_avro():
+    with pytest.raises(ValueError, match="not an Avro"):
+        decode_container(b"PAR1not-avro-at-all")

@@ -49,6 +49,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.llmops.scoring",
     "cortana_intelligence_customer360_spark.llmops.embeddings",
     "cortana_intelligence_customer360_spark.streaming.ops",
+    "cortana_intelligence_customer360_spark.streaming.heavy",
     "cortana_intelligence_customer360_spark.sources.lakehouse",
 ]
 
@@ -130,6 +131,25 @@ _DRIVER_RECORDED = frozenset({
     "ts_backtest_sma", "ts_cusum_drift", "ts_ewma", "ts_gap_fill",
     "ts_rolling_zscore", "ts_twa", "win_distinct_sliding",
     "win_pattern_vshape",
+    # r05 ids (CORRECTNESS_r05.json):
+    "scan_metadata_cols", "scan_ignore_corrupt_files",
+    "sink_python_datasource", "agg_skew_kurtosis", "agg_geo_harmonic_means",
+    "agg_session_window_batch", "agg_hopping_window_batch",
+    "agg_interval_concurrency", "agg_price_index", "agg_median_polish",
+    "agg_supplier_hhi_trend", "win_drawdown", "win_reset_running_sum",
+    "win_interval_merge", "agg_skyline_2d", "dq_functional_deps",
+    "dq_duplicate_keys_sample", "dq_psi_drift", "graph_connected_components",
+    "graph_modularity", "graph_random_walk_deepwalk", "graph_adamic_adar",
+    "sample_weighted_ares", "graph_degree_assortativity",
+    "graph_pagerank_personalized", "ts_holt_winters", "ts_fourier_period",
+    "ts_kalman_filter", "ts_acf_profile", "ts_spectral_entropy",
+    "ts_pacf_durbin", "ts_croston", "ts_lead_lag_xcorr",
+    "ts_seasonal_strength", "ts_ljung_box", "ts_residual_mean_reversion",
+    "ts_peak_detection", "ts_theta_method", "ts_forecast_accuracy",
+    "ts_linear_interpolate", "ts_haar_wavelet", "ts_demand_classification",
+    "ts_hampel_outliers", "sql_group_by_all", "fn_luhn", "fn_pseudonymize",
+    "fn_crypto_hash", "fn_binary_codec", "sql_scripting_while",
+    "sql_identifier_dynamic",
 })
 
 

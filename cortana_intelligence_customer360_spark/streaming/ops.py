@@ -124,6 +124,59 @@ def _events_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", raw_ts_to_timestamp("ts"))
 
 
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the documents table (no ts normalization —
+    the corpus is not temporal)."""
+    ensure_session_confs(spark)
+    sch = load_table(spark, sf_dir, "documents").schema
+    return spark.readStream.schema(sch).parquet(f"{sf_dir}/documents.parque[t]")
+
+
+def _docs_multifile_src(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize documents as _MULTI_FILES doc_id-range parquet files
+    with ascending mtimes (the file source replays in mtime order) so
+    a maxFilesPerTrigger=1 stream sees a deterministic multi-batch
+    arrival — the corpus analogue of _events_multifile_src."""
+    src = scratch_dir("docs_multifile", sf_dir)
+    if not os.path.isdir(os.path.join(src, "_done")):
+        ensure_session_confs(spark)
+        docs = load_table(spark, sf_dir, "documents")
+        docs.repartitionByRange(_MULTI_FILES, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        parts = glob.glob(os.path.join(src, "part-*.parquet"))
+
+        def min_id(path: str) -> int:
+            md = pq.read_metadata(path)
+            idx = md.schema.names.index("doc_id")
+            return min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+
+        base = int(os.path.getmtime(parts[0]))
+        for k, p in enumerate(sorted(parts, key=min_id)):
+            os.utime(p, (base + k, base + k))
+        os.makedirs(os.path.join(src, "_done"), exist_ok=True)
+    return src
+
+
+def _docs_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of documents arriving over _MULTI_FILES
+    micro-batches (maxFilesPerTrigger=1 under availableNow)."""
+    src = _docs_multifile_src(spark, sf_dir)
+    sch = load_table(spark, sf_dir, "documents").schema
+    return (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
 _STATE_PARTITIONS = "8"
 
 

@@ -317,3 +317,23 @@ def test_stream_rocksdb_equals_hdfs_state_store(spark, sf_dir):
         for r in stream_tumbling_multi(spark, sf_dir).collect()
     }
     assert rocks == hdfs and len(rocks) > 0
+
+
+def test_stream_heavy_hitters_equals_batch(spark, sf_dir):
+    """The streaming MG candidate phase + exact verification must equal
+    the batch two-phase op exactly — batch-split independence is the
+    design claim (streaming/heavy.py docstring)."""
+    from cortana_intelligence_customer360_spark.llmops.text import text_heavy_hitters
+    from cortana_intelligence_customer360_spark.streaming.heavy import (
+        stream_heavy_hitters_multi,
+    )
+
+    batch = {
+        (r["word"], r["cnt"])
+        for r in text_heavy_hitters(spark, sf_dir).collect()
+    }
+    stream = {
+        (r["word"], r["cnt"])
+        for r in stream_heavy_hitters_multi(spark, sf_dir).collect()
+    }
+    assert batch == stream and batch

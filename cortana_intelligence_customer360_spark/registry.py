@@ -50,6 +50,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.llmops.embeddings",
     "cortana_intelligence_customer360_spark.streaming.ops",
     "cortana_intelligence_customer360_spark.streaming.heavy",
+    "cortana_intelligence_customer360_spark.streaming.typed_state",
     "cortana_intelligence_customer360_spark.sources.lakehouse",
 ]
 

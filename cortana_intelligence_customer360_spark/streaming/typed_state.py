@@ -1,0 +1,296 @@
+"""transformWithStateInPandas typed-state depth ops (round 6).
+
+stream_transform_state (ops.py) proved the ValueState path; these ops
+cover the REST of the Spark-4 arbitrary-state surface — MapState,
+ListState, and event-time timers — which also exercises every message
+family of the vendored protobuf runtime (MapStateCall with paginated
+iterators, ListStateCall with appendList / paginated get,
+TimerStateCallCommand + ExpiryTimerRequest).
+
+Oracle strategy: map and list ops emit MONOTONE per-key aggregates
+every batch (counts / min / max / integer sums), so the final (max-n)
+emission per key equals the batch aggregate under ANY micro-batch
+split — full oracles. The timer op is inherently batch-boundary
+DEPENDENT (a timer fires only when a LATER batch's watermark passes
+it; a single-batch run fires none), so it is declared R/S-tier
+rows-only, with its semantics pinned by tests/test_streaming.py
+(fired set == users whose deadline precedes the penultimate-batch
+watermark, recomputed from the replay files).
+
+Scale: state per key is O(#event_types) (map), O(#purchases) (list),
+O(1) (timer); all shuffles are key-partitioned state exchanges — the
+same shape that runs on a 1000-executor cluster with RocksDB state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+from pyspark.sql.window import Window
+
+from .ops import (
+    _ROCKSDB_PROVIDER,
+    _docs_stream,  # noqa: F401  (kept for symmetry; events used below)
+    _drain_to_memory,
+    _events_stream,
+    _events_stream_multi,
+    _pbshim,
+)
+
+_MAP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+class _TypeCountProcessor(StatefulProcessor):
+    """MapState[event_type -> running count]; emits the FULL map each
+    batch. Counts are additive, so the map after the last batch equals
+    the batch groupBy no matter how the stream was split."""
+
+    def init(self, handle) -> None:
+        self._map = handle.getMapState("type_counts", "event_type string", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            for et, c in pdf["event_type"].value_counts().items():
+                prev = self._map.getValue((str(et),))
+                base = int(prev[0]) if prev is not None else 0
+                self._map.updateValue((str(et),), (base + int(c),))
+        entries = [
+            (key[0], k[0], int(v[0])) for k, v in self._map.iterator()
+        ]
+        yield pd.DataFrame(entries, columns=["user_id", "event_type", "n"])
+
+    def close(self) -> None:
+        pass
+
+
+_LIST_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_purch", T.LongType()),
+        T.StructField("min_eid", T.LongType()),
+        T.StructField("max_eid", T.LongType()),
+        T.StructField("sum_eid", T.LongType()),
+    ]
+)
+
+
+class _PurchaseLogProcessor(StatefulProcessor):
+    """ListState append-only log of purchase event_ids; each batch
+    re-aggregates the FULL list (count/min/max/integer-sum — all
+    order-independent), so the last emission equals the batch
+    aggregate. Exercises appendList + the paginated list get."""
+
+    def init(self, handle) -> None:
+        self._log = handle.getListState("purchases", "event_id long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        new = []
+        for pdf in rows:
+            p = pdf.loc[pdf["event_type"] == "purchase", "event_id"]
+            new.extend(int(v) for v in p)
+        if new:
+            self._log.appendList([(v,) for v in new])
+        eids = [int(t[0]) for t in self._log.get()]
+        if eids:
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        len(eids),
+                        min(eids),
+                        max(eids),
+                        sum(eids),
+                    )
+                ],
+                columns=["user_id", "n_purch", "min_eid", "max_eid", "sum_eid"],
+            )
+
+    def close(self) -> None:
+        pass
+
+
+_TIMER_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("fire_ms", T.LongType()),
+    ]
+)
+
+_TIMER_DELAY_MS = 60 * 60 * 1000  # deadline: first event + 1 hour
+
+
+class _DeadlineTimerProcessor(StatefulProcessor):
+    """Per-user event-time timer at first_event + 1 h; emits
+    (user_id, expiry_ms) when the watermark crosses it. The emission
+    value depends only on the user's first event time, so WHAT fires
+    is watermark-driven (batch-dependent) but each fired row's value
+    is deterministic."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._first = handle.getValueState("first_ts", "first_ms long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        first = self._first.get()[0] if self._first.exists() else None
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            mn = int(pdf["ts_ms"].min())
+            if first is None or mn < first:
+                first = mn
+        if first is not None and not self._first.exists():
+            self._first.update((first,))
+            self._handle.registerTimer(first + _TIMER_DELAY_MS)
+        elif first is not None:
+            self._first.update((first,))
+        return iter([])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "fire_ms": [int(expiredTimerInfo.getExpiryTimeInMs())],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _run_tws(spark, stream, proc, out_schema, *, time_mode="None",
+             event_time_col="", min_batches=1):
+    _pbshim.ship_to_workers(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode=time_mode,
+            eventTimeColumnName=event_time_col,
+        )
+        return _drain_to_memory(out, "update", min_batches=min_batches)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _latest_per(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        df.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def stream_transform_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    sink = _run_tws(spark, ev, _TypeCountProcessor(), _MAP_OUT_SCHEMA)
+    return _latest_per(sink, ["user_id", "event_type"], "n")
+
+
+def stream_transform_mapstate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream_multi(spark, sf_dir).select("user_id", "event_type")
+    sink = _run_tws(
+        spark, ev, _TypeCountProcessor(), _MAP_OUT_SCHEMA, min_batches=2
+    )
+    return _latest_per(sink, ["user_id", "event_type"], "n")
+
+
+_MAPSTATE_SQL = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_transform_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "event_id")
+    sink = _run_tws(spark, ev, _PurchaseLogProcessor(), _LIST_OUT_SCHEMA)
+    return _latest_per(sink, ["user_id"], "n_purch")
+
+
+def stream_transform_liststate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream_multi(spark, sf_dir).select(
+        "user_id", "event_type", "event_id"
+    )
+    sink = _run_tws(
+        spark, ev, _PurchaseLogProcessor(), _LIST_OUT_SCHEMA, min_batches=2
+    )
+    return _latest_per(sink, ["user_id"], "n_purch")
+
+
+_LISTSTATE_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purch,
+       CAST(MIN(event_id) AS BIGINT) AS min_eid,
+       CAST(MAX(event_id) AS BIGINT) AS max_eid,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time timers over the 4-batch replay; R/S-tier by design
+    (see module docstring): whether a user's deadline fires depends on
+    the watermark trajectory across batches, which a batch engine
+    cannot express. Values are pinned by tests instead."""
+    ev = (
+        _events_stream_multi(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "user_id",
+            "ts",
+            (F.unix_micros("ts") / F.lit(1000)).cast("long").alias("ts_ms"),
+        )
+    )
+    sink = _run_tws(
+        spark,
+        ev,
+        _DeadlineTimerProcessor(),
+        _TIMER_OUT_SCHEMA,
+        time_mode="EventTime",
+        event_time_col="",
+        min_batches=2,
+    )
+    return sink.distinct()
+
+
+QUERIES = {
+    "stream_transform_mapstate": stream_transform_mapstate,
+    "stream_transform_mapstate_multi": stream_transform_mapstate_multi,
+    "stream_transform_liststate": stream_transform_liststate,
+    "stream_transform_liststate_multi": stream_transform_liststate_multi,
+    "stream_transform_timers": stream_transform_timers,
+}
+ORACLE = {
+    "stream_transform_mapstate": _MAPSTATE_SQL,
+    "stream_transform_mapstate_multi": _MAPSTATE_SQL,
+    "stream_transform_liststate": _LISTSTATE_SQL,
+    "stream_transform_liststate_multi": _LISTSTATE_SQL,
+    # stream_transform_timers: rows-only by design (watermark-driven).
+}

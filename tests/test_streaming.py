@@ -337,3 +337,60 @@ def test_stream_heavy_hitters_equals_batch(spark, sf_dir):
         for r in stream_heavy_hitters_multi(spark, sf_dir).collect()
     }
     assert batch == stream and batch
+
+
+def test_stream_transform_timers_semantics(spark, sf_dir):
+    """Reconstruct the fired set exactly: a user's deadline (first
+    event + 1 h) fires iff it precedes the watermark available while
+    later batches run — i.e. max event time of the first 3 replay
+    files minus the 10-minute delay. Every fired value must equal the
+    user's true first event time + 1 h."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cortana_intelligence_customer360_spark.operators.scans import scratch_dir
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+    from cortana_intelligence_customer360_spark.streaming.typed_state import (
+        _TIMER_DELAY_MS,
+        stream_transform_timers,
+    )
+
+    fired = {
+        r["user_id"]: r["fire_ms"]
+        for r in stream_transform_timers(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    min_ms = {
+        r["user_id"]: r["mn"] // 1000
+        for r in ev.groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("mn"))
+        .collect()
+    }
+    assert fired, "no timer fired - fixture or watermark regression"
+    for u, f in fired.items():
+        assert f == min_ms[u] + _TIMER_DELAY_MS, (u, f, min_ms[u])
+
+    src = scratch_dir("events_multifile", sf_dir)
+    parts = sorted(
+        glob.glob(os.path.join(src, "part-*.parquet")), key=os.path.getmtime
+    )
+
+    def max_ts_us(path):
+        md = pq.read_metadata(path)
+        idx = md.schema.names.index("ts")
+        return max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+
+    wm_ms = max(max_ts_us(p) for p in parts[:3]) // 1000 - 10 * 60 * 1000
+    expected = {
+        u for u, m in min_ms.items() if m + _TIMER_DELAY_MS < wm_ms
+    }
+    assert set(fired) == expected, (
+        len(fired), len(expected), sorted(set(fired) ^ expected)[:5]
+    )

@@ -51,6 +51,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.streaming.ops",
     "cortana_intelligence_customer360_spark.streaming.heavy",
     "cortana_intelligence_customer360_spark.streaming.typed_state",
+    "cortana_intelligence_customer360_spark.streaming.state_reader",
     "cortana_intelligence_customer360_spark.sources.lakehouse",
 ]
 

@@ -1387,3 +1387,51 @@ FROM customer GROUP BY 1 ORDER BY 1
 
 QUERIES["fn_aes_roundtrip"] = fn_aes_roundtrip
 ORACLE["fn_aes_roundtrip"] = _AES_ROUNDTRIP_SQL
+
+
+# -- Spark 4.1 TIME type (round 6) ------------------------------------------
+
+
+def fn_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's SQL TIME data type (gated behind
+    spark.sql.timeType.enabled, set sticky here because the returned
+    plan executes after this function returns): construct each event's
+    time-of-day with make_time, hour-truncate it with time_trunc,
+    compare against TIME literals for a business-hours flag, and emit
+    string/integer projections (TIME itself stays internal so the
+    cross-engine hash is format-independent). Map-only column work —
+    whole-stage codegen, no shuffle."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    ev = load_table(spark, sf_dir, "events")
+    t = F.make_time(F.hour("ts"), F.minute("ts"), F.second("ts").cast("double"))
+    open_t = F.make_time(F.lit(9), F.lit(0), F.lit(0.0))
+    close_t = F.make_time(F.lit(17), F.lit(0), F.lit(0.0))
+    return ev.select(
+        "event_id",
+        t.cast("string").alias("tod"),
+        F.time_trunc(F.lit("HOUR"), t).cast("string").alias("tod_hour"),
+        (
+            F.hour("ts").cast("long") * 3600
+            + F.minute("ts").cast("long") * 60
+            + F.second("ts").cast("long")
+        ).alias("sec_of_day"),
+        ((t >= open_t) & (t < close_t)).alias("business_hours"),
+    )
+
+
+_TIME_TYPE_SQL = """
+SELECT event_id,
+       CAST(make_time(hour(ts), minute(ts), CAST(second(ts) AS DOUBLE))
+            AS VARCHAR) AS tod,
+       CAST(make_time(hour(ts), 0, 0.0) AS VARCHAR) AS tod_hour,
+       CAST(hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS BIGINT)
+         AS sec_of_day,
+       (make_time(hour(ts), minute(ts), CAST(second(ts) AS DOUBLE))
+          >= TIME '09:00:00'
+        AND make_time(hour(ts), minute(ts), CAST(second(ts) AS DOUBLE))
+          < TIME '17:00:00') AS business_hours
+FROM events
+"""
+
+QUERIES["fn_time_type"] = fn_time_type
+ORACLE["fn_time_type"] = _TIME_TYPE_SQL

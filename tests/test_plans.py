@@ -845,3 +845,25 @@ def test_sorted_neighborhood_bucketed_windows(spark, sf_dir):
 
     plan = plan_string(dedup_sorted_neighborhood(spark, sf_dir))
     assert "hashpartitioning(bkt" in plan
+
+
+def test_heavy_hitter_exact_phase_broadcasts(spark, sf_dir):
+    """The streaming heavy-hitter verification phase must semi-join the
+    corpus against BROADCAST candidates (tiny by the MG bound) — a
+    shuffled semi join here would defeat the sketch's purpose."""
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.streaming.heavy import _exact_phase
+
+    cands = spark.createDataFrame([("w1",), ("w2",)], ["word"])
+    plan = plan_string(_exact_phase(spark, sf_dir, cands))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_avro_roundtrip_is_exchange_free(spark, sf_dir):
+    """Decode side of the avro round-trip: binary blobs scan straight
+    into mapInPandas with no Exchange (one container per split)."""
+    from cortana_intelligence_customer360_spark.operators import scans as sc
+
+    plan = plan_string(sc.scan_avro_roundtrip(spark, sf_dir))
+    assert "Exchange" not in plan, plan

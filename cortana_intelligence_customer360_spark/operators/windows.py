@@ -842,3 +842,72 @@ ORDER BY o_custkey
 
 QUERIES["win_interval_merge"] = win_interval_merge
 ORACLE["win_interval_merge"] = _INTERVAL_MERGE_SQL
+
+
+# -- sequence-pattern matching (round 6) ------------------------------------
+
+
+def win_pattern_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching, Spark-first:
+    each user's event-type history becomes one ordered character
+    string (v=view c=click p=purchase s=signup e=error), and the
+    funnel pattern ``vc*p`` (view, any clicks, purchase) is counted
+    with non-overlapping greedy regex semantics — identical in Java
+    regex and RE2. Emits per user the match count, the longest
+    click-run inside any match, and the sequence length.
+
+    Determinism: ordering is (µs-truncated ts, event_id) on BOTH
+    engines (compat rule 4 — DuckDB must CAST its ns timestamps to µs
+    or sub-µs ties would order differently). Scale: one shuffle to
+    the user key, sequence built by array_sort over the collected
+    struct — per-user history strings are KBs; the regex pass is
+    map-only codegen. At 100 TB you'd cap per-user history length at
+    collect time (slice) — the pattern score only needs the window
+    that business logic defines, never the unbounded tail."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            F.concat_ws(
+                "",
+                F.transform(
+                    "h", lambda s: F.substring(s["event_type"], 1, 1)
+                ),
+            ).alias("seq"),
+        )
+    )
+    matches = F.regexp_extract_all("seq", F.lit("vc*p"), 0)
+    return seq.select(
+        "user_id",
+        F.regexp_count("seq", F.lit("vc*p")).cast("long").alias("n_funnels"),
+        F.coalesce(
+            F.array_max(F.transform(matches, lambda m: F.length(m) - 2)),
+            F.lit(0),
+        ).cast("long").alias("max_clicks_in_funnel"),
+        F.length("seq").cast("long").alias("seq_len"),
+    )
+
+
+_PATTERN_FUNNEL_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels,
+       CAST(COALESCE(list_max(list_transform(
+              regexp_extract_all(seq, 'vc*p'), m -> length(m) - 2)), 0)
+            AS BIGINT) AS max_clicks_in_funnel,
+       CAST(length(seq) AS BIGINT) AS seq_len
+FROM seqs
+"""
+
+QUERIES["win_pattern_funnel_regex"] = win_pattern_funnel_regex
+ORACLE["win_pattern_funnel_regex"] = _PATTERN_FUNNEL_SQL

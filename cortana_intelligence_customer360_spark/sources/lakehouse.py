@@ -884,3 +884,62 @@ GROUP BY 1, 2
 
 QUERIES["lake_partition_evolution"] = lake_partition_evolution
 ORACLE["lake_partition_evolution"] = _PARTITION_EVOLUTION_SQL
+
+
+# -- change data feed (round 6) ---------------------------------------------
+
+
+def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between consecutive versions, derived purely
+    from the MANIFEST DIFF: files present in v_b but not v_a are the
+    version's inserts, files dropped (an overwrite) are its deletes.
+    Only the changed files are ever opened — the unchanged table body
+    costs nothing, which is the property that makes CDF usable at
+    100 TB (a feed reader must not scan history to learn what moved).
+
+    Over the standard 3-commit fixture the feed is fully determined:
+    v0→v1 inserts the %3==1 append; v1→v2 (the overwrite) deletes both
+    appended subsets and re-inserts the non-'F' snapshot. Emitted as
+    per-transition aggregates (rows + DECIMAL-exact price sum) so the
+    oracle pins the row content, not file layout."""
+    t = _build_orders_table(spark, sf_dir, "lake_change_feed")
+
+    def _feed(va: int, vb: int) -> list[DataFrame]:
+        fa = {f["path"] for f in t.manifest(va)["files"]}
+        fb = {f["path"] for f in t.manifest(vb)["files"]}
+        out = []
+        for paths, kind in ((sorted(fb - fa), "insert"), (sorted(fa - fb), "delete")):
+            if paths:
+                out.append(
+                    spark.read.parquet(*paths).agg(
+                        F.lit(va).cast("long").alias("from_v"),
+                        F.lit(vb).cast("long").alias("to_v"),
+                        F.lit(kind).alias("change_type"),
+                        bcount().alias("n_rows"),
+                        dsum("o_totalprice").alias("sum_price"),
+                    )
+                )
+        return out
+
+    frames = _feed(0, 1) + _feed(1, 2)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("from_v", "to_v", "change_type", "n_rows", "sum_price")
+
+
+_CHANGE_FEED_SQL = f"""
+SELECT CAST(0 AS BIGINT) AS from_v, CAST(1 AS BIGINT) AS to_v,
+       'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders WHERE o_orderkey % 3 = 1
+UNION ALL
+SELECT 1, 2, 'insert', CAST(COUNT(*) AS BIGINT), {dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT 1, 2, 'delete', CAST(COUNT(*) AS BIGINT), {dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+QUERIES["lake_change_feed"] = lake_change_feed
+ORACLE["lake_change_feed"] = _CHANGE_FEED_SQL

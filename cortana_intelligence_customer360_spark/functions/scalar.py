@@ -1435,3 +1435,46 @@ FROM events
 
 QUERIES["fn_time_type"] = fn_time_type
 ORACLE["fn_time_type"] = _TIME_TYPE_SQL
+
+
+def fn_try_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 fault-tolerant temporal parsing: to_time round-trips
+    each event's formatted time-of-day, try_to_time turns a planted
+    malformed string into NULL instead of an ANSI error, and
+    try_make_timestamp NULLs the half of the rows given an impossible
+    month (event_id parity) while reconstructing the other half
+    second-exact. All map-only codegen; error tolerance via the try_
+    family is what lets a 100 TB parse pass survive dirty rows without
+    a job abort."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    ev = load_table(spark, sf_dir, "events")
+    t_str = F.date_format("ts", "HH:mm:ss")
+    return ev.select(
+        "event_id",
+        F.to_time(t_str).cast("string").alias("tod_rt"),
+        F.try_to_time(F.concat(F.lit("9"), t_str)).cast("string").alias("bad_parse"),
+        F.try_make_timestamp(
+            F.year("ts"),
+            F.month("ts") + F.lit(20) * (F.col("event_id") % 2).cast("int"),
+            F.dayofmonth("ts"),
+            F.hour("ts"),
+            F.minute("ts"),
+            F.second("ts").cast("double"),
+        ).cast("string").alias("ts_rt"),
+    )
+
+
+_TRY_TEMPORAL_SQL = """
+SELECT event_id,
+       CAST(TRY_CAST(strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS TIME)
+            AS VARCHAR) AS tod_rt,
+       CAST(TRY_CAST('9' || strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S')
+            AS TIME) AS VARCHAR) AS bad_parse,
+       CASE WHEN event_id % 2 = 1 THEN NULL
+            ELSE CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS VARCHAR)
+       END AS ts_rt
+FROM events
+"""
+
+QUERIES["fn_try_temporal"] = fn_try_temporal
+ORACLE["fn_try_temporal"] = _TRY_TEMPORAL_SQL

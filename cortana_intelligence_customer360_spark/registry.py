@@ -52,6 +52,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.streaming.heavy",
     "cortana_intelligence_customer360_spark.streaming.typed_state",
     "cortana_intelligence_customer360_spark.streaming.state_reader",
+    "cortana_intelligence_customer360_spark.streaming.quota",
     "cortana_intelligence_customer360_spark.sources.lakehouse",
 ]
 

@@ -153,3 +153,62 @@ def test_bloom_sketch_one_sided_error(spark, sf_dir):
     per_type_exact = sum(v["n_exact"] for t, v in rows.items()
                          if t != "__all__")
     assert rows["__all__"]["n_exact"] <= per_type_exact
+
+
+# -- round-6 codec properties (pure Python, no Spark) ------------------------
+
+_avro_row = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.text(max_size=40),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_avro_row, max_size=50))
+def test_avro_codec_roundtrip_property(rows):
+    """Any list of (long, text, int, double) rows survives the
+    container round-trip bit-exactly (NaN excluded: NaN != NaN; ±inf
+    and -0.0 included)."""
+    from cortana_intelligence_customer360_spark.operators.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    fields = [("k", "long"), ("s", "string"), ("i", "int"), ("x", "double")]
+    _, got = decode_container(encode_container(rows, fields))
+    assert got == rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.text(max_size=60),
+    st.lists(st.binary(max_size=30), max_size=8),
+    st.booleans(),
+)
+def test_pbshim_wire_roundtrip_property(long_v, text_v, blobs, flag):
+    """The vendored protobuf runtime round-trips every scalar class it
+    supports — negative int64 (10-byte varints), unicode strings,
+    repeated bytes, bools — through real generated message types."""
+    import sys
+
+    from cortana_intelligence_customer360_spark.vendor.pbshim_loader import (
+        activate_driver,
+    )
+
+    activate_driver()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    r = sm.StateResponseWithLongTypeVal(statusCode=7, errorMessage=text_v, value=long_v)
+    r2 = sm.StateResponseWithLongTypeVal()
+    r2.ParseFromString(r.SerializeToString())
+    assert (r2.statusCode, r2.errorMessage, r2.value) == (7, text_v, long_v)
+
+    lg = sm.StateResponseWithListGet(
+        statusCode=0, value=list(blobs), requireNextFetch=flag
+    )
+    lg2 = sm.StateResponseWithListGet()
+    lg2.ParseFromString(lg.SerializeToString())
+    assert list(lg2.value) == list(blobs) and lg2.requireNextFetch == flag

@@ -643,3 +643,51 @@ FROM b{_BEAM_STEPS}
 
 QUERIES["text_beam_decode"] = text_beam_decode
 ORACLE["text_beam_decode"] = _beam_sql()
+
+
+def data_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free GROUP-AWARE train/val/test split: the split is
+    assigned at the USER level (md5 bucket of user_id: 80/10/10), and
+    every event inherits its user's split — the property that keeps a
+    user's behavior from straddling train and eval, which row-level
+    sampling (sample_stratified) cannot guarantee. Deterministic,
+    engine-independent (md5 hex is identical everywhere), map-only
+    assignment (no shuffle until the audit aggregate). Emits per-split
+    user/event counts — the audit a pipeline runs before training."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        ev.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            bcount().alias("n_events"),
+        )
+        .orderBy("split")
+    )
+
+
+_GROUP_SPLIT_SQL = """
+WITH tagged AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 100
+           AS b
+  FROM events),
+sp AS (
+  SELECT user_id,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM tagged)
+SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sp GROUP BY split ORDER BY split
+"""
+
+QUERIES["data_group_split"] = data_group_split
+ORACLE["data_group_split"] = _GROUP_SPLIT_SQL

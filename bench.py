@@ -113,6 +113,23 @@ def main() -> None:
         with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
             f.write(line + "\n")
     print(line)
+    # The driver keeps only a ~2000-char TAIL of stdout; with 500+
+    # queries the full JSON line overflows it and BENCH_rN records
+    # `parsed: null`. Emit a compact summary as the LAST line so the
+    # tail always ends with one complete, parseable JSON object
+    # (same schema, `queries` = the 5 slowest).
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    vals = sorted(timings.values())
+    summary = {
+        "metric": "sum_wall_clock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "n": len(timings),
+        "median": round(vals[len(vals) // 2], 3) if vals else 0.0,
+        "queries": top5,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,157 @@
+"""Protobuf column codec (round 7): ``to_protobuf`` / ``from_protobuf``
+semantics without the external spark-protobuf module (absent from this
+distribution, like spark-avro was — probed: "Failed to find data
+source"). Each events row is serialized to one proto3 ``Event``
+message by the vendored from-scratch wire-format runtime
+(vendor/pbshim/google/protobuf/_runtime.py — varint/zigzag, fixed64
+IEEE doubles, length-delimited strings and nested messages, all
+against the PUBLIC protobuf encoding spec), then parsed back, all
+inside Arrow-batched mapInPandas.
+
+The message exercises every wire type the runtime speaks: varint
+(int64 ids + µs timestamp), fixed64 (the double metric), and two
+length-delimited forms (string + a NESTED ``Payload`` submessage).
+``roundtrip_ok`` asserts BYTE fidelity, not just value equality: the
+decoded message is re-serialized and compared to the original wire
+bytes — any drift in field order, varint width, or IEEE bits flips it
+false and the full-value oracle catches it.
+
+Scale: encode and decode are map-only (no shuffle, no driver
+collect); each Arrow batch loops in Python but the messages are a few
+dozen bytes, so throughput is batch-dispatch-bound — the same cost
+model spark-protobuf's row-wise JVM codec has, minus codegen. At
+100 TB this runs one task per input split, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..compat import epoch_us
+from ..sources.tables import load_table
+
+
+def _event_classes():
+    """Build the Event/Payload message classes from programmatic
+    descriptors — the runtime's own public surface, no serialized
+    FileDescriptorProto needed."""
+    from ..vendor.pbshim.google.protobuf import _runtime as rt
+
+    def field(name: str, number: int, ftype: int) -> "rt.FieldDesc":
+        f = rt.FieldDesc()
+        f.name, f.number, f.type = name, number, ftype
+        return f
+
+    payload = rt.MessageDesc()
+    payload.name = "Payload"
+    payload.fields = [
+        field("event_type", 1, rt.TYPE_STRING),
+        field("value", 2, rt.TYPE_DOUBLE),
+    ]
+    event = rt.MessageDesc()
+    event.name = "Event"
+    event.fields = [
+        field("event_id", 1, rt.TYPE_INT64),
+        field("user_id", 2, rt.TYPE_INT64),
+        field("ts_us", 3, rt.TYPE_INT64),
+        field("payload", 4, rt.TYPE_MESSAGE),
+    ]
+    event.fields[3].type_name = ".c360.Payload"
+    fd = rt.FileDesc()
+    fd.name, fd.package = "c360_event.proto", "c360"
+    fd.messages = [payload, event]
+    return rt.build_message_classes(fd)
+
+
+_PB_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("pb_bytes", T.LongType()),
+        T.StructField("roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+def fn_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"), "event_type", "value"
+    )
+
+    def _codec(batches):
+        import pandas as pd
+
+        classes = _event_classes()
+        event_cls, payload_cls = classes["Event"], classes["Payload"]
+        for pdf in batches:
+            out = []
+            for eid, uid, ts, et, val in zip(
+                pdf["event_id"], pdf["user_id"], pdf["ts_us"],
+                pdf["event_type"], pdf["value"],
+            ):
+                msg = event_cls(
+                    event_id=int(eid),
+                    user_id=int(uid),
+                    ts_us=int(ts),
+                    payload=payload_cls(event_type=str(et), value=float(val)),
+                )
+                wire = msg.SerializeToString()
+                back = event_cls()
+                back.ParseFromString(wire)
+                out.append(
+                    (
+                        back.event_id,
+                        back.user_id,
+                        back.ts_us,
+                        back.payload.event_type,
+                        back.payload.value,
+                        len(wire),
+                        back.SerializeToString() == wire,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _PB_OUT.fields])
+
+    return ev.mapInPandas(_codec, _PB_OUT)
+
+
+def _varint_len_sql(expr: str) -> str:
+    """Wire length in bytes of ``expr`` as an unsigned varint — exact
+    for the non-negative values these columns hold."""
+    return (
+        f"CASE WHEN {expr} < 128 THEN 1 "
+        f"WHEN {expr} < 16384 THEN 2 "
+        f"WHEN {expr} < 2097152 THEN 3 "
+        f"WHEN {expr} < 268435456 THEN 4 "
+        f"WHEN {expr} < 34359738368 THEN 5 "
+        f"WHEN {expr} < 4398046511104 THEN 6 "
+        f"WHEN {expr} < 562949953421312 THEN 7 "
+        f"WHEN {expr} < 72057594037927936 THEN 8 "
+        f"ELSE 9 END"
+    )
+
+
+# The oracle recomputes the exact wire size from the spec: per varint
+# field 1 tag byte + the varint width; the nested payload is 1 tag +
+# 1 length byte + (1 tag + 1 len + strlen(event_type)) + (1 tag + 8
+# IEEE bytes). This pins the ENCODER's byte layout from SQL alone —
+# a padded varint or a missing field changes pb_bytes, not just
+# roundtrip_ok.
+_PB_SQL = f"""
+SELECT event_id, user_id,
+       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+       event_type, value,
+       CAST(1 + {_varint_len_sql('event_id')}
+          + 1 + {_varint_len_sql('user_id')}
+          + 1 + {_varint_len_sql("epoch_us(CAST(ts AS TIMESTAMP))")}
+          + 2 + (2 + strlen(event_type) + 9)
+          AS BIGINT) AS pb_bytes,
+       TRUE AS roundtrip_ok
+FROM events
+"""
+
+QUERIES = {"fn_protobuf_roundtrip": fn_protobuf_roundtrip}
+ORACLE = {"fn_protobuf_roundtrip": _PB_SQL}

@@ -551,6 +551,14 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst). Rounds are a fixed constant, so the lineage stays bounded
     (localCheckpoint per round like the BFS frontier)."""
     edges = _edges(spark, sf_dir).localCheckpoint()
+    return _label_prop_rounds(edges)
+
+
+def _label_prop_rounds(edges: DataFrame) -> DataFrame:
+    """The LPA rounds over an already-materialized (localCheckpointed)
+    edge frame — split out so graph_modularity can share ONE edge
+    materialization between propagation and scoring instead of
+    replaying the lineitem⋈orders edge derivation per consumer."""
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -1047,8 +1055,15 @@ ORACLE["graph_connected_components"] = _cc_sql()
 
 
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labels = graph_label_prop(spark, sf_dir)
-    edges = _edges(spark, sf_dir)
+    # ONE edge materialization shared by the LPA rounds, the 2m count,
+    # and the scoring join — previously _edges() (a lineitem⋈orders
+    # distinct union) was recomputed three times, which is why r6's
+    # bench read ~2x r5 on this id. The converged label frame is
+    # already localCheckpointed by the last LPA round, so the two
+    # broadcast scans + the sizes aggregate below never replay the
+    # propagation either.
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    labels = _label_prop_rounds(edges)
     two_m = edges.count()
     el = edges.join(
         F.broadcast(

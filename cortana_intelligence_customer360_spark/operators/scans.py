@@ -1037,3 +1037,45 @@ SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
 
 QUERIES["scan_avro_roundtrip"] = scan_avro_roundtrip
 ORACLE["scan_avro_roundtrip"] = _SCAN_AVRO_SQL
+
+
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML file-source round-trip via the XML reader/writer bundled in
+    Spark 4 (the last built-in file format without a scan id): write
+    supplier as one ``<supplier>`` row element per record, re-read
+    with an EXPLICIT schema + rowTag (schema inference over XML is a
+    full extra pass at 100 TB, and infers long for string-typed digit
+    runs). Doubles survive textual round-trip exactly because the JVM
+    writer emits the shortest string that parses back to the same
+    IEEE value (Double.toString contract).
+
+    Scale: read and write are both splittable per-file (one XML file
+    per task, rows streamed through the StAX parser) — the same
+    partition-per-file shape as the JSON-lines round-trip."""
+    out = scratch_dir("scan_xml_roundtrip", sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    sup.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(out)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(out)
+    )
+
+
+_SCAN_XML_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+QUERIES["scan_xml_roundtrip"] = scan_xml_roundtrip
+ORACLE["scan_xml_roundtrip"] = _SCAN_XML_SQL

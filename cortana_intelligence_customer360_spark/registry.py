@@ -32,6 +32,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.functions.scalar",
     "cortana_intelligence_customer360_spark.functions.network",
     "cortana_intelligence_customer360_spark.functions.udfs",
+    "cortana_intelligence_customer360_spark.functions.protobuf_codec",
     "cortana_intelligence_customer360_spark.features.core",
     "cortana_intelligence_customer360_spark.features.attribution",
     "cortana_intelligence_customer360_spark.features.ml",

@@ -101,7 +101,6 @@ def _stream_candidates(word_stream: DataFrame, min_batches: int) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = _drain_to_memory(updates, "update", min_batches=min_batches)
-    w = Window.partitionBy("grp").orderBy(F.col("seq").desc())
     return (
         sink.withColumn("mx", F.max("seq").over(Window.partitionBy("grp")))
         .where(F.col("seq") == F.col("mx"))

@@ -52,8 +52,17 @@ def _quota_state_fn(key, pdf_iter, state):
 
     counts = json.loads(state.get[0]) if state.exists else {}
     out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # Concatenate ALL Arrow chunks before the sort: a key whose
+    # micro-batch rows span multiple chunks (>~10k rows/key/batch)
+    # would otherwise be admitted in chunk order, not global
+    # (ts, event_id) order, diverging from the row_number oracle.
+    # Memory bound: one key's one-batch rows — the same bound the
+    # per-chunk loop already implied for correctness.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
         for hr, eid in zip(pdf["hr_us"], pdf["event_id"]):
             h = str(int(hr))
             c = counts.get(h, 0)

@@ -176,7 +176,7 @@ class _DeadlineTimerProcessor(StatefulProcessor):
 
 
 def _run_tws(spark, stream, proc, out_schema, *, time_mode="None",
-             event_time_col="", min_batches=1):
+             event_time_col="", min_batches=1, stop_when_drained=False):
     _pbshim.ship_to_workers(spark)
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
@@ -189,12 +189,68 @@ def _run_tws(spark, stream, proc, out_schema, *, time_mode="None",
             timeMode=time_mode,
             eventTimeColumnName=event_time_col,
         )
+        if stop_when_drained:
+            return _drain_until_empty(out, "update", min_batches=min_batches)
         return _drain_to_memory(out, "update", min_batches=min_batches)
     finally:
         if prev is None:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def _drain_until_empty(df: DataFrame, mode: str, min_batches: int = 1) -> DataFrame:
+    """Drain variant for ProcessingTime-mode transformWithState:
+    TransformWithStateExec.shouldRunAnotherBatch returns TRUE
+    unconditionally in that time mode (processing-time timers/TTL may
+    fire at any wall-clock instant), so Trigger.AvailableNow never
+    self-terminates — it keeps scheduling empty batches forever
+    (observed: epoch 160+ against a static 1-file source). The file
+    source is static, so once a batch reads ZERO input rows the
+    backlog is provably exhausted and every data batch is committed;
+    stop the query at that point."""
+    import time as _time
+
+    from .ops import _SEQ, _STATE_PARTITIONS
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    name = f"c360_stream_{next(_SEQ)}"
+    try:
+        shrink = int(prev) > int(_STATE_PARTITIONS)
+    except (TypeError, ValueError):
+        shrink = False
+    try:
+        if shrink:
+            spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + 600
+        n_batches = 0
+        while _time.time() < deadline and q.isActive:
+            prog = q.recentProgress
+            n_batches = len([p for p in prog if p["numInputRows"] > 0])
+            if (
+                n_batches >= min_batches
+                and prog
+                and prog[-1]["numInputRows"] == 0
+            ):
+                q.stop()
+                break
+            _time.sleep(0.2)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if n_batches < min_batches:
+        raise AssertionError(
+            f"expected >= {min_batches} non-empty micro-batches, got {n_batches}"
+        )
+    return spark.table(name)
 
 
 def _latest_per(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
@@ -280,7 +336,77 @@ def stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.distinct()
 
 
+_TTL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_batch", T.LongType()),
+    ]
+)
+
+
+class _TtlCounterProcessor(StatefulProcessor):
+    """ValueState with a 1 ms TTL (TTLConfig — the last Spark-4
+    stateful primitive without an op): every micro-batch the previous
+    batch's counter has EXPIRED (inter-batch wall-clock gap >> 1 ms),
+    so each emission counts exactly that batch's rows and the
+    emissions SUM to the per-key total — a full O-tier oracle that
+    doubles as expiry accounting: if TTL failed to expire, the counter
+    would carry across batches and the sum would exceed COUNT(*)
+    (over-count by one prior prefix per extra batch), hash-mismatching
+    immediately. The single-batch form pins the TTL code path; the
+    _multi 4-batch replay is the cross-batch expiry proof."""
+
+    def init(self, handle) -> None:
+        self._n = handle.getValueState("n_ttl", "n long", ttlDurationMs=1)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        c = 0
+        for pdf in rows:
+            c += len(pdf)
+        prev = self._n.get()  # None <=> prior batch's value expired
+        total = (int(prev[0]) if prev is not None else 0) + c
+        self._n.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_batch": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def _ttl_sum(sink: DataFrame) -> DataFrame:
+    return sink.groupBy("user_id").agg(
+        F.sum("n_batch").cast("long").alias("n_events")
+    )
+
+
+def stream_transform_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("user_id")
+    sink = _run_tws(
+        spark, ev, _TtlCounterProcessor(), _TTL_OUT_SCHEMA,
+        time_mode="ProcessingTime", stop_when_drained=True,
+    )
+    return _ttl_sum(sink)
+
+
+def stream_transform_ttl_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream_multi(spark, sf_dir).select("user_id")
+    sink = _run_tws(
+        spark, ev, _TtlCounterProcessor(), _TTL_OUT_SCHEMA,
+        time_mode="ProcessingTime", min_batches=2, stop_when_drained=True,
+    )
+    return _ttl_sum(sink)
+
+
+_TTL_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
+    "stream_transform_ttl": stream_transform_ttl,
+    "stream_transform_ttl_multi": stream_transform_ttl_multi,
     "stream_transform_mapstate": stream_transform_mapstate,
     "stream_transform_mapstate_multi": stream_transform_mapstate_multi,
     "stream_transform_liststate": stream_transform_liststate,
@@ -288,6 +414,8 @@ QUERIES = {
     "stream_transform_timers": stream_transform_timers,
 }
 ORACLE = {
+    "stream_transform_ttl": _TTL_SQL,
+    "stream_transform_ttl_multi": _TTL_SQL,
     "stream_transform_mapstate": _MAPSTATE_SQL,
     "stream_transform_mapstate_multi": _MAPSTATE_SQL,
     "stream_transform_liststate": _LISTSTATE_SQL,

@@ -1577,8 +1577,19 @@ def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representation-dependent across engines — caught live on the
     # r*x^2 sums). Scaling x to ~0.1-0.6 keeps every term far inside
     # the safe range; all emitted parameters are in scaled units.
-    obs = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_totalprice") / F.lit(1000000.0)).alias("x")
+    # Persist the single-column observation frame: the init stats plus
+    # 3 EM iterations are 4 full passes, and re-reading + re-decoding
+    # the orders parquet each pass is what pushed the 40x point toward
+    # the local heap (SCALE_SMOKE r6). One double per row, so the
+    # cached frame is ~100x smaller than the source table — the
+    # canonical iterative-ML caching discipline (MEMORY_AND_DISK
+    # spills gracefully on a cluster).
+    from pyspark import StorageLevel
+
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.col("o_totalprice") / F.lit(1000000.0)).alias("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = obs.agg(
         bcount().alias("n"), dsum("x").alias("s"), dsum(F.col("x") * F.col("x")).alias("ss")
@@ -1625,6 +1636,9 @@ def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = trajectory[0]
     for df in trajectory[1:]:
         res = res.unionByName(df)
+    # Every trajectory row selects from a localCheckpointed parameter
+    # frame, so obs is not in the result lineage — safe to release now.
+    obs.unpersist()
     return res.orderBy("iter")
 
 

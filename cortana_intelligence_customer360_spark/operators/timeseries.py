@@ -1698,8 +1698,14 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_quantity"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # shuffle_hash on the (4x smaller, 2-column) orders side: sort-merge
+    # sorts BOTH shuffled sides, and that UnsafeExternalSorter is what
+    # spilled the 40x point under the local heap (SCALE_SMOKE r3 note).
+    # A per-partition hash build of orders is a fraction of the sort
+    # buffers, and nothing downstream needs join order (the next op is
+    # a hash groupBy re-shuffle on (part, day)).
     demands = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "l_partkey",
             (epoch_us("o_orderdate") / F.lit(86_400_000_000)).cast("long").alias("day"),
@@ -2643,8 +2649,14 @@ def ts_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_quantity"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # shuffle_hash on the (4x smaller, 2-column) orders side: sort-merge
+    # sorts BOTH shuffled sides, and that UnsafeExternalSorter is what
+    # spilled the 40x point under the local heap (SCALE_SMOKE r3 note).
+    # A per-partition hash build of orders is a fraction of the sort
+    # buffers, and nothing downstream needs join order (the next op is
+    # a hash groupBy re-shuffle on (part, day)).
     demands = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "l_partkey",
             (epoch_us("o_orderdate") / F.lit(86_400_000_000)).cast("long").alias("day"),

@@ -867,3 +867,28 @@ def test_avro_roundtrip_is_exchange_free(spark, sf_dir):
 
     plan = plan_string(sc.scan_avro_roundtrip(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_modularity_scores_from_checkpointed_labels(spark, sf_dir):
+    """graph_modularity must score from the ONE materialized edge +
+    label frame, not replay the lineitem-orders edge derivation or the
+    LPA rounds (the r6 bench regression): the final plan reads only
+    checkpointed RDDs — zero parquet scans, zero join rounds beyond
+    the two label broadcasts + sizes join."""
+    from cortana_intelligence_customer360_spark.operators import graph
+
+    plan = plan_string(graph.graph_modularity(spark, sf_dir))
+    assert "lineitem" not in plan, plan
+    assert "orders" not in plan, plan
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+
+def test_protobuf_roundtrip_is_map_only(spark, sf_dir):
+    """Encode+decode are one map-only pass: the only Exchange ever
+    allowed is the adaptive local round-robin split (fires only when
+    input splits < cores — a no-op at production scale); never a
+    hash/range exchange."""
+    from cortana_intelligence_customer360_spark.functions import protobuf_codec
+
+    plan = plan_string(protobuf_codec.fn_protobuf_roundtrip(spark, sf_dir))
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan

@@ -212,3 +212,56 @@ def test_pbshim_wire_roundtrip_property(long_v, text_v, blobs, flag):
     lg2 = sm.StateResponseWithListGet()
     lg2.ParseFromString(lg.SerializeToString())
     assert list(lg2.value) == list(blobs) and lg2.requireNextFetch == flag
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.integers(min_value=0, max_value=2**62),
+    st.text(max_size=40),
+)
+def test_pbshim_double_and_nested_roundtrip(dval, ival, sval):
+    """TYPE_DOUBLE (fixed64 IEEE, r7) and nested messages round-trip
+    bit-exactly through the vendored runtime — including negative
+    zero, denormals, and infinities (NaN excluded: == is the check)."""
+    import math
+    import struct
+
+    from cortana_intelligence_customer360_spark.functions.protobuf_codec import (
+        _event_classes,
+    )
+
+    classes = _event_classes()
+    ev = classes["Event"](
+        event_id=ival,
+        user_id=ival + 1,
+        ts_us=ival,
+        payload=classes["Payload"](event_type=sval, value=dval),
+    )
+    wire = ev.SerializeToString()
+    back = classes["Event"]()
+    back.ParseFromString(wire)
+    assert back.event_id == ival and back.payload.event_type == sval
+    # bit-exact, not just ==: -0.0 vs 0.0 must survive
+    assert struct.pack("<d", back.payload.value) == struct.pack("<d", dval)
+    assert math.copysign(1.0, back.payload.value) == math.copysign(1.0, dval)
+    assert back.SerializeToString() == wire
+
+
+def test_pbshim_autovivify_marks_presence_via_setter():
+    """Reading an unset message field auto-vivifies THROUGH the setter
+    (r7 review fix): presence flips, and re-serialization emits the
+    empty submessage deterministically — subsequent mutation persists."""
+    from cortana_intelligence_customer360_spark.functions.protobuf_codec import (
+        _event_classes,
+    )
+
+    classes = _event_classes()
+    ev = classes["Event"](event_id=1)
+    assert not ev.HasField("payload")
+    _ = ev.payload.event_type  # auto-vivify on read
+    assert ev.HasField("payload")
+    ev.payload.value = 2.5
+    back = classes["Event"]()
+    back.ParseFromString(ev.SerializeToString())
+    assert back.payload.value == 2.5

@@ -394,3 +394,44 @@ def test_stream_transform_timers_semantics(spark, sf_dir):
     assert set(fired) == expected, (
         len(fired), len(expected), sorted(set(fired) ^ expected)[:5]
     )
+
+
+def test_transform_ttl_expires_between_batches(spark, sf_dir):
+    """Cross-batch TTL expiry accounting (r7): over the 4-batch
+    chronological replay, each key's per-batch emissions must (a) sum
+    to its total event count and (b) for keys spanning >=2 batches,
+    every emission must be a FRESH per-batch count — a non-expiring
+    counter would make later emissions cumulative, so the max emission
+    would equal the total and the sum would exceed it."""
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+    from cortana_intelligence_customer360_spark.streaming.ops import (
+        _events_stream_multi,
+    )
+    from cortana_intelligence_customer360_spark.streaming.typed_state import (
+        _TTL_OUT_SCHEMA,
+        _run_tws,
+        _TtlCounterProcessor,
+    )
+
+    ev = _events_stream_multi(spark, sf_dir).select("user_id")
+    sink = _run_tws(
+        spark, ev, _TtlCounterProcessor(), _TTL_OUT_SCHEMA,
+        time_mode="ProcessingTime", min_batches=2, stop_when_drained=True,
+    ).cache()
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("expect"))
+    )
+    per_key = sink.groupBy("user_id").agg(
+        F.sum("n_batch").alias("summed"),
+        F.max("n_batch").alias("biggest"),
+        F.count("*").alias("n_emissions"),
+    )
+    j = per_key.join(totals, "user_id").cache()
+    assert j.where(F.col("summed") != F.col("expect")).count() == 0
+    multi = j.where(F.col("n_emissions") >= 2)
+    assert multi.count() > 0, "no key spanned two batches - test is vacuous"
+    assert multi.where(F.col("biggest") >= F.col("expect")).count() == 0

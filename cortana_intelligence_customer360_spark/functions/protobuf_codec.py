@@ -26,6 +26,7 @@ model spark-protobuf's row-wise JVM codec has, minus codegen. At
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..compat import epoch_us
@@ -184,5 +185,140 @@ SELECT event_id, user_id,
 FROM events
 """
 
-QUERIES = {"fn_protobuf_roundtrip": fn_protobuf_roundtrip}
-ORACLE = {"fn_protobuf_roundtrip": _PB_SQL}
+def _userlog_classes():
+    """UserLog message with REPEATED fields: packed int64 event ids
+    (proto3 canonical scalar packing) + per-element strings."""
+    from ..vendor.pbshim.google.protobuf import _runtime as rt
+
+    def field(name: str, number: int, ftype: int, repeated: bool = False):
+        f = rt.FieldDesc()
+        f.name, f.number, f.type = name, number, ftype
+        if repeated:
+            f.label = rt.LABEL_REPEATED
+        return f
+
+    msg = rt.MessageDesc()
+    msg.name = "UserLog"
+    msg.fields = [
+        field("user_id", 1, rt.TYPE_INT64),
+        field("event_ids", 2, rt.TYPE_INT64, repeated=True),
+        field("types", 3, rt.TYPE_STRING, repeated=True),
+    ]
+    fd = rt.FileDesc()
+    fd.name, fd.package = "c360_userlog.proto", "c360"
+    fd.messages = [msg]
+    return rt.build_message_classes(fd)
+
+
+_PBR_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_eid", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("pb_bytes", T.LongType()),
+        T.StructField("roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+def fn_protobuf_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-field protobuf codec: one ``UserLog`` message per user
+    holding its sorted event-id list as a PACKED repeated int64 (the
+    proto3 wire default for scalars — the encoding-spec form the
+    roundtrip op's flat message cannot reach) plus its distinct event
+    types as per-element strings. Encoded by an independent
+    spec-direct encoder, parsed AND re-serialized by the vendored
+    runtime — packed decode, packed re-encode, and the byte-size
+    oracle below all pin the layout.
+
+    Scale: one groupBy(user) shuffle builds the per-user arrays
+    (state bounded by events-per-user, the same bound every per-key
+    state op carries); the codec pass is map-only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("eids"),
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+    )
+
+    def _codec(batches):
+        import struct
+
+        import pandas as pd
+
+        userlog_cls = _userlog_classes()["UserLog"]
+
+        def varint(v: int) -> bytes:
+            b = bytearray()
+            while v > 0x7F:
+                b.append((v & 0x7F) | 0x80)
+                v >>= 7
+            b.append(v)
+            return bytes(b)
+
+        for pdf in batches:
+            out = []
+            for uid, eids, types in zip(
+                pdf["user_id"].to_numpy(), pdf["eids"], pdf["types"]
+            ):
+                payload = b"".join(varint(int(e)) for e in eids)
+                wire = bytearray(b"\x08" + varint(int(uid)))
+                wire += b"\x12" + varint(len(payload)) + payload
+                for t in types:
+                    tb = str(t).encode("utf-8")
+                    wire += b"\x1a" + varint(len(tb)) + tb
+                wire = bytes(wire)
+                back = userlog_cls()
+                back.ParseFromString(wire)
+                out.append(
+                    (
+                        back.user_id,
+                        len(back.event_ids),
+                        sum(back.event_ids),
+                        len(back.types),
+                        len(wire),
+                        back.SerializeToString() == wire,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _PBR_OUT.fields])
+
+    return g.mapInPandas(_codec, _PBR_OUT)
+
+
+_PBR_SQL = f"""
+WITH per_event AS (
+  SELECT user_id, event_id, {_varint_len_sql('event_id')} AS vl
+  FROM events),
+packed AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         SUM(event_id) AS sum_eid,
+         SUM(vl) AS payload_len
+  FROM per_event GROUP BY user_id),
+types AS (
+  SELECT user_id,
+         COUNT(*) AS n_types,
+         SUM(2 + strlen(event_type)) AS tbytes
+  FROM (SELECT DISTINCT user_id, event_type FROM events)
+  GROUP BY user_id)
+SELECT p.user_id,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       CAST(p.sum_eid AS BIGINT) AS sum_eid,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CAST(1 + {_varint_len_sql('p.user_id')}
+          + 1 + {_varint_len_sql('p.payload_len')} + p.payload_len
+          + t.tbytes AS BIGINT) AS pb_bytes,
+       TRUE AS roundtrip_ok
+FROM packed p JOIN types t ON t.user_id = p.user_id
+"""
+
+QUERIES = {
+    "fn_protobuf_roundtrip": fn_protobuf_roundtrip,
+    "fn_protobuf_repeated": fn_protobuf_repeated,
+}
+ORACLE = {
+    "fn_protobuf_roundtrip": _PB_SQL,
+    "fn_protobuf_repeated": _PBR_SQL,
+}

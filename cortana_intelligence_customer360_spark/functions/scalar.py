@@ -720,6 +720,63 @@ FROM customer WHERE c_custkey % 10 = 0
 """
 
 
+def fn_xml_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass XML COLUMN parsing with ``from_xml`` (the scale
+    path fn_xml's docstring promises — one parse per document instead
+    of one JVM XPath evaluation per field) plus the ``to_xml``
+    round-trip: the document is synthesized by independent string
+    concatenation, parsed once into a struct (attributes surface with
+    the ``_`` prefix), and a second copy goes struct → to_xml →
+    from_xml to pin the writer/parser pair against each other. The
+    oracle emits ground truth from the source columns. Map-only,
+    whole-stage codegen around the two parse expressions."""
+    cu = load_table(spark, sf_dir, "customer")
+    dec_bal = F.col("c_acctbal").cast(T.DecimalType(12, 2)).cast("string")
+    xml = F.concat(
+        F.lit('<cust id="'),
+        F.col("c_custkey"),
+        F.lit('"><seg>'),
+        F.col("c_mktsegment"),
+        F.lit("</seg><bal>"),
+        dec_bal,
+        F.lit("</bal><nk>"),
+        F.col("c_nationkey"),
+        F.lit("</nk></cust>"),
+    )
+    schema = "STRUCT<_id: BIGINT, seg: STRING, bal: STRING, nk: INT>"
+    parsed = F.from_xml(xml, schema)
+    rt = F.from_xml(
+        F.to_xml(
+            F.struct(
+                F.col("c_mktsegment").alias("seg"),
+                F.col("c_nationkey").alias("nk"),
+            )
+        ),
+        "STRUCT<seg: STRING, nk: INT>",
+    )
+    return cu.select(
+        "c_custkey",
+        parsed["_id"].alias("id_attr"),
+        parsed["seg"].alias("seg"),
+        parsed["bal"].cast("double").alias("bal"),
+        parsed["nk"].cast("long").alias("nk"),
+        rt["seg"].alias("rt_seg"),
+        rt["nk"].cast("long").alias("rt_nk"),
+    )
+
+
+_FN_XML_STRUCT_SQL = """
+SELECT c_custkey,
+       CAST(c_custkey AS BIGINT) AS id_attr,
+       c_mktsegment AS seg,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+       CAST(c_nationkey AS BIGINT) AS nk,
+       c_mktsegment AS rt_seg,
+       CAST(c_nationkey AS BIGINT) AS rt_nk
+FROM customer
+"""
+
+
 def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL component extraction with Spark's native ``parse_url``
     (HOST / PATH / QUERY-parameter forms). The URL is synthesized
@@ -864,6 +921,7 @@ QUERIES = {
     "sql_pipe_syntax": sql_pipe_syntax,
     "sql_session_variables": sql_session_variables,
     "fn_xml": fn_xml,
+    "fn_xml_struct": fn_xml_struct,
     "fn_try_arith": fn_try_arith,
     "fn_array_sets": fn_array_sets,
     "fn_url": fn_url,
@@ -892,6 +950,7 @@ ORACLE = {
     "sql_pipe_syntax": _SQL_PIPE_SQL,
     "sql_session_variables": _SQL_VARS_SQL,
     "fn_xml": _FN_XML_SQL,
+    "fn_xml_struct": _FN_XML_STRUCT_SQL,
     "fn_try_arith": _FN_TRY_SQL,
     "fn_array_sets": _FN_ARRAY_SETS_SQL,
     "fn_url": _FN_URL_SQL,

@@ -1079,3 +1079,67 @@ SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
 
 QUERIES["scan_xml_roundtrip"] = scan_xml_roundtrip
 ORACLE["scan_xml_roundtrip"] = _SCAN_XML_SQL
+
+
+def scan_xml_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record handling for the XML source (the
+    scan_csv_malformed contract on the last bundled format). XML's
+    corruption granularity is COARSER than CSV's line-level one:
+    probed on this runtime, a parse error poisons the stream from the
+    bad element to end-of-file, which all lands in ONE _corrupt_record
+    row — so the real quarantine unit is the FILE, and this op models
+    the production case: a fleet of clean part files plus one poison
+    file (truncated element), read with explicit schema +
+    _corrupt_record. The job survives, every clean file's rows parse,
+    the poison file surfaces as exactly one corrupt row; the oracle
+    recomputes all three outputs from the construction."""
+    import os
+
+    out = scratch_dir("scan_xml_malformed", sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    # Clean files via the XML WRITER (proper rooted documents — this
+    # runtime's reader parses only the FIRST rowTag element of a
+    # rootless concatenation and quarantines the rest, probed live).
+    cu.write.mode("overwrite").format("xml").option("rowTag", "c").save(out)
+    with open(os.path.join(out, "poison.xml"), "w") as f:
+        f.write("<ROWS><c><id>999999</id><bal>")  # truncated mid-element
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("seg", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("rowTag", "c")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .format("xml")
+        .load(out)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("n_clean"),
+        F.count("_corrupt_record").cast("long").alias("n_corrupt"),
+        dsum(F.when(F.col("_corrupt_record").isNull(), F.col("bal"))).alias(
+            "sum_clean_bal"
+        ),
+    )
+
+
+_SCAN_XML_MALFORMED_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clean,
+       CAST(1 AS BIGINT) AS n_corrupt,
+       {dsum_sql('c_acctbal')} AS sum_clean_bal
+FROM customer
+"""
+
+QUERIES["scan_xml_malformed"] = scan_xml_malformed
+ORACLE["scan_xml_malformed"] = _SCAN_XML_MALFORMED_SQL

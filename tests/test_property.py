@@ -265,3 +265,58 @@ def test_pbshim_autovivify_marks_presence_via_setter():
     back = classes["Event"]()
     back.ParseFromString(ev.SerializeToString())
     assert back.payload.value == 2.5
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=30),
+    st.lists(st.floats(allow_nan=False, width=64), max_size=10),
+)
+def test_pbshim_packed_repeated_roundtrip(ints, doubles):
+    """Repeated scalars serialize PACKED (proto3 canonical) and parse
+    back from both packed and per-element forms — the spec requires
+    parsers to accept either. Negative int64s ride as 10-byte varints
+    inside the packed payload."""
+    from cortana_intelligence_customer360_spark.vendor.pbshim.google.protobuf import (
+        _runtime as rt,
+    )
+
+    def field(name, number, ftype, repeated=False):
+        f = rt.FieldDesc()
+        f.name, f.number, f.type = name, number, ftype
+        if repeated:
+            f.label = rt.LABEL_REPEATED
+        return f
+
+    msg = rt.MessageDesc()
+    msg.name = "Packed"
+    msg.fields = [
+        field("xs", 1, rt.TYPE_INT64, repeated=True),
+        field("ds", 2, rt.TYPE_DOUBLE, repeated=True),
+    ]
+    fd = rt.FileDesc()
+    fd.name, fd.package = "t.proto", "t"
+    fd.messages = [msg]
+    cls = rt.build_message_classes(fd)["Packed"]
+
+    m = cls()
+    m.xs.extend(ints)
+    m.ds.extend(doubles)
+    wire = m.SerializeToString()
+    back = cls()
+    back.ParseFromString(wire)
+    assert list(back.xs) == list(ints)
+    assert list(back.ds) == list(doubles)
+    # spec: the parser must ALSO accept the unpacked per-element form
+    unpacked = bytearray()
+    for v in ints:
+        rt._enc_varint(unpacked, (1 << 3) | 0)
+        rt._enc_varint(unpacked, v)
+    import struct
+
+    for d in doubles:
+        rt._enc_varint(unpacked, (2 << 3) | 1)
+        unpacked.extend(struct.pack("<d", d))
+    back2 = cls()
+    back2.ParseFromString(bytes(unpacked))
+    assert list(back2.xs) == list(ints) and list(back2.ds) == list(doubles)

@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.window import Window
 
+from ..sources.tables import load_table
 from .ops import (
     _ROCKSDB_PROVIDER,
     _docs_stream,  # noqa: F401  (kept for symmetry; events used below)
@@ -176,7 +177,8 @@ class _DeadlineTimerProcessor(StatefulProcessor):
 
 
 def _run_tws(spark, stream, proc, out_schema, *, time_mode="None",
-             event_time_col="", min_batches=1, stop_when_drained=False):
+             event_time_col="", min_batches=1, stop_when_drained=False,
+             initial_state=None):
     _pbshim.ship_to_workers(spark)
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
@@ -188,6 +190,7 @@ def _run_tws(spark, stream, proc, out_schema, *, time_mode="None",
             outputMode="Update",
             timeMode=time_mode,
             eventTimeColumnName=event_time_col,
+            initialState=initial_state,
         )
         if stop_when_drained:
             return _drain_until_empty(out, "update", min_batches=min_batches)
@@ -404,9 +407,89 @@ FROM events GROUP BY 1
 """
 
 
+_SEED_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+class _SeededCounterProcessor(StatefulProcessor):
+    """Counter whose ValueState is SEEDED from a batch DataFrame via
+    handleInitialState (the transformWithState initialState path —
+    the batch-backfill-then-stream pattern every migration to a
+    stateful pipeline needs). Seeding happens exactly once, before the
+    first batch; each emission is seed + running count (monotone), so
+    the last emission per key equals seed + COUNT(*) — a double-
+    seeding bug (re-applied per batch or per restart) or a dropped
+    seed shifts every row and the full-value oracle catches it."""
+
+    def init(self, handle) -> None:
+        self._n = handle.getValueState("n", "n long")
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self._n.update((int(initialState["seed"].iloc[0]),))
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        c = 0
+        for pdf in rows:
+            c += len(pdf)
+        base = int(self._n.get()[0]) if self._n.exists() else 0
+        total = base + c
+        self._n.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def _seed_frame(spark: SparkSession, sf_dir: str):
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id", (F.col("user_id") % 100 + 1).cast("long").alias("seed")
+        )
+        .groupBy("user_id")
+    )
+
+
+def stream_transform_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("user_id")
+    sink = _run_tws(
+        spark, ev, _SeededCounterProcessor(), _SEED_OUT_SCHEMA,
+        initial_state=_seed_frame(spark, sf_dir),
+    )
+    return _latest_per(sink, ["user_id"], "n")
+
+
+def stream_transform_initial_state_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-batch replay: the seed must apply before batch 1 and NEVER
+    again — counters then accumulate across batches on top of it."""
+    ev = _events_stream_multi(spark, sf_dir).select("user_id")
+    sink = _run_tws(
+        spark, ev, _SeededCounterProcessor(), _SEED_OUT_SCHEMA,
+        min_batches=2, initial_state=_seed_frame(spark, sf_dir),
+    )
+    return _latest_per(sink, ["user_id"], "n")
+
+
+_SEED_SQL = """
+SELECT user_id,
+       CAST(user_id % 100 + 1 + COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_transform_ttl": stream_transform_ttl,
     "stream_transform_ttl_multi": stream_transform_ttl_multi,
+    "stream_transform_initial_state": stream_transform_initial_state,
+    "stream_transform_initial_state_multi": stream_transform_initial_state_multi,
     "stream_transform_mapstate": stream_transform_mapstate,
     "stream_transform_mapstate_multi": stream_transform_mapstate_multi,
     "stream_transform_liststate": stream_transform_liststate,
@@ -416,6 +499,8 @@ QUERIES = {
 ORACLE = {
     "stream_transform_ttl": _TTL_SQL,
     "stream_transform_ttl_multi": _TTL_SQL,
+    "stream_transform_initial_state": _SEED_SQL,
+    "stream_transform_initial_state_multi": _SEED_SQL,
     "stream_transform_mapstate": _MAPSTATE_SQL,
     "stream_transform_mapstate_multi": _MAPSTATE_SQL,
     "stream_transform_liststate": _LISTSTATE_SQL,

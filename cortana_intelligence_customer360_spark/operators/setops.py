@@ -346,7 +346,52 @@ LIMIT {_ZORDER_TOPN}
 """
 
 
+def agg_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0 API — the last uncovered
+    DataFrame reshape): flip the per-type metric matrix so METRICS
+    become rows and event types become columns, the report-friendly
+    orientation of agg_pivot's user matrix. transpose() materializes
+    the index column's values as column names (ascending), which is
+    driver-bounded by the TYPE DOMAIN — a dimension, never data-scale;
+    the upstream aggregate is the only shuffle. Metrics are cast to
+    one common type (double, 6 dp where libm is involved) because
+    transpose unifies all value columns to a least common type."""
+    from ..compat import bcount, dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        bcount().cast("double").alias("n_events"),
+        F.round(dsum("value"), 6).alias("sum_value"),
+        F.count_distinct(F.col("user_id")).cast("double").alias("n_users"),
+    )
+    return m.transpose("event_type")
+
+
+def _transpose_sql() -> str:
+    from ..compat import dsum_sql
+
+    types = sorted(EVENT_TYPES)
+    rows = []
+    for metric in ("n_events", "sum_value", "n_users"):
+        cells = ", ".join(
+            f"MAX(CASE WHEN event_type = '{t}' THEN {metric} END) AS {t}"
+            for t in types
+        )
+        rows.append(f"SELECT '{metric}' AS key, {cells} FROM m")
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         round({dsum_sql('value')}, 6) AS sum_value,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+  FROM events GROUP BY 1)
+{body}
+"""
+
+
 QUERIES = {
+    "agg_transpose": agg_transpose,
     "sort_nulls_ordering": sort_nulls_ordering,
     "sort_zorder": sort_zorder,
     "agg_unpivot": agg_unpivot,
@@ -361,6 +406,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_transpose": _transpose_sql(),
     "sort_nulls_ordering": _SORT_NULLS_SQL,
     "sort_zorder": _ZORDER_SQL,
     "agg_unpivot": _unpivot_sql(),

@@ -582,3 +582,123 @@ FROM orders GROUP BY 1 ORDER BY 1
 
 QUERIES["udf_pandas_iterator"] = udf_pandas_iterator
 ORACLE["udf_pandas_iterator"] = _UDF_ITER_SQL
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native GROUPED and COGROUPED maps (round 7): applyInArrow — the
+# Spark-4 Arrow siblings of applyInPandas. Per-group data crosses the
+# boundary as a pyarrow.Table and is aggregated with pyarrow.compute
+# kernels (no pandas object dtype, no index, no copy). Aggregates are
+# INTEGER-only so results are exact regardless of within-group order —
+# the float discipline problem doesn't arise.
+
+_GROUP_ARROW_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("min_eid", T.LongType()),
+        T.StructField("max_eid", T.LongType()),
+        T.StructField("sum_eid", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+    ]
+)
+
+
+def _user_arrow_stats(tbl):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    eid = tbl.column("event_id")
+    mm = pc.min_max(eid).as_py()
+    return pa.table(
+        {
+            "user_id": [tbl.column("user_id")[0].as_py()],
+            "n": [tbl.num_rows],
+            "min_eid": [mm["min"]],
+            "max_eid": [mm["max"]],
+            "sum_eid": [pc.sum(eid).as_py()],
+            "n_types": [pc.count_distinct(tbl.column("event_type")).as_py()],
+        },
+        schema=pa.schema([pa.field(f.name, pa.int64()) for f in _GROUP_ARROW_SCHEMA]),
+    )
+
+
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    return ev.groupBy("user_id").applyInArrow(
+        _user_arrow_stats, _GROUP_ARROW_SCHEMA
+    )
+
+
+_GROUP_ARROW_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(event_id) AS BIGINT) AS min_eid,
+       CAST(MAX(event_id) AS BIGINT) AS max_eid,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY 1
+"""
+
+
+_COGROUP_ARROW_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_orders", T.LongType()),
+    ]
+)
+
+
+def _merge_arrow_sides(left, right):
+    import pyarrow as pa
+
+    le = left.group_by("user_id").aggregate([("user_id", "count")])
+    ro = right.group_by("user_id").aggregate([("user_id", "count")])
+    le = le.rename_columns(["user_id", "n_events"])
+    ro = ro.rename_columns(["user_id", "n_orders"])
+    j = le.join(ro, keys="user_id", join_type="full outer")
+    cols = {
+        "user_id": j.column("user_id").cast(pa.int64()),
+        "n_events": j.column("n_events").fill_null(0).cast(pa.int64()),
+        "n_orders": j.column("n_orders").fill_null(0).cast(pa.int64()),
+    }
+    return pa.table(cols)
+
+
+def udf_cogrouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup(...).applyInArrow: both sides of a user-hash bucket meet
+    as pyarrow Tables and are merged with Arrow's native hash
+    aggregation + full-outer join — per-key merge logic with zero
+    pandas materialization. Same bucket-cogroup shuffle shape as
+    udf_cogrouped_pandas (one exchange per side)."""
+    bucket = F.pmod(F.col("user_id"), F.lit(_COGROUP_BUCKETS)).cast("int")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", bucket.alias("b")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.pmod(F.col("o_custkey"), F.lit(_COGROUP_BUCKETS)).cast("int").alias("b"),
+    )
+    return (
+        ev.groupBy("b")
+        .cogroup(od.groupBy("b"))
+        .applyInArrow(_merge_arrow_sides, _COGROUP_ARROW_SCHEMA)
+    )
+
+
+_COGROUP_ARROW_SQL = """
+WITH e AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+"""
+
+QUERIES["udaf_grouped_arrow"] = udaf_grouped_arrow
+ORACLE["udaf_grouped_arrow"] = _GROUP_ARROW_SQL
+QUERIES["udf_cogrouped_arrow"] = udf_cogrouped_arrow
+ORACLE["udf_cogrouped_arrow"] = _COGROUP_ARROW_SQL

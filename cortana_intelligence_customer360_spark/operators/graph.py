@@ -446,8 +446,13 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes·cap² regardless of how skewed the raw degree distribution
     is. Adjacent pairs leave via one anti-join; the final top-k is
     driver-bounded."""
-    und = _copurchase_und(spark, sf_dir)
-    e = _truncated_adjacency(und)
+    # Materialize und (the lineitem self-join) and the truncated
+    # adjacency ONCE: und feeds both the adjacency and the anti-join,
+    # and e feeds the degree table plus BOTH wedge sides — without the
+    # checkpoints the co-purchase join replays up to 4x (the
+    # graph_modularity lesson, r7).
+    und = _copurchase_und(spark, sf_dir).localCheckpoint(eager=False)
+    e = _truncated_adjacency(und).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(bcount().alias("deg"))
     wedges = (
         e.select(F.col("src").alias("m"), F.col("dst").alias("a"))
@@ -1269,8 +1274,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp-rounded score with (a, b) tiebreak so the cut is
     deterministic in both engines.
     """
+    # Same materialize-once discipline as graph_common_neighbors: e
+    # feeds deg + both wedge sides (und only feeds e here, so the
+    # adjacency checkpoint alone covers the replay).
     und = _copurchase_und(spark, sf_dir)
-    e = _truncated_adjacency(und)
+    e = _truncated_adjacency(und).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(bcount().alias("deg"))
     # deg = 1 nodes can never be a wedge middle (a wedge needs two
     # distinct neighbors); filter BEFORE the 1/ln(deg) weight so ANSI

@@ -1432,7 +1432,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     already has — and everything reduces to six DECIMAL-exact sums
     feeding one shared closed-form expression. One row out.
     """
-    edges = _edges(spark, sf_dir)
+    # edges feeds the degree aggregate AND both ends of the pair join —
+    # materialize once (the graph_modularity replay class, r7).
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(bcount().alias("deg"))
     paired = (
         edges.join(deg.select(F.col("src"), F.col("deg").alias("dx")), "src")

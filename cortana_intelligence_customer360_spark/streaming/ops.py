@@ -2118,3 +2118,71 @@ QUERIES["stream_stream_full_outer"] = stream_stream_full_outer
 QUERIES["stream_stream_full_outer_multi"] = stream_stream_full_outer_multi
 ORACLE["stream_stream_full_outer"] = _STREAM_STREAM_FULL_SQL
 ORACLE["stream_stream_full_outer_multi"] = _STREAM_STREAM_FULL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators (round 7): two event-time aggregations in
+# ONE streaming query — hourly (user, window) counts re-aggregated into
+# daily rollups on the window column. Pre-3.5 Spark forbade a stateful
+# op downstream of another; the chained form is the capability this op
+# pins. Append mode + watermark: a day emits only once the watermark
+# (global max event time - 10 min) passes its end, so the final open
+# day is deliberately withheld — the oracle applies the SAME cutoff,
+# making both forms full-oracle rather than S-tier.
+#
+# Scale: two keyed exchanges (hour-window x user, then day-window) with
+# map-side partial agg on both; state is O(open windows), the append
+# watermark evicts closed ones — the standard multi-grain rollup shape
+# of a 100 TB event warehouse.
+
+
+def _chained_rollup(ev: DataFrame, min_batches: int = 1) -> DataFrame:
+    hourly = ev.withWatermark("ts", "10 minutes").groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = hourly.groupBy(F.window(F.col("w"), "1 day").alias("d")).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_user_hours"),
+    )
+    out = daily.select(
+        F.unix_micros(F.col("d.start")).cast("long").alias("day_us"),
+        "n_events",
+        "n_user_hours",
+    )
+    return _drain_to_memory(out, "append", min_batches=min_batches)
+
+
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _chained_rollup(_events_stream(spark, sf_dir))
+
+
+def stream_chained_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-batch chronological replay: hour state accumulates across
+    batches and daily rollups flush as the watermark crosses each day
+    boundary mid-replay — early days emit from intermediate batches,
+    not just the final flush."""
+    return _chained_rollup(_events_stream_multi(spark, sf_dir), min_batches=2)
+
+
+_CHAINED_SQL = """
+WITH b AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+mx AS (SELECT MAX(ts) AS m FROM b),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, user_id, COUNT(*) AS n
+  FROM b GROUP BY 1, 2),
+daily AS (
+  SELECT date_trunc('day', h) AS d,
+         SUM(n) AS n_events,
+         COUNT(*) AS n_user_hours
+  FROM hourly GROUP BY 1)
+SELECT epoch_us(d) AS day_us,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_user_hours AS BIGINT) AS n_user_hours
+FROM daily, mx
+WHERE d + INTERVAL 1 DAY <= m - INTERVAL 10 MINUTE
+"""
+
+QUERIES["stream_chained_agg"] = stream_chained_agg
+QUERIES["stream_chained_agg_multi"] = stream_chained_agg_multi
+ORACLE["stream_chained_agg"] = _CHAINED_SQL
+ORACLE["stream_chained_agg_multi"] = _CHAINED_SQL

@@ -154,3 +154,45 @@ ORACLE = {
     "filter_subquery_in": _FILTER_SUBQ_IN_SQL,
     "filter_subquery_corr": _FILTER_SUBQ_CORR_SQL,
 }
+
+
+def filter_subquery_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 SUBQUERY-EXPRESSION DataFrame APIs — df.scalar() as an
+    uncorrelated scalar subquery and df.exists() as a correlated
+    EXISTS (outer references marked with Column.outer()) — the pure-
+    DataFrame forms of what filter_subquery_in/corr express in SQL:
+    above-average-balance customers having at least one open order.
+    The average is dsum/count (one IEEE division of exact operands) so
+    the threshold compare is bit-identical in both engines; Catalyst
+    plans the exists as a left-semi join, same as the SQL form."""
+    from ..compat import bcount, dsum
+
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cu.agg(
+        (dsum("c_acctbal") / bcount().cast("double")).alias("a")
+    )
+    open_orders = orders.where(
+        (F.col("o_custkey") == F.col("c_custkey").outer())
+        & (F.col("o_orderstatus") == "O")
+    )
+    return (
+        cu.where(
+            (F.col("c_acctbal") > avg_bal.scalar()) & open_orders.exists()
+        )
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+_FILTER_SUBQ_DF_SQL = """
+SELECT c_custkey, c_acctbal, c_mktsegment
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)
+                   FROM customer)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+QUERIES["filter_subquery_df_api"] = filter_subquery_df_api
+ORACLE["filter_subquery_df_api"] = _FILTER_SUBQ_DF_SQL

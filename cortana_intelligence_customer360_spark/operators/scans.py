@@ -1143,3 +1143,97 @@ FROM customer
 
 QUERIES["scan_xml_malformed"] = scan_xml_malformed
 ORACLE["scan_xml_malformed"] = _SCAN_XML_MALFORMED_SQL
+
+
+_PUSH_PARTS = 4
+_PUSH_ROWS = 2500
+_PUSH_MULT = 7
+_PUSH_MOD = 5
+_PUSH_BUCKET = 3
+
+
+def _make_pushdown_source():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    class _PushReader(DataSourceReader):
+        def __init__(self) -> None:
+            self._bucket = None
+
+        def pushFilters(self, filters):
+            # Accept EqualTo on bucket; hand everything else (e.g. the
+            # planner's IsNotNull) back for Spark to re-apply — the
+            # partial-pushdown contract.
+            rest = []
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("bucket",):
+                    self._bucket = f.value
+                else:
+                    rest.append(f)
+            return rest
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(_PUSH_PARTS)]
+
+        def read(self, part):
+            lo = part.value * _PUSH_ROWS
+            for i in range(lo, lo + _PUSH_ROWS):
+                b = (i * _PUSH_MULT) % _PUSH_MOD
+                if self._bucket is not None and b != self._bucket:
+                    continue
+                yield (i, b, 1 if self._bucket is not None else 0)
+
+    class _PushSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "c360_synth_pushdown"
+
+        def schema(self) -> str:
+            return "id long, bucket long, pushed long"
+
+        def reader(self, schema):
+            return _PushReader()
+
+    return _PushSource
+
+
+def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source FILTER PUSHDOWN (Spark 4.1 pushFilters): the
+    reader accepts the EqualTo(bucket) predicate at PLAN time and
+    generates only matching rows, returning unsupported filters for
+    Spark to re-apply. The ``pushed`` column is the proof: it is 1
+    only when pushFilters actually delivered the predicate to the
+    reader, and the oracle requires 1 on every row — with pushdown
+    silently disabled the result hash-mismatches rather than passing
+    on post-filter correctness alone. This is the custom-connector
+    scan-reduction contract at 100 TB: predicates cut generated/
+    fetched rows at the source, not after transfer."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(_make_pushdown_source())
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("c360_synth_pushdown").load()
+    return df.where(F.col("bucket") == _PUSH_BUCKET).agg(
+        bcount().alias("n"),
+        F.sum("id").cast("long").alias("sum_id"),
+        F.min("pushed").cast("long").alias("pushed"),
+    )
+
+
+_PYDS_PUSH_SQL = f"""
+WITH rows AS (
+  SELECT r.range AS id, (r.range * {_PUSH_MULT}) % {_PUSH_MOD} AS bucket
+  FROM range({_PUSH_PARTS * _PUSH_ROWS}) r)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(id) AS BIGINT) AS sum_id,
+       CAST(1 AS BIGINT) AS pushed
+FROM rows WHERE bucket = {_PUSH_BUCKET}
+"""
+
+QUERIES["source_python_pushdown"] = source_python_pushdown
+ORACLE["source_python_pushdown"] = _PYDS_PUSH_SQL

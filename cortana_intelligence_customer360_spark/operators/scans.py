@@ -1237,3 +1237,137 @@ FROM rows WHERE bucket = {_PUSH_BUCKET}
 
 QUERIES["source_python_pushdown"] = source_python_pushdown
 ORACLE["source_python_pushdown"] = _PYDS_PUSH_SQL
+
+
+def _make_jsonl_stream_sink():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _SMsg(WriterCommitMessage):
+        def __init__(self, fname, n):
+            self.fname = fname
+            self.n = n
+
+    class _StreamJsonlWriter(DataSourceStreamWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, rows):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            _os.makedirs(self.path, exist_ok=True)
+            fname = _os.path.join(
+                self.path, f"part-{_uuid.uuid4().hex}.jsonl"
+            )
+            n = 0
+            with open(fname, "w") as fh:
+                for row in rows:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _SMsg(fname, n)
+
+        def commit(self, messages, batchId) -> None:
+            import json as _json
+            import os as _os
+
+            # Driver-side epoch commit: record the batch manifest —
+            # the exactly-once hook a real sink uses to publish.
+            with open(
+                _os.path.join(self.path, f"_commit_{batchId}.json"), "w"
+            ) as fh:
+                fh.write(
+                    _json.dumps(
+                        {"batch": batchId, "rows": sum(m.n for m in messages)}
+                    )
+                )
+
+        def abort(self, messages, batchId) -> None:
+            pass  # scratch files are wiped at op start; nothing to undo
+
+    class _StreamJsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "c360_jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _StreamJsonlWriter(self.options["path"])
+
+    return _StreamJsonlSink
+
+
+def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source STREAMING writer (DataSourceStreamWriter —
+    the streaming sibling of sink_python_datasource's batch writer,
+    the last uncovered side of the Spark-4 Python connector API): the
+    4-batch chronological events replay is written through
+    ``writeStream.format(...)`` with per-partition write() returning
+    commit messages and a driver-side commit(batchId) publishing an
+    epoch manifest — the exactly-once publish hook. The written rows
+    are read back and aggregated; a dropped or double-written epoch
+    shifts the counts and hash-mismatches. Epoch commit manifests are
+    asserted (one per non-empty batch, row totals matching) rather
+    than emitted, because batch COUNT is a replay artifact, not query
+    semantics."""
+    import glob
+    import json as _json
+    import shutil
+
+    from ..streaming.ops import _events_stream_multi
+
+    out = scratch_dir("sink_python_stream_writer", sf_dir)
+    ckpt = scratch_dir("sink_python_stream_writer_ckpt", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        spark.dataSource.register(_make_jsonl_stream_sink())
+    except Exception:
+        pass  # already registered in this session
+    ev = _events_stream_multi(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "user_id",
+    )
+    q = (
+        ev.writeStream.format("c360_jsonl_stream_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    commits = []
+    for p in glob.glob(os.path.join(out, "_commit_*.json")):
+        with open(p) as fh:
+            commits.append(_json.load(fh))
+    n_committed = sum(c["rows"] for c in commits)
+    back = (
+        spark.read.schema("event_id long, event_type string, user_id long")
+        .json(os.path.join(out, "part-*.jsonl"))
+    )
+    n_rows = back.count()
+    if n_committed != n_rows:
+        raise AssertionError(
+            f"epoch manifests claim {n_committed} rows, sink holds {n_rows}"
+        )
+    return back.groupBy("event_type").agg(
+        bcount().alias("n"),
+        F.sum("event_id").cast("long").alias("sum_eid"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_PYDS_STREAM_SINK_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+QUERIES["sink_python_stream_writer"] = sink_python_stream_writer
+ORACLE["sink_python_stream_writer"] = _PYDS_STREAM_SINK_SQL

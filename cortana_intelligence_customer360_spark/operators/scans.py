@@ -1212,17 +1212,32 @@ def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     on post-filter correctness alone. This is the custom-connector
     scan-reduction contract at 100 TB: predicates cut generated/
     fetched rows at the source, not after transfer."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
     try:
-        spark.dataSource.register(_make_pushdown_source())
-    except Exception:
-        pass  # already registered in this session
-    df = spark.read.format("c360_synth_pushdown").load()
-    return df.where(F.col("bucket") == _PUSH_BUCKET).agg(
-        bcount().alias("n"),
-        F.sum("id").cast("long").alias("sum_id"),
-        F.min("pushed").cast("long").alias("pushed"),
-    )
+        try:
+            spark.dataSource.register(_make_pushdown_source())
+        except Exception:
+            pass  # already registered in this session
+        df = spark.read.format("c360_synth_pushdown").load()
+        res = df.where(F.col("bucket") == _PUSH_BUCKET).agg(
+            bcount().alias("n"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.min("pushed").cast("long").alias("pushed"),
+        )
+        # Eager localCheckpoint: pushFilters runs at physical planning,
+        # so the plan must execute while the conf is set — later
+        # materializations replay the checkpointed 1-row result, not
+        # the plan. This lets the finally restore the session conf
+        # (save/restore discipline, matching _run_tws) instead of
+        # leaking the setting into every subsequent query.
+        return res.localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 _PYDS_PUSH_SQL = f"""
@@ -1276,18 +1291,37 @@ def _make_jsonl_stream_sink():
             import os as _os
 
             # Driver-side epoch commit: record the batch manifest —
-            # the exactly-once hook a real sink uses to publish.
+            # the exactly-once hook a real sink uses to publish. The
+            # manifest NAMES the committed files: read-back goes off
+            # the manifests, never a part-* glob, so an orphan from a
+            # failed/speculative attempt can never be double-counted.
             with open(
                 _os.path.join(self.path, f"_commit_{batchId}.json"), "w"
             ) as fh:
                 fh.write(
                     _json.dumps(
-                        {"batch": batchId, "rows": sum(m.n for m in messages)}
+                        {
+                            "batch": batchId,
+                            "rows": sum(m.n for m in messages),
+                            "files": [m.fname for m in messages],
+                        }
                     )
                 )
 
         def abort(self, messages, batchId) -> None:
-            pass  # scratch files are wiped at op start; nothing to undo
+            import os as _os
+
+            # Best-effort scrub of this epoch's uncommitted part files
+            # (write() creates them before commit; a retry would
+            # otherwise leave orphans). Messages can be None for tasks
+            # that failed before returning one.
+            for m in messages:
+                fname = getattr(m, "fname", None)
+                if fname:
+                    try:
+                        _os.remove(fname)
+                    except OSError:
+                        pass
 
     class _StreamJsonlSink(DataSource):
         @classmethod
@@ -1345,9 +1379,15 @@ def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(p) as fh:
             commits.append(_json.load(fh))
     n_committed = sum(c["rows"] for c in commits)
+    committed_files = [f for c in commits for f in c.get("files", [])]
+    if not committed_files:
+        raise AssertionError("no committed epoch manifests found")
+    # Read back ONLY the manifest-named files: a part file from an
+    # aborted or speculative attempt (present on disk, absent from
+    # every manifest) is invisible, exactly as in a real table format.
     back = (
         spark.read.schema("event_id long, event_type string, user_id long")
-        .json(os.path.join(out, "part-*.jsonl"))
+        .json(committed_files)
     )
     n_rows = back.count()
     if n_committed != n_rows:

@@ -178,7 +178,7 @@ class _DeadlineTimerProcessor(StatefulProcessor):
 
 def _run_tws(spark, stream, proc, out_schema, *, time_mode="None",
              event_time_col="", min_batches=1, stop_when_drained=False,
-             initial_state=None):
+             initial_state=None, min_gap_ms=None):
     _pbshim.ship_to_workers(spark)
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
@@ -193,7 +193,9 @@ def _run_tws(spark, stream, proc, out_schema, *, time_mode="None",
             initialState=initial_state,
         )
         if stop_when_drained:
-            return _drain_until_empty(out, "update", min_batches=min_batches)
+            return _drain_until_empty(
+                out, "update", min_batches=min_batches, min_gap_ms=min_gap_ms
+            )
         return _drain_to_memory(out, "update", min_batches=min_batches)
     finally:
         if prev is None:
@@ -202,7 +204,44 @@ def _run_tws(spark, stream, proc, out_schema, *, time_mode="None",
             spark.conf.set(key, prev)
 
 
-def _drain_until_empty(df: DataFrame, mode: str, min_batches: int = 1) -> DataFrame:
+def _parse_prog_ts(s: str) -> float:
+    """StreamingQueryProgress timestamp (ISO8601 Z, millis optional)
+    -> epoch seconds."""
+    from datetime import datetime, timezone
+
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    return datetime.strptime(s, fmt).replace(tzinfo=timezone.utc).timestamp()
+
+
+def _assert_batch_gaps(prog: list, min_gap_ms: float) -> None:
+    """TTL-harness guard (r7 advice): an op whose oracle depends on
+    state expiring BETWEEN micro-batches (ttlDurationMs=1) is only
+    sound if consecutive data batches' TRIGGER timestamps are > TTL
+    apart: processing-time TTL expiry is evaluated against the batch
+    timestamp (batchTimestampMs — state written in batch N expires in
+    batch N+1 iff ts_{N+1} > ts_N + ttl), not the wall clock at state
+    access. Progress `timestamp` IS that trigger timestamp; if a
+    timing fluke ever puts two data batches within TTL, fail LOUDLY as
+    a harness issue here instead of surfacing downstream as a phantom
+    oracle mismatch."""
+    data = sorted(
+        (p for p in prog if p["numInputRows"] > 0), key=lambda p: p["batchId"]
+    )
+    for a, b in zip(data, data[1:]):
+        gap_ms = (
+            _parse_prog_ts(b["timestamp"]) - _parse_prog_ts(a["timestamp"])
+        ) * 1e3
+        if gap_ms <= min_gap_ms:
+            raise AssertionError(
+                "HARNESS TIMING, not a correctness failure: batches "
+                f"{a['batchId']}->{b['batchId']} committed {gap_ms:.3f} ms "
+                f"apart, <= ttl {min_gap_ms} ms — state cannot have expired"
+            )
+
+
+def _drain_until_empty(
+    df: DataFrame, mode: str, min_batches: int = 1, min_gap_ms: float | None = None
+) -> DataFrame:
     """Drain variant for ProcessingTime-mode transformWithState:
     TransformWithStateExec.shouldRunAnotherBatch returns TRUE
     unconditionally in that time mode (processing-time timers/TTL may
@@ -235,6 +274,7 @@ def _drain_until_empty(df: DataFrame, mode: str, min_batches: int = 1) -> DataFr
         )
         deadline = _time.time() + 600
         n_batches = 0
+        prog: list = []
         while _time.time() < deadline and q.isActive:
             prog = q.recentProgress
             n_batches = len([p for p in prog if p["numInputRows"] > 0])
@@ -253,6 +293,8 @@ def _drain_until_empty(df: DataFrame, mode: str, min_batches: int = 1) -> DataFr
         raise AssertionError(
             f"expected >= {min_batches} non-empty micro-batches, got {n_batches}"
         )
+    if min_gap_ms is not None:
+        _assert_batch_gaps(prog, min_gap_ms)
     return spark.table(name)
 
 
@@ -387,7 +429,7 @@ def stream_transform_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir).select("user_id")
     sink = _run_tws(
         spark, ev, _TtlCounterProcessor(), _TTL_OUT_SCHEMA,
-        time_mode="ProcessingTime", stop_when_drained=True,
+        time_mode="ProcessingTime", stop_when_drained=True, min_gap_ms=1,
     )
     return _ttl_sum(sink)
 
@@ -397,6 +439,7 @@ def stream_transform_ttl_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = _run_tws(
         spark, ev, _TtlCounterProcessor(), _TTL_OUT_SCHEMA,
         time_mode="ProcessingTime", min_batches=2, stop_when_drained=True,
+        min_gap_ms=1,
     )
     return _ttl_sum(sink)
 

@@ -267,6 +267,63 @@ def test_pbshim_autovivify_marks_presence_via_setter():
     assert back.payload.value == 2.5
 
 
+def test_pbshim_oneof_read_does_not_clear_sibling():
+    """r8 advice fix: reading an UNSET oneof member returns a detached
+    default and leaves the set sibling intact (real-protobuf
+    semantics). Before the fix, read-vivify routed through the setter,
+    which cleared the sibling — a read-before-HasField silently
+    destroyed parsed data."""
+    from cortana_intelligence_customer360_spark.vendor.pbshim.google.protobuf import (
+        _runtime as rt,
+    )
+
+    def field(name, number, ftype, oneof=None, type_name=None):
+        f = rt.FieldDesc()
+        f.name, f.number, f.type = name, number, ftype
+        f.oneof_index = oneof
+        if type_name:
+            f.type_name = type_name
+        return f
+
+    sub = rt.MessageDesc()
+    sub.name = "Sub"
+    sub.fields = [field("x", 1, rt.TYPE_INT64)]
+    msg = rt.MessageDesc()
+    msg.name = "Outer"
+    msg.fields = [
+        field("a", 1, rt.TYPE_INT64, oneof=0),
+        field("b", 2, rt.TYPE_MESSAGE, oneof=0, type_name=".t.Sub"),
+        field("plain", 3, rt.TYPE_MESSAGE, type_name=".t.Sub"),
+    ]
+    msg.oneof_names = ["choice"]
+    fd = rt.FileDesc()
+    fd.name, fd.package = "t.proto", "t"
+    fd.messages = [sub, msg]
+    classes = rt.build_message_classes(fd)
+
+    m = classes["Outer"](a=7)
+    wire = m.SerializeToString()
+    back = classes["Outer"]()
+    back.ParseFromString(wire)
+    # read the UNSET oneof member: detached default, sibling survives
+    assert back.b.x == 0
+    assert back.a == 7
+    assert back.WhichOneof("choice") == "a"
+    assert back.SerializeToString() == wire
+    # read-vivified oneof member is detached: mutation does NOT attach
+    back.b.x = 5
+    assert back.WhichOneof("choice") == "a"
+    # explicit assignment DOES switch the oneof and clears the sibling
+    back.b = classes["Sub"](x=9)
+    assert back.WhichOneof("choice") == "b"
+    assert back.a == 0
+    # non-oneof message fields still auto-vivify with persistence
+    back.plain.x = 3
+    rt2 = classes["Outer"]()
+    rt2.ParseFromString(back.SerializeToString())
+    assert rt2.plain.x == 3 and rt2.b.x == 9
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=30),

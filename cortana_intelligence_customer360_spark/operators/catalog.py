@@ -1,0 +1,230 @@
+"""SQL catalog / DDL surface (SURVEY.md §2.12, round 8).
+
+Every other op in the package reads parquet paths and temp views; a
+user managing a warehouse goes through the SQL catalog instead:
+``CREATE TABLE ... USING parquet`` (managed, written under the
+session's spark-warehouse), ``INSERT INTO`` / ``INSERT OVERWRITE ...
+PARTITION``, ``DESCRIBE``, ``SHOW PARTITIONS``, ``spark.catalog``
+listing, and global temp views. These ops exercise that lifecycle
+end-to-end with full DuckDB oracles: the read-back of what DDL+DML
+produced must equal the same computation done directly on the source
+tables, and catalog introspection results ride along as columns so a
+silently-ignored DDL clause (wrong column count, unmanaged table,
+missing partition) hash-mismatches instead of passing.
+
+Scale notes: the DDL statements are metadata-only; the INSERTs are
+ordinary distributed writes (same path as sink_parquet_partitioned).
+Each op localCheckpoints its read-back BEFORE dropping the table in
+``finally``, so the returned frame never references dropped state and
+repeated runs are self-cleaning (plus a DROP IF EXISTS at entry for
+crash leftovers).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import bcount, dsum_sql
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _tag(sf_dir: str) -> str:
+    import os
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+
+
+def sql_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table lifecycle through the SQL catalog: CREATE TABLE
+    USING parquet with an explicit schema, two INSERT INTO appends
+    (even / odd custkeys — proving INSERT appends rather than
+    overwrites), DESCRIBE + spark.catalog introspection, aggregate
+    read-back, DROP in a finally. The per-segment account-balance
+    partials are stored as DECIMAL(30,6) so re-aggregating the two
+    appended halves is exact (decimal addition is associative; a
+    DOUBLE partial would diverge from the oracle's single exact sum).
+
+    Oracle: the same aggregate recomputed straight from customer, with
+    n_inserts = COUNT(DISTINCT parity) per segment and the catalog
+    facts as literals — 3 columns, managed, listed."""
+    tbl = f"c360_ddl_{_tag(sf_dir)}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "catalog_ddl_customer_src"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} "
+        "(c_mktsegment STRING, n BIGINT, acctbal DECIMAL(30,6)) USING parquet"
+    )
+    try:
+        for parity in (0, 1):
+            spark.sql(
+                f"INSERT INTO {tbl} "
+                "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT), "
+                "CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DECIMAL(30,6)) "
+                f"FROM catalog_ddl_customer_src WHERE c_custkey % 2 = {parity} "
+                "GROUP BY c_mktsegment"
+            )
+        # Catalog introspection (metadata reads, driver-side by nature):
+        # DESCRIBE row set, listColumns count, tableType, listing.
+        desc = spark.sql(f"DESCRIBE TABLE {tbl}").where(
+            "col_name NOT LIKE '#%' AND col_name <> ''"
+        ).collect()
+        col_sig = ",".join(f"{r.col_name}:{r.data_type}" for r in desc)
+        n_cols = len(spark.catalog.listColumns(tbl))
+        managed = spark.catalog.getTable(tbl).tableType == "MANAGED"
+        listed = any(t.name == tbl for t in spark.catalog.listTables())
+        out = (
+            spark.table(tbl)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum("n").cast("long").alias("n_customers"),
+                F.sum("acctbal").cast("double").alias("acctbal"),
+                bcount().alias("n_inserts"),
+            )
+            .withColumn("n_cols", F.lit(n_cols).cast("long"))
+            .withColumn(
+                "catalog_ok",
+                F.lit(1 if (managed and listed) else 0).cast("long"),
+            )
+            .withColumn("col_sig", F.lit(col_sig))
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+_DDL_SQL = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {dsum_sql('c_acctbal')} AS acctbal,
+       CAST(COUNT(DISTINCT c_custkey % 2) AS BIGINT) AS n_inserts,
+       CAST(3 AS BIGINT) AS n_cols,
+       CAST(1 AS BIGINT) AS catalog_ok,
+       'c_mktsegment:string,n:bigint,acctbal:decimal(30,6)' AS col_sig
+FROM customer GROUP BY 1
+"""
+
+QUERIES["sql_catalog_ddl"] = sql_catalog_ddl
+ORACLE["sql_catalog_ddl"] = _DDL_SQL
+
+
+def sql_catalog_ctas_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS with PARTITIONED BY + static-partition INSERT OVERWRITE:
+    the nation×region join is materialized as a managed parquet table
+    partitioned by r_name, then exactly the ASIA partition is
+    rewritten with versioned names (static PARTITION spec — the other
+    four partitions' files are untouched, the partition-granular
+    rewrite a warehouse depends on at 100 TB). SHOW PARTITIONS count
+    rides along as a column. Read-back aggregates the final state;
+    oracle recomputes it with a CASE for the overwritten partition."""
+    tbl = f"c360_ctas_{_tag(sf_dir)}"
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("catalog_ctas_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("catalog_ctas_region")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} USING parquet PARTITIONED BY (r_name) AS "
+        "SELECT n.n_nationkey, n.n_name, r.r_name "
+        "FROM catalog_ctas_nation n JOIN catalog_ctas_region r "
+        "ON n.n_regionkey = r.r_regionkey"
+    )
+    try:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {tbl} PARTITION (r_name = 'ASIA') "
+            "SELECT n.n_nationkey, concat(n.n_name, '_V2') "
+            "FROM catalog_ctas_nation n JOIN catalog_ctas_region r "
+            "ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA'"
+        )
+        n_parts = spark.sql(f"SHOW PARTITIONS {tbl}").count()
+        out = (
+            spark.table(tbl)
+            .groupBy("r_name")
+            .agg(
+                bcount().alias("n_nations"),
+                F.sum(F.when(F.col("n_name").endswith("_V2"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_v2"),
+                F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                    "names"
+                ),
+            )
+            .withColumn("n_partitions", F.lit(n_parts).cast("long"))
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+_CTAS_SQL = """
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(COUNT(*) FILTER (WHERE r.r_name = 'ASIA') AS BIGINT) AS n_v2,
+       STRING_AGG(
+         CASE WHEN r.r_name = 'ASIA' THEN n.n_name || '_V2' ELSE n.n_name END,
+         ','
+         ORDER BY CASE WHEN r.r_name = 'ASIA' THEN n.n_name || '_V2'
+                       ELSE n.n_name END
+       ) AS names,
+       (SELECT CAST(COUNT(DISTINCT r_regionkey) AS BIGINT) FROM region)
+         AS n_partitions
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
+QUERIES["sql_catalog_ctas_partitioned"] = sql_catalog_ctas_partitioned
+ORACLE["sql_catalog_ctas_partitioned"] = _CTAS_SQL
+
+
+def sql_catalog_global_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global temp views: CREATE OR REPLACE GLOBAL TEMPORARY VIEW,
+    cross-database read via the global_temp schema, and
+    spark.catalog.listTables('global_temp') proving the view is
+    actually registered there (the listing flag is an output column —
+    a view that silently landed in the wrong database would zero it
+    and hash-mismatch). Dropped in a finally via dropGlobalTempView."""
+    gname = f"c360_gv_{_tag(sf_dir)}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "catalog_gv_orders_src"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW {gname} AS "
+        "SELECT o_orderpriority, o_totalprice FROM catalog_gv_orders_src "
+        "WHERE o_orderstatus = 'F'"
+    )
+    try:
+        listed = any(
+            t.name == gname for t in spark.catalog.listTables("global_temp")
+        )
+        out = (
+            spark.table(f"global_temp.{gname}")
+            .groupBy("o_orderpriority")
+            .agg(
+                bcount().alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .withColumn("listed", F.lit(1 if listed else 0).cast("long"))
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.catalog.dropGlobalTempView(gname)
+
+
+_GV_SQL = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('o_totalprice')} AS total,
+       CAST(1 AS BIGINT) AS listed
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1
+"""
+
+QUERIES["sql_catalog_global_view"] = sql_catalog_global_view
+ORACLE["sql_catalog_global_view"] = _GV_SQL

@@ -2186,3 +2186,102 @@ QUERIES["stream_chained_agg"] = stream_chained_agg
 QUERIES["stream_chained_agg_multi"] = stream_chained_agg_multi
 ORACLE["stream_chained_agg"] = _CHAINED_SQL
 ORACLE["stream_chained_agg_multi"] = _CHAINED_SQL
+
+
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ForeachWriter sink (the per-row sibling of
+    stream_foreachbatch_sink): the 4-batch chronological events replay
+    is written through ``writeStream.foreach(writer)`` exercising the
+    full open(partition, epoch) / process(row) / close(error)
+    lifecycle. Exactly-once under task retry comes from EPOCH KEYING:
+    each (partition, epoch) writes to a deterministic file name via a
+    tmp file renamed into place only on successful close — a retried
+    task atomically REPLACES its predecessor's output instead of
+    appending alongside it, and a task that dies mid-write leaves only
+    a .tmp the read-back never sees. The written rows are read back
+    and aggregated; a dropped, duplicated, or torn epoch shifts the
+    counts and hash-mismatches against the full-table oracle."""
+    import glob
+    import shutil
+
+    out = scratch_dir("stream_foreach_sink", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    ckpt = scratch_dir("stream_foreach_sink_ckpt", sf_dir)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    class _EpochKeyedRowWriter:
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+        def open(self, partition_id: int, epoch_id: int) -> bool:
+            import os as _os
+
+            self._final = _os.path.join(
+                self.path, f"p{partition_id}-e{epoch_id}.jsonl"
+            )
+            self._tmp = self._final + ".tmp"
+            self._fh = open(self._tmp, "w")
+            return True  # process this (partition, epoch)
+
+        def process(self, row) -> None:
+            import json as _json
+
+            self._fh.write(
+                _json.dumps(
+                    {
+                        "event_id": row.event_id,
+                        "event_type": row.event_type,
+                        "user_id": row.user_id,
+                    }
+                )
+                + "\n"
+            )
+
+        def close(self, error) -> None:
+            import os as _os
+
+            self._fh.close()
+            if error is None:
+                _os.replace(self._tmp, self._final)  # atomic epoch commit
+            else:
+                _os.remove(self._tmp)
+
+    ev = _events_stream_multi(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "user_id",
+    )
+    q = (
+        ev.writeStream.foreach(_EpochKeyedRowWriter(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files = glob.glob(os.path.join(out, "p*-e*.jsonl"))
+    epochs = {os.path.basename(f).rsplit("-e", 1)[1] for f in files}
+    if len(epochs) < 2:
+        raise AssertionError(
+            f"expected >= 2 epochs from the multi-file replay, got {epochs}"
+        )
+    back = spark.read.schema(
+        "event_id long, event_type string, user_id long"
+    ).json(files)
+    return back.groupBy("event_type").agg(
+        bcount().alias("n"),
+        F.sum("event_id").cast("long").alias("sum_eid"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_FOREACH_SINK_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+QUERIES["stream_foreach_sink"] = stream_foreach_sink
+ORACLE["stream_foreach_sink"] = _FOREACH_SINK_SQL

@@ -90,64 +90,199 @@ def fn_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if ev.rdd.getNumPartitions() < target:
         ev = ev.repartition(target)
+    return ev.mapInPandas(_make_roundtrip_codec(), _PB_OUT)
+
+
+def _make_roundtrip_codec():
+    """Build the roundtrip op's batch codec (module-level so tests can
+    drive it on synthetic batches without a SparkSession)."""
 
     def _codec(batches):
-        import struct
-
+        # Vectorized wire codec (r8, verdict-7 item 5): the old
+        # per-row loop cost ~25 µs/row; varint/fixed64 packing and
+        # parsing are now numpy byte-array passes over one contiguous
+        # buffer per Arrow batch (~0.5 µs/row). Three layers of byte
+        # fidelity survive the rewrite:
+        #   1. the ENCODER is spec-direct (tags inlined from the
+        #      public wire format, thresholds for varint widths);
+        #   2. the DECODER is an INDEPENDENT vectorized parser — it
+        #      walks tag bytes and varint continuation bits from the
+        #      buffer alone (never reusing the encoder's length math),
+        #      checks every tag, bit-compares the decoded values to
+        #      the inputs, and requires each row's parse to consume
+        #      exactly to the row boundary;
+        #   3. the vendored pbshim runtime parses AND re-serializes a
+        #      deterministic 64-row prefix of every batch — the
+        #      two-implementations-agree-byte-for-byte check, now on a
+        #      sample instead of every row.
+        # Any failure flips that row's roundtrip_ok and the full-value
+        # oracle catches it.
+        import numpy as np
         import pandas as pd
 
         event_cls = _event_classes()["Event"]
+        cols = [f.name for f in _PB_OUT.fields]
 
-        def varint(v: int) -> bytes:
-            b = bytearray()
-            while v > 0x7F:
-                b.append((v & 0x7F) | 0x80)
-                v >>= 7
-            b.append(v)
-            return bytes(b)
+        def varint_lens(x):
+            n = np.ones(len(x), dtype=np.int64)
+            for k in range(1, 9):
+                n += x >= (1 << (7 * k))
+            return n
 
-        pack_d = struct.Struct("<d").pack
         for pdf in batches:
-            out = []
-            # Encode with an INDEPENDENT spec-direct encoder (tag bytes
-            # inlined from the public wire format), then decode AND
-            # re-serialize through the vendored runtime: roundtrip_ok
-            # is two implementations agreeing byte-for-byte, a stronger
-            # fidelity check than self-round-tripping one codec — and
-            # the hand encoder drops per-row message construction from
-            # the hot path (3 runtime objects/row -> 1).
-            for eid, uid, ts, et, val in zip(
-                pdf["event_id"].to_numpy(), pdf["user_id"].to_numpy(),
-                pdf["ts_us"].to_numpy(), pdf["event_type"],
-                pdf["value"].to_numpy(),
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            eid = pdf["event_id"].to_numpy(np.int64)
+            uid = pdf["user_id"].to_numpy(np.int64)
+            ts = pdf["ts_us"].to_numpy(np.int64)
+            val = pdf["value"].to_numpy(np.float64)
+            codes, uniques = pd.factorize(pdf["event_type"])
+            et_bytes_u = [str(u).encode("utf-8") for u in uniques]
+            et_len_u = np.array([len(b) for b in et_bytes_u], dtype=np.int64)
+            if (
+                (codes < 0).any()
+                or (et_len_u >= 128).any()
+                or (eid < 0).any()
+                or (uid < 0).any()
+                or (ts < 0).any()
             ):
-                et_b = str(et).encode("utf-8")
-                payload = (
-                    b"\x0a" + varint(len(et_b)) + et_b
-                    + b"\x11" + pack_d(float(val))
+                raise ValueError(
+                    "protobuf fast path preconditions violated "
+                    "(null/negative field or >127-byte event_type)"
                 )
-                wire = (
-                    b"\x08" + varint(int(eid))
-                    + b"\x10" + varint(int(uid))
-                    + b"\x18" + varint(int(ts))
-                    + b"\x22" + varint(len(payload)) + payload
-                )
-                back = event_cls()
-                back.ParseFromString(wire)
-                out.append(
-                    (
-                        back.event_id,
-                        back.user_id,
-                        back.ts_us,
-                        back.payload.event_type,
-                        back.payload.value,
-                        len(wire),
-                        back.SerializeToString() == wire,
-                    )
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in _PB_OUT.fields])
+            et_len = et_len_u[codes]
+            l_eid, l_uid, l_ts = varint_lens(eid), varint_lens(uid), varint_lens(ts)
+            plen = 11 + et_len  # 0x0a + len + et + 0x11 + 8 IEEE bytes
+            total = 3 + l_eid + l_uid + l_ts + 2 + plen  # 4 tags + plen byte
+            end = np.cumsum(total)
+            start = end - total
+            buf = np.zeros(int(end[-1]), dtype=np.uint8)
 
-    return ev.mapInPandas(_codec, _PB_OUT)
+            def put_varint(x, lens, pos):
+                ux = x.astype(np.uint64)
+                for i in range(int(lens.max())):
+                    m = lens > i
+                    b = ((ux[m] >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(
+                        np.uint8
+                    )
+                    cont = ((lens[m] - 1) > i).astype(np.uint8)
+                    buf[pos[m] + i] = b | (cont << 7)
+                return pos + lens
+
+            p = start.copy()
+            buf[p] = 0x08
+            p = put_varint(eid, l_eid, p + 1)
+            buf[p] = 0x10
+            p = put_varint(uid, l_uid, p + 1)
+            buf[p] = 0x18
+            p = put_varint(ts, l_ts, p + 1)
+            buf[p] = 0x22
+            buf[p + 1] = plen.astype(np.uint8)  # plen < 139 < 128+11: 1 byte
+            buf[p + 2] = 0x0A
+            buf[p + 3] = et_len.astype(np.uint8)
+            p = p + 4
+            for k, bs in enumerate(et_bytes_u):
+                rows = np.nonzero(codes == k)[0]
+                if not len(rows):
+                    continue
+                idx = p[rows][:, None] + np.arange(len(bs), dtype=np.int64)
+                buf[idx.ravel()] = np.tile(
+                    np.frombuffer(bs, dtype=np.uint8), len(rows)
+                )
+            p = p + et_len
+            buf[p] = 0x11
+            idx8 = (p + 1)[:, None] + np.arange(8, dtype=np.int64)
+            buf[idx8.ravel()] = val.astype("<f8").view(np.uint8).reshape(n, 8).ravel()
+            # encoder self-check: every row wrote exactly to its boundary
+            if not ((p + 9) == end).all():
+                raise AssertionError("encoder wrote past row boundary")
+
+            # ---- independent vectorized parse ----
+            q = start.copy()
+            ok = np.ones(n, dtype=bool)
+
+            def expect(tag):
+                nonlocal q
+                nonlocal ok
+                ok &= buf[q] == tag
+                q = q + 1
+
+            def read_varint():
+                nonlocal q
+                v = np.zeros(n, dtype=np.uint64)
+                active = np.ones(n, dtype=bool)
+                shift = np.uint64(0)
+                for _ in range(10):
+                    b = buf[q[active]]
+                    v[active] |= (b.astype(np.uint64) & np.uint64(0x7F)) << shift
+                    q[active] += 1
+                    idx = np.nonzero(active)[0]
+                    active[idx[b < 0x80]] = False
+                    shift += np.uint64(7)
+                    if not active.any():
+                        break
+                return v.astype(np.int64)
+
+            expect(0x08)
+            d_eid = read_varint()
+            expect(0x10)
+            d_uid = read_varint()
+            expect(0x18)
+            d_ts = read_varint()
+            expect(0x22)
+            d_plen = read_varint()
+            expect(0x0A)
+            d_etlen = read_varint()
+            for k, bs in enumerate(et_bytes_u):
+                rows = np.nonzero(codes == k)[0]
+                if not len(rows):
+                    continue
+                ok[rows] &= d_etlen[rows] == len(bs)
+                idx = q[rows][:, None] + np.arange(len(bs), dtype=np.int64)
+                ok[rows] &= (
+                    buf[idx] == np.frombuffer(bs, dtype=np.uint8)[None, :]
+                ).all(axis=1)
+            q = q + d_etlen
+            expect(0x11)
+            idx8 = q[:, None] + np.arange(8, dtype=np.int64)
+            d_val = buf[idx8].reshape(n, 8).copy().view("<f8").ravel()
+            q = q + 8
+            ok &= q == end  # parse consumed exactly the row's bytes
+            ok &= d_plen == 11 + d_etlen
+            ok &= (d_eid == eid) & (d_uid == uid) & (d_ts == ts)
+            # bit-exact double compare (NaN-safe, -0.0-strict)
+            ok &= d_val.view(np.uint64) == val.astype("<f8").view(np.uint64)
+
+            # ---- pbshim runtime cross-check (sampled) ----
+            ets = pdf["event_type"].to_numpy(dtype=object)
+            for r in range(min(64, n)):
+                w = buf[start[r] : end[r]].tobytes()
+                m = event_cls()
+                m.ParseFromString(w)
+                if not (
+                    m.event_id == eid[r]
+                    and m.user_id == uid[r]
+                    and m.ts_us == ts[r]
+                    and m.payload.event_type == str(ets[r])
+                    and m.SerializeToString() == w
+                ):
+                    ok[r] = False
+
+            yield pd.DataFrame(
+                {
+                    "event_id": d_eid,
+                    "user_id": d_uid,
+                    "ts_us": d_ts,
+                    "event_type": pdf["event_type"].to_numpy(dtype=object),
+                    "value": d_val,
+                    "pb_bytes": total,
+                    "roundtrip_ok": ok,
+                }
+            )
+
+    return _codec
 
 
 def _varint_len_sql(expr: str) -> str:

@@ -228,3 +228,100 @@ GROUP BY 1
 
 QUERIES["sql_catalog_global_view"] = sql_catalog_global_view
 ORACLE["sql_catalog_global_view"] = _GV_SQL
+
+
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE FUNCTION with a SQL expression body —
+    Spark 4's catalog-resident alternative to Python UDFs: the body is
+    INLINED into the plan by the analyzer, so it stays whole-stage
+    codegen, costs nothing vs writing the expression by hand, and
+    needs no Python worker): a priority-discount function applied per
+    order, aggregated per priority through the DECIMAL discipline.
+    DROP FUNCTION in a finally; result localCheckpointed first."""
+    fname = f"c360_disc_{_tag(sf_dir)}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "catalog_udf_orders"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {fname}(price DOUBLE, pri STRING) "
+        "RETURNS DOUBLE "
+        "RETURN CASE WHEN pri LIKE '1-%' THEN price * CAST(0.9 AS DOUBLE) "
+        "ELSE price END"
+    )
+    try:
+        out = spark.sql(
+            f"""
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST({fname}(o_totalprice, o_orderpriority)
+                        AS DECIMAL(30,6))) AS DOUBLE) AS disc_total
+            FROM catalog_udf_orders GROUP BY 1
+            """
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fname}")
+
+
+_SQL_UDF_SCALAR_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderpriority LIKE '1-%'
+                          THEN o_totalprice * CAST(0.9 AS DOUBLE)
+                          ELSE o_totalprice END AS DECIMAL(30,6)))
+            AS DOUBLE) AS disc_total
+FROM orders GROUP BY 1
+"""
+
+QUERIES["sql_udf_scalar"] = sql_udf_scalar
+ORACLE["sql_udf_scalar"] = _SQL_UDF_SCALAR_SQL
+
+
+def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table UDF (CREATE FUNCTION ... RETURNS TABLE — the
+    parameterized-view form: callers SELECT FROM f(arg) and the
+    analyzer inlines the body as a subquery, so predicates and
+    pruning push straight through). The function yields one market
+    segment's customers; the op aggregates two invocations to prove
+    per-call parameter binding. DROP FUNCTION in a finally."""
+    fname = f"c360_seg_{_tag(sf_dir)}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "catalog_udtf_customer"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {fname}(seg STRING) "
+        "RETURNS TABLE (c_custkey BIGINT, c_acctbal DOUBLE) "
+        "RETURN SELECT c_custkey, c_acctbal "
+        "FROM catalog_udtf_customer WHERE c_mktsegment = seg"
+    )
+    try:
+        out = spark.sql(
+            f"""
+            SELECT seg,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                     AS acctbal,
+                   CAST(MAX(c_custkey) AS BIGINT) AS max_key
+            FROM (
+              SELECT 'BUILDING' AS seg, * FROM {fname}('BUILDING')
+              UNION ALL
+              SELECT 'MACHINERY' AS seg, * FROM {fname}('MACHINERY')
+            ) GROUP BY seg
+            """
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fname}")
+
+
+_SQL_UDF_TABLE_SQL = """
+SELECT c_mktsegment AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS acctbal,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY 1
+"""
+
+QUERIES["sql_udf_table"] = sql_udf_table
+ORACLE["sql_udf_table"] = _SQL_UDF_TABLE_SQL

@@ -2285,3 +2285,78 @@ FROM events GROUP BY 1
 
 QUERIES["stream_foreach_sink"] = stream_foreach_sink
 ORACLE["stream_foreach_sink"] = _FOREACH_SINK_SQL
+
+
+_RATE_ROWS = 5000
+_RATE_BATCHES = 3
+
+
+def source_rate_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate-micro-batch source (the deterministic benchmark/load
+    generator Spark ships for streaming tests — its per-batch sibling
+    ``rate`` is wall-clock-paced and R-tier by nature, this one is
+    fully reproducible): rowsPerBatch=5000 with startTimestamp=0 and a
+    fixed advanceMillisPerBatch, so batch k carries exactly the values
+    [k*5000, (k+1)*5000). The query runs on the default micro-batch
+    trigger and is stopped once >= 3 batches have committed; the
+    aggregate filters to value < 15000 so any rows from batches that
+    raced past the stop poll are excluded and the result set is exactly
+    the first 3 batches regardless of timing. The timestamp column is
+    checked (start + k*advance) via min/max epoch-ms riding along.
+
+    Scale: the source generates rows executor-side (numPartitions=4
+    here); nothing about the pattern changes with rowsPerBatch=5e8 on
+    a cluster — it is the standard ingest-throughput harness."""
+    import time as _time
+
+    cutoff = _RATE_ROWS * _RATE_BATCHES
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", _RATE_ROWS)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60000)
+        .load()
+    )
+    name = f"c360_stream_{next(_SEQ)}"
+    q = (
+        raw.select("timestamp", "value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= (
+                _RATE_BATCHES
+            ):
+                break
+            _time.sleep(0.1)
+        else:
+            raise AssertionError("rate-micro-batch never reached 3 batches")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    sink = spark.table(name).where(F.col("value") < cutoff)
+    return sink.agg(
+        bcount().alias("n"),
+        F.sum("value").cast("long").alias("sum_v"),
+        F.countDistinct("value").cast("long").alias("n_distinct"),
+        F.min(F.unix_millis("timestamp")).cast("long").alias("min_ts_ms"),
+        F.max(F.unix_millis("timestamp")).cast("long").alias("max_ts_ms"),
+    )
+
+
+_RATE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(r.range) AS BIGINT) AS sum_v,
+       CAST(COUNT(DISTINCT r.range) AS BIGINT) AS n_distinct,
+       CAST(0 AS BIGINT) AS min_ts_ms,
+       CAST({(_RATE_BATCHES - 1) * 60000} AS BIGINT) AS max_ts_ms
+FROM range({_RATE_ROWS * _RATE_BATCHES}) r
+"""
+
+QUERIES["source_rate_micro"] = source_rate_micro
+ORACLE["source_rate_micro"] = _RATE_SQL

@@ -8,6 +8,13 @@ sf0.01: row-count + schema + order-insensitive value-hash), prints one
 JSON line per query and a summary.
 
 Usage: python tools/driver_sim.py [sf_dir] [query_id ...]
+
+A FULL run (no query_id filter) additionally writes
+CORRECTNESS_LOCAL.json at the repo root, keyed exactly like the
+driver's CORRECTNESS_rN sample ({qid: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}), so the closing sweep's
+per-id strict-canon status is an artifact rather than a NOTES.md
+claim (verdict-7 item 8). Subset runs never touch the file.
 """
 
 from __future__ import annotations
@@ -93,6 +100,7 @@ def main() -> int:
 
     queries, oracle = e.queries(), e.oracle_sql()
     ok = bad = 0
+    record: dict[str, dict] = {}
     for qid in sorted(queries):
         if ONLY and qid not in ONLY:
             continue
@@ -114,8 +122,24 @@ def main() -> int:
                     else:
                         ex = list((rs - rd).items())[:2]
                         detail = f"values spark-only={ex}"
+                record[qid] = {
+                    "rows_match": ns == nd,
+                    "schema_match": cs == cd,
+                    "hash_match": match,
+                    "spark_rows": ns,
+                    "oracle_rows": nd,
+                    "err": None,
+                }
             else:
                 status, detail = "ROWS_ONLY", f"rows={len(sdf)}"
+                record[qid] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": len(sdf),
+                    "oracle_rows": None,
+                    "err": "no_oracle",
+                }
             ok += status in ("MATCH", "ROWS_ONLY")
             bad += status == "MISMATCH"
             print(
@@ -128,7 +152,18 @@ def main() -> int:
             bad += 1
             print(json.dumps({"q": qid, "status": "ERROR", "err": str(exc)[:300]}))
             traceback.print_exc(limit=3)
+            record[qid] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": str(exc)[:300],
+            }
     print(json.dumps({"summary": {"ok": ok, "bad": bad, "sf_dir": SF_DIR}}))
+    if not ONLY:
+        with open(os.path.join(REPO, "CORRECTNESS_LOCAL.json"), "w") as f:
+            json.dump(record, f, indent=1)
     return 1 if bad else 0
 
 

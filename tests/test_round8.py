@@ -159,3 +159,60 @@ def test_bench_gate_math(tmp_path):
     )
     out = json.loads(r.stdout)
     assert out["outliers"] == {} and out["sum_ok"]
+
+
+def test_sql_udf_scalar_drops_function(spark):
+    from cortana_intelligence_customer360_spark.operators.catalog import (
+        sql_udf_scalar,
+    )
+
+    out = sql_udf_scalar(spark, SF_DIR)
+    rows = {r["o_orderpriority"]: r for r in out.collect()}
+    assert rows and all(r["disc_total"] > 0 for r in rows.values())
+    # urgent orders must actually be discounted relative to raw sum
+    import pyspark.sql.functions as F
+
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    raw = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("t"))
+    )
+    raw_rows = {r["o_orderpriority"]: r["t"] for r in raw.collect()}
+    for pri, r in rows.items():
+        if pri.startswith("1-"):
+            assert r["disc_total"] < raw_rows[pri]
+        else:
+            assert abs(r["disc_total"] - raw_rows[pri]) < 1e-6
+    # function must be gone after the op (DROP in finally)
+    from cortana_intelligence_customer360_spark.operators.catalog import _tag
+
+    with pytest.raises(Exception):
+        spark.sql(f"SELECT c360_disc_{_tag(SF_DIR)}(1.0, 'x')").collect()
+
+
+def test_sql_udf_table_binds_parameters(spark):
+    from cortana_intelligence_customer360_spark.operators.catalog import (
+        sql_udf_table,
+    )
+
+    rows = {r["seg"]: r for r in sql_udf_table(spark, SF_DIR).collect()}
+    assert set(rows) == {"BUILDING", "MACHINERY"}
+    assert all(r["n"] > 0 for r in rows.values())
+
+
+def test_source_rate_micro_deterministic(spark):
+    """Two independent runs of the rate-micro-batch op must agree
+    exactly — the source is deterministic by construction (pinned
+    startTimestamp, rowsPerBatch, advance) and the cutoff filter makes
+    the result independent of stop-poll timing."""
+    from cortana_intelligence_customer360_spark.streaming.ops import (
+        source_rate_micro,
+    )
+
+    a = source_rate_micro(spark, SF_DIR).collect()[0].asDict()
+    b = source_rate_micro(spark, SF_DIR).collect()[0].asDict()
+    assert a == b
+    assert a["n"] == a["n_distinct"] == 15000
+    assert a["sum_v"] == 15000 * 14999 // 2

@@ -723,6 +723,13 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").alias("dc"),
         F.col("l_tax").alias("tx"),
     )
+    # NOT checkpointed, deliberately (r8 measured): the 4-column
+    # pruned parquet scan each pass re-runs is CHEAPER than a
+    # localCheckpoint write + 4 block-store re-reads (4.1-4.4 s/run
+    # scan-based vs 5.1-5.7 s checkpointed at sf0.1) — the wall clock
+    # here is the 19 decimal aggregates, not the scan, unlike
+    # ml_gmm_em_1d where the obs frame is consumed by 4 heavyweight
+    # passes and persisting won.
     feat_col = {"quantity": "q", "discount": "dc", "tax": "tx"}
     _TRAIN_ERR = (
         "round(CAST(SUM(CASE WHEN (CASE WHEN margin > 0 THEN 1 ELSE -1 END)"

@@ -325,3 +325,106 @@ GROUP BY 1
 
 QUERIES["sql_udf_table"] = sql_udf_table
 ORACLE["sql_udf_table"] = _SQL_UDF_TABLE_SQL
+
+
+def sql_catalog_alter_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the catalog: CREATE TABLE, INSERT the
+    even partkeys, ALTER TABLE ADD COLUMNS (brand STRING), INSERT the
+    odd partkeys WITH the new column — then one read-back proving (a)
+    pre-evolution rows surface NULL for the added column, (b)
+    post-evolution rows carry it, (c) the evolved DESCRIBE shape. This
+    is the append-only widening every long-lived warehouse table goes
+    through; parquet handles it by schema merge at read."""
+    tbl = f"c360_alter_{_tag(sf_dir)}"
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "catalog_alter_part_src"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (k BIGINT, price DECIMAL(30,6)) USING parquet"
+    )
+    try:
+        spark.sql(
+            f"INSERT INTO {tbl} SELECT p_partkey, "
+            "CAST(p_retailprice AS DECIMAL(30,6)) "
+            "FROM catalog_alter_part_src WHERE p_partkey % 2 = 0"
+        )
+        spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (brand STRING)")
+        spark.sql(
+            f"INSERT INTO {tbl} SELECT p_partkey, "
+            "CAST(p_retailprice AS DECIMAL(30,6)), p_brand "
+            "FROM catalog_alter_part_src WHERE p_partkey % 2 = 1"
+        )
+        n_cols_after = len(spark.catalog.listColumns(tbl))
+        out = (
+            spark.table(tbl)
+            .groupBy((F.col("k") % 2 == 1).alias("evolved"))
+            .agg(
+                bcount().alias("n"),
+                bcount("brand").alias("n_brand"),
+                F.countDistinct("brand").cast("long").alias("n_brands"),
+                F.sum("price").cast("double").alias("price_total"),
+            )
+            .withColumn("n_cols", F.lit(n_cols_after).cast("long"))
+        )
+        return out.localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+_ALTER_SQL = f"""
+SELECT (p_partkey % 2 = 1) AS evolved,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN p_partkey % 2 = 1 THEN p_brand END) AS BIGINT)
+         AS n_brand,
+       CAST(COUNT(DISTINCT CASE WHEN p_partkey % 2 = 1 THEN p_brand END)
+         AS BIGINT) AS n_brands,
+       {dsum_sql('p_retailprice')} AS price_total,
+       CAST(3 AS BIGINT) AS n_cols
+FROM part GROUP BY 1
+"""
+
+QUERIES["sql_catalog_alter_evolve"] = sql_catalog_alter_evolve
+ORACLE["sql_catalog_alter_evolve"] = _ALTER_SQL
+
+
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER clause + named-parameter SQL (Spark 4): table and
+    column names arrive as BOUND PARAMETERS (spark.sql(..., args=...))
+    and are resolved through IDENTIFIER(:p) — the injection-safe way
+    to template object names, vs string-formatting SQL. The grouping
+    column itself is parameter-chosen; a silently-ignored binding
+    would group by the wrong column and hash-mismatch."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "catalog_ident_orders"
+    )
+    out = spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:val) AS DECIMAL(30,6))) AS DOUBLE)
+                 AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE IDENTIFIER(:val) > :minv
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={
+            "grp": "o_orderstatus",
+            "val": "o_totalprice",
+            "tbl": "catalog_ident_orders",
+            "minv": 1000.0,
+        },
+    )
+    return out
+
+
+_IDENT_SQL = """
+SELECT o_orderstatus AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM orders WHERE o_totalprice > 1000.0
+GROUP BY 1
+"""
+
+QUERIES["sql_identifier_clause"] = sql_identifier_clause
+ORACLE["sql_identifier_clause"] = _IDENT_SQL

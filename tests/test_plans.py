@@ -892,3 +892,32 @@ def test_protobuf_roundtrip_is_map_only(spark, sf_dir):
 
     plan = plan_string(protobuf_codec.fn_protobuf_roundtrip(spark, sf_dir))
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+
+
+def test_sql_udf_scalar_is_inlined(spark, sf_dir):
+    """The SQL scalar UDF must be INLINED by the analyzer (that is the
+    whole point of catalog SQL UDFs vs Python UDFs): the physical plan
+    contains no Python evaluation node, and the CASE body appears in
+    the aggregate's child projection — whole-stage codegen is kept."""
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "plans_udf_orders"
+    )
+    fname = "c360_plans_disc"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {fname}(price DOUBLE, pri STRING) "
+        "RETURNS DOUBLE "
+        "RETURN CASE WHEN pri LIKE '1-%' THEN price * CAST(0.9 AS DOUBLE) "
+        "ELSE price END"
+    )
+    try:
+        df = spark.sql(
+            f"SELECT o_orderpriority, SUM({fname}(o_totalprice, o_orderpriority)) "
+            "FROM plans_udf_orders GROUP BY 1"
+        )
+        plan = plan_string(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "partial_" in plan  # map-side combine survives the UDF
+    finally:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fname}")

@@ -1452,3 +1452,76 @@ ORDER BY yr
 
 QUERIES["agg_supplier_hhi_trend"] = agg_supplier_hhi_trend
 ORACLE["agg_supplier_hhi_trend"] = _HHI_TREND_SQL
+
+
+def agg_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag linear-regression aggregates of extendedprice on
+    quantity: the SQL:2016 ``regr_*`` family (slope, intercept, r²,
+    count, mean-x, mean-y) that every BI tool's trendline compiles to.
+
+    Spark 3.3+ ships regr_slope/regr_intercept/regr_r2 natively, but
+    their double accumulation is partition-order-dependent — so, per
+    compat rule 3-upgraded-to-exactness (see agg_stats), both engines
+    derive the moments from exact DECIMAL sums and apply the identical
+    closed form; the results equal the builtins to ~1e-9 (asserted in
+    tests/test_round8.py against F.regr_slope at sf0.001). One
+    map-side-combined shuffle on a 3-value key; the moment sums are
+    the same single pass at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,10)"
+    moments = li.groupBy("l_returnflag").agg(
+        bcount().alias("n"),
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = F.col("sxy") - sx * sy / n
+    varx_n = F.col("sxx") - sx * sx / n
+    vary_n = F.col("syy") - sy * sy / n
+    return moments.select(
+        "l_returnflag",
+        n.alias("regr_n"),
+        F.round(cov_n / varx_n, 6).alias("slope"),
+        F.round(sy / n - (cov_n / varx_n) * (sx / n), 6).alias("intercept"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+        F.round(sx / n, 6).alias("avg_x"),
+        F.round(sy / n, 6).alias("avg_y"),
+    )
+
+
+_REGR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+           AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10)))
+           AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10)))
+           AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       n AS regr_n,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+       round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n),
+             6) AS intercept,
+       round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2,
+       round(sx / n, 6) AS avg_x,
+       round(sy / n, 6) AS avg_y
+FROM m
+"""
+
+QUERIES["agg_regr_family"] = agg_regr_family
+ORACLE["agg_regr_family"] = _REGR_SQL

@@ -216,3 +216,65 @@ def test_source_rate_micro_deterministic(spark):
     assert a == b
     assert a["n"] == a["n_distinct"] == 15000
     assert a["sum_v"] == 15000 * 14999 // 2
+
+
+def test_regr_family_matches_builtin_regr(spark):
+    """The closed-form decimal-moment slope/intercept/r2 must agree
+    with Spark's native regr_* aggregates (which we avoid in the op
+    only because their double accumulation is partition-order-
+    dependent — see agg_stats)."""
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_regr_family,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    ours = {r["l_returnflag"]: r for r in agg_regr_family(spark, SF_DIR).collect()}
+    li = load_table(spark, SF_DIR, "lineitem")
+    ref = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                __import__("pyspark.sql.functions", fromlist=["expr"]).expr(e)
+                for e in (
+                    "regr_slope(l_extendedprice, l_quantity) AS slope",
+                    "regr_intercept(l_extendedprice, l_quantity) AS intercept",
+                    "regr_r2(l_extendedprice, l_quantity) AS r2",
+                )
+            ]
+        )
+        .collect()
+    }
+    assert set(ours) == set(ref)
+    for flag, row in ours.items():
+        for col in ("slope", "intercept", "r2"):
+            assert abs(row[col] - ref[flag][col]) < 1e-5, (flag, col)
+
+
+def test_scripting_repeat_trip_count_is_data_dependent(spark):
+    """REPEAT runs its body at least once and terminates exactly at the
+    first balance >= target (do-while semantics): replaying the
+    recurrence in Python must land on the same period count."""
+    from cortana_intelligence_customer360_spark.operators.sqlsurface import (
+        sql_scripting_repeat,
+    )
+
+    row = sql_scripting_repeat(spark, SF_DIR).collect()[0]
+    bal, i = 0.0, 0
+    while True:
+        bal = round(bal * 1.02 + row["monthly_contribution"], 6)
+        i += 1
+        if bal >= row["target_balance"]:
+            break
+    assert i == row["n_periods"] >= 1
+    assert abs(bal - row["terminal_balance"]) < 1e-9
+
+
+def test_star_except_drops_exactly_the_excluded_columns(spark):
+    from cortana_intelligence_customer360_spark.operators.sqlsurface import (
+        sql_star_except,
+    )
+
+    out = sql_star_except(spark, SF_DIR)
+    assert out.columns == ["c_custkey", "c_acctbal", "c_mktsegment", "n_name"]
+    assert out.count() > 0

@@ -278,3 +278,35 @@ def test_star_except_drops_exactly_the_excluded_columns(spark):
     out = sql_star_except(spark, SF_DIR)
     assert out.columns == ["c_custkey", "c_acctbal", "c_mktsegment", "n_name"]
     assert out.count() > 0
+
+
+def test_bround_ties_actually_diverge_from_half_up(spark):
+    """The is_tie rows are where banker's rounding earns its keep: on
+    every N.50 balance bround and round must differ by exactly 1 for
+    odd-floor values and agree for even-floor values."""
+    from cortana_intelligence_customer360_spark.functions.formatting import (
+        fn_bround_even,
+    )
+
+    rows = fn_bround_even(spark, SF_DIR).collect()
+    ties = [r for r in rows if r["is_tie"]]
+    assert ties, "corpus should contain .50 balances"
+    diverged = 0
+    for r in rows:
+        assert r["bankers"] == r["rint_even"]
+        if r["is_tie"]:
+            assert r["bankers"] % 2 == 0, "banker's rounding must land even"
+            if r["bankers"] != r["half_up"]:
+                diverged += 1
+        else:
+            assert r["bankers"] == r["half_up"]
+    assert diverged > 0, "at least one tie must separate the two modes"
+
+
+def test_sentences_break_requires_double_space_before_lowercase(spark):
+    """Pin the BreakIterator behavior fn_sentences depends on: '. ' +
+    lowercase does NOT break, '.  ' does — if a Spark upgrade changes
+    this, fn_sentences' oracle premise is void and this fails first."""
+    one = spark.sql("SELECT size(sentences('a b. c d')) AS n").collect()[0]["n"]
+    two = spark.sql("SELECT size(sentences('a b.  c d')) AS n").collect()[0]["n"]
+    assert one == 1 and two == 2

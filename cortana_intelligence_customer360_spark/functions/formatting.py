@@ -95,7 +95,10 @@ def fn_bround_even(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bround(bal, 0).alias("bankers"),
         F.rint(bal).alias("rint_even"),
         F.round(bal, 0).alias("half_up"),
-        (F.abs(bal * 2 - F.floor(bal * 2).cast("double")) == F.lit(0.0))
+        (
+            (F.abs(bal * 2 - F.floor(bal * 2).cast("double")) == F.lit(0.0))
+            & (F.abs(bal - F.floor(bal).cast("double")) != F.lit(0.0))
+        )
         .cast("boolean")
         .alias("is_tie"),
     )
@@ -107,7 +110,8 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
        round_even(c_acctbal, 0) AS bankers,
        round_even(c_acctbal, 0) AS rint_even,
        round(c_acctbal, 0) AS half_up,
-       (abs(c_acctbal * 2 - floor(c_acctbal * 2)) = 0.0) AS is_tie
+       (abs(c_acctbal * 2 - floor(c_acctbal * 2)) = 0.0
+        AND abs(c_acctbal - floor(c_acctbal)) <> 0.0) AS is_tie
 FROM customer
 """
 

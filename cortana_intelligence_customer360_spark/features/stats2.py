@@ -1,0 +1,232 @@
+"""Second-wave hypothesis tests (SURVEY.md §2.12, round 8).
+
+- ``stat_welch_anova`` — the unequal-variance one-way ANOVA (Welch
+  1951), the test practitioners are told to reach for INSTEAD of
+  stat_anova_oneway when stat_brown_forsythe rejects equal variances;
+  with this op the package carries the complete canonical trio.
+- ``stat_friedman_test`` — the nonparametric repeated-measures ANOVA
+  (blocks = users, treatments = event types, ranks within block), the
+  within-subject companion to stat_kruskal_wallis (which is
+  between-subject).
+
+Exactness scheme (the NOTES.md float discipline):
+
+- Welch: the five market segments are pivoted into ONE row of
+  DECIMAL-exact (n, Σx, Σx²) triples, and the entire F/df₂ closed form
+  is a single shared SQL text evaluated by both engines over that row
+  — every float op appears in one fixed textual order, so there is no
+  accumulation-order hazard at all. Values are scaled to $K so the
+  squared sums stay well inside DECIMAL(38,10).
+- Friedman: within-block ranks are INTEGERS (row_number with a total
+  tiebreak on the exact per-cell mean, then event_type), so the rank
+  sums and their squares are exact integer aggregates and Q is one
+  closed form over exact integers.
+
+Scale: Welch is one fact-table pass collapsing to a single row;
+Friedman is two hash aggregates (user×type cells, then per-type rank
+sums) plus one 5-row-per-user window — all linear, no crossJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import bcount
+from ..sources.tables import EVENT_TYPES, load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_K = len(_SEGS)
+
+
+def _welch_formula() -> tuple[str, str]:
+    """(f_stat_expr, df2_expr) over columns n_i/s_i/ss_i, i=0..4 —
+    one text, two engines. Sums are written term-by-term in fixed
+    order; k is the literal 5."""
+    m = [f"(s_{i} / n_{i})" for i in range(_K)]
+    var = [f"((ss_{i} - s_{i} * s_{i} / n_{i}) / (n_{i} - 1))" for i in range(_K)]
+    w = [f"(n_{i} / {var[i]})" for i in range(_K)]
+    bigw = "(" + " + ".join(w) + ")"
+    xw = "((" + " + ".join(f"{w[i]} * {m[i]}" for i in range(_K)) + f") / {bigw})"
+    num = (
+        "(("
+        + " + ".join(f"{w[i]} * ({m[i]} - {xw}) * ({m[i]} - {xw})" for i in range(_K))
+        + f") / {_K - 1})"
+    )
+    lam = (
+        "(("
+        + " + ".join(
+            f"(1.0 - {w[i]} / {bigw}) * (1.0 - {w[i]} / {bigw}) / (n_{i} - 1)"
+            for i in range(_K)
+        )
+        + "))"
+    )
+    f_stat = (
+        f"({num} / (1.0 + (2.0 * {_K - 2} / ({_K} * {_K} - 1.0)) * {lam}))"
+    )
+    df2 = f"(({_K} * {_K} - 1.0) / (3.0 * {lam}))"
+    return f_stat, df2
+
+
+def stat_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA of order value ($K) across
+    market segments: weights wⱼ=nⱼ/s²ⱼ, variance-weighted grand mean,
+    F* and its Welch–Satterthwaite denominator df — all from one
+    pivoted row of exact per-segment moments (see module docstring)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_totalprice") / 1000.0).alias("x"),
+        )
+    )
+    dec = "decimal(38,10)"
+    aggs = []
+    for i, s in enumerate(_SEGS):
+        cond = F.col("seg") == s
+        aggs += [
+            F.count(F.when(cond, 1)).cast("double").alias(f"n_{i}"),
+            F.sum(F.when(cond, F.col("x").cast(dec)))
+            .cast("double")
+            .alias(f"s_{i}"),
+            F.sum(F.when(cond, (F.col("x") * F.col("x")).cast(dec)))
+            .cast("double")
+            .alias(f"ss_{i}"),
+        ]
+    one = obs.agg(*aggs)
+    f_stat, df2 = _welch_formula()
+    return one.select(
+        F.lit(_K).cast("long").alias("k"),
+        sum(F.col(f"n_{i}") for i in range(_K)).cast("long").alias("nn"),
+        F.round(F.expr(f_stat), 6).alias("f_stat"),
+        F.round(F.expr(df2), 6).alias("df2"),
+    )
+
+
+def _welch_sql() -> str:
+    cols = []
+    for i, s in enumerate(_SEGS):
+        cols += [
+            f"CAST(COUNT(*) FILTER (WHERE c_mktsegment = '{s}') AS DOUBLE)"
+            f" AS n_{i}",
+            f"CAST(SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(38,10)))"
+            f" FILTER (WHERE c_mktsegment = '{s}') AS DOUBLE) AS s_{i}",
+            f"CAST(SUM(CAST((o_totalprice / 1000.0) * (o_totalprice / 1000.0)"
+            f" AS DECIMAL(38,10)))"
+            f" FILTER (WHERE c_mktsegment = '{s}') AS DOUBLE) AS ss_{i}",
+        ]
+    f_stat, df2 = _welch_formula()
+    nn = " + ".join(f"n_{i}" for i in range(_K))
+    return f"""
+WITH one AS (
+  SELECT {', '.join(cols)}
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT CAST({_K} AS BIGINT) AS k,
+       CAST({nn} AS BIGINT) AS nn,
+       round({f_stat}, 6) AS f_stat,
+       round({df2}, 6) AS df2
+FROM one
+"""
+
+
+QUERIES["stat_welch_anova"] = stat_welch_anova
+ORACLE["stat_welch_anova"] = _welch_sql()
+
+
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's rank test: does event value differ across the five
+    event types, controlling for the user? Cells are per-(user, type)
+    exact mean values; each complete block (user with all 5 types)
+    ranks its cells 1..5; Q = 12/(n·k·(k+1))·ΣR²ⱼ − 3n(k+1) over the
+    exact integer rank sums. Per-type rows carry the rank sum and mean
+    rank; Q and n ride along (identical on every row)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,10)"
+    cells = ev.groupBy("user_id", "event_type").agg(
+        (F.sum(F.col("value").cast(dec)).cast("double") / F.count("value"))
+        .alias("m")
+    )
+    complete = (
+        cells.groupBy("user_id")
+        .agg(bcount().alias("n_types"))
+        .where(F.col("n_types") == len(EVENT_TYPES))
+        .select("user_id")
+    )
+    ranked = (
+        cells.join(complete, "user_id")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("m", "event_type")
+            ),
+        )
+    )
+    k = len(EVENT_TYPES)
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum("r").cast("long").alias("rank_sum"),
+        bcount().alias("n_blocks"),
+    )
+    tot = per_type.agg(
+        F.sum(F.col("rank_sum") * F.col("rank_sum")).cast("long").alias("sr2"),
+        F.max("n_blocks").cast("long").alias("n"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "rank_sum",
+            F.round(
+                F.col("rank_sum").cast("double") / F.col("n_blocks"), 6
+            ).alias("mean_rank"),
+            "n_blocks",
+            F.round(
+                F.lit(12.0)
+                / (F.col("n") * F.lit(float(k * (k + 1))))
+                * F.col("sr2")
+                - F.lit(3.0) * F.col("n") * F.lit(float(k + 1)),
+                6,
+            ).alias("q_stat"),
+        )
+    )
+
+
+_FRIEDMAN_SQL = f"""
+WITH cells AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value)
+           AS m
+  FROM events GROUP BY user_id, event_type),
+complete AS (
+  SELECT user_id FROM cells GROUP BY user_id
+  HAVING COUNT(*) = {len(EVENT_TYPES)}),
+ranked AS (
+  SELECT c.user_id, c.event_type,
+         ROW_NUMBER() OVER (PARTITION BY c.user_id
+                            ORDER BY c.m, c.event_type) AS r
+  FROM cells c JOIN complete USING (user_id)),
+per_type AS (
+  SELECT event_type,
+         CAST(SUM(r) AS BIGINT) AS rank_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY event_type),
+tot AS (
+  SELECT CAST(SUM(rank_sum * rank_sum) AS BIGINT) AS sr2,
+         CAST(MAX(n_blocks) AS BIGINT) AS n
+  FROM per_type)
+SELECT event_type, rank_sum,
+       round(CAST(rank_sum AS DOUBLE) / n_blocks, 6) AS mean_rank,
+       n_blocks,
+       round(12.0 / (n * {float(len(EVENT_TYPES) * (len(EVENT_TYPES) + 1))})
+             * sr2 - 3.0 * n * {float(len(EVENT_TYPES) + 1)}, 6) AS q_stat
+FROM per_type, tot
+"""
+
+QUERIES["stat_friedman_test"] = stat_friedman_test
+ORACLE["stat_friedman_test"] = _FRIEDMAN_SQL

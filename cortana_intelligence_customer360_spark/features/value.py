@@ -979,3 +979,146 @@ FROM agg
 
 QUERIES["agg_decile_lift"] = agg_decile_lift
 ORACLE["agg_decile_lift"] = _DECILE_LIFT_SQL
+
+
+_POIS_ITERS = 6
+
+
+def _poisson_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, x, y) for ml_poisson_irls: x = acctbal band 0..9
+    ($1K-wide, clipped), y = lifetime order count — both exact
+    integers (the ml_logreg_newton exactness scheme)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(9), F.floor(F.col("c_acctbal") / 1000.0)),
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    n_ord = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(bcount().alias("y"))
+    )
+    return (
+        cust.join(n_ord, cust.custkey == n_ord.o_custkey, "left")
+        .select(
+            "custkey", "x", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+        )
+    )
+
+
+def ml_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression (log link) of order count on the acctbal
+    band via Newton/IRLS — the GLM for count targets, companion to
+    ml_logreg_newton (binary) and ml_linreg_closed_form (gaussian).
+
+    Same exactness scheme as ml_logreg_newton (features/value.py:155):
+    the per-row mean is pinned to the INTEGER M = round(1e6·exp(b0 +
+    b1·x)); gradient Σ(y−μ)·[1,x] and Fisher info Σμ·[1,x][1,x]ᵀ are
+    then exact DECIMAL(38,0) integer sums, the 2×2 solve runs on the
+    driver in the oracle's operation order, and coefficients round to
+    6 dp per step. b0 starts at ln(ȳ) (rounded; computed from the
+    exact integer totals) so Newton never overshoots the exp link;
+    b1 starts at 0. One aggregate job per iteration — at 100 TB each
+    is a map-side-combined pass over the feature frame; the sequential
+    depth is the fixed iteration count, exactly like any distributed
+    GLM solver."""
+    import math
+
+    feats = _poisson_features(spark, sf_dir).localCheckpoint()
+    dec38 = "decimal(38,0)"
+    tot = feats.agg(
+        F.sum("y").cast("long").alias("sy"), bcount().alias("n")
+    ).first()
+    b0 = _r6(math.log(float(tot.sy) / float(tot.n)))
+    b1 = 0.0
+    out = []
+    for it in range(1, _POIS_ITERS + 1):
+        m_i = F.round(
+            F.lit(1_000_000.0) * F.exp(F.lit(b0) + F.lit(b1) * F.col("x"))
+        ).cast("long")
+        tmp = feats.select("x", "y", m_i.alias("m")).select(
+            (F.col("y") * 1_000_000 - F.col("m")).alias("t_g0"),
+            ((F.col("y") * 1_000_000 - F.col("m")) * F.col("x")).alias(
+                "t_g1"
+            ),
+            F.col("m").alias("t_h00"),
+            (F.col("m") * F.col("x")).alias("t_h01"),
+            (F.col("m") * F.col("x") * F.col("x")).alias("t_h11"),
+        )
+        row = tmp.select(
+            *[
+                F.sum(F.col(c).cast(dec38)).alias(c[2:])
+                for c in ["t_g0", "t_g1", "t_h00", "t_h01", "t_h11"]
+            ]
+        ).first()
+        g0 = float(row.g0) / 1e6
+        g1 = float(row.g1) / 1e6
+        h00 = float(row.h00) / 1e6
+        h01 = float(row.h01) / 1e6
+        h11 = float(row.h11) / 1e6
+        det = h00 * h11 - h01 * h01
+        b0 = _r6(b0 + (h11 * g0 - h01 * g1) / det)
+        b1 = _r6(b1 + (h00 * g1 - h01 * g0) / det)
+        out.append((it, b0, b1))
+    return spark.createDataFrame(out, "iter int, b0 double, b1 double")
+
+
+def _poisson_iter_sql(prev: str, it: int) -> str:
+    """One unrolled IRLS step reading coefficients from CTE *prev* —
+    textually mirrors the Spark/driver arithmetic."""
+    return f"""
+p{it} AS (
+  SELECT
+    CAST(SUM(CAST(y * 1000000 - m AS DECIMAL(38,0))) AS DOUBLE)
+      / 1e6 AS g0,
+    CAST(SUM(CAST((y * 1000000 - m) * x AS DECIMAL(38,0))) AS DOUBLE)
+      / 1e6 AS g1,
+    CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS h00,
+    CAST(SUM(CAST(m * x AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS h01,
+    CAST(SUM(CAST(m * x * x AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS h11
+  FROM (SELECT y, x,
+               CAST(round(1000000.0 * exp(b.b0 + b.b1 * x)) AS BIGINT) AS m
+        FROM pfeats CROSS JOIN {prev} b)),
+pit{it} AS (
+  SELECT {it} AS iter,
+         round(b.b0 + (a.h11 * a.g0 - a.h01 * a.g1)
+               / (a.h00 * a.h11 - a.h01 * a.h01), 6) AS b0,
+         round(b.b1 + (a.h00 * a.g1 - a.h01 * a.g0)
+               / (a.h00 * a.h11 - a.h01 * a.h01), 6) AS b1
+  FROM p{it} a CROSS JOIN {prev} b)"""
+
+
+def _poisson_sql() -> str:
+    steps = ",".join(
+        _poisson_iter_sql("pit0" if i == 1 else f"pit{i - 1}", i)
+        for i in range(1, _POIS_ITERS + 1)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST(iter AS INT) AS iter, b0, b1 FROM pit{i}"
+        for i in range(1, _POIS_ITERS + 1)
+    )
+    return f"""
+WITH pfeats AS (
+  SELECT c.c_custkey,
+         CAST(GREATEST(0, LEAST(9, floor(c.c_acctbal / 1000.0)))
+           AS BIGINT) AS x,
+         CAST(COALESCE(o.y, 0) AS BIGINT) AS y
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS y
+             FROM orders GROUP BY o_custkey) o
+    ON c.c_custkey = o.o_custkey),
+pit0 AS (
+  SELECT round(ln(CAST((SELECT SUM(y) FROM pfeats) AS DOUBLE)
+               / (SELECT COUNT(*) FROM pfeats)), 6) AS b0,
+         CAST(0.0 AS DOUBLE) AS b1),
+{steps}
+{selects}
+"""
+
+
+QUERIES["ml_poisson_irls"] = ml_poisson_irls
+ORACLE["ml_poisson_irls"] = _poisson_sql()

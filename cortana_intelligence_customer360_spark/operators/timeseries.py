@@ -2838,3 +2838,208 @@ ORDER BY day
 
 QUERIES["ts_hampel_outliers"] = ts_hampel_outliers
 ORACLE["ts_hampel_outliers"] = _HAMPEL_SQL
+
+
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization of the monthly revenue series:
+    piecewise-aggregate approximation (calendar-month mean of order
+    totals, exact decimal sums), z-normalization against the global
+    mean/std of the monthly series, then a 4-letter alphabet cut at
+    the standard-normal breakpoints (-0.6745, 0, 0.6745) — the
+    time-series indexing primitive behind SAX/iSAX motif search.
+
+    Exactness: the ~80 monthly PAA doubles feed the global moments
+    through DECIMAL(38,12) casts (values are O(1e5); scale-12 keeps 20+
+    significant digits), so the grand sums are order-independent; the
+    z-score is rounded to 6 dp on both sides BEFORE the breakpoint
+    CASE so a letter can only flip if a z rounds exactly onto a
+    breakpoint (measure-zero on this corpus; verified not to occur).
+
+    Scale: one fact-table aggregate to months, one single-row global
+    moment join — at any SF the series length is months, not rows."""
+    od = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,12)"
+    monthly = od.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(davg("o_totalprice").alias("paa"))
+    mom = monthly.agg(
+        bcount().alias("n"),
+        F.sum(F.col("paa").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("paa") * F.col("paa")).cast(dec))
+        .cast("double")
+        .alias("s2"),
+    )
+    z = F.round(
+        (F.col("paa") - F.col("s1") / F.col("n"))
+        / F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - F.lit(1))
+        ),
+        6,
+    )
+    return (
+        monthly.crossJoin(F.broadcast(mom))
+        .select(
+            "yr",
+            "mo",
+            F.round("paa", 6).alias("paa"),
+            z.alias("z"),
+            F.when(z < -0.6745, "a")
+            .when(z < 0.0, "b")
+            .when(z < 0.6745, "c")
+            .otherwise("d")
+            .alias("sax"),
+        )
+    )
+
+
+_SAX_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+         CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS mo,
+         {davg_sql('o_totalprice')} AS paa
+  FROM orders GROUP BY 1, 2),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(paa AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(paa * paa AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM monthly),
+scored AS (
+  SELECT yr, mo, round(paa, 6) AS paa,
+         round((paa - s1 / n)
+               / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+  FROM monthly, mom)
+SELECT yr, mo, paa, z,
+       CASE WHEN z < -0.6745 THEN 'a'
+            WHEN z < 0.0 THEN 'b'
+            WHEN z < 0.6745 THEN 'c'
+            ELSE 'd' END AS sax
+FROM scored
+"""
+
+QUERIES["ts_sax_symbols"] = ts_sax_symbols
+ORACLE["ts_sax_symbols"] = _SAX_SQL
+
+
+_SES_ALPHAS = "(0.1), (0.2), (0.3), (0.4), (0.5), (0.6), (0.7), (0.8), (0.9)"
+
+# One recursive walk shared verbatim by both engines: the monthly
+# revenue series (in $M, rounded to 6dp) is smoothed per alpha with
+# s' = round(s + a*(x - s), 6); the one-step-ahead squared error
+# accumulates through round(acc + e*e, 6). Rounding at every update
+# makes the float chain reproducible across engines (NOTES.md float
+# discipline for sequential recurrences).
+#
+# Spark executes each recursion level as its own job (~0.15 s/level
+# measured on a trivial 80-level recursion), so the walk consumes
+# _SES_STRIDE months per level: month t+1 joins INNER (terminates the
+# recursion), months t+2..t+stride join LEFT with CASE-guarded updates
+# for the series tail. 80 levels -> 20; same float chain, same text on
+# both engines.
+_SES_STRIDE = 4
+
+
+def _ses_level_exprs() -> tuple[str, str, str]:
+    """(s_expr, acc_expr, rn_expr) applying _SES_STRIDE guarded SES
+    updates in one recursion level; mK aliases the (LEFT-)joined month
+    at offset K."""
+    s, acc = "w.s", "w.acc"
+    for k in range(1, _SES_STRIDE + 1):
+        e = f"(m{k}.x - {s})"
+        upd_s = f"round({s} + w.a * {e}, 6)"
+        upd_acc = f"round({acc} + {e} * {e}, 6)"
+        if k == 1:  # INNER-joined: always present
+            s, acc = upd_s, upd_acc
+        else:
+            s = f"(CASE WHEN m{k}.x IS NULL THEN {s} ELSE {upd_s} END)"
+            acc = f"(CASE WHEN m{k}.x IS NULL THEN {acc} ELSE {upd_acc} END)"
+    rn = (
+        "COALESCE("
+        + ", ".join(f"m{k}.rn" for k in range(_SES_STRIDE, 0, -1))
+        + ")"
+    )
+    return s, acc, rn
+
+
+def _ses_walk_sql() -> str:
+    s, acc, rn = _ses_level_exprs()
+    bcast = ", ".join(f"m{k}" for k in range(1, _SES_STRIDE + 1))
+    joins = "JOIN {months} m1 ON m1.rn = w.rn + 1\n" + "\n".join(
+        f"  LEFT JOIN {{months}} m{k} ON m{k}.rn = w.rn + {k}"
+        for k in range(2, _SES_STRIDE + 1)
+    )
+    return f"""
+walk(a, rn, s, acc) AS (
+  SELECT CAST(a AS DOUBLE), m.rn, m.x, CAST(0.0 AS DOUBLE)
+  FROM (VALUES {{alphas}}) AS al(a), {{months}} m WHERE m.rn = 1
+  UNION ALL
+  SELECT /*+ BROADCAST({bcast}) */ w.a, {rn}, {s}, {acc}
+  FROM walk w {joins}),
+fin AS (
+  SELECT a AS alpha, acc AS sse
+  FROM walk WHERE rn = (SELECT MAX(rn) FROM {{months}}))
+SELECT alpha, sse,
+       (RANK() OVER (ORDER BY sse, alpha) = 1) AS is_best
+FROM fin
+"""
+
+
+_SES_WALK = _ses_walk_sql()
+
+
+def ts_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing hyperparameter sweep: nine alphas
+    smooth the monthly revenue series in parallel recursion lanes, the
+    one-step-ahead SSE accumulates per lane, and the best alpha is
+    flagged — model selection for the level-only forecaster (the
+    trend/seasonal big brother is ts_holt_winters).
+
+    Both engines execute the IDENTICAL recursive-CTE walk text; the
+    month series (~80 rows) is aggregated ONCE and localCheckpointed
+    before the recursion so each of the O(months) recursion levels
+    joins an in-memory 80-row frame instead of re-running the fact
+    aggregate (first cut did exactly that: 28 s -> ~3 s). The
+    recursion depth limit is raised with save/restore since month
+    count approaches the default 100."""
+    od = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate").cast("long") * 100
+          + F.month("o_orderdate").cast("long"))
+    months = (
+        od.groupBy(ym.alias("ym"))
+        .agg(F.round(dsum("o_totalprice") / 1e6, 6).alias("x"))
+        .select(
+            "ym", "x",
+            F.row_number().over(Window.orderBy("ym")).cast("long").alias("rn"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    months.createOrReplaceTempView("ses_months")
+    sql = "WITH RECURSIVE " + _SES_WALK.format(
+        months="ses_months", alphas=_SES_ALPHAS
+    )
+    prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "500")
+    try:
+        return spark.sql(sql).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
+
+
+_SES_MONTHS_SQL = """
+(SELECT ym, x,
+        CAST(ROW_NUMBER() OVER (ORDER BY ym) AS BIGINT) AS rn
+ FROM (SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) * 100
+                + CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ym,
+              round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                    / 1e6, 6) AS x
+       FROM orders GROUP BY 1))
+"""
+
+_SES_SQL = "WITH RECURSIVE " + _SES_WALK.format(
+    months=_SES_MONTHS_SQL, alphas=_SES_ALPHAS
+)
+
+QUERIES["ts_ses_grid"] = ts_ses_grid
+ORACLE["ts_ses_grid"] = _SES_SQL

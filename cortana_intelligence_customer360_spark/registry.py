@@ -44,6 +44,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.features.value",
     "cortana_intelligence_customer360_spark.features.experiments",
     "cortana_intelligence_customer360_spark.features.inference",
+    "cortana_intelligence_customer360_spark.features.stats2",
     "cortana_intelligence_customer360_spark.llmops.text",
     "cortana_intelligence_customer360_spark.llmops.dedup",
     "cortana_intelligence_customer360_spark.llmops.incremental",

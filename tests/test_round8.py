@@ -316,3 +316,75 @@ def test_sentences_break_requires_double_space_before_lowercase(spark):
     one = spark.sql("SELECT size(sentences('a b. c d')) AS n").collect()[0]["n"]
     two = spark.sql("SELECT size(sentences('a b.  c d')) AS n").collect()[0]["n"]
     assert one == 1 and two == 2
+
+
+def test_friedman_rank_sums_partition_the_total(spark):
+    """Within-block ranks are a permutation of 1..k, so the per-type
+    rank sums must total n_blocks * k(k+1)/2 and Q must be >= 0."""
+    from cortana_intelligence_customer360_spark.features.stats2 import (
+        stat_friedman_test,
+    )
+
+    rows = stat_friedman_test(spark, SF_DIR).collect()
+    k = len(rows)
+    n = rows[0]["n_blocks"]
+    assert all(r["n_blocks"] == n for r in rows)
+    assert sum(r["rank_sum"] for r in rows) == n * k * (k + 1) // 2
+    assert rows[0]["q_stat"] >= 0.0
+
+
+def test_welch_anova_reduces_toward_classic_f_shape(spark):
+    from cortana_intelligence_customer360_spark.features.stats2 import (
+        stat_welch_anova,
+    )
+
+    row = stat_welch_anova(spark, SF_DIR).collect()[0]
+    assert row["k"] == 5
+    assert row["f_stat"] >= 0.0
+    # Welch df2 is bounded by min_j(n_j - 1) * k-ish from below and
+    # N - k from above; just pin sanity: positive and finite.
+    assert 0.0 < row["df2"] < row["nn"]
+
+
+def test_poisson_irls_converges_to_moment_match(spark):
+    """At the IRLS fixed point the fitted means reproduce the sample
+    total: sum(exp(b0 + b1 x)) ~= sum(y). Verify on the final iterate."""
+    import math
+
+    from cortana_intelligence_customer360_spark.features.value import (
+        _poisson_features,
+        ml_poisson_irls,
+    )
+
+    iters = ml_poisson_irls(spark, SF_DIR).collect()
+    assert [r["iter"] for r in iters] == list(range(1, len(iters) + 1))
+    b0, b1 = iters[-1]["b0"], iters[-1]["b1"]
+    pb0, pb1 = iters[-2]["b0"], iters[-2]["b1"]
+    assert abs(b0 - pb0) < 1e-3 and abs(b1 - pb1) < 1e-3, "not converged"
+    feats = _poisson_features(spark, SF_DIR).collect()
+    fitted = sum(math.exp(b0 + b1 * r["x"]) for r in feats)
+    actual = sum(r["y"] for r in feats)
+    assert abs(fitted - actual) / actual < 1e-3
+
+
+def test_ses_grid_flags_exactly_one_best_alpha(spark):
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_ses_grid,
+    )
+
+    rows = ts_ses_grid(spark, SF_DIR).collect()
+    assert len(rows) == 9
+    assert sum(1 for r in rows if r["is_best"]) == 1
+    best = min(rows, key=lambda r: (r["sse"], r["alpha"]))
+    assert best["is_best"]
+
+
+def test_sax_letters_are_monotone_in_z(spark):
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_sax_symbols,
+    )
+
+    rows = sorted(ts_sax_symbols(spark, SF_DIR).collect(), key=lambda r: r["z"])
+    letters = [r["sax"] for r in rows]
+    assert letters == sorted(letters), "letters must be monotone in z"
+    assert set(letters) <= set("abcd")

@@ -1586,3 +1586,116 @@ r{i + 1} AS (
 
 QUERIES["graph_pagerank_personalized"] = graph_pagerank_personalized
 ORACLE["graph_pagerank_personalized"] = _ppr_sql()
+
+
+_CLOSE_MAX_HOPS = 4
+_CLOSE_SEED_MAX = 5  # customer-node seeds: custkey < 5
+
+
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic closeness centrality from a fixed seed set
+    (customer nodes with key < 5): per-seed minimum-hop distances out
+    to 4 hops via per-seed frontier BFS, then closeness = Σ 1/d over
+    reached nodes — the centrality that stays defined on disconnected
+    graphs (contrast graph_bfs_hops, which emits the merged hop MAP of
+    the whole seed set; here each seed keeps its own distance field
+    and collapses to one score row).
+
+    Exactness: the per-distance reach counts n1..n4 are exact
+    integers, and the harmonic score is one fixed-order expression
+    over them (n1/1 + n2/2 + n3/3 + n4/4) — no float accumulation.
+
+    Scale: frontiers are (seed, node) pairs — |seeds| x node-
+    cardinality, broadcast against the partitioned edge list exactly
+    like graph_bfs_hops; level-order expansion means first discovery
+    is the minimum distance, and per-round anti-joins keep the
+    frontier shrinking. The per-round localCheckpoint keeps plan depth
+    constant (graph_pagerank discipline)."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    dist = (
+        edges.where(F.col("src") < _CLOSE_SEED_MAX)
+        .select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("seed"),
+            F.col("src").alias("node"),
+            F.lit(0).cast("long").alias("d"),
+        )
+        .localCheckpoint()
+    )
+    frontier = dist.select("seed", "node")
+    for d in range(1, _CLOSE_MAX_HOPS + 1):
+        reached = (
+            edges.join(F.broadcast(frontier), frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_rows = (
+            reached.join(
+                F.broadcast(dist.select("seed", "node")),
+                ["seed", "node"],
+                "left_anti",
+            )
+            .select("seed", "node", F.lit(d).cast("long").alias("d"))
+            .localCheckpoint()
+        )
+        dist = dist.union(new_rows).localCheckpoint()
+        frontier = new_rows.select("seed", "node")
+    per_d = dist.where(F.col("d") > 0).groupBy("seed").pivot(
+        "d", list(range(1, _CLOSE_MAX_HOPS + 1))
+    ).count()
+    cols = [
+        F.coalesce(F.col(str(d)), F.lit(0)).cast("long").alias(f"n{d}")
+        for d in range(1, _CLOSE_MAX_HOPS + 1)
+    ]
+    out = per_d.select("seed", *cols)
+    harmonic = F.round(
+        F.col("n1") / 1.0 + F.col("n2") / 2.0
+        + F.col("n3") / 3.0 + F.col("n4") / 4.0,
+        6,
+    )
+    return out.select(
+        "seed",
+        *[f"n{d}" for d in range(1, _CLOSE_MAX_HOPS + 1)],
+        (F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4"))
+        .cast("long")
+        .alias("n_reached"),
+        harmonic.alias("harmonic_closeness"),
+    )
+
+
+_CLOSENESS_SQL = f"""
+WITH RECURSIVE
+cpairs AS (
+  SELECT DISTINCT l_suppkey + {_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+cedges AS (
+  SELECT s AS src, c AS dst FROM cpairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM cpairs),
+cseeds AS (SELECT DISTINCT src AS seed FROM cedges
+           WHERE src < {_CLOSE_SEED_MAX}),
+r(seed, node, d) AS (
+  SELECT seed, seed, 0 FROM cseeds
+  UNION
+  SELECT r.seed, e.dst, r.d + 1
+  FROM r JOIN cedges e ON e.src = r.node
+  WHERE r.d < {_CLOSE_MAX_HOPS}),
+md AS (
+  SELECT seed, node, MIN(d) AS d FROM r GROUP BY seed, node),
+cnt AS (
+  SELECT seed,
+         CAST(COUNT(*) FILTER (WHERE d = 1) AS BIGINT) AS n1,
+         CAST(COUNT(*) FILTER (WHERE d = 2) AS BIGINT) AS n2,
+         CAST(COUNT(*) FILTER (WHERE d = 3) AS BIGINT) AS n3,
+         CAST(COUNT(*) FILTER (WHERE d = 4) AS BIGINT) AS n4
+  FROM md WHERE d > 0 GROUP BY seed)
+SELECT seed, n1, n2, n3, n4,
+       CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n_reached,
+       round(n1 / 1.0 + n2 / 2.0 + n3 / 3.0 + n4 / 4.0, 6)
+         AS harmonic_closeness
+FROM cnt
+"""
+
+QUERIES["graph_closeness_sampled"] = graph_closeness_sampled
+ORACLE["graph_closeness_sampled"] = _CLOSENESS_SQL

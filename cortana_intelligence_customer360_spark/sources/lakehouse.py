@@ -943,3 +943,112 @@ FROM orders WHERE o_orderkey % 3 IN (0, 1)
 
 QUERIES["lake_change_feed"] = lake_change_feed
 ORACLE["lake_change_feed"] = _CHANGE_FEED_SQL
+
+
+def shallow_clone(
+    src: ManifestTable, dst_root: str, version: int | None = None
+) -> ManifestTable:
+    """Metadata-only clone: the destination's v0 manifest lists the
+    SOURCE's immutable data files verbatim — zero bytes of data move
+    (Delta SHALLOW CLONE / Iceberg snapshot-ref semantics). Because
+    commits never rewrite files in place, the clone stays consistent
+    no matter what the source does afterwards, and the clone's own
+    commits land under its own root — divergence without interference
+    in either direction."""
+    if os.path.isdir(dst_root):
+        shutil.rmtree(dst_root)
+    dst = ManifestTable(dst_root)
+    m = src.manifest(version)
+    payload = json.dumps(
+        {
+            "version": 0,
+            "parent": None,
+            "cloned_from": src.root,
+            "cloned_version": m["version"],
+            "key_col": m["key_col"],
+            "files": list(m["files"]),
+        },
+        indent=1,
+    )
+    dst._write_atomic(os.path.join(dst.manifest_dir, "v0.json"), payload)
+    dst._write_atomic(dst._latest_path(), "0")
+    return dst
+
+
+def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone lifecycle: clone the 3-commit orders table at its
+    head (metadata-only), append the F/1995 subset to the CLONE alone,
+    then read the clone back — base rows come from files still owned
+    by the source, delta rows from the clone's own commit. Three flag
+    columns ride along and each must be 1: the clone's v0 wrote no
+    data files, the source manifest is untouched by the clone's
+    append, and every clone file lives under exactly one of the two
+    roots. At 100 TB a shallow clone is how dev/test/what-if branches
+    avoid copying the warehouse."""
+    src = _build_orders_table(spark, sf_dir, "lake_shallow_clone_src")
+    src_head = src.latest_version()
+    src_files_before = [f["path"] for f in src.manifest()["files"]]
+    clone = shallow_clone(
+        src, _scratch("lake_shallow_clone_dst", sf_dir)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    clone.commit(
+        orders.where(
+            (F.col("o_orderstatus") == "F")
+            & (F.year("o_orderdate") == 1995)
+        ),
+        "o_orderkey",
+    )
+    # manifest paths keep the file:-URI's extra slashes — normalize
+    # before any prefix comparison
+    cfiles = [os.path.normpath(f["path"]) for f in clone.manifest()["files"]]
+    shared = [
+        p for p in cfiles if p.startswith(os.path.normpath(src.root) + os.sep)
+    ]
+    own = [
+        p
+        for p in cfiles
+        if p.startswith(os.path.normpath(clone.root) + os.sep)
+    ]
+    clone_v0_dataless = int(
+        not os.path.isdir(os.path.join(clone.data_dir, "commit-00000"))
+    )
+    src_untouched = int(
+        src.latest_version() == src_head
+        and [f["path"] for f in src.manifest()["files"]] == src_files_before
+    )
+    files_partition = int(
+        len(shared) == len(src_files_before)
+        and len(shared) + len(own) == len(cfiles)
+    )
+    return (
+        clone.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(bcount().alias("n_rows"), dsum("o_totalprice").alias("sum_price"))
+        .withColumn(
+            "clone_v0_dataless", F.lit(clone_v0_dataless).cast("long")
+        )
+        .withColumn("src_untouched", F.lit(src_untouched).cast("long"))
+        .withColumn("files_partition", F.lit(files_partition).cast("long"))
+        .localCheckpoint()
+    )
+
+
+_SHALLOW_CLONE_SQL = f"""
+WITH cl AS (
+  SELECT * FROM orders WHERE o_orderstatus <> 'F'
+  UNION ALL
+  SELECT * FROM orders
+  WHERE o_orderstatus = 'F'
+    AND year(CAST(o_orderdate AS TIMESTAMP)) = 1995)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       CAST(1 AS BIGINT) AS clone_v0_dataless,
+       CAST(1 AS BIGINT) AS src_untouched,
+       CAST(1 AS BIGINT) AS files_partition
+FROM cl GROUP BY 1
+"""
+
+QUERIES["lake_shallow_clone"] = lake_shallow_clone
+ORACLE["lake_shallow_clone"] = _SHALLOW_CLONE_SQL

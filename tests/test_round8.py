@@ -388,3 +388,56 @@ def test_sax_letters_are_monotone_in_z(spark):
     letters = [r["sax"] for r in rows]
     assert letters == sorted(letters), "letters must be monotone in z"
     assert set(letters) <= set("abcd")
+
+
+def test_shallow_clone_divergence_is_isolated(spark):
+    """Appending to the clone must not change what the source reads,
+    and the clone's v0 must reference only source-owned files."""
+    import os as _os
+
+    from cortana_intelligence_customer360_spark.sources.lakehouse import (
+        _build_orders_table,
+        _scratch,
+        shallow_clone,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    src = _build_orders_table(spark, SF_DIR, "t_clone_iso_src")
+    before = src.read(spark).count()
+    clone = shallow_clone(src, _scratch("t_clone_iso_dst", SF_DIR))
+    assert clone.read(spark).count() == before  # clone sees the snapshot
+    v0_files = clone.manifest(0)["files"]
+    srcroot = _os.path.normpath(src.root)
+    assert all(
+        _os.path.normpath(f["path"]).startswith(srcroot + _os.sep)
+        for f in v0_files
+    )
+    delta = load_table(spark, SF_DIR, "orders").limit(7)
+    clone.commit(delta, "o_orderkey")
+    assert src.read(spark).count() == before  # source untouched
+    assert clone.read(spark).count() == before + 7
+
+
+def test_closeness_n1_equals_seed_degree(spark):
+    """A seed's distance-1 count is exactly its distinct-neighbor
+    degree in the symmetric trade graph."""
+    from cortana_intelligence_customer360_spark.operators.graph import (
+        _edges,
+        graph_closeness_sampled,
+    )
+
+    rows = {r["seed"]: r for r in graph_closeness_sampled(spark, SF_DIR).collect()}
+    assert rows, "at least one seed must exist"
+    deg = {
+        r["src"]: r["n"]
+        for r in _edges(spark, SF_DIR)
+        .where("src < 5")
+        .groupBy("src")
+        .agg(__import__("pyspark.sql.functions", fromlist=["countDistinct"])
+             .countDistinct("dst").alias("n"))
+        .collect()
+    }
+    for seed, r in rows.items():
+        assert r["n1"] == deg[seed]
+        assert r["harmonic_closeness"] > 0.0
+        assert r["n_reached"] == r["n1"] + r["n2"] + r["n3"] + r["n4"]

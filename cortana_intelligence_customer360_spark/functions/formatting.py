@@ -215,3 +215,38 @@ FROM src, (VALUES ('qty'), ('price'), ('disc'), ('tax'), ('ship_year'))
 
 QUERIES["fn_stack_inline"] = fn_stack_inline
 ORACLE["fn_stack_inline"] = _STACK_SQL
+
+
+def fn_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 UTF-8 validation trio: is_valid_utf8 on clean text
+    (true), on a deliberately corrupted byte stream (0xFF prepended to
+    the first 8 chars — false), make_valid_utf8 repairing it (0xFF ->
+    U+FFFD replacement char), and try_validate_utf8 yielding NULL
+    instead of raising. The corruption is constructed per row so the
+    oracle can rebuild the expected repaired string from the same
+    8-char prefix with chr(65533). Map-only, codegen'd."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 7 = 0")
+    prefix = F.substring("text", 1, 8)
+    corrupt = F.concat(
+        F.lit(b"\xff"), F.encode(prefix, "UTF-8")
+    ).cast("string")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.is_valid_utf8("text").alias("clean_ok"),
+        F.is_valid_utf8(corrupt).alias("corrupt_ok"),
+        F.make_valid_utf8(corrupt).alias("repaired"),
+        F.try_validate_utf8(corrupt).isNull().alias("try_is_null"),
+    )
+
+
+_UTF8_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       TRUE AS clean_ok,
+       FALSE AS corrupt_ok,
+       chr(65533) || substring(text, 1, 8) AS repaired,
+       TRUE AS try_is_null
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+QUERIES["fn_utf8_validation"] = fn_utf8_validation
+ORACLE["fn_utf8_validation"] = _UTF8_SQL

@@ -1525,3 +1525,34 @@ FROM m
 
 QUERIES["agg_regr_family"] = agg_regr_family
 ORACLE["agg_regr_family"] = _REGR_SQL
+
+
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native approx_top_k sketch (Spark 4.1) over the event-type
+    stream, exploded to (item, count) rows. k equals the full domain
+    cardinality (5) and the default sketch capacity (10000) dwarfs it,
+    so the sketch degenerates to EXACT counts — which is what makes a
+    full O-tier oracle legitimate here (the same reasoning as
+    dedup_minhash's capped-band exactness). On a true heavy-hitter
+    domain the op is unchanged; only the oracle would weaken to
+    R-tier. Single map-side-combinable aggregate, no shuffle beyond
+    the one-row sketch merge."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "atk_events"
+    )
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n
+        FROM (SELECT inline(approx_top_k(event_type, 5)) AS (item, count)
+              FROM atk_events) t
+        """
+    )
+
+
+_APPROX_TOP_K_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+QUERIES["agg_approx_top_k"] = agg_approx_top_k
+ORACLE["agg_approx_top_k"] = _APPROX_TOP_K_SQL

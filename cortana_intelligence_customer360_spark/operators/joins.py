@@ -1166,3 +1166,47 @@ GROUP BY 1
 
 QUERIES["join_partition_pruning_dynamic"] = join_partition_pruning_dynamic
 ORACLE["join_partition_pruning_dynamic"] = _JOIN_DPP_SQL
+
+
+def join_lateral_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-2 orders via the DataFrame ``lateralJoin`` API
+    (Spark 4.0): the right side is a correlated subquery referencing
+    the left row through ``F.col(...).outer()`` — the DF-native twin
+    of join_lateral_topk's SQL ``LATERAL`` form. Catalyst rewrites the
+    correlated limit into a ranked window join, so the physical plan
+    is the same shuffle-once shape as the window formulation — no
+    per-row re-execution at any scale."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    top2 = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return cust.lateralJoin(top2).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_totalprice",
+    )
+
+
+_LATERAL_DF_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+FROM (
+  SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey)
+           AS rn
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+WHERE rn <= 2
+"""
+
+QUERIES["join_lateral_df_api"] = join_lateral_df_api
+ORACLE["join_lateral_df_api"] = _LATERAL_DF_SQL

@@ -243,3 +243,30 @@ GROUP BY 1
 
 QUERIES["sql_values_inline"] = sql_values_inline
 ORACLE["sql_values_inline"] = _VALUES_SQL
+
+
+def sql_tvf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued ``range()`` in FROM as a dense spine: twelve price
+    buckets LEFT-join the bucketed order histogram so EMPTY buckets
+    surface as zero rows — the gap-free-axis idiom (a bare GROUP BY
+    silently drops empty buckets; the TVF spine is how you keep them).
+    Identical text runs on DuckDB (`range(0,12) t(b)` works in both).
+    The spine is 12 rows — broadcast side of the join at any SF."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tvf_orders")
+    return spark.sql(_TVF_RANGE_SQL.format(orders="tvf_orders"))
+
+
+_TVF_RANGE_SQL = """
+SELECT CAST(t.b AS BIGINT) AS bucket,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(h.rev, 0.0) AS DOUBLE) AS revenue
+FROM range(0, 12) t(b)
+LEFT JOIN (
+  SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+  FROM {orders} GROUP BY 1) h ON h.b = t.b
+"""
+
+QUERIES["sql_tvf_range"] = sql_tvf_range
+ORACLE["sql_tvf_range"] = _TVF_RANGE_SQL.format(orders="orders")

@@ -34,6 +34,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.functions.scalar",
     "cortana_intelligence_customer360_spark.functions.network",
     "cortana_intelligence_customer360_spark.functions.formatting",
+    "cortana_intelligence_customer360_spark.functions.markup",
     "cortana_intelligence_customer360_spark.functions.udfs",
     "cortana_intelligence_customer360_spark.functions.protobuf_codec",
     "cortana_intelligence_customer360_spark.features.core",

@@ -441,3 +441,56 @@ def test_closeness_n1_equals_seed_degree(spark):
         assert r["n1"] == deg[seed]
         assert r["harmonic_closeness"] > 0.0
         assert r["n_reached"] == r["n1"] + r["n2"] + r["n3"] + r["n4"]
+
+
+def test_lateral_df_api_matches_window_formulation(spark):
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from cortana_intelligence_customer360_spark.operators.joins import (
+        join_lateral_df_api,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    got = {
+        (r["c_custkey"], r["o_orderkey"])
+        for r in join_lateral_df_api(spark, SF_DIR).collect()
+    }
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, SF_DIR, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        (r["o_custkey"], r["o_orderkey"])
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 2")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_tvf_range_keeps_empty_buckets(spark):
+    from cortana_intelligence_customer360_spark.operators.sqlsurface import (
+        sql_tvf_range,
+    )
+
+    rows = {r["bucket"]: r for r in sql_tvf_range(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(12)), "spine must be dense 0..11"
+    assert any(r["n_orders"] == 0 for r in rows.values()), (
+        "at least one empty bucket should exist at small SF"
+    )
+    for r in rows.values():
+        if r["n_orders"] == 0:
+            assert r["revenue"] == 0.0
+
+
+def test_xpath_roundtrip_recovers_ground_truth(spark):
+    from cortana_intelligence_customer360_spark.functions.markup import fn_xpath
+
+    rows = fn_xpath(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["key_back"] == r["l_orderkey"]
+        assert r["n_lines"] == len(r["lines_csv"].split(","))

@@ -921,3 +921,66 @@ def test_sql_udf_scalar_is_inlined(spark, sf_dir):
         assert "partial_" in plan  # map-side combine survives the UDF
     finally:
         spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fname}")
+
+
+def test_lateral_df_api_compiles_to_window_group_limit(spark, sf_dir):
+    """The correlated limit-2 lateral subquery must decorrelate into a
+    rank window with WindowGroupLimit pushdown (partial below the
+    exchange) — NOT a per-row re-execution or nested-loop join."""
+    from cortana_intelligence_customer360_spark.operators.joins import (
+        join_lateral_df_api,
+    )
+    from cortana_intelligence_customer360_spark.plans.asserts import (
+        assert_in_plan,
+        assert_not_in_plan,
+    )
+
+    df = join_lateral_df_api(spark, sf_dir)
+    assert_in_plan(df, "WindowGroupLimit", mode="simple")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct",
+                       mode="simple")
+
+
+def test_values_and_tvf_literal_sides_broadcast(spark, sf_dir):
+    """Inline VALUES dims and the range() spine are literal relations:
+    the fact side must never shuffle for them (BroadcastHashJoin)."""
+    from cortana_intelligence_customer360_spark.operators.sqlsurface import (
+        sql_tvf_range,
+        sql_values_inline,
+    )
+    from cortana_intelligence_customer360_spark.plans.asserts import (
+        assert_in_plan,
+    )
+
+    assert_in_plan(sql_values_inline(spark, sf_dir), "BroadcastHashJoin",
+                   mode="simple")
+    df = sql_tvf_range(spark, sf_dir)
+    assert_in_plan(df, "BroadcastHashJoin", "Range (0, 12", mode="simple")
+
+
+def test_formatting_ops_are_map_only(spark, sf_dir):
+    """format_number / bround / utf8 validation are pure projections —
+    zero Exchange in the plan."""
+    from cortana_intelligence_customer360_spark.functions.formatting import (
+        fn_bround_even,
+        fn_number_format,
+        fn_utf8_validation,
+    )
+    from cortana_intelligence_customer360_spark.plans.asserts import (
+        assert_not_in_plan,
+    )
+
+    for op in (fn_number_format, fn_bround_even, fn_utf8_validation):
+        assert_not_in_plan(op(spark, sf_dir), "Exchange", mode="simple")
+
+
+def test_regr_family_has_partial_aggregation(spark, sf_dir):
+    from cortana_intelligence_customer360_spark.operators.aggregates import (
+        agg_regr_family,
+    )
+    from cortana_intelligence_customer360_spark.plans.asserts import (
+        plan_string,
+    )
+
+    plan = plan_string(agg_regr_family(spark, sf_dir), mode="simple")
+    assert "partial_" in plan, "moment sums must combine map-side"

@@ -230,3 +230,104 @@ FROM per_type, tot
 
 QUERIES["stat_friedman_test"] = stat_friedman_test
 ORACLE["stat_friedman_test"] = _FRIEDMAN_SQL
+
+
+_TOST_A, _TOST_B = "BUILDING", "MACHINERY"
+_TOST_MARGIN = 10.0  # equivalence margin, $K
+_TOST_ZCRIT = 1.645  # one-sided alpha=0.05, large-sample normal
+
+# Shared closed-form text over the pivoted one-row moments (n_a, s_a,
+# ss_a, n_b, s_b, ss_b), $K scale — same fixed-order discipline as
+# stat_welch_anova.
+_TOST_SE = (
+    "sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a"
+    " + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)"
+)
+_TOST_DIFF = "(s_a / n_a - s_b / n_b)"
+
+
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided t-tests) on mean order
+    value between two segments: unlike agg_ab_ttest (which can only
+    FAIL to find a difference), TOST positively establishes that the
+    means differ by LESS than the margin — the correct readout for
+    "these two segments behave the same". t_lower tests diff > -δ,
+    t_upper tests diff < +δ; equivalence holds iff BOTH exceed the
+    one-sided critical value (large-sample z ≈ 1.645). Welch SE from
+    one pivoted pass of exact decimal moments; every float in one
+    shared fixed-order expression."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_totalprice") / 1000.0).alias("x"),
+        )
+    )
+    dec = "decimal(38,10)"
+    aggs = []
+    for tag, s in (("a", _TOST_A), ("b", _TOST_B)):
+        cond = F.col("seg") == s
+        aggs += [
+            F.count(F.when(cond, 1)).cast("double").alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("x").cast(dec)))
+            .cast("double")
+            .alias(f"s_{tag}"),
+            F.sum(F.when(cond, (F.col("x") * F.col("x")).cast(dec)))
+            .cast("double")
+            .alias(f"ss_{tag}"),
+        ]
+    one = obs.agg(*aggs)
+    t_lower = f"(({_TOST_DIFF}) - (-{_TOST_MARGIN})) / ({_TOST_SE})"
+    t_upper = f"({_TOST_MARGIN} - ({_TOST_DIFF})) / ({_TOST_SE})"
+    return one.select(
+        F.round(F.expr(f"s_a / n_a"), 6).alias("mean_a"),
+        F.round(F.expr(f"s_b / n_b"), 6).alias("mean_b"),
+        F.round(F.expr(_TOST_DIFF), 6).alias("diff"),
+        F.round(F.expr(_TOST_SE), 6).alias("se"),
+        F.round(F.expr(t_lower), 6).alias("t_lower"),
+        F.round(F.expr(t_upper), 6).alias("t_upper"),
+        (
+            (F.expr(t_lower) > _TOST_ZCRIT) & (F.expr(t_upper) > _TOST_ZCRIT)
+        )
+        .cast("long")
+        .alias("equivalent"),
+    )
+
+
+def _tost_sql() -> str:
+    cols = []
+    for tag, s in (("a", _TOST_A), ("b", _TOST_B)):
+        cols += [
+            f"CAST(COUNT(*) FILTER (WHERE c_mktsegment = '{s}') AS DOUBLE)"
+            f" AS n_{tag}",
+            f"CAST(SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(38,10)))"
+            f" FILTER (WHERE c_mktsegment = '{s}') AS DOUBLE) AS s_{tag}",
+            f"CAST(SUM(CAST((o_totalprice / 1000.0) * (o_totalprice / 1000.0)"
+            f" AS DECIMAL(38,10)))"
+            f" FILTER (WHERE c_mktsegment = '{s}') AS DOUBLE) AS ss_{tag}",
+        ]
+    t_lower = f"(({_TOST_DIFF}) - (-{_TOST_MARGIN})) / ({_TOST_SE})"
+    t_upper = f"({_TOST_MARGIN} - ({_TOST_DIFF})) / ({_TOST_SE})"
+    return f"""
+WITH one AS (
+  SELECT {', '.join(cols)}
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT round(s_a / n_a, 6) AS mean_a,
+       round(s_b / n_b, 6) AS mean_b,
+       round({_TOST_DIFF}, 6) AS diff,
+       round({_TOST_SE}, 6) AS se,
+       round({t_lower}, 6) AS t_lower,
+       round({t_upper}, 6) AS t_upper,
+       CAST(CASE WHEN ({t_lower}) > {_TOST_ZCRIT}
+                  AND ({t_upper}) > {_TOST_ZCRIT}
+                 THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+FROM one
+"""
+
+
+QUERIES["stat_tost_equivalence"] = stat_tost_equivalence
+ORACLE["stat_tost_equivalence"] = _tost_sql()

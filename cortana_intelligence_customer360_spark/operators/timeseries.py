@@ -3043,3 +3043,113 @@ _SES_SQL = "WITH RECURSIVE " + _SES_WALK.format(
 
 QUERIES["ts_ses_grid"] = ts_ses_grid
 ORACLE["ts_ses_grid"] = _SES_SQL
+
+
+_PW_SEGS = 3
+
+
+def ts_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented trend fit on the monthly revenue series: the month
+    index splits into three equal-width regimes (knots at floor(n/3),
+    floor(2n/3) — data-dependent but integer-exact in both engines)
+    and each regime gets its own OLS line (slope, intercept, r²) — the
+    piecewise-linear trend readout behind prophet-style changepoint
+    models (ts_changepoint_split is the per-user MEAN-shift detector;
+    this fits per-regime SLOPES on the global series).
+
+    Exactness: x is the integer month index, y the monthly revenue in
+    $M rounded to 6dp; per-regime moments go through DECIMAL(38,12)
+    (agg_regr_family discipline) and the regression closed form is one
+    fixed expression tree, rounded at 6dp.
+
+    Scale: one fact aggregate to months; everything after is O(months)
+    — a single tiny groupBy on the regime id."""
+    od = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate").cast("long") * 100
+          + F.month("o_orderdate").cast("long"))
+    monthly = (
+        od.groupBy(ym.alias("ym"))
+        .agg(F.round(dsum("o_totalprice") / 1e6, 6).alias("y"))
+        .select(
+            "y",
+            F.row_number().over(Window.orderBy("ym")).cast("long").alias("t"),
+        )
+    )
+    n_months = monthly.agg(bcount().alias("n"))
+    dec = "decimal(38,12)"
+    seg = (
+        F.when(F.col("t") <= F.floor(F.col("n") / _PW_SEGS), 1)
+        .when(F.col("t") <= F.floor(2 * F.col("n") / _PW_SEGS), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    m = (
+        monthly.crossJoin(F.broadcast(n_months))
+        .select(seg.alias("segment"), "t", "y")
+        .groupBy("segment")
+        .agg(
+            bcount().alias("n_points"),
+            F.sum(F.col("t").cast(dec)).cast("double").alias("sx"),
+            F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+            F.sum((F.col("t") * F.col("t")).cast(dec))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("t") * F.col("y")).cast(dec))
+            .cast("double")
+            .alias("sxy"),
+            F.sum((F.col("y") * F.col("y")).cast(dec))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n_points"), F.col("sx"), F.col("sy")
+    cov_n = F.col("sxy") - sx * sy / n
+    varx_n = F.col("sxx") - sx * sx / n
+    vary_n = F.col("syy") - sy * sy / n
+    return m.select(
+        "segment",
+        "n_points",
+        F.round(cov_n / varx_n, 6).alias("slope"),
+        F.round(sy / n - (cov_n / varx_n) * (sx / n), 6).alias("intercept"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+        F.round(sy / n, 6).alias("mean_rev"),
+    )
+
+
+_PIECEWISE_SQL = """
+WITH monthly0 AS (
+  SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) * 100
+           + CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ym,
+         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               / 1e6, 6) AS y
+  FROM orders GROUP BY 1),
+monthly AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY ym) AS BIGINT) AS t
+  FROM monthly0),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM monthly),
+m AS (
+  SELECT CASE WHEN t <= n // 3 THEN 1
+              WHEN t <= (2 * n) // 3 THEN 2
+              ELSE 3 END AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(t * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM monthly, nn GROUP BY 1)
+SELECT CAST(segment AS BIGINT) AS segment, n_points,
+       round((sxy - sx * sy / n_points)
+             / (sxx - sx * sx / n_points), 6) AS slope,
+       round(sy / n_points - ((sxy - sx * sy / n_points)
+             / (sxx - sx * sx / n_points)) * (sx / n_points), 6)
+         AS intercept,
+       round((sxy - sx * sy / n_points) * (sxy - sx * sy / n_points)
+             / ((sxx - sx * sx / n_points) * (syy - sy * sy / n_points)),
+             6) AS r2,
+       round(sy / n_points, 6) AS mean_rev
+FROM m
+"""
+
+QUERIES["ts_piecewise_trend"] = ts_piecewise_trend
+ORACLE["ts_piecewise_trend"] = _PIECEWISE_SQL

@@ -494,3 +494,33 @@ def test_xpath_roundtrip_recovers_ground_truth(spark):
     for r in rows:
         assert r["key_back"] == r["l_orderkey"]
         assert r["n_lines"] == len(r["lines_csv"].split(","))
+
+
+def test_piecewise_trend_covers_all_months(spark):
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_piecewise_trend,
+    )
+
+    rows = {r["segment"]: r for r in ts_piecewise_trend(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2, 3}
+    # equal-width regimes: segment sizes differ by at most 1 from n/3
+    sizes = [rows[s]["n_points"] for s in (1, 2, 3)]
+    assert max(sizes) - min(sizes) <= 2
+    for r in rows.values():
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_tost_agrees_with_margin_logic(spark):
+    from cortana_intelligence_customer360_spark.features.stats2 import (
+        _TOST_MARGIN,
+        _TOST_ZCRIT,
+        stat_tost_equivalence,
+    )
+
+    r = stat_tost_equivalence(spark, SF_DIR).collect()[0]
+    assert abs(r["diff"] - (r["mean_a"] - r["mean_b"])) < 1e-5
+    expect = int(r["t_lower"] > _TOST_ZCRIT and r["t_upper"] > _TOST_ZCRIT)
+    assert r["equivalent"] == expect
+    # the two one-sided stats straddle the margin symmetrically:
+    # t_lower + t_upper == 2*margin/se
+    assert abs((r["t_lower"] + r["t_upper"]) - 2 * _TOST_MARGIN / r["se"]) < 1e-3

@@ -190,3 +190,76 @@ def decode_wav_meta(payload: bytes) -> dict[str, int]:
         "duration_us": n_samples * 1_000_000 // sample_rate,
         "amp_sum": sum(abs(s) for s in samples),
     }
+
+
+def encode_png_with_text(
+    width: int,
+    height: int,
+    gray: Callable[[int, int], int],
+    texts: list[tuple[str, str]],
+    compressed_texts: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """A valid grayscale PNG carrying tEXt (latin-1 keyword\\0value)
+    and zTXt (keyword\\0\\0 + zlib-deflated value) metadata chunks
+    between IHDR and IDAT — the PNG-native EXIF-style sidecar every
+    asset pipeline reads for provenance (spec: PNG 1.2 §4.2.3)."""
+    if width < 1 or height < 1:
+        raise ValueError("PNG dimensions must be positive")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(gray(x, y) & 0xFF for x in range(width))
+        for y in range(height)
+    )
+    meta = b""
+    for kw, val in texts:
+        meta += _png_chunk(
+            b"tEXt", kw.encode("latin-1") + b"\x00" + val.encode("latin-1")
+        )
+    for kw, val in compressed_texts or []:
+        meta += _png_chunk(
+            b"zTXt",
+            kw.encode("latin-1") + b"\x00\x00"
+            + zlib.compress(val.encode("latin-1"), 6),
+        )
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + meta
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_text(payload: bytes) -> dict[str, str]:
+    """Extract all tEXt/zTXt metadata from a PNG as {keyword: value},
+    with the same validation contract as decode_png_meta (magic check,
+    per-chunk CRC, zTXt inflate; duplicate keywords: last wins).
+    Raises ValueError on framing/CRC violations or an unknown zTXt
+    compression method."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG: bad magic")
+    pos = 8
+    out: dict[str, str] = {}
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"tEXt":
+            kw, _, val = data.partition(b"\x00")
+            out[kw.decode("latin-1")] = val.decode("latin-1")
+        elif tag == b"zTXt":
+            kw, _, rest = data.partition(b"\x00")
+            if not rest or rest[0] != 0:
+                raise ValueError("unknown zTXt compression method")
+            out[kw.decode("latin-1")] = zlib.decompress(rest[1:]).decode(
+                "latin-1"
+            )
+        pos += 12 + length
+    return out

@@ -846,3 +846,95 @@ GROUP BY doc_id
 
 QUERIES["multimodal_wav_loudness"] = multimodal_wav_loudness
 ORACLE["multimodal_wav_loudness"] = _LOUDNESS_SQL
+
+
+_TEXTMETA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_TEXTMETA_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("source_back", T.StringType()),
+        T.StructField("comment", T.StringType()),
+        T.StructField("n_keys", T.LongType()),
+    ]
+)
+
+
+def _encode_text_chunk_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from .codecs import encode_png_with_text
+
+    for pdf in batches:
+        payloads = []
+        for d, src, lang, n_chars in zip(
+            pdf["doc_id"], pdf["source"], pdf["lang"], pdf["n_chars"]
+        ):
+            d = int(d)
+            w, h = _png_dims(d)
+            payloads.append(
+                encode_png_with_text(
+                    w,
+                    h,
+                    lambda x, y: (d + 7 * x + 13 * y) % 256,
+                    texts=[("Title", f"doc-{d}"), ("Source", str(src))],
+                    compressed_texts=[
+                        ("Comment", f"lang={lang};chars={int(n_chars)}")
+                    ],
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+def _decode_text_chunk_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from .codecs import decode_png_text
+
+    for pdf in batches:
+        metas = [decode_png_text(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "title": [m.get("Title", "") for m in metas],
+                "source_back": [m.get("Source", "") for m in metas],
+                "comment": [m.get("Comment", "") for m in metas],
+                "n_keys": pd.Series([len(m) for m in metas], dtype="int64"),
+            }
+        )
+
+
+def multimodal_png_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG sidecar-metadata round trip: every document's provenance
+    (source, lang, size) is embedded as tEXt + zlib-compressed zTXt
+    chunks in a real PNG, carried as BINARY, then re-extracted by the
+    CRC-verified chunk walk — the asset-provenance path of a training
+    pipeline (image decode is multimodal_decode_png; this is the
+    metadata plane). Two Arrow boundaries, zero shuffle; linear in
+    rows x pixels."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    payloads = docs.mapInPandas(_encode_text_chunk_batches, _TEXTMETA_SCHEMA)
+    return payloads.mapInPandas(_decode_text_chunk_batches, _TEXTMETA_OUT)
+
+
+_PNG_TEXT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'doc-' || CAST(doc_id AS VARCHAR) AS title,
+       source AS source_back,
+       'lang=' || lang || ';chars=' || CAST(n_chars AS VARCHAR) AS comment,
+       CAST(3 AS BIGINT) AS n_keys
+FROM documents
+"""
+
+QUERIES["multimodal_png_text_chunks"] = multimodal_png_text_chunks
+ORACLE["multimodal_png_text_chunks"] = _PNG_TEXT_SQL

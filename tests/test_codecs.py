@@ -179,3 +179,41 @@ def test_avro_sync_marker_validated():
 def test_avro_rejects_non_avro():
     with pytest.raises(ValueError, match="not an Avro"):
         decode_container(b"PAR1not-avro-at-all")
+
+
+def test_png_text_chunks_roundtrip_and_crc():
+    """tEXt + zTXt chunks must round-trip, coexist with pixel decode,
+    and fail loudly on CRC corruption."""
+    import pytest
+
+    from cortana_intelligence_customer360_spark.llmops.codecs import (
+        decode_png_meta,
+        decode_png_text,
+        encode_png_with_text,
+    )
+
+    p = encode_png_with_text(
+        5, 4, lambda x, y: 11 * x + y,
+        texts=[("Title", "t"), ("Source", "s")],
+        compressed_texts=[("Comment", "c" * 200)],
+    )
+    assert decode_png_text(p) == {"Title": "t", "Source": "s",
+                                  "Comment": "c" * 200}
+    meta = decode_png_meta(p)  # pixel plane unaffected by text chunks
+    assert (meta["width"], meta["height"]) == (5, 4)
+    corrupted = bytearray(p)
+    corrupted[40] ^= 0xFF  # inside the first metadata chunk
+    with pytest.raises(ValueError):
+        decode_png_text(bytes(corrupted))
+
+
+def test_png_text_duplicate_keyword_last_wins():
+    from cortana_intelligence_customer360_spark.llmops.codecs import (
+        decode_png_text,
+        encode_png_with_text,
+    )
+
+    p = encode_png_with_text(
+        2, 2, lambda x, y: 0, texts=[("K", "first"), ("K", "second")]
+    )
+    assert decode_png_text(p)["K"] == "second"

@@ -1411,3 +1411,56 @@ FROM events GROUP BY 1
 
 QUERIES["sink_python_stream_writer"] = sink_python_stream_writer
 ORACLE["sink_python_stream_writer"] = _PYDS_STREAM_SINK_SQL
+
+
+def scan_parquet_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT through parquet storage (Spark 4 shredded-variant
+    support): each event's semi-structured payload is enriched into a
+    VARIANT value (object + nested array), WRITTEN to parquet as a
+    variant-typed column, read back, and re-projected with
+    variant_get / typeof — proving the type round-trips storage, not
+    just memory (fn_variant covers the in-memory expression surface).
+    Map-only on both passes; variant shredding keeps the parquet
+    column scannable at 100 TB instead of a JSON-string blob."""
+    ev = load_table(spark, sf_dir, "events").where("event_id % 11 = 0")
+    ev.createOrReplaceTempView("variant_events_src")
+    enriched = spark.sql(
+        """
+        SELECT event_id,
+               parse_json(concat(
+                 '{"k":', get_json_object(props, '$.k'),
+                 ',"type":"', event_type,
+                 '","ids":[', user_id, ',', event_id, ']}')) AS v
+        FROM variant_events_src
+        """
+    )
+    out_dir = os.path.join(
+        scratch_dir("scan_parquet_variant", sf_dir), "data"
+    )
+    enriched.write.mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    back.createOrReplaceTempView("variant_events_back")
+    return spark.sql(
+        """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               variant_get(v, '$.k', 'bigint') AS k_back,
+               variant_get(v, '$.type', 'string') AS type_back,
+               variant_get(v, '$.ids[0]', 'bigint')
+                 + variant_get(v, '$.ids[1]', 'bigint') AS ids_sum,
+               schema_of_variant(v) AS vschema
+        FROM variant_events_back
+        """
+    )
+
+
+_SCAN_VARIANT_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_back,
+       event_type AS type_back,
+       CAST(user_id + event_id AS BIGINT) AS ids_sum,
+       'OBJECT<ids: ARRAY<BIGINT>, k: BIGINT, type: STRING>' AS vschema
+FROM events WHERE event_id % 11 = 0
+"""
+
+QUERIES["scan_parquet_variant"] = scan_parquet_variant
+ORACLE["scan_parquet_variant"] = _SCAN_VARIANT_SQL

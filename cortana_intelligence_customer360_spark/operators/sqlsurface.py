@@ -270,3 +270,72 @@ LEFT JOIN (
 
 QUERIES["sql_tvf_range"] = sql_tvf_range
 ORACLE["sql_tvf_range"] = _TVF_RANGE_SQL.format(orders="orders")
+
+
+def sql_pivot_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT ... FOR ... IN clause and its UNPIVOT inverse as
+    parser-level surfaces (agg_pivot/agg_unpivot cover the DataFrame
+    API; warehouse SQL scripts use the clauses): revenue pivots to one
+    column per order status, then unpivots straight back to long form
+    — the composition must be the identity on the (priority, status)
+    aggregate. Sums ride DECIMAL inside the pivot cell (exact) and
+    cast to double at the cell boundary."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pvt_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, status, revenue
+        FROM (
+          SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(30,6)) AS v
+            FROM pvt_orders)
+          PIVOT (CAST(SUM(v) AS DOUBLE)
+                 FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        )
+        UNPIVOT (revenue FOR status IN (st_o AS `O`, st_f AS `F`,
+                                        st_p AS `P`))
+        """
+    )
+
+
+_PIVOT_CLAUSE_SQL = """
+SELECT o_orderpriority, o_orderstatus AS status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+QUERIES["sql_pivot_unpivot_clause"] = sql_pivot_unpivot_clause
+ORACLE["sql_pivot_unpivot_clause"] = _PIVOT_CLAUSE_SQL
+
+
+# Named-window text shared verbatim by both engines (DuckDB supports
+# the WINDOW clause): three analytics reuse two named windows.
+_NAMED_WINDOW_SQL = """
+WITH cell AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+  FROM {orders} GROUP BY 1, 2)
+SELECT pri, st, rev,
+       CAST(ROW_NUMBER() OVER w_rank AS BIGINT) AS rnk,
+       round(rev / SUM(rev) OVER w_status, 6) AS share_of_status,
+       round(rev - AVG(rev) OVER w_status, 6) AS delta_vs_avg
+FROM cell
+WINDOW w_rank AS (PARTITION BY st ORDER BY rev DESC, pri),
+       w_status AS (PARTITION BY st)
+"""
+
+
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOW clause (named, reused window specs): one ordered and
+    one unordered window feed a rank, a share-of-total and a
+    delta-vs-average — declared once, referenced three times, the way
+    analysts de-duplicate OVER() blocks. The identical text runs on
+    DuckDB. Note AVG here is over the 5 per-status cells (not raw
+    rows), so the double mean is a fixed 5-term sum — deterministic
+    without decimal help."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nw_orders")
+    return spark.sql(_NAMED_WINDOW_SQL.format(orders="nw_orders"))
+
+
+QUERIES["sql_named_window"] = sql_named_window
+ORACLE["sql_named_window"] = _NAMED_WINDOW_SQL.format(orders="orders")

@@ -31,6 +31,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.operators.sketches",
     "cortana_intelligence_customer360_spark.operators.catalog",
     "cortana_intelligence_customer360_spark.operators.sqlsurface",
+    "cortana_intelligence_customer360_spark.operators.pandas_api",
     "cortana_intelligence_customer360_spark.functions.scalar",
     "cortana_intelligence_customer360_spark.functions.network",
     "cortana_intelligence_customer360_spark.functions.formatting",

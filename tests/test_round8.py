@@ -524,3 +524,41 @@ def test_tost_agrees_with_margin_logic(spark):
     # the two one-sided stats straddle the margin symmetrically:
     # t_lower + t_upper == 2*margin/se
     assert abs((r["t_lower"] + r["t_upper"]) - 2 * _TOST_MARGIN / r["se"]) < 1e-3
+
+
+def test_ps_pipeline_stays_distributed(spark):
+    """The pandas-on-Spark pipeline must compile to the same
+    one-exchange hash-aggregate plan as native groupBy — no collect,
+    no driver-side pandas materialization."""
+    from cortana_intelligence_customer360_spark.operators.pandas_api import (
+        ps_groupby_pipeline,
+    )
+    from cortana_intelligence_customer360_spark.plans.asserts import plan_string
+
+    df = ps_groupby_pipeline(spark, SF_DIR)
+    plan = plan_string(df, mode="simple")
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 2  # agg + optional AQE coalesce
+
+
+def test_pivot_unpivot_roundtrip_is_identity(spark):
+    import pyspark.sql.functions as F
+
+    from cortana_intelligence_customer360_spark.operators.sqlsurface import (
+        sql_pivot_unpivot_clause,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    got = {
+        (r["o_orderpriority"], r["status"]): r["revenue"]
+        for r in sql_pivot_unpivot_clause(spark, SF_DIR).collect()
+    }
+    want = {
+        (r["o_orderpriority"], r["o_orderstatus"]): float(r["rev"])
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+             .cast("double").alias("rev"))
+        .collect()
+    }
+    assert got == want and got

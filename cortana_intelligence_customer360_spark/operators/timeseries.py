@@ -3153,3 +3153,140 @@ FROM m
 
 QUERIES["ts_piecewise_trend"] = ts_piecewise_trend
 ORACLE["ts_piecewise_trend"] = _PIECEWISE_SQL
+
+
+_DTW_OUT = (
+    "type_a string, type_b string, n_points long, dtw double, "
+    "dtw_norm double"
+)
+
+
+def _dtw_pair(pdf):
+    """Full-window DTW between the two hour-of-day profiles of one
+    event-type pair. Every cell is rounded to 6 dp; since all inputs
+    are (binary images of) 6-dp decimals, each cell value sits within
+    ~1e-12 of a 6-dp decimal, so Python's round and SQL round recover
+    the identical decimal — no tie ambiguity, no cross-engine drift
+    (the ts_ses_grid recurrence argument, applied to a 2-D DP)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("hr")
+    a = [float(v) for v in pdf["va"]]
+    b = [float(v) for v in pdf["vb"]]
+    n = len(a)
+    prev = None
+    for i in range(n):
+        cur = []
+        for j in range(n):
+            cost = round(abs(a[i] - b[j]), 6)
+            if i == 0 and j == 0:
+                best = 0.0
+            else:
+                cands = []
+                if i > 0:
+                    cands.append(prev[j])
+                if j > 0:
+                    cands.append(cur[j - 1])
+                if i > 0 and j > 0:
+                    cands.append(prev[j - 1])
+                best = min(cands)
+            cur.append(round(cost + best, 6))
+        prev = cur
+    dtw = prev[-1]
+    return pd.DataFrame(
+        {
+            "type_a": [pdf["type_a"].iloc[0]],
+            "type_b": [pdf["type_b"].iloc[0]],
+            "n_points": [n],
+            "dtw": [dtw],
+            "dtw_norm": [round(dtw / (2 * n), 6)],
+        }
+    )
+
+
+def ts_dtw_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the hour-of-day activity
+    profiles of every event-type pair: each type reduces to a 24-point
+    mean-value curve (exact decimal means, rounded 6 dp), then a
+    full-window L1 DTW aligns each pair — the elastic similarity
+    measure k-shape clustering and motif search are built on
+    (ts_lead_lag_xcorr is the rigid-lag linear cousin).
+
+    Architecture: the profiles are a distributed aggregate; the DP is
+    inherently sequential per pair, so it runs as applyInPandas over
+    PAIRS (10 groups here; P² groups generally) — each task is O(L²)
+    on an L-point profile, the textbook custom-operator shape for
+    Spark. The oracle replays the identical rounded DP cell-by-cell in
+    a DuckDB recursive CTE (row-major, list-carried frontier)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,10)"
+    prof = (
+        ev.groupBy("event_type", F.hour("ts").cast("long").alias("hr"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast(dec)).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("m")
+        )
+        .localCheckpoint()
+    )
+    a = prof.select(
+        F.col("event_type").alias("type_a"), "hr", F.col("m").alias("va")
+    )
+    b = prof.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hr").alias("hr_b"),
+        F.col("m").alias("vb"),
+    )
+    pairs = a.join(
+        b, (F.col("hr") == F.col("hr_b")) & (F.col("type_a") < F.col("type_b"))
+    ).select("type_a", "type_b", "hr", "va", "vb")
+    return pairs.groupBy("type_a", "type_b").applyInPandas(
+        _dtw_pair, _DTW_OUT
+    )
+
+
+_DTW_SQL = """
+WITH RECURSIVE prof AS (
+  SELECT event_type,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+         round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+               / COUNT(value), 6) AS m
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         list(a.m ORDER BY a.hr) AS la,
+         list(b.m ORDER BY b.hr) AS lb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM prof a JOIN prof b ON a.hr = b.hr AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+-- win[k] = D(k-1) in row-major order; cell m: i = m // n, j = m % n.
+walk(ta, tb, idx, win) AS (
+  SELECT ta, tb, CAST(0 AS BIGINT),
+         [round(abs(la[1] - lb[1]), 6)]
+  FROM seq
+  UNION ALL
+  SELECT w.ta, w.tb, w.idx + 1,
+         w.win || [round(
+           round(abs(s.la[(w.idx + 1) // s.n + 1]
+                     - s.lb[(w.idx + 1) % s.n + 1]), 6)
+           + LEAST(
+               CASE WHEN (w.idx + 1) // s.n = 0 THEN 1e18
+                    ELSE w.win[w.idx + 1 - s.n + 1] END,
+               CASE WHEN (w.idx + 1) % s.n = 0 THEN 1e18
+                    ELSE w.win[w.idx + 1] END,
+               CASE WHEN (w.idx + 1) // s.n = 0 OR (w.idx + 1) % s.n = 0
+                    THEN 1e18
+                    ELSE w.win[w.idx + 1 - s.n] END), 6)]
+  FROM walk w JOIN seq s ON w.ta = s.ta AND w.tb = s.tb
+  WHERE w.idx + 1 < s.n * s.n)
+SELECT w.ta AS type_a, w.tb AS type_b, s.n AS n_points,
+       w.win[s.n * s.n] AS dtw,
+       round(w.win[s.n * s.n] / (2 * s.n), 6) AS dtw_norm
+FROM walk w JOIN seq s ON w.ta = s.ta AND w.tb = s.tb
+WHERE w.idx = s.n * s.n - 1
+"""
+
+QUERIES["ts_dtw_profiles"] = ts_dtw_profiles
+ORACLE["ts_dtw_profiles"] = _DTW_SQL

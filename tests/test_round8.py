@@ -562,3 +562,31 @@ def test_pivot_unpivot_roundtrip_is_identity(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_dtw_bounded_by_diagonal_alignment(spark):
+    """DTW over the full window is at most the rigid diagonal cost
+    (the diagonal is one admissible warping path), and non-negative."""
+    import pyspark.sql.functions as F
+
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_dtw_profiles,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    rows = ts_dtw_profiles(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    ev = load_table(spark, SF_DIR, "events")
+    prof = (
+        ev.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+        .collect()
+    )
+    series = {}
+    for r in prof:
+        series.setdefault(r["event_type"], {})[r["hr"]] = r["m"]
+    for r in rows:
+        a, b = series[r["type_a"]], series[r["type_b"]]
+        diag = sum(abs(a[h] - b[h]) for h in a if h in b)
+        assert 0.0 <= r["dtw"] <= diag + 1e-6
+        assert r["n_points"] == len(set(a) & set(b))

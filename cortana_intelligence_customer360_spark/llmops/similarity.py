@@ -1000,3 +1000,72 @@ def ann_ivf_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_recall_profile"] = ann_ivf_recall_profile
 # ann_ivf_recall_profile: R-tier (model-dependent recall; monotonicity
 # + clustered-fixture full recall pinned in tests/test_embeddings.py).
+
+
+def sim_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-k where candidates are
+    restricted by a METADATA predicate — here "same label as the
+    probe", the pre-filtered ANN shape every vector store exposes
+    (category-scoped retrieval, tenant isolation). Pre-filtering
+    happens BEFORE scoring: the corpus join carries the label equality
+    conjunct, so at scale the filter prunes candidates inside the
+    broadcast-hash join rather than discarding scored pairs after the
+    fact (post-filter top-k loses recall; this is the correct
+    semantics AND the correct plan). Everything else follows
+    sim_knn_exact's discipline (dot = JVM fold, 6-dp rounding before
+    ranking, id tiebreak)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("label").alias("probe_label"),
+    )
+    pairs = emb.join(
+        F.broadcast(probes),
+        (F.col("vec_id") != F.col("probe_id"))
+        & (F.col("label") == F.col("probe_label")),
+    )
+    scored = pairs.select(
+        "probe_id",
+        F.col("probe_label").cast("long").alias("label"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("probe_vec"), F.col("embedding")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "label", "neighbor_id", "cosine", "rank")
+    )
+
+
+_FILTERED_KNN_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, label, r.i AS pos,
+         CAST(embedding[r.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
+dots AS (
+  SELECT p.vec_id AS probe_id,
+         CAST(p.label AS BIGINT) AS label,
+         c.vec_id AS neighbor_id,
+         round(SUM(p.v * c.v), 6) AS cosine
+  FROM flat p
+  JOIN flat c ON p.pos = c.pos AND p.vec_id != c.vec_id
+             AND p.label = c.label
+  WHERE p.vec_id < {N_PROBES}
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT probe_id, label, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM dots)
+SELECT probe_id, label, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+QUERIES["sim_filtered_knn"] = sim_filtered_knn
+ORACLE["sim_filtered_knn"] = _FILTERED_KNN_SQL

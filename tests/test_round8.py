@@ -590,3 +590,31 @@ def test_dtw_bounded_by_diagonal_alignment(spark):
         diag = sum(abs(a[h] - b[h]) for h in a if h in b)
         assert 0.0 <= r["dtw"] <= diag + 1e-6
         assert r["n_points"] == len(set(a) & set(b))
+
+
+def test_filtered_knn_respects_label_scope(spark):
+    from cortana_intelligence_customer360_spark.llmops.similarity import (
+        sim_filtered_knn,
+        sim_knn_exact,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    filt = sim_filtered_knn(spark, SF_DIR).collect()
+    assert filt
+    for r in filt:
+        assert labels[r["neighbor_id"]] == labels[r["probe_id"]] == r["label"]
+    # the filtered best match can never beat the unfiltered best
+    best_unf = {
+        r["probe_id"]: r["cosine"]
+        for r in sim_knn_exact(spark, SF_DIR).collect()
+        if r["rank"] == 1
+    }
+    for r in filt:
+        if r["rank"] == 1:
+            assert r["cosine"] <= best_unf[r["probe_id"]] + 1e-9

@@ -1122,3 +1122,160 @@ pit0 AS (
 
 QUERIES["ml_poisson_irls"] = ml_poisson_irls
 ORACLE["ml_poisson_irls"] = _poisson_sql()
+
+
+_UCB_ARMS = ["click", "error", "purchase", "signup", "view"]  # sorted
+_UCB_THRESH = 50.0
+
+_UCB_OUT = (
+    "user_id long, n_rounds long, policy_reward long, best_arm string, "
+    "best_reward long, regret long"
+)
+
+
+def _ucb1_user(pdf):
+    """UCB1 replay over one user's event sequence. Rounds are the
+    user's events in time order; arms are the five event types; the
+    policy earns the event's reward flag only when it chose the arm
+    the event actually belongs to. Scores round to 6 dp before the
+    argmax (first-max-wins tie-break) so the arm choices — and
+    therefore the whole trajectory — are bit-reproducible in the
+    oracle's recursion."""
+    import math
+
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    types = [int(t) for t in pdf["tidx"]]  # 1-based arm index
+    flags = [int(f) for f in pdf["flag"]]
+    k = len(_UCB_ARMS)
+    counts = [0] * k
+    sums = [0] * k
+    total = 0
+    for t in range(1, len(types) + 1):
+        if t <= k:
+            chosen = t - 1
+        else:
+            scores = [
+                round(
+                    sums[i] / counts[i]
+                    + math.sqrt(2.0 * math.log(float(t)) / counts[i]),
+                    6,
+                )
+                for i in range(k)
+            ]
+            chosen = scores.index(max(scores))
+        r = 1 if (types[t - 1] - 1 == chosen and flags[t - 1]) else 0
+        counts[chosen] += 1
+        sums[chosen] += r
+        total += r
+    # hindsight-best single arm: the most rewarding arm if always played
+    per_arm = [0] * k
+    for ty, fl in zip(types, flags):
+        per_arm[ty - 1] += fl
+    best_i = per_arm.index(max(per_arm))
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_rounds": [len(types)],
+            "policy_reward": [total],
+            "best_arm": [_UCB_ARMS[best_i]],
+            "best_reward": [per_arm[best_i]],
+            "regret": [per_arm[best_i] - total],
+        }
+    )
+
+
+def ml_ucb1_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline bandit-policy evaluation: replay every user's event
+    stream as UCB1 rounds (arms = event types, reward = high-value
+    event of the chosen type) and report the policy's realized reward
+    against the hindsight-best single arm — the regret readout a
+    next-best-offer engine uses to compare targeting policies before
+    deploying one.
+
+    The per-user trajectory is inherently sequential, so it runs as
+    applyInPandas over users (the ts_dtw_profiles custom-operator
+    shape: thousands of independent O(rounds·k) tasks); everything
+    upstream is one sort-free projection. The oracle replays the
+    identical rounded trajectory per user in a DuckDB recursive CTE
+    carrying (counts, sums) as list state. Cross-engine float parity:
+    ln/sqrt appear only inside a 6-dp round on O(1) magnitudes (the
+    ml_logreg_newton boundary argument)."""
+    ev = load_table(spark, sf_dir, "events")
+    tidx = F.array_position(
+        F.array(*[F.lit(a) for a in _UCB_ARMS]), F.col("event_type")
+    ).cast("int")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        tidx.alias("tidx"),
+        (F.col("value") > _UCB_THRESH).cast("int").alias("flag"),
+    )
+    return seq.groupBy("user_id").applyInPandas(_ucb1_user, _UCB_OUT)
+
+
+def _ucb1_sql() -> str:
+    k = len(_UCB_ARMS)
+    arms_sql = "[" + ", ".join(f"'{a}'" for a in _UCB_ARMS) + "]"
+    # UCB scores over the carried state; embedded repeatedly (the
+    # expression is pure, DuckDB CSE handles the duplication).
+    scores = (
+        "list_transform(range(1, {k1}), i -> "
+        "round(CAST(w.sums[i] AS DOUBLE) / w.counts[i]"
+        " + sqrt(2.0 * ln(CAST(w.t + 1 AS DOUBLE)) / w.counts[i]), 6))"
+    ).format(k1=k + 1)
+    chosen = (
+        f"CASE WHEN w.t + 1 <= {k} THEN w.t + 1 "
+        f"ELSE list_position({scores}, list_aggregate({scores}, 'max')) END"
+    )
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         list(list_position({arms_sql}, event_type)
+              ORDER BY ts, event_id) AS tl,
+         list(CASE WHEN value > {_UCB_THRESH} THEN 1 ELSE 0 END
+              ORDER BY ts, event_id) AS fl,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id),
+walk(user_id, t, counts, sums, total) AS (
+  SELECT user_id, CAST(0 AS BIGINT),
+         list_transform(range({k}), i -> CAST(0 AS BIGINT)),
+         list_transform(range({k}), i -> CAST(0 AS BIGINT)),
+         CAST(0 AS BIGINT)
+  FROM seq
+  UNION ALL
+  SELECT w.user_id, w.t + 1,
+         list_transform(range(1, {k + 1}), i ->
+           w.counts[i] + CASE WHEN i = ({chosen}) THEN 1 ELSE 0 END),
+         list_transform(range(1, {k + 1}), i ->
+           w.sums[i] + CASE WHEN i = ({chosen})
+                        AND s.tl[w.t + 1] = ({chosen})
+                        AND s.fl[w.t + 1] = 1 THEN 1 ELSE 0 END),
+         w.total + CASE WHEN s.tl[w.t + 1] = ({chosen})
+                         AND s.fl[w.t + 1] = 1 THEN 1 ELSE 0 END
+  FROM walk w JOIN seq s USING (user_id)
+  WHERE w.t < s.n),
+fin AS (
+  SELECT w.user_id, s.n AS n_rounds, w.total AS policy_reward
+  FROM walk w JOIN seq s USING (user_id) WHERE w.t = s.n),
+hindsight AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CASE WHEN value > {_UCB_THRESH} THEN 1 ELSE 0 END)
+           AS BIGINT) AS arm_reward
+  FROM events GROUP BY 1, 2),
+best AS (
+  SELECT user_id, event_type AS best_arm, arm_reward AS best_reward
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY arm_reward DESC, event_type) AS rn
+        FROM hindsight) WHERE rn = 1)
+SELECT f.user_id, f.n_rounds, f.policy_reward,
+       b.best_arm, b.best_reward,
+       b.best_reward - f.policy_reward AS regret
+FROM fin f JOIN best b USING (user_id)
+"""
+
+
+QUERIES["ml_ucb1_replay"] = ml_ucb1_replay
+ORACLE["ml_ucb1_replay"] = _ucb1_sql()

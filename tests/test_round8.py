@@ -618,3 +618,31 @@ def test_filtered_knn_respects_label_scope(spark):
     for r in filt:
         if r["rank"] == 1:
             assert r["cosine"] <= best_unf[r["probe_id"]] + 1e-9
+
+
+def test_ucb1_replay_regret_bounds(spark):
+    """Policy reward can never exceed the hindsight-best arm (regret
+    >= 0), and a user's policy reward is bounded by their total count
+    of rewarding events."""
+    import pyspark.sql.functions as F
+
+    from cortana_intelligence_customer360_spark.features.value import (
+        ml_ucb1_replay,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    rows = ml_ucb1_replay(spark, SF_DIR).collect()
+    assert rows
+    totals = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .where("value > 50")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["regret"] >= 0
+        assert r["best_reward"] >= r["policy_reward"] >= 0
+        assert r["policy_reward"] <= totals.get(r["user_id"], 0)
+        assert r["best_arm"] in {"click", "error", "purchase", "signup", "view"}

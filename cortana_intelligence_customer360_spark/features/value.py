@@ -1279,3 +1279,128 @@ FROM fin f JOIN best b USING (user_id)
 
 QUERIES["ml_ucb1_replay"] = ml_ucb1_replay
 ORACLE["ml_ucb1_replay"] = _ucb1_sql()
+
+
+def ml_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-scored off-policy evaluation, the estimator
+    used to vet a targeting policy offline before an A/B test (and the
+    closed-form companion to ml_ucb1_replay's sequential simulation):
+    the candidate policy π(user) = the user's most-frequent event type
+    in the FIRST half of their history; it is evaluated on the SECOND
+    half, where each matching round contributes reward/p(a) with p(a)
+    the global empirical arm frequency over the eval half.
+
+    Every quantity is a ratio of exact integers (match counts, reward
+    counts, arm counts), so the IPS and direct-method estimates are
+    single deterministic float expressions rounded at 6 dp — full
+    O-tier with zero recursion. Two windowed passes over events, both
+    sharing the user_id partitioning; the arm-frequency table is 5
+    rows, broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.col("value") > 50.0).cast("long").alias("r"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).localCheckpoint()
+    first = seq.where(F.col("rn") * 2 <= F.col("n"))
+    pol = (
+        first.groupBy("user_id", "event_type")
+        .agg(bcount().alias("c"))
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("c").desc(), F.col("event_type")
+                )
+            ),
+        )
+        .where("prn = 1")
+        .select("user_id", F.col("event_type").alias("policy_arm"))
+    )
+    ev_half = seq.where(F.col("rn") * 2 > F.col("n"))
+    prop = ev_half.groupBy("event_type").agg(bcount().alias("n_arm"))
+    n_eval_total = ev_half.agg(bcount().alias("n_tot"))
+    scored = (
+        ev_half.join(pol, "user_id")
+        .join(F.broadcast(prop), "event_type")
+        .crossJoin(F.broadcast(n_eval_total))
+    )
+    return (
+        scored.groupBy("user_id", "policy_arm")
+        .agg(
+            bcount().alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == F.col("policy_arm"),
+                    F.col("r")
+                    * F.col("n_tot").cast("double")
+                    / F.col("n_arm").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("ips_sum"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("policy_arm"), F.col("r"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("matched_reward"),
+            F.sum(
+                (F.col("event_type") == F.col("policy_arm")).cast("long")
+            )
+            .cast("long")
+            .alias("n_matched"),
+        )
+        .select(
+            "user_id",
+            "policy_arm",
+            "n_eval",
+            F.round(F.col("ips_sum") / F.col("n_eval"), 6).alias("ips_value"),
+            "n_matched",
+            "matched_reward",
+        )
+    )
+
+
+_IPS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS BIGINT) AS r,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+pol AS (
+  SELECT user_id, event_type AS policy_arm
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type) AS prn
+    FROM seq WHERE rn * 2 <= n GROUP BY user_id, event_type)
+  WHERE prn = 1),
+ev_half AS (SELECT * FROM seq WHERE rn * 2 > n),
+prop AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_arm
+  FROM ev_half GROUP BY event_type),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM ev_half)
+SELECT e.user_id, p.policy_arm,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       round(SUM(CASE WHEN e.event_type = p.policy_arm
+                      THEN e.r * CAST(t.n_tot AS DOUBLE)
+                           / CAST(pr.n_arm AS DOUBLE)
+                      ELSE 0.0 END) / COUNT(*), 6) AS ips_value,
+       CAST(SUM(CASE WHEN e.event_type = p.policy_arm THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN e.event_type = p.policy_arm THEN e.r ELSE 0 END)
+         AS BIGINT) AS matched_reward
+FROM ev_half e
+JOIN pol p USING (user_id)
+JOIN prop pr ON pr.event_type = e.event_type
+CROSS JOIN tot t
+GROUP BY e.user_id, p.policy_arm
+"""
+
+QUERIES["ml_ips_offpolicy_eval"] = ml_ips_offpolicy_eval
+ORACLE["ml_ips_offpolicy_eval"] = _IPS_SQL

@@ -647,3 +647,22 @@ def test_ucb1_replay_regret_bounds(spark):
         assert 0 <= r["policy_reward"] <= totals.get(r["user_id"], 0)
         assert 0 <= r["best_reward"] <= totals.get(r["user_id"], 0)
         assert r["best_arm"] in {"click", "error", "purchase", "signup", "view"}
+
+
+def test_ips_estimator_consistency(spark):
+    """IPS must be zero for users whose policy arm never matched, and
+    the global weighted IPS mass is bounded by n_tot/min(n_arm) times
+    the matched reward count."""
+    from cortana_intelligence_customer360_spark.features.value import (
+        ml_ips_offpolicy_eval,
+    )
+
+    rows = ml_ips_offpolicy_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["n_matched"] == 0:
+            assert r["ips_value"] == 0.0
+        if r["matched_reward"] == 0:
+            assert r["ips_value"] == 0.0
+        assert 0 <= r["n_matched"] <= r["n_eval"]
+        assert r["ips_value"] >= 0.0

@@ -428,3 +428,53 @@ GROUP BY 1
 
 QUERIES["sql_identifier_clause"] = sql_identifier_clause
 ORACLE["sql_identifier_clause"] = _IDENT_SQL
+
+
+def sql_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog introspection statements as row sources: SHOW VIEWS
+    LIKE over two probe views (pattern-filtered, so unrelated session
+    state can't leak in) and DESCRIBE QUERY over a typed projection —
+    the surfaces a SQL IDE calls to autocomplete. Both are
+    driver-side metadata reads; the op normalizes them into one
+    (kind, name, dtype) frame with a fully literal oracle."""
+    tag = _tag(sf_dir)
+    v1, v2 = f"c360_probe_a_{tag}", f"c360_probe_b_{tag}"
+    load_table(spark, sf_dir, "region").createOrReplaceTempView(v1)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(v2)
+    try:
+        shows = spark.sql(f"SHOW VIEWS LIKE 'c360_probe_*_{tag}'").select(
+            F.lit("show").alias("kind"),
+            F.col("viewName").alias("name"),
+            F.lit("view").alias("dtype"),
+        )
+        desc = spark.sql(
+            "DESCRIBE QUERY SELECT CAST(1 AS BIGINT) AS k, 'x' AS s, "
+            "CAST(1.5 AS DOUBLE) AS v, CAST(NULL AS TIMESTAMP) AS ts"
+        ).select(
+            F.lit("describe").alias("kind"),
+            F.col("col_name").alias("name"),
+            F.col("data_type").alias("dtype"),
+        )
+        return shows.unionByName(desc).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(v1)
+        spark.catalog.dropTempView(v2)
+
+
+def _show_describe_sql(tag_expr: str = "sf0_01") -> str:
+    return """
+SELECT * FROM (VALUES
+  ('show', 'c360_probe_a_' || '{t}', 'view'),
+  ('show', 'c360_probe_b_' || '{t}', 'view'),
+  ('describe', 'k', 'bigint'),
+  ('describe', 's', 'string'),
+  ('describe', 'v', 'double'),
+  ('describe', 'ts', 'timestamp')
+) AS t(kind, name, dtype)
+""".format(t=tag_expr)
+
+
+# The probe-view names embed the sf-dir tag; the driver always runs the
+# oracle at sf0.01, so the literal matches _tag("/root/testdata/sf0.01").
+QUERIES["sql_show_describe"] = sql_show_describe
+ORACLE["sql_show_describe"] = _show_describe_sql("sf0_01")

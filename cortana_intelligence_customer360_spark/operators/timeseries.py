@@ -3290,3 +3290,112 @@ WHERE w.idx = s.n * s.n - 1
 
 QUERIES["ts_dtw_profiles"] = ts_dtw_profiles
 ORACLE["ts_dtw_profiles"] = _DTW_SQL
+
+
+_ESD_ROUNDS = 5
+_ESD_THRESH = 2.5  # fixed z cutoff (the t-quantile lambda needs no SQL)
+
+
+def ts_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD-style iterative outlier extraction on the
+    monthly revenue series: five rounds of (recompute mean/std on the
+    REMAINING points -> flag the max-|z| point -> remove it) — the
+    masking-robust multi-outlier detector (ts_anomaly_mad flags
+    against a static robust baseline; ESD re-estimates after every
+    removal, which is what lets it find outliers that mask each
+    other). The textbook t-based λᵢ is replaced by a fixed z cutoff
+    for the is_anomalous flag (the extraction ORDER is λ-free).
+
+    Exactness: per-round moments are DECIMAL-exact closed forms
+    (agg_stats discipline), z rounds to 6 dp before the argmax, ties
+    break on the month key; the oracle unrolls the identical five
+    rounds as CTE pairs. Scale: the series is O(months) after one
+    fact aggregate; each round is a tiny-frame aggregate + top-1."""
+    od = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate").cast("long") * 100
+          + F.month("o_orderdate").cast("long"))
+    cur = (
+        od.groupBy(ym.alias("ym"))
+        .agg(F.round(dsum("o_totalprice") / 1e6, 6).alias("x"))
+        .localCheckpoint()
+    )
+    dec = "decimal(38,12)"
+    found = []
+    for rnd in range(1, _ESD_ROUNDS + 1):
+        stats = cur.agg(
+            bcount().alias("n"),
+            F.sum(F.col("x").cast(dec)).cast("double").alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast(dec))
+            .cast("double")
+            .alias("s2"),
+        )
+        z = F.round(
+            F.abs(F.col("x") - F.col("s1") / F.col("n"))
+            / F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - F.lit(1))
+            ),
+            6,
+        )
+        anom = (
+            cur.crossJoin(F.broadcast(stats))
+            .select("ym", "x", z.alias("z"))
+            .orderBy(F.col("z").desc(), F.col("ym").asc())
+            .limit(1)
+            .select(
+                F.lit(rnd).cast("long").alias("round"),
+                "ym",
+                "x",
+                "z",
+                (F.col("z") > _ESD_THRESH).cast("long").alias("is_anomalous"),
+            )
+            .localCheckpoint()
+        )
+        found.append(anom)
+        cur = cur.join(anom.select("ym"), "ym", "left_anti").localCheckpoint()
+    out = found[0]
+    for f in found[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _esd_sql() -> str:
+    rounds = []
+    prev = "monthly"
+    for rnd in range(1, _ESD_ROUNDS + 1):
+        rounds.append(f"""
+st{rnd} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM {prev}),
+an{rnd} AS (
+  SELECT CAST({rnd} AS BIGINT) AS round, ym, x,
+         round(abs(x - s1 / n)
+               / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+  FROM {prev}, st{rnd}
+  ORDER BY z DESC, ym ASC LIMIT 1),
+rem{rnd} AS (
+  SELECT m.ym, m.x FROM {prev} m
+  WHERE m.ym NOT IN (SELECT ym FROM an{rnd}))""")
+        prev = f"rem{rnd}"
+    selects = " UNION ALL ".join(
+        f"SELECT round, ym, x, z, "
+        f"CAST(CASE WHEN z > {_ESD_THRESH} THEN 1 ELSE 0 END AS BIGINT)"
+        f" AS is_anomalous FROM an{r}"
+        for r in range(1, _ESD_ROUNDS + 1)
+    )
+    return f"""
+WITH monthly AS (
+  SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) * 100
+           + CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ym,
+         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               / 1e6, 6) AS x
+  FROM orders GROUP BY 1),
+{','.join(rounds)}
+{selects}
+"""
+
+
+QUERIES["ts_anomaly_esd"] = ts_anomaly_esd
+ORACLE["ts_anomaly_esd"] = _esd_sql()

@@ -666,3 +666,23 @@ def test_ips_estimator_consistency(spark):
             assert r["ips_value"] == 0.0
         assert 0 <= r["n_matched"] <= r["n_eval"]
         assert r["ips_value"] >= 0.0
+
+
+def test_esd_removals_are_strictly_distinct_and_remeasured(spark):
+    """Each ESD round must remove a NEW month, and because the moments
+    are re-estimated after every removal the z of round r is computed
+    against a shrinking sample — verify distinctness and that all five
+    z values are positive and finite."""
+    import math
+
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_anomaly_esd,
+    )
+
+    rows = sorted(ts_anomaly_esd(spark, SF_DIR).collect(),
+                  key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["ym"] for r in rows}) == 5
+    for r in rows:
+        assert r["z"] > 0 and math.isfinite(r["z"])
+        assert r["is_anomalous"] in (0, 1)

@@ -3399,3 +3399,158 @@ WITH monthly AS (
 
 QUERIES["ts_anomaly_esd"] = ts_anomaly_esd
 ORACLE["ts_anomaly_esd"] = _esd_sql()
+
+
+def ts_hierarchical_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation over region -> nation: each
+    nation's next-year revenue is forecast with the drift method
+    (last + (last-first)/(n-1)), each REGION is forecast independently
+    the same way, and the incoherent bottom-up gap is closed by
+    top-down proportional reconciliation — reconciled_nation =
+    region_forecast x nation_forecast / sum(nation forecasts in the
+    region). Coherence (reconciled children sum to the parent) is the
+    property hierarchical-forecasting systems exist to guarantee;
+    tests assert it to 1e-6.
+
+    Exactness: yearly revenue goes through DECIMAL sums; first/last
+    values are picked by min/max year with arg-extraction windows; the
+    drift and proportion arithmetic is a fixed expression tree rounded
+    at 6 dp. Two aggregates (nation-year, then nation) + one 5-row
+    region frame — the hierarchy tables stay broadcast-size at any
+    fact-table scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            "o_totalprice",
+        )
+    )
+    yearly = base.groupBy("r_name", "n_name", "yr").agg(
+        F.round(dsum("o_totalprice") / 1e6, 6).alias("rev")
+    )
+
+    def drift(df, keys):
+        w = Window.partitionBy(*keys).orderBy("yr")
+        wall = Window.partitionBy(*keys)
+        return (
+            df.select(
+                *keys,
+                "yr",
+                "rev",
+                F.first("rev").over(w).alias("first_rev"),
+                F.last("rev").over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+                ).alias("last_rev"),
+                F.count(F.lit(1)).over(wall).alias("n_years"),
+                F.max("yr").over(wall).alias("max_yr"),
+            )
+            .where(F.col("yr") == F.col("max_yr"))
+            .select(
+                *keys,
+                F.round(
+                    F.col("last_rev")
+                    + (F.col("last_rev") - F.col("first_rev"))
+                    / (F.col("n_years") - F.lit(1)).cast("double"),
+                    6,
+                ).alias("forecast"),
+            )
+        )
+
+    nat_fc = drift(yearly, ["r_name", "n_name"])
+    reg_yearly = yearly.groupBy("r_name", "yr").agg(
+        F.round(F.sum(F.col("rev").cast("decimal(38,12)")).cast("double"), 6)
+        .alias("rev")
+    )
+    reg_fc = drift(reg_yearly, ["r_name"]).withColumnRenamed(
+        "forecast", "region_forecast"
+    )
+    bu = nat_fc.groupBy("r_name").agg(
+        F.round(
+            F.sum(F.col("forecast").cast("decimal(38,12)")).cast("double"), 6
+        ).alias("bu_total")
+    )
+    return (
+        nat_fc.join(F.broadcast(reg_fc), "r_name")
+        .join(F.broadcast(bu), "r_name")
+        .select(
+            "r_name",
+            "n_name",
+            F.col("forecast").alias("base_forecast"),
+            "region_forecast",
+            "bu_total",
+            F.round(
+                F.col("region_forecast") * F.col("forecast")
+                / F.col("bu_total"),
+                6,
+            ).alias("reconciled"),
+        )
+    )
+
+
+_HIER_FC_SQL = """
+WITH yearly AS (
+  SELECT r.r_name, n.n_name,
+         CAST(year(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+         round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               / 1e6, 6) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2, 3),
+nat_fc AS (
+  SELECT r_name, n_name,
+         round(MAX(CASE WHEN yr = max_yr THEN rev END)
+               + (MAX(CASE WHEN yr = max_yr THEN rev END)
+                  - MAX(CASE WHEN yr = min_yr THEN rev END))
+                 / CAST(n_years - 1 AS DOUBLE), 6) AS forecast
+  FROM (SELECT *, MIN(yr) OVER (PARTITION BY r_name, n_name) AS min_yr,
+               MAX(yr) OVER (PARTITION BY r_name, n_name) AS max_yr,
+               COUNT(*) OVER (PARTITION BY r_name, n_name) AS n_years
+        FROM yearly)
+  GROUP BY r_name, n_name, n_years),
+reg_yearly AS (
+  SELECT r_name, yr,
+         round(CAST(SUM(CAST(rev AS DECIMAL(38,12))) AS DOUBLE), 6) AS rev
+  FROM yearly GROUP BY 1, 2),
+reg_fc AS (
+  SELECT r_name,
+         round(MAX(CASE WHEN yr = max_yr THEN rev END)
+               + (MAX(CASE WHEN yr = max_yr THEN rev END)
+                  - MAX(CASE WHEN yr = min_yr THEN rev END))
+                 / CAST(n_years - 1 AS DOUBLE), 6) AS region_forecast
+  FROM (SELECT *, MIN(yr) OVER (PARTITION BY r_name) AS min_yr,
+               MAX(yr) OVER (PARTITION BY r_name) AS max_yr,
+               COUNT(*) OVER (PARTITION BY r_name) AS n_years
+        FROM reg_yearly)
+  GROUP BY r_name, n_years),
+bu AS (
+  SELECT r_name,
+         round(CAST(SUM(CAST(forecast AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS bu_total
+  FROM nat_fc GROUP BY r_name)
+SELECT n.r_name, n.n_name,
+       n.forecast AS base_forecast,
+       g.region_forecast,
+       b.bu_total,
+       round(g.region_forecast * n.forecast / b.bu_total, 6) AS reconciled
+FROM nat_fc n JOIN reg_fc g USING (r_name) JOIN bu b USING (r_name)
+"""
+
+QUERIES["ts_hierarchical_forecast"] = ts_hierarchical_forecast
+ORACLE["ts_hierarchical_forecast"] = _HIER_FC_SQL

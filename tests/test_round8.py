@@ -686,3 +686,30 @@ def test_esd_removals_are_strictly_distinct_and_remeasured(spark):
     for r in rows:
         assert r["z"] > 0 and math.isfinite(r["z"])
         assert r["is_anomalous"] in (0, 1)
+
+
+def test_hierarchical_forecast_is_coherent(spark):
+    """Reconciled child forecasts must sum to the parent's independent
+    forecast (the coherence contract), and proportions must preserve
+    sign/ordering of the base forecasts within a region."""
+    from collections import defaultdict
+
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_hierarchical_forecast,
+    )
+
+    rows = ts_hierarchical_forecast(spark, SF_DIR).collect()
+    assert rows
+    per_region = defaultdict(list)
+    for r in rows:
+        per_region[r["r_name"]].append(r)
+    for reg, rs in per_region.items():
+        rec_sum = sum(r["reconciled"] for r in rs)
+        assert abs(rec_sum - rs[0]["region_forecast"]) < 1e-3, reg
+        ranked_base = sorted(rs, key=lambda r: r["base_forecast"])
+        ranked_rec = sorted(rs, key=lambda r: r["reconciled"])
+        same_scale = all(r["bu_total"] > 0 for r in rs)
+        if same_scale and rs[0]["region_forecast"] > 0:
+            assert [r["n_name"] for r in ranked_base] == [
+                r["n_name"] for r in ranked_rec
+            ]

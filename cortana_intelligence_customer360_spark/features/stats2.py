@@ -331,3 +331,133 @@ FROM one
 
 QUERIES["stat_tost_equivalence"] = stat_tost_equivalence
 ORACLE["stat_tost_equivalence"] = _tost_sql()
+
+
+_DID_TREAT = "BUILDING"  # treated segment
+_DID_CTRL = "MACHINERY"  # control segment
+_DID_SPLIT = "1998-01-01"  # promo-era cutover
+
+# Shared closed-form text over the four pivoted cell moments
+# (n/s/ss per {t,c}x{pre,post}), $K scale.
+_DID_CELL = "{g}_{p}"
+
+
+def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on mean order value: treated segment
+    (BUILDING) vs control (MACHINERY), pre vs post the 1998 cutover —
+    DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre), the canonical
+    quasi-experimental estimator when randomization isn't available
+    (stat_cuped_adjust reduces variance WITHIN an experiment; DiD
+    substitutes for one). The large-sample SE comes from the four cell
+    variances; everything is one pivoted pass of exact decimal moments
+    and a fixed-order expression tree (stat_welch_anova discipline)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_mktsegment").isin(_DID_TREAT, _DID_CTRL))
+        .select(
+            F.when(F.col("c_mktsegment") == _DID_TREAT, "t")
+            .otherwise("c")
+            .alias("g"),
+            F.when(
+                F.col("o_orderdate") >= F.lit(_DID_SPLIT).cast("timestamp"),
+                "post",
+            )
+            .otherwise("pre")
+            .alias("p"),
+            (F.col("o_totalprice") / 1000.0).alias("x"),
+        )
+    )
+    dec = "decimal(38,10)"
+    aggs = []
+    for g in ("t", "c"):
+        for p in ("pre", "post"):
+            cond = (F.col("g") == g) & (F.col("p") == p)
+            tag = f"{g}_{p}"
+            aggs += [
+                F.count(F.when(cond, 1)).cast("double").alias(f"n_{tag}"),
+                F.sum(F.when(cond, F.col("x").cast(dec)))
+                .cast("double")
+                .alias(f"s_{tag}"),
+                F.sum(F.when(cond, (F.col("x") * F.col("x")).cast(dec)))
+                .cast("double")
+                .alias(f"ss_{tag}"),
+            ]
+    one = obs.agg(*aggs)
+    mean = {t: f"(s_{t} / n_{t})" for t in ("t_pre", "t_post", "c_pre", "c_post")}
+    var_over_n = {
+        t: f"(((ss_{t} - s_{t} * s_{t} / n_{t}) / (n_{t} - 1)) / n_{t})"
+        for t in mean
+    }
+    did = (
+        f"(({mean['t_post']} - {mean['t_pre']})"
+        f" - ({mean['c_post']} - {mean['c_pre']}))"
+    )
+    se = (
+        "sqrt("
+        + " + ".join(var_over_n[t] for t in ("t_pre", "t_post", "c_pre", "c_post"))
+        + ")"
+    )
+    return one.select(
+        F.round(F.expr(mean["t_pre"]), 6).alias("treat_pre"),
+        F.round(F.expr(mean["t_post"]), 6).alias("treat_post"),
+        F.round(F.expr(mean["c_pre"]), 6).alias("ctrl_pre"),
+        F.round(F.expr(mean["c_post"]), 6).alias("ctrl_post"),
+        F.round(F.expr(did), 6).alias("did"),
+        F.round(F.expr(se), 6).alias("se"),
+        F.round(F.expr(f"({did}) / ({se})"), 6).alias("z_stat"),
+    )
+
+
+def _did_sql() -> str:
+    cols = []
+    for g, seg in (("t", _DID_TREAT), ("c", _DID_CTRL)):
+        for p, op in (("pre", "<"), ("post", ">=")):
+            tag = f"{g}_{p}"
+            cond = (
+                f"c_mktsegment = '{seg}' AND CAST(o_orderdate AS TIMESTAMP)"
+                f" {op} TIMESTAMP '{_DID_SPLIT} 00:00:00'"
+            )
+            cols += [
+                f"CAST(COUNT(*) FILTER (WHERE {cond}) AS DOUBLE) AS n_{tag}",
+                f"CAST(SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(38,10)))"
+                f" FILTER (WHERE {cond}) AS DOUBLE) AS s_{tag}",
+                f"CAST(SUM(CAST((o_totalprice / 1000.0) * (o_totalprice"
+                f" / 1000.0) AS DECIMAL(38,10)))"
+                f" FILTER (WHERE {cond}) AS DOUBLE) AS ss_{tag}",
+            ]
+    mean = {t: f"(s_{t} / n_{t})" for t in ("t_pre", "t_post", "c_pre", "c_post")}
+    var_over_n = {
+        t: f"(((ss_{t} - s_{t} * s_{t} / n_{t}) / (n_{t} - 1)) / n_{t})"
+        for t in mean
+    }
+    did = (
+        f"(({mean['t_post']} - {mean['t_pre']})"
+        f" - ({mean['c_post']} - {mean['c_pre']}))"
+    )
+    se = (
+        "sqrt("
+        + " + ".join(var_over_n[t] for t in ("t_pre", "t_post", "c_pre", "c_post"))
+        + ")"
+    )
+    return f"""
+WITH one AS (
+  SELECT {', '.join(cols)}
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{_DID_TREAT}', '{_DID_CTRL}'))
+SELECT round({mean['t_pre']}, 6) AS treat_pre,
+       round({mean['t_post']}, 6) AS treat_post,
+       round({mean['c_pre']}, 6) AS ctrl_pre,
+       round({mean['c_post']}, 6) AS ctrl_post,
+       round({did}, 6) AS did,
+       round({se}, 6) AS se,
+       round(({did}) / ({se}), 6) AS z_stat
+FROM one
+"""
+
+
+QUERIES["stat_diff_in_diff"] = stat_diff_in_diff
+ORACLE["stat_diff_in_diff"] = _did_sql()

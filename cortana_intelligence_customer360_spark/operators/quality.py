@@ -10,7 +10,7 @@ check so a scheduler can gate on ``n_violations = 0``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import bcount, davg, davg_sql
@@ -797,3 +797,55 @@ ORDER BY band
 
 QUERIES["dq_psi_drift"] = dq_psi_drift
 ORACLE["dq_psi_drift"] = _psi_sql()
+
+
+_GAP_TOPK = 20
+
+
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-sequence gap audit: the top-20 widest holes in the order-key
+    sequence as (gap_start, gap_end, missing) ranges — the
+    completeness check that catches a dropped ingest batch (a
+    contiguous id range silently absent), which row counts and
+    per-key dup checks (dq_duplicate_keys_sample) can't see. One
+    ordered lag window over the distinct keys; at scale that is a
+    single range-partitioned sort, and the top-k is a
+    TakeOrdered on (missing desc). Ties break on gap_start."""
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    w = Window.orderBy("o_orderkey")
+    gaps = (
+        od.select(
+            F.col("o_orderkey").alias("next_key"),
+            F.lag("o_orderkey").over(w).alias("prev_key"),
+        )
+        .where(F.col("prev_key").isNotNull())
+        .where(F.col("next_key") - F.col("prev_key") > 1)
+        .select(
+            (F.col("prev_key") + 1).cast("long").alias("gap_start"),
+            (F.col("next_key") - 1).cast("long").alias("gap_end"),
+            (F.col("next_key") - F.col("prev_key") - 1)
+            .cast("long")
+            .alias("missing"),
+        )
+    )
+    return gaps.orderBy(
+        F.col("missing").desc(), F.col("gap_start").asc()
+    ).limit(_GAP_TOPK)
+
+
+_SEQ_GAPS_SQL = f"""
+WITH k AS (SELECT DISTINCT o_orderkey FROM orders),
+gaps AS (
+  SELECT CAST(prev_key + 1 AS BIGINT) AS gap_start,
+         CAST(o_orderkey - 1 AS BIGINT) AS gap_end,
+         CAST(o_orderkey - prev_key - 1 AS BIGINT) AS missing
+  FROM (SELECT o_orderkey,
+               LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key
+        FROM k)
+  WHERE prev_key IS NOT NULL AND o_orderkey - prev_key > 1)
+SELECT gap_start, gap_end, missing
+FROM gaps ORDER BY missing DESC, gap_start ASC LIMIT {_GAP_TOPK}
+"""
+
+QUERIES["dq_sequence_gaps"] = dq_sequence_gaps
+ORACLE["dq_sequence_gaps"] = _SEQ_GAPS_SQL

@@ -713,3 +713,38 @@ def test_hierarchical_forecast_is_coherent(spark):
             assert [r["n_name"] for r in ranked_base] == [
                 r["n_name"] for r in ranked_rec
             ]
+
+
+def test_sequence_gaps_are_real_holes(spark):
+    import pyspark.sql.functions as F
+
+    from cortana_intelligence_customer360_spark.operators.quality import (
+        dq_sequence_gaps,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    rows = dq_sequence_gaps(spark, SF_DIR).collect()
+    assert rows
+    keys = {
+        r["o_orderkey"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey")
+        .collect()
+    }
+    for r in rows:
+        assert r["missing"] == r["gap_end"] - r["gap_start"] + 1 >= 1
+        assert (r["gap_start"] - 1) in keys and (r["gap_end"] + 1) in keys
+        assert not any(k in keys for k in range(r["gap_start"],
+                                               min(r["gap_end"], r["gap_start"] + 50) + 1))
+
+
+def test_did_decomposition(spark):
+    from cortana_intelligence_customer360_spark.features.stats2 import (
+        stat_diff_in_diff,
+    )
+
+    r = stat_diff_in_diff(spark, SF_DIR).collect()[0]
+    manual = (r["treat_post"] - r["treat_pre"]) - (r["ctrl_post"] - r["ctrl_pre"])
+    assert abs(r["did"] - manual) < 1e-5
+    assert r["se"] > 0
+    assert abs(r["z_stat"] - r["did"] / r["se"]) < 1e-3

@@ -724,13 +724,16 @@ def test_sequence_gaps_are_real_holes(spark):
     from cortana_intelligence_customer360_spark.sources.tables import load_table
 
     rows = dq_sequence_gaps(spark, SF_DIR).collect()
-    assert rows
     keys = {
         r["o_orderkey"]
         for r in load_table(spark, SF_DIR, "orders")
         .select("o_orderkey")
         .collect()
     }
+    if not rows:
+        # legal only if the key sequence is truly dense at this SF
+        assert max(keys) - min(keys) + 1 == len(keys)
+        return
     for r in rows:
         assert r["missing"] == r["gap_end"] - r["gap_start"] + 1 >= 1
         assert (r["gap_start"] - 1) in keys and (r["gap_end"] + 1) in keys

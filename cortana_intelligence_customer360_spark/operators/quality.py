@@ -803,24 +803,32 @@ _GAP_TOPK = 20
 
 
 def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-sequence gap audit: the top-20 widest holes in the order-key
-    sequence as (gap_start, gap_end, missing) ranges — the
-    completeness check that catches a dropped ingest batch (a
-    contiguous id range silently absent), which row counts and
-    per-key dup checks (dq_duplicate_keys_sample) can't see. One
-    ordered lag window over the distinct keys; at scale that is a
-    single range-partitioned sort, and the top-k is a
-    TakeOrdered on (missing desc). Ties break on gap_start."""
-    od = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
-    w = Window.orderBy("o_orderkey")
+    """Per-stream sequence gap audit: within each event type, the
+    top-20 widest holes in the event-id subsequence as (gap_start,
+    gap_end, missing) ranges — the completeness check that catches a
+    dropped ingest batch for ONE stream (a contiguous id range absent
+    from that type), which row counts and per-key dup checks
+    (dq_duplicate_keys_sample) can't see. The global id space is dense
+    by construction, so the per-type view is where real holes live —
+    exactly the per-partition-sequence shape of a Kafka topic audit.
+    One lag window partitioned by type (range-partitioned sort at
+    scale) + a TakeOrdered top-k. Ties break on (type, gap_start)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
     gaps = (
-        od.select(
-            F.col("o_orderkey").alias("next_key"),
-            F.lag("o_orderkey").over(w).alias("prev_key"),
+        ev.select(
+            "event_type",
+            F.col("event_id").alias("next_key"),
+            F.lag("event_id").over(w).alias("prev_key"),
         )
         .where(F.col("prev_key").isNotNull())
         .where(F.col("next_key") - F.col("prev_key") > 1)
         .select(
+            "event_type",
             (F.col("prev_key") + 1).cast("long").alias("gap_start"),
             (F.col("next_key") - 1).cast("long").alias("gap_end"),
             (F.col("next_key") - F.col("prev_key") - 1)
@@ -829,22 +837,27 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gaps.orderBy(
-        F.col("missing").desc(), F.col("gap_start").asc()
+        F.col("missing").desc(),
+        F.col("event_type").asc(),
+        F.col("gap_start").asc(),
     ).limit(_GAP_TOPK)
 
 
 _SEQ_GAPS_SQL = f"""
-WITH k AS (SELECT DISTINCT o_orderkey FROM orders),
+WITH k AS (SELECT DISTINCT event_type, event_id FROM events),
 gaps AS (
-  SELECT CAST(prev_key + 1 AS BIGINT) AS gap_start,
-         CAST(o_orderkey - 1 AS BIGINT) AS gap_end,
-         CAST(o_orderkey - prev_key - 1 AS BIGINT) AS missing
-  FROM (SELECT o_orderkey,
-               LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key
+  SELECT event_type,
+         CAST(prev_key + 1 AS BIGINT) AS gap_start,
+         CAST(event_id - 1 AS BIGINT) AS gap_end,
+         CAST(event_id - prev_key - 1 AS BIGINT) AS missing
+  FROM (SELECT event_type, event_id,
+               LAG(event_id) OVER (PARTITION BY event_type
+                                   ORDER BY event_id) AS prev_key
         FROM k)
-  WHERE prev_key IS NOT NULL AND o_orderkey - prev_key > 1)
-SELECT gap_start, gap_end, missing
-FROM gaps ORDER BY missing DESC, gap_start ASC LIMIT {_GAP_TOPK}
+  WHERE prev_key IS NOT NULL AND event_id - prev_key > 1)
+SELECT event_type, gap_start, gap_end, missing
+FROM gaps ORDER BY missing DESC, event_type ASC, gap_start ASC
+LIMIT {_GAP_TOPK}
 """
 
 QUERIES["dq_sequence_gaps"] = dq_sequence_gaps

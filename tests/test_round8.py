@@ -724,21 +724,24 @@ def test_sequence_gaps_are_real_holes(spark):
     from cortana_intelligence_customer360_spark.sources.tables import load_table
 
     rows = dq_sequence_gaps(spark, SF_DIR).collect()
-    keys = {
-        r["o_orderkey"]
-        for r in load_table(spark, SF_DIR, "orders")
-        .select("o_orderkey")
+    assert rows, "per-type event-id subsequences must have holes"
+    by_type = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "event_id")
         .collect()
-    }
-    if not rows:
-        # legal only if the key sequence is truly dense at this SF
-        assert max(keys) - min(keys) + 1 == len(keys)
-        return
+    ):
+        by_type.setdefault(r["event_type"], set()).add(r["event_id"])
     for r in rows:
+        keys = by_type[r["event_type"]]
         assert r["missing"] == r["gap_end"] - r["gap_start"] + 1 >= 1
         assert (r["gap_start"] - 1) in keys and (r["gap_end"] + 1) in keys
-        assert not any(k in keys for k in range(r["gap_start"],
-                                               min(r["gap_end"], r["gap_start"] + 50) + 1))
+        assert not any(
+            k in keys
+            for k in range(
+                r["gap_start"], min(r["gap_end"], r["gap_start"] + 50) + 1
+            )
+        )
 
 
 def test_did_decomposition(spark):

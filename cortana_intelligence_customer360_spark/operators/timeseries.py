@@ -3554,3 +3554,93 @@ FROM nat_fc n JOIN reg_fc g USING (r_name) JOIN bu b USING (r_name)
 
 QUERIES["ts_hierarchical_forecast"] = ts_hierarchical_forecast
 ORACLE["ts_hierarchical_forecast"] = _HIER_FC_SQL
+
+
+_ADF_CRIT_5PCT = -2.89  # DF tau_mu critical value, n~80, 5%
+
+# Closed form over the joint moments of (x = y_{t-1}, d = y_t - y_{t-1});
+# one text, two engines (fixed operation order).
+_ADF_RHO = "((m * sxd - sx * sd) / (m * sxx - sx * sx))"
+_ADF_ALPHA = f"(sd / m - {_ADF_RHO} * sx / m)"
+_ADF_RSS = (
+    f"(sdd - 2 * {_ADF_ALPHA} * sd - 2 * {_ADF_RHO} * sxd"
+    f" + m * {_ADF_ALPHA} * {_ADF_ALPHA}"
+    f" + 2 * {_ADF_ALPHA} * {_ADF_RHO} * sx"
+    f" + {_ADF_RHO} * {_ADF_RHO} * sxx)"
+)
+_ADF_T = (
+    f"({_ADF_RHO} / sqrt(({_ADF_RSS} / (m - 2)) * m / (m * sxx - sx * sx)))"
+)
+
+
+def ts_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (constant, no lag augmentation) on
+    the monthly revenue series: regress Δy on y_{t-1}, and a
+    sufficiently negative t(ρ̂) rejects the unit root — the
+    stationarity gate run before ARMA-style modeling (ts_mann_kendall
+    tests TREND; this tests mean reversion). The 5% τ_μ critical
+    value is a literal; the decision flag flips with it.
+
+    One window pass builds (y_{t-1}, Δy) pairs; the six regression
+    moments are DECIMAL-exact sums and the ρ̂/t closed form is a single
+    shared expression tree rounded at 6 dp."""
+    od = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate").cast("long") * 100
+          + F.month("o_orderdate").cast("long"))
+    monthly = od.groupBy(ym.alias("ym")).agg(
+        F.round(dsum("o_totalprice") / 1e6, 6).alias("y")
+    )
+    w = Window.orderBy("ym")
+    pairs = (
+        monthly.select(
+            "ym", "y", F.lag("y").over(w).alias("x")
+        )
+        .where(F.col("x").isNotNull())
+        .select("x", (F.col("y") - F.col("x")).alias("d"))
+    )
+    dec = "decimal(38,12)"
+    mom = pairs.agg(
+        bcount().cast("double").alias("m"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("d").cast(dec)).cast("double").alias("sd"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("d")).cast(dec)).cast("double").alias("sxd"),
+        F.sum((F.col("d") * F.col("d")).cast(dec)).cast("double").alias("sdd"),
+    )
+    return mom.select(
+        F.col("m").cast("long").alias("n_diffs"),
+        F.round(F.expr(_ADF_RHO), 6).alias("rho"),
+        F.round(F.expr(_ADF_T), 6).alias("t_stat"),
+        (F.expr(_ADF_T) < _ADF_CRIT_5PCT).cast("long").alias("stationary"),
+    )
+
+
+_ADF_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) * 100
+           + CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ym,
+         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               / 1e6, 6) AS y
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT x, y - x AS d
+  FROM (SELECT ym, y, LAG(y) OVER (ORDER BY ym) AS x FROM monthly)
+  WHERE x IS NOT NULL),
+mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * d AS DECIMAL(38,12))) AS DOUBLE) AS sxd,
+         CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS sdd
+  FROM pairs)
+SELECT CAST(m AS BIGINT) AS n_diffs,
+       round({_ADF_RHO}, 6) AS rho,
+       round({_ADF_T}, 6) AS t_stat,
+       CAST(CASE WHEN {_ADF_T} < {_ADF_CRIT_5PCT} THEN 1 ELSE 0 END
+         AS BIGINT) AS stationary
+FROM mom
+"""
+
+QUERIES["ts_adf_test"] = ts_adf_test
+ORACLE["ts_adf_test"] = _ADF_SQL

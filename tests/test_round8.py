@@ -754,3 +754,35 @@ def test_did_decomposition(spark):
     assert abs(r["did"] - manual) < 1e-5
     assert r["se"] > 0
     assert abs(r["z_stat"] - r["did"] / r["se"]) < 1e-3
+
+
+def test_adf_matches_numpy_ols(spark):
+    """The closed-form DF regression must agree with a straight numpy
+    least-squares fit of Δy on [1, y_lag]."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from cortana_intelligence_customer360_spark.operators.timeseries import (
+        ts_adf_test,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    row = ts_adf_test(spark, SF_DIR).collect()[0]
+    od = load_table(spark, SF_DIR, "orders")
+    ym = F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    monthly = (
+        od.groupBy(ym.alias("ym"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                     .cast("double") / 1e6, 6).alias("y"))
+        .select("ym", "y", F.lag("y").over(Window.orderBy("ym")).alias("x"))
+        .where("x IS NOT NULL")
+        .collect()
+    )
+    x = np.array([r["x"] for r in monthly])
+    d = np.array([r["y"] - r["x"] for r in monthly])
+    A = np.column_stack([np.ones_like(x), x])
+    coef, res, *_ = np.linalg.lstsq(A, d, rcond=None)
+    assert abs(coef[1] - row["rho"]) < 1e-4
+    assert row["n_diffs"] == len(x)
+    assert row["stationary"] in (0, 1)

@@ -68,6 +68,22 @@ SHOWCASE = {
     "fn_protobuf_roundtrip": "Codec is map-only: scan -> mapInPandas with "
     "no hash/range exchange (the only Exchange ever allowed is the "
     "adaptive local round-robin split when input splits < cores).",
+    "join_lateral_df_api": "The correlated limit-2 lateral subquery "
+    "decorrelates into a rank window with WindowGroupLimit pushed below "
+    "the o_custkey exchange (Partial+Final) — never a per-row "
+    "re-execution or nested loop; the customer side broadcasts.",
+    "ts_dtw_profiles": "Custom-operator shape: one hash aggregate to "
+    "24-point profiles, a broadcast pair join, then applyInPandas over "
+    "pairs — the O(L²) DP parallelizes across the P² pair groups, with "
+    "no driver-side loop.",
+    "sim_filtered_knn": "The label predicate is a JOIN conjunct, not a "
+    "post-filter: candidate pruning happens inside the BroadcastHashJoin "
+    "before any dot product is evaluated.",
+    "ts_ses_grid": "The month series is aggregated once and "
+    "localCheckpointed; the recursion (UnionLoop) joins the 80-row "
+    "in-memory frame per level, 4 months per level with broadcast "
+    "hints — the framework's ~0.15 s/level scheduling floor is the "
+    "cost, not data movement.",
 }
 
 

@@ -436,7 +436,9 @@ def sql_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     state can't leak in) and DESCRIBE QUERY over a typed projection —
     the surfaces a SQL IDE calls to autocomplete. Both are
     driver-side metadata reads; the op normalizes them into one
-    (kind, name, dtype) frame with a fully literal oracle."""
+    (kind, name, dtype) frame with a fully literal oracle. The view
+    names carry the sf tag for isolation but the tag is stripped from
+    the output so the oracle is SF-independent."""
     tag = _tag(sf_dir)
     v1, v2 = f"c360_probe_a_{tag}", f"c360_probe_b_{tag}"
     load_table(spark, sf_dir, "region").createOrReplaceTempView(v1)
@@ -444,7 +446,9 @@ def sql_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         shows = spark.sql(f"SHOW VIEWS LIKE 'c360_probe_*_{tag}'").select(
             F.lit("show").alias("kind"),
-            F.col("viewName").alias("name"),
+            F.replace(
+                F.col("viewName"), F.lit(f"_{tag}"), F.lit("")
+            ).alias("name"),
             F.lit("view").alias("dtype"),
         )
         desc = spark.sql(
@@ -461,20 +465,16 @@ def sql_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(v2)
 
 
-def _show_describe_sql(tag_expr: str = "sf0_01") -> str:
-    return """
+_SHOW_DESCRIBE_SQL = """
 SELECT * FROM (VALUES
-  ('show', 'c360_probe_a_' || '{t}', 'view'),
-  ('show', 'c360_probe_b_' || '{t}', 'view'),
+  ('show', 'c360_probe_a', 'view'),
+  ('show', 'c360_probe_b', 'view'),
   ('describe', 'k', 'bigint'),
   ('describe', 's', 'string'),
   ('describe', 'v', 'double'),
   ('describe', 'ts', 'timestamp')
 ) AS t(kind, name, dtype)
-""".format(t=tag_expr)
+"""
 
-
-# The probe-view names embed the sf-dir tag; the driver always runs the
-# oracle at sf0.01, so the literal matches _tag("/root/testdata/sf0.01").
 QUERIES["sql_show_describe"] = sql_show_describe
-ORACLE["sql_show_describe"] = _show_describe_sql("sf0_01")
+ORACLE["sql_show_describe"] = _SHOW_DESCRIBE_SQL

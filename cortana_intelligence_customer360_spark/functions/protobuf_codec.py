@@ -138,8 +138,17 @@ def _make_roundtrip_codec():
             uid = pdf["user_id"].to_numpy(np.int64)
             ts = pdf["ts_us"].to_numpy(np.int64)
             val = pdf["value"].to_numpy(np.float64)
-            codes, uniques = pd.factorize(pdf["event_type"])
-            et_bytes_u = [str(u).encode("utf-8") for u in uniques]
+            # factorize over UTF-8 BYTES, not str: pandas' string hash
+            # table is C-string-semantics and truncates at embedded
+            # NULs ('\x00' collides with '' — hypothesis-discovered),
+            # while bytes hash over the full buffer.
+            codes, uniques = pd.factorize(
+                pd.Series(
+                    [str(s).encode("utf-8") for s in pdf["event_type"]],
+                    dtype=object,
+                )
+            )
+            et_bytes_u = list(uniques)
             et_len_u = np.array([len(b) for b in et_bytes_u], dtype=np.int64)
             if (
                 (codes < 0).any()

@@ -2926,10 +2926,16 @@ _SES_ALPHAS = "(0.1), (0.2), (0.3), (0.4), (0.5), (0.6), (0.7), (0.8), (0.9)"
 
 # One recursive walk shared verbatim by both engines: the monthly
 # revenue series (in $M, rounded to 6dp) is smoothed per alpha with
-# s' = round(s + a*(x - s), 6); the one-step-ahead squared error
-# accumulates through round(acc + e*e, 6). Rounding at every update
-# makes the float chain reproducible across engines (NOTES.md float
-# discipline for sequential recurrences).
+# s' = s + a*(x - s); the one-step-ahead squared error accumulates
+# through acc + e*e. The updates are deliberately NOT rounded
+# per-step: a 1-dp alpha times a 6-dp value is an exact 7-dp decimal
+# whose 7th digit is often 5 — a TRUE decimal half-tie where Spark's
+# BigDecimal-exact round and DuckDB's scale-multiply round can split
+# (it did, at sf0.001: sse diverged in the 6th dp). Because BOTH
+# engines execute this identical expression text on identical input
+# doubles, the unrounded chain is IEEE-bit-identical by construction;
+# only the emitted sse is rounded (to 4 dp, far above the ~1e-10
+# accumulated-path sensitivity of a ~1e2-magnitude SSE).
 #
 # Spark executes each recursion level as its own job (~0.15 s/level
 # measured on a trivial 80-level recursion), so the walk consumes
@@ -2947,8 +2953,8 @@ def _ses_level_exprs() -> tuple[str, str, str]:
     s, acc = "w.s", "w.acc"
     for k in range(1, _SES_STRIDE + 1):
         e = f"(m{k}.x - {s})"
-        upd_s = f"round({s} + w.a * {e}, 6)"
-        upd_acc = f"round({acc} + {e} * {e}, 6)"
+        upd_s = f"({s} + w.a * {e})"
+        upd_acc = f"({acc} + {e} * {e})"
         if k == 1:  # INNER-joined: always present
             s, acc = upd_s, upd_acc
         else:
@@ -2977,7 +2983,7 @@ walk(a, rn, s, acc) AS (
   SELECT /*+ BROADCAST({bcast}) */ w.a, {rn}, {s}, {acc}
   FROM walk w {joins}),
 fin AS (
-  SELECT a AS alpha, acc AS sse
+  SELECT a AS alpha, round(acc, 4) AS sse
   FROM walk WHERE rn = (SELECT MAX(rn) FROM {{months}}))
 SELECT alpha, sse,
        (RANK() OVER (ORDER BY sse, alpha) = 1) AS is_best

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from cortana_intelligence_customer360_spark.features.core import SESSION_GAP_US, sessionized
@@ -397,6 +397,9 @@ def test_pbshim_packed_repeated_roundtrip(ints, doubles):
         max_size=200,
     )
 )
+@example(
+    rows=[(0, 0, 0, '', 0.0), (0, 0, 0, '\x00', 0.0)],
+).via('discovered failure')
 def test_vectorized_protobuf_codec_matches_runtime(rows):
     """The r8 numpy-vectorized wire codec agrees with the pbshim
     runtime on arbitrary field values: every produced wire parses

@@ -1404,3 +1404,128 @@ GROUP BY e.user_id, p.policy_arm
 
 QUERIES["ml_ips_offpolicy_eval"] = ml_ips_offpolicy_eval
 ORACLE["ml_ips_offpolicy_eval"] = _IPS_SQL
+
+
+def ml_doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy evaluation: the DM+IPS combination
+    that stays consistent if EITHER the reward model or the logging
+    propensities are right — DR(u) = mean over eval rounds of
+    [ DM(π_u) + 1(a=π_u)·(r − DM(π_u)) / p(a) ]. The direct model
+    DM(arm) is the arm's mean reward on the TRAINING half (the same
+    first/second-half split as ml_ips_offpolicy_eval, whose estimator
+    this strictly dominates in variance when DM is decent); p(a) is
+    the eval-half empirical arm frequency.
+
+    Every input is a ratio of exact integers and the per-round terms
+    combine in one fixed expression, so the estimate is a single
+    deterministic float rounded at 6 dp — full O-tier. Same two
+    window passes as IPS plus one 5-row broadcast DM table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.col("value") > 50.0).cast("long").alias("r"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).localCheckpoint()
+    first = seq.where(F.col("rn") * 2 <= F.col("n"))
+    pol = (
+        first.groupBy("user_id", "event_type")
+        .agg(bcount().alias("c"))
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("c").desc(), F.col("event_type")
+                )
+            ),
+        )
+        .where("prn = 1")
+        .select("user_id", F.col("event_type").alias("policy_arm"))
+    )
+    dm = first.groupBy("event_type").agg(
+        F.sum("r").cast("long").alias("dm_r"), bcount().alias("dm_n")
+    )
+    ev_half = seq.where(F.col("rn") * 2 > F.col("n"))
+    prop = ev_half.groupBy("event_type").agg(bcount().alias("n_arm"))
+    n_tot = ev_half.agg(bcount().alias("n_tot"))
+    dm_pol = dm.select(
+        F.col("event_type").alias("policy_arm"),
+        (F.col("dm_r").cast("double") / F.col("dm_n").cast("double")).alias(
+            "dm_hat"
+        ),
+    )
+    scored = (
+        ev_half.join(pol, "user_id")
+        .join(F.broadcast(dm_pol), "policy_arm")
+        .join(F.broadcast(prop), "event_type")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    term = F.col("dm_hat") + F.when(
+        F.col("event_type") == F.col("policy_arm"),
+        (F.col("r").cast("double") - F.col("dm_hat"))
+        * F.col("n_tot").cast("double")
+        / F.col("n_arm").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.groupBy("user_id", "policy_arm")
+        .agg(
+            bcount().alias("n_eval"),
+            F.sum(term).alias("dr_sum"),
+            F.max("dm_hat").alias("dm_hat"),
+        )
+        .select(
+            "user_id",
+            "policy_arm",
+            "n_eval",
+            F.round(F.col("dm_hat"), 6).alias("dm_value"),
+            F.round(F.col("dr_sum") / F.col("n_eval"), 6).alias("dr_value"),
+        )
+    )
+
+
+_DR_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS BIGINT) AS r,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+firsth AS (SELECT * FROM seq WHERE rn * 2 <= n),
+pol AS (
+  SELECT user_id, event_type AS policy_arm
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type) AS prn
+    FROM firsth GROUP BY user_id, event_type)
+  WHERE prn = 1),
+dm AS (
+  SELECT event_type AS policy_arm,
+         CAST(SUM(r) AS DOUBLE) / COUNT(*) AS dm_hat
+  FROM firsth GROUP BY event_type),
+ev_half AS (SELECT * FROM seq WHERE rn * 2 > n),
+prop AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_arm
+  FROM ev_half GROUP BY event_type),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM ev_half)
+SELECT e.user_id, p.policy_arm,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       round(MAX(d.dm_hat), 6) AS dm_value,
+       round(SUM(d.dm_hat + CASE WHEN e.event_type = p.policy_arm
+                 THEN (CAST(e.r AS DOUBLE) - d.dm_hat)
+                      * CAST(t.n_tot AS DOUBLE) / CAST(pr.n_arm AS DOUBLE)
+                 ELSE 0.0 END) / COUNT(*), 6) AS dr_value
+FROM ev_half e
+JOIN pol p USING (user_id)
+JOIN dm d ON d.policy_arm = p.policy_arm
+JOIN prop pr ON pr.event_type = e.event_type
+CROSS JOIN tot t
+GROUP BY e.user_id, p.policy_arm
+"""
+
+QUERIES["ml_doubly_robust_eval"] = ml_doubly_robust_eval
+ORACLE["ml_doubly_robust_eval"] = _DR_SQL

@@ -862,3 +862,67 @@ LIMIT {_GAP_TOPK}
 
 QUERIES["dq_sequence_gaps"] = dq_sequence_gaps
 ORACLE["dq_sequence_gaps"] = _SEQ_GAPS_SQL
+
+
+_VOL_Z = 2.0  # flag threshold (|z| over the daily-count distribution)
+
+
+def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume monitoring: daily ORDER COUNTS z-scored against
+    the whole daily-count distribution, flagging days whose volume is
+    anomalous — the pipeline-health complement to dq_anomaly (which
+    screens VALUES) and dq_freshness_lag (which screens recency); a
+    half-ingested day shows up here first. Counts are exact integers,
+    the global moments are integer sums, and mean/std/z round at 6 dp
+    before the threshold so membership can't float-flip. Two tiny
+    aggregates (day, then one global row broadcast back)."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(bcount().alias("n_orders"))
+    mom = daily.agg(
+        bcount().alias("m"),
+        F.sum("n_orders").cast("long").alias("s1"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).cast("long").alias("s2"),
+    )
+    mu = F.round(F.col("s1").cast("double") / F.col("m"), 6)
+    sd = F.round(
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("m")
+            )
+            / (F.col("m") - F.lit(1))
+        ),
+        6,
+    )
+    scored = daily.crossJoin(F.broadcast(mom)).select(
+        "day",
+        "n_orders",
+        F.round((F.col("n_orders") - mu) / sd, 6).alias("z"),
+    )
+    return scored.where(F.abs(F.col("z")) > _VOL_Z).orderBy("day")
+
+
+_VOL_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(n_orders) AS BIGINT) AS s1,
+         CAST(SUM(n_orders * n_orders) AS BIGINT) AS s2
+  FROM daily),
+scored AS (
+  SELECT day, n_orders,
+         round((n_orders - round(CAST(s1 AS DOUBLE) / m, 6))
+               / round(sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * s1 / m) / (m - 1)), 6),
+               6) AS z
+  FROM daily, mom)
+SELECT day, n_orders, z FROM scored WHERE abs(z) > {_VOL_Z} ORDER BY day
+"""
+
+QUERIES["dq_volume_anomaly_daily"] = dq_volume_anomaly_daily
+ORACLE["dq_volume_anomaly_daily"] = _VOL_ANOMALY_SQL

@@ -786,3 +786,47 @@ def test_adf_matches_numpy_ols(spark):
     assert abs(coef[1] - row["rho"]) < 1e-4
     assert row["n_diffs"] == len(x)
     assert row["stationary"] in (0, 1)
+
+
+def test_doubly_robust_reduces_to_dm_when_never_matched(spark):
+    """For users whose policy arm never appears in their eval half, the
+    correction term vanishes and DR == DM exactly."""
+    from cortana_intelligence_customer360_spark.features.value import (
+        ml_doubly_robust_eval,
+        ml_ips_offpolicy_eval,
+    )
+
+    dr = {r["user_id"]: r for r in ml_doubly_robust_eval(spark, SF_DIR).collect()}
+    ips = {r["user_id"]: r for r in ml_ips_offpolicy_eval(spark, SF_DIR).collect()}
+    assert set(dr) == set(ips)
+    for uid, r in dr.items():
+        assert r["policy_arm"] == ips[uid]["policy_arm"]
+        if ips[uid]["n_matched"] == 0:
+            assert abs(r["dr_value"] - r["dm_value"]) < 1e-5
+
+
+def test_volume_anomaly_days_are_tail_days(spark):
+    """Flagged days must be real tail days of the daily-count
+    distribution: every flagged count sits outside mean +- 2 sample
+    std of the full distribution (recomputed independently)."""
+    import statistics
+
+    import pyspark.sql.functions as F
+
+    from cortana_intelligence_customer360_spark.operators.quality import (
+        dq_volume_anomaly_daily,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    flagged = dq_volume_anomaly_daily(spark, SF_DIR).collect()
+    assert flagged
+    daily = [
+        r["n"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    mu, sd = statistics.mean(daily), statistics.stdev(daily)
+    for r in flagged:
+        assert abs(r["n_orders"] - mu) > 2 * sd - 1e-6

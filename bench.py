@@ -95,9 +95,28 @@ def main() -> None:
     # replays, multi-snapshot lake ops) plus anything whose first pass
     # reads >= 1.5 s (the heavy ml_/ts_ multi-job tail). One extra
     # timed pass; a third only if the first two disagree > 1.5x.
+    # Round-9 (verdict-8 items 1+6): the measured noisy family —
+    # BENCH_TRIPLICATE_r8's ids_over_2x_spread, the 52 ids that swung
+    # >2x across byte-identical runs even under min-of-2 — is ALWAYS
+    # timed min-of-3 (cheap ids like dedup_minhash at 2.6<->8.5 s
+    # previously escaped both triggers); and ANY id whose recorded min
+    # still exceeds its triplicate max by >1.5x gets one bounded
+    # sanity re-run so a contended outlier can't become the headline
+    # (BENCH_r08's pagerank_personalized 17.6 s trap).
     repeat_prefixes = ("graph_", "stream_", "lake_")
     repeat_threshold_s = 1.5
     spread_trigger = 1.5
+    noisy_ids: set[str] = set()
+    trip_max: dict[str, float] = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_TRIPLICATE_r8.json")) as f:
+            trip = json.load(f)
+        noisy_ids = set(trip.get("ids_over_2x_spread", []))
+        trip_max = {
+            qid: rec["max"] for qid, rec in trip.get("per_id", {}).items()
+        }
+    except (OSError, ValueError, KeyError):
+        pass
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -111,10 +130,15 @@ def main() -> None:
             return time.time() - t0
 
         times = [_one_pass()]
-        if qid.startswith(repeat_prefixes) or times[0] >= repeat_threshold_s:
+        if qid in noisy_ids:
+            times.append(_one_pass())
+            times.append(_one_pass())
+        elif qid.startswith(repeat_prefixes) or times[0] >= repeat_threshold_s:
             times.append(_one_pass())
             if max(times) / max(min(times), 1e-9) > spread_trigger:
                 times.append(_one_pass())
+        if min(times) > 1.5 * trip_max.get(qid, float("inf")):
+            times.append(_one_pass())
         timings[qid] = round(min(times), 3)
         if len(times) > 1:
             spread[qid] = round(max(times) / max(min(times), 1e-9), 2)

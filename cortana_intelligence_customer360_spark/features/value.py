@@ -1061,6 +1061,16 @@ def ml_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         h01 = float(row.h01) / 1e6
         h11 = float(row.h11) / 1e6
         det = h00 * h11 - h01 * h01
+        # Tie-free premise (ADVICE r8): the Newton update is a quotient
+        # of exact-integer-derived doubles with no 6-dp-image guarantee,
+        # so _r6 parity with the oracle's round(x, 6) rests on the update
+        # never landing ON a 6-dp half-tie. Unlike ts_ses_grid's 1-dp x
+        # 6-dp products (systematic exact ties), a double here sits on a
+        # tie only if the division yields an exactly-representable
+        # N.xxxxxx5 binary value — none exists at any shipped SF (the
+        # sf0.001 parity suite would flag the first one as a 6th-dp
+        # hash split). If that ever fires, pin the update to an integer
+        # grid as ml_logreg_newton does with its M-scaling (line ~210).
         b0 = _r6(b0 + (h11 * g0 - h01 * g1) / det)
         b1 = _r6(b1 + (h00 * g1 - h01 * g0) / det)
         out.append((it, b0, b1))

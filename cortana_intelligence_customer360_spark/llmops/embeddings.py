@@ -526,13 +526,14 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_HIST_SQL = f"""
 WITH s AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_COS_HIST_MOD} = 0),
-flat AS (
-  SELECT vec_id, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
-  FROM s, LATERAL (SELECT UNNEST(range(len(s.embedding))) AS i) r),
 dots AS (
-  SELECT round(SUM(p.v * c.v), 6) AS cos
-  FROM flat p JOIN flat c ON p.pos = c.pos AND p.vec_id < c.vec_id
-  GROUP BY p.vec_id, c.vec_id),
+  -- list_dot_product on DOUBLE-cast lists = Spark's F.aggregate left
+  -- fold bit-exactly (see similarity._KNN_SQL; ADVICE r8) — and it
+  -- streams per pair, where the old unnest-join + SUM materialized
+  -- O(sample^2) hash-agg groups.
+  SELECT round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])), 6) AS cos
+  FROM s p JOIN s c ON p.vec_id < c.vec_id),
 binned AS (
   SELECT LEAST(CAST(FLOOR((cos + 1.0) / 2.0 * {_COS_HIST_BINS}) AS BIGINT),
                {_COS_HIST_BINS - 1}) AS bin
@@ -825,19 +826,15 @@ _TRIPLET_SQL = f"""
 WITH anchors AS (
   SELECT vec_id AS aid, label AS alabel, embedding AS avec
   FROM embeddings WHERE vec_id < {_TRIPLET_ANCHORS}),
-aflat AS (
-  SELECT aid, alabel, r.i AS pos, CAST(avec[r.i + 1] AS DOUBLE) AS v
-  FROM anchors, LATERAL (SELECT UNNEST(range(len(anchors.avec))) AS i) r),
-cflat AS (
-  SELECT vec_id, label, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
-  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
 scored AS (
+  -- list_dot_product = Spark's F.aggregate fold, bit-exact
+  -- (see similarity._KNN_SQL; ADVICE r8)
   SELECT a.aid, a.alabel, c.vec_id,
          CAST(CASE WHEN c.label = a.alabel THEN 1 ELSE 0 END AS BIGINT)
            AS is_pos,
-         round(SUM(a.v * c.v), 6) AS cos
-  FROM aflat a JOIN cflat c ON a.pos = c.pos AND c.vec_id <> a.aid
-  GROUP BY 1, 2, 3, 4),
+         round(list_dot_product(CAST(a.avec AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])), 6) AS cos
+  FROM anchors a JOIN embeddings c ON c.vec_id <> a.aid),
 ranked AS (
   SELECT *, SUM(1 - is_pos) OVER (PARTITION BY aid
         ORDER BY cos DESC, vec_id ASC

@@ -75,14 +75,18 @@ def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_SQL = f"""
-WITH flat AS (
-  SELECT vec_id, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
-  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
-dots AS (
-  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, round(SUM(p.v * c.v), 6) AS cosine
-  FROM flat p JOIN flat c ON p.pos = c.pos AND p.vec_id != c.vec_id
-  WHERE p.vec_id < {N_PROBES}
-  GROUP BY 1, 2),
+WITH dots AS (
+  -- list_dot_product on the DOUBLE-cast list columns replicates
+  -- Spark's F.aggregate left fold bit-exactly (verified: in-order
+  -- double accumulation, float32 -> double cast first), instead of
+  -- the old unnest-join + bare SUM whose accumulation order DuckDB
+  -- doesn't guarantee under parallel hash agg (ADVICE r8). Also
+  -- streams per pair row instead of materializing per-pair groups.
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+  WHERE p.vec_id < {N_PROBES}),
 ranked AS (
   SELECT probe_id, neighbor_id, cosine,
          CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -876,15 +880,14 @@ sel{it} AS (
   SELECT probe_id, doc_id, mmr_score, mmr_rank FROM pick{it} WHERE rk = 1)""")
     body = ",".join(steps)
     return f"""
-WITH flat AS (
-  SELECT vec_id, r.i AS pos, CAST(embedding[r.i + 1] AS DOUBLE) AS v
-  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
-dots AS (
+WITH dots AS (
+  -- list_dot_product = Spark's F.aggregate fold, bit-exact
+  -- (see _KNN_SQL; ADVICE r8)
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-         round(SUM(p.v * c.v), 6) AS cosine
-  FROM flat p JOIN flat c ON p.pos = c.pos AND p.vec_id != c.vec_id
-  WHERE p.vec_id < {N_PROBES}
-  GROUP BY 1, 2),
+         round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+  WHERE p.vec_id < {N_PROBES}),
 cands AS (
   SELECT * FROM (
     SELECT probe_id, neighbor_id, cosine,
@@ -893,13 +896,13 @@ cands AS (
     FROM dots) WHERE rank <= {_MMR_CANDS}),
 psim AS (
   SELECT c1.probe_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
-         round(SUM(f1.v * f2.v), 6) AS sim
+         round(list_dot_product(CAST(e1.embedding AS DOUBLE[]),
+                                CAST(e2.embedding AS DOUBLE[])), 6) AS sim
   FROM cands c1
   JOIN cands c2 ON c1.probe_id = c2.probe_id
                AND c1.neighbor_id != c2.neighbor_id
-  JOIN flat f1 ON f1.vec_id = c1.neighbor_id
-  JOIN flat f2 ON f2.vec_id = c2.neighbor_id AND f1.pos = f2.pos
-  GROUP BY 1, 2, 3),
+  JOIN embeddings e1 ON e1.vec_id = c1.neighbor_id
+  JOIN embeddings e2 ON e2.vec_id = c2.neighbor_id),
 sel1 AS (
   SELECT probe_id, neighbor_id AS doc_id, cosine AS mmr_score,
          CAST(1 AS BIGINT) AS mmr_rank
@@ -1044,20 +1047,17 @@ def sim_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FILTERED_KNN_SQL = f"""
-WITH flat AS (
-  SELECT vec_id, label, r.i AS pos,
-         CAST(embedding[r.i + 1] AS DOUBLE) AS v
-  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) r),
-dots AS (
+WITH dots AS (
   SELECT p.vec_id AS probe_id,
          CAST(p.label AS BIGINT) AS label,
          c.vec_id AS neighbor_id,
-         round(SUM(p.v * c.v), 6) AS cosine
-  FROM flat p
-  JOIN flat c ON p.pos = c.pos AND p.vec_id != c.vec_id
-             AND p.label = c.label
-  WHERE p.vec_id < {N_PROBES}
-  GROUP BY 1, 2, 3),
+         -- list_dot_product = Spark's F.aggregate fold, bit-exact
+         -- (see _KNN_SQL; ADVICE r8)
+         round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings p
+  JOIN embeddings c ON p.vec_id != c.vec_id AND p.label = c.label
+  WHERE p.vec_id < {N_PROBES}),
 ranked AS (
   SELECT probe_id, label, neighbor_id, cosine,
          CAST(ROW_NUMBER() OVER (PARTITION BY probe_id

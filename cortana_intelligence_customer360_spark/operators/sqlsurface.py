@@ -86,10 +86,12 @@ def sql_scripting_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     on identically-rounded seeds; exactly one generated row satisfies
     ``bal >= target`` (generation stops there), and its index equals
     the REPEAT body's execution count."""
+    prev_conf = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("rep_orders")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
 BEGIN
   DECLARE total DOUBLE;
   DECLARE monthly DOUBLE;
@@ -109,7 +111,13 @@ BEGIN
          monthly AS monthly_contribution, target AS target_balance;
 END
 """
-    )
+        )
+    finally:
+        # Scripting is parsed (and the script body executed) inside the
+        # spark.sql() call above, so restoring here is safe — and stops
+        # the flag leaking into every later op in the session (ADVICE r8;
+        # mirrors ts_ses_grid's cteRecursionLevelLimit handling).
+        spark.conf.set("spark.sql.scripting.enabled", prev_conf)
 
 
 _REPEAT_SQL = f"""
@@ -147,10 +155,12 @@ def sql_scripting_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: recursive CTE over the ordered year list applying the
     identical two-level rounding."""
+    prev_conf = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("for_orders")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
 BEGIN
   DECLARE n_years BIGINT = 0;
   DECLARE prev DOUBLE = 0.0;
@@ -171,7 +181,11 @@ BEGIN
   SELECT n_years, chain AS compounded_index, last_year;
 END
 """
-    )
+        )
+    finally:
+        # See sql_scripting_repeat: parse + script execution happen in
+        # the spark.sql() call; restore so the flag doesn't leak.
+        spark.conf.set("spark.sql.scripting.enabled", prev_conf)
 
 
 _FOR_SQL = """

@@ -1,0 +1,285 @@
+"""MLlib-native model selection, recommendation, and persistence
+(SURVEY.md §1.1 "model artifacts" row; verdict-8 item 3).
+
+The engine's fully-deterministic ML entries (closed-form OLS/ridge,
+Newton GLMs, stumps/boosting) carry DuckDB oracles; this module covers
+the OTHER half of what the reference's "MLlib pipeline" approach means
+in practice [UPSTREAM, recalled — the solution guide trains its
+enrichment model through Spark ML abstractions]: hyperparameter search
+with ``CrossValidator``/``ParamGridBuilder``, a native ``ALS``
+recommender, and the PipelineModel save/load round-trip a production
+scoring job depends on. All three are R-tier (MLlib internals are not
+SQL-expressible); tests/test_round9.py asserts semantic bounds —
+CV accuracy >= the majority-class baseline, ALS train-RMSE under both
+the global-mean predictor and the hand-rolled one-half-step baseline
+(features/inference.py ml_als_user_step), and bit-equal predictions
+from the reloaded pipeline.
+
+Determinism discipline: MLlib's seeded randomness (CV fold assignment
+via rand(seed), ALS factor init) is seeded PER PARTITION, so results
+are reproducible only on a reproducible physical layout. Every frame
+entering a fit is therefore repartition(N, key) +
+sortWithinPartitions(key) — content-addressed placement and ordering,
+independent of how many cores the caller's session has or how the
+parquet scan happened to split. That is also the 100 TB posture: a fit
+that depends on incidental input layout is not reproducible on ANY
+cluster, so you pin the layout where determinism matters.
+
+Scale notes: CV trains grid x folds models — each fit is one
+data-parallel pass per tree over the feature frame; the grid rows
+returned are metadata. ALS shuffles the ratings matrix into
+numUserBlocks x numItemBlocks blocks; block count is the scale knob
+(set explicitly here, never defaulted). Pipeline persistence writes
+model metadata + per-stage parquet — KB-sized regardless of training
+data volume.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import bcount
+from ..sources.tables import load_table
+from .core import profile_frame
+from .ml import _label_frame, build_scoring_pipeline
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile ⋈ dominant-event-type label, pinned to a deterministic
+    physical layout (see module docstring) so seeded fold splits and
+    tree subsampling reproduce across sessions and core counts."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    profile = profile_frame(customer, orders, events, nation)
+    labels = _label_frame(events)
+    return (
+        profile.join(labels, profile.c_custkey == labels.user_id)
+        .repartition(8, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+    )
+
+
+_CV_GRID_TREES = [5, 10]
+_CV_GRID_DEPTH = [3, 5]
+_CV_FOLDS = 2
+
+
+def ml_cv_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded k-fold cross-validated grid search over the scoring
+    pipeline's RandomForest: numTrees x maxDepth (2x2), 2 folds,
+    multiclass accuracy — the model-selection step between feature
+    engineering and ml_train_score's final fit. Emits one row per grid
+    point with its cross-validated accuracy and the is_best flag
+    (ties: MLlib keeps the first grid index, which this ordering makes
+    deterministic).
+
+    Scale: trains folds x grid = 8 small forests; each fit is
+    data-parallel over the feature frame and the returned frame is
+    grid-sized metadata. CrossValidator(parallelism=2) fits two grid
+    points concurrently — the knob that matters when each fit
+    underutilizes a big cluster."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    train = _training_frame(spark, sf_dir)
+    pipe = build_scoring_pipeline(seed=42)
+    rf = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, _CV_GRID_TREES)
+        .addGrid(rf.maxDepth, _CV_GRID_DEPTH)
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="accuracy"
+        ),
+        numFolds=_CV_FOLDS,
+        seed=42,
+        parallelism=2,
+    )
+    model = cv.fit(train)
+    best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
+    rows = [
+        (
+            int(pm[rf.numTrees]),
+            int(pm[rf.maxDepth]),
+            float(round(model.avgMetrics[i], 6)),
+            i == best,
+        )
+        for i, pm in enumerate(grid)
+    ]
+    return spark.createDataFrame(
+        rows, "num_trees int, max_depth int, cv_accuracy double, is_best boolean"
+    ).orderBy("num_trees", "max_depth")
+
+
+QUERIES["ml_cv_rf_grid"] = ml_cv_rf_grid
+# R-tier: CV accuracies are MLlib-internal (fold splits + tree RNG).
+
+
+_ALS_RANK = 2
+_ALS_ITERS = 5
+_ALS_REG = 0.1
+
+
+def ratings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, brand_id, r): implicit purchase counts per customer
+    x brand — the same ratings matrix ml_als_user_step factorizes,
+    with brands densely integer-coded by name order (deterministic,
+    no StringIndexer fit needed for a 25-value dimension)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    brands = (
+        part.select("p_brand")
+        .distinct()
+        .select(
+            "p_brand",
+            (F.dense_rank().over(Window.orderBy("p_brand")) - 1)
+            .cast("int")
+            .alias("brand_id"),
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "p_brand")
+        .agg(bcount().alias("r"))
+        .join(F.broadcast(brands), "p_brand")
+        .select(
+            F.col("o_custkey").cast("int").alias("user"),
+            "brand_id",
+            F.col("r").cast("float").alias("rating"),
+        )
+        .repartition(8, "user")
+        .sortWithinPartitions("user", "brand_id")
+    )
+
+
+def ml_als_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-native ALS factorization of the customer x brand count
+    matrix (rank 2, 5 alternating iterations, lambda = 0.1 — the same
+    problem ml_als_user_step solves one exact half-step of, now run to
+    a fitted model). Emits the training-fit summary: user/item counts
+    and train RMSE. Tests pin RMSE under BOTH the global-mean
+    predictor and the hand-rolled half-step baseline — a model that
+    can't beat one frozen least-squares update isn't converging.
+
+    Scale: ALS shuffles ratings into numUserBlocks x numItemBlocks
+    block pairs (set explicitly: defaulting block counts to input
+    partitions is how ALS plans go sideways at 100 TB); each iteration
+    is two block-local normal-equation sweeps. coldStartStrategy=drop
+    so the RMSE aggregate never sees NaN."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+
+    ratings = ratings_frame(spark, sf_dir).localCheckpoint()
+    als = ALS(
+        rank=_ALS_RANK,
+        maxIter=_ALS_ITERS,
+        regParam=_ALS_REG,
+        userCol="user",
+        itemCol="brand_id",
+        ratingCol="rating",
+        seed=42,
+        numUserBlocks=4,
+        numItemBlocks=4,
+        coldStartStrategy="drop",
+        implicitPrefs=False,
+    )
+    model = als.fit(ratings)
+    pred = model.transform(ratings)
+    rmse = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    ).evaluate(pred)
+    summary = ratings.agg(
+        F.countDistinct("user").cast("long").alias("n_users"),
+        F.countDistinct("brand_id").cast("long").alias("n_items"),
+        bcount().alias("n_ratings"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(summary.n_users),
+                int(summary.n_items),
+                int(summary.n_ratings),
+                _ALS_RANK,
+                float(round(rmse, 6)),
+            )
+        ],
+        "n_users long, n_items long, n_ratings long, rank int, train_rmse double",
+    )
+
+
+QUERIES["ml_als_native"] = ml_als_native
+# R-tier: factor values are MLlib-internal (seeded block init + solver).
+
+
+def ml_pipeline_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PipelineModel persistence round-trip: fit the scoring pipeline,
+    save it, load it back, and score the full profile with BOTH
+    models. The op ASSERTS the reloaded model's per-class prediction
+    counts equal the in-memory model's — a silent save/load drift
+    (lost params, re-randomized trees) fails the query, not just a
+    test. Emits the per-class counts from the RELOADED model.
+
+    Scale: the artifact is model metadata + per-stage parquet (KB,
+    independent of training volume); both scoring passes are map-only
+    over the profile. This is the §1.1 "model artifacts" row — train
+    once, persist, score from the artifact elsewhere."""
+    from pyspark.ml import PipelineModel
+
+    train = _training_frame(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    profile = profile_frame(customer, orders, events, nation).withColumn(
+        "label_type", F.lit("click")  # dummy for the indexer stage
+    )
+    model = build_scoring_pipeline(seed=42).fit(train)
+    path = tempfile.mkdtemp(prefix="c360_pipeline_model_")
+    try:
+        model.write().overwrite().save(path)
+        reloaded = PipelineModel.load(path)
+        counts_mem = {
+            int(r.p): int(r.n)
+            for r in model.transform(profile)
+            .groupBy(F.col("prediction").cast("long").alias("p"))
+            .agg(bcount().alias("n"))
+            .collect()
+        }
+        counts_loaded = {
+            int(r.p): int(r.n)
+            for r in reloaded.transform(profile)
+            .groupBy(F.col("prediction").cast("long").alias("p"))
+            .agg(bcount().alias("n"))
+            .collect()
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    if counts_mem != counts_loaded:
+        raise AssertionError(
+            f"reloaded PipelineModel diverged: {counts_loaded} != {counts_mem}"
+        )
+    rows = sorted(counts_loaded.items())
+    return spark.createDataFrame(
+        rows, "predicted_class long, n_customers long"
+    ).orderBy("predicted_class")
+
+
+QUERIES["ml_pipeline_persist"] = ml_pipeline_persist
+# R-tier: predictions are model-dependent; the round-trip equality is
+# asserted inside the op and in tests.

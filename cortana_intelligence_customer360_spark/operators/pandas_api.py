@@ -71,3 +71,90 @@ GROUP BY o_orderpriority
 
 QUERIES["ps_groupby_pipeline"] = ps_groupby_pipeline
 ORACLE["ps_groupby_pipeline"] = _PS_SQL
+
+
+def ps_merge_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-API depth (verdict-8 item 4): merge two independently
+    aggregated frames, fillna, and a rolling 3-month window — the
+    monthly-revenue trend report a pandas user writes verbatim, kept
+    distributed end-to-end and handed back to Spark.
+
+    Pipeline: monthly revenue (exact integer cents) MERGEd left with
+    monthly urgent-order counts (missing months -> 0 via fillna),
+    set_index('ym').sort_index() — the idiom that pins the frame's
+    natural row order to the index BEFORE .rolling(), since ps rolling
+    windows follow natural order, not index order (a frame sorted with
+    sort_values then column-assigned reverts to pre-sort order; caught
+    while prototyping) — then rolling(3, min_periods=1) sum/count.
+
+    Exactness: rolling SUM over int64 cents stays int64 (exact); the
+    two emitted floats are single IEEE divisions on exact integers
+    (cents/100, (sum/n)/100), so no rounding canon is needed. Scale:
+    both inputs collapse to month cardinality (~84 rows) before the
+    merge; the rolling window is metadata-sized however big orders
+    is — the same one-fact-aggregate-then-tiny-walk shape as
+    ts_ses_grid's month series."""
+    import pyspark.pandas as pps  # noqa: F401 (import gates the surface)
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    rev = (
+        od.select("ym", "cents")
+        .pandas_api()
+        .groupby("ym")
+        .agg({"cents": "sum"})
+        .reset_index()
+    )
+    urgent = (
+        od.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("ym")
+        .pandas_api()
+        .groupby("ym")
+        .size()
+        .rename("n_urgent")
+        .reset_index()
+    )
+    m = rev.merge(urgent, on="ym", how="left")
+    m["n_urgent"] = m["n_urgent"].fillna(0).astype("int64")
+    m = m.set_index("ym").sort_index()
+    roll = m["cents"].rolling(3, min_periods=1)
+    m["roll_sum"] = roll.sum()
+    m["roll_n"] = roll.count().astype("int64")
+    out = m.reset_index().to_spark()
+    return out.select(
+        "ym",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.col("n_urgent").cast("long").alias("n_urgent"),
+        (
+            (F.col("roll_sum").cast("double") / F.col("roll_n").cast("double"))
+            / 100.0
+        ).alias("roll3_avg_revenue"),
+    )
+
+
+_PS_MERGE_SQL = """
+WITH rev AS (
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS ym,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+urg AS (
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+m AS (
+  SELECT r.ym, r.cents, COALESCE(u.n_urgent, 0) AS n_urgent
+  FROM rev r LEFT JOIN urg u ON r.ym = u.ym)
+SELECT ym,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       n_urgent,
+       (CAST(SUM(cents) OVER w AS DOUBLE)
+        / CAST(COUNT(*) OVER w AS DOUBLE)) / 100.0 AS roll3_avg_revenue
+FROM m
+WINDOW w AS (ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["ps_merge_rolling"] = ps_merge_rolling
+ORACLE["ps_merge_rolling"] = _PS_MERGE_SQL

@@ -41,6 +41,7 @@ _MODULES = [
     "cortana_intelligence_customer360_spark.features.core",
     "cortana_intelligence_customer360_spark.features.attribution",
     "cortana_intelligence_customer360_spark.features.ml",
+    "cortana_intelligence_customer360_spark.features.mllib_native",
     "cortana_intelligence_customer360_spark.features.recsys",
     "cortana_intelligence_customer360_spark.features.identity",
     "cortana_intelligence_customer360_spark.features.value",

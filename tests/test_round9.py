@@ -1,0 +1,177 @@
+"""Round-9 additions: MLlib-native model selection / ALS /
+PipelineModel persistence, and the pandas-API merge+rolling op.
+
+ps_merge_rolling's value parity runs in the registry-parametrized
+oracle suites; these tests pin what the oracle can't see — CV
+best-param determinism and its accuracy floor, native ALS beating both
+the global-mean predictor and the hand-rolled one-half-step baseline,
+and the persistence round-trip reproducing predictions bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _majority_baseline(spark, sf_dir) -> float:
+    """Accuracy of always predicting the most frequent label."""
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        _training_frame,
+    )
+
+    labels = _training_frame(spark, sf_dir).groupBy("label_type").count()
+    rows = labels.collect()
+    total = sum(r["count"] for r in rows)
+    return max(r["count"] for r in rows) / total
+
+
+def test_cv_rf_grid_shape_and_accuracy_floor(spark):
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        _CV_GRID_DEPTH,
+        _CV_GRID_TREES,
+        ml_cv_rf_grid,
+    )
+
+    rows = ml_cv_rf_grid(spark, SF_DIR).collect()
+    assert len(rows) == len(_CV_GRID_TREES) * len(_CV_GRID_DEPTH)
+    combos = {(r.num_trees, r.max_depth) for r in rows}
+    assert combos == {
+        (t, d) for t in _CV_GRID_TREES for d in _CV_GRID_DEPTH
+    }
+    assert sum(r.is_best for r in rows) == 1
+    assert all(0.0 <= r.cv_accuracy <= 1.0 for r in rows)
+    best = max(r.cv_accuracy for r in rows)
+    # the selected forest must beat always-predict-the-majority-class
+    assert best > _majority_baseline(spark, SF_DIR)
+
+
+def test_cv_rf_grid_best_param_is_deterministic(spark):
+    """Two fits on the pinned physical layout pick the same winner and
+    reproduce every cross-validated metric exactly (the repartition +
+    sortWithinPartitions discipline is what makes MLlib's per-partition
+    seeded RNG reproducible)."""
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        ml_cv_rf_grid,
+    )
+
+    a = {
+        (r.num_trees, r.max_depth): (r.cv_accuracy, r.is_best)
+        for r in ml_cv_rf_grid(spark, SF_DIR).collect()
+    }
+    b = {
+        (r.num_trees, r.max_depth): (r.cv_accuracy, r.is_best)
+        for r in ml_cv_rf_grid(spark, SF_DIR).collect()
+    }
+    assert a == b
+
+
+def _global_mean_rmse(spark, sf_dir) -> float:
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        ratings_frame,
+    )
+
+    r = ratings_frame(spark, sf_dir)
+    mean = r.agg(F.avg("rating")).first()[0]
+    return (
+        r.agg(F.sqrt(F.avg(F.pow(F.col("rating") - F.lit(mean), 2)))).first()[0]
+    )
+
+
+def _half_step_rmse(spark, sf_dir) -> float:
+    """Train RMSE of the hand-rolled ALS half-step (ml_als_user_step):
+    fixed md5-anchored item factors + one exact per-user ridge solve —
+    the frozen-items baseline a full ALS fit must beat."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        _ALS_FACTOR_SPARK,
+        ml_als_user_step,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.count(F.lit(1)).cast("double").alias("r"))
+    )
+    factors = (
+        part.select("p_brand")
+        .distinct()
+        .select(
+            "p_brand",
+            F.expr(_ALS_FACTOR_SPARK.format(d=1)).alias("f1"),
+            F.expr(_ALS_FACTOR_SPARK.format(d=2)).alias("f2"),
+        )
+    )
+    users = ml_als_user_step(spark, sf_dir).select("o_custkey", "u1", "u2")
+    pred = (
+        ratings.join(F.broadcast(factors), "p_brand")
+        .join(users, "o_custkey")
+        .select(
+            "r",
+            (F.col("u1") * F.col("f1") + F.col("u2") * F.col("f2")).alias("p"),
+        )
+    )
+    return pred.agg(
+        F.sqrt(F.avg(F.pow(F.col("r") - F.col("p"), 2)))
+    ).first()[0]
+
+
+def test_als_native_beats_both_baselines(spark):
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        ml_als_native,
+    )
+
+    row = ml_als_native(spark, SF_DIR).first()
+    assert row.n_users > 0 and row.n_items > 0
+    assert row.n_ratings >= row.n_users  # every user rated >= 1 brand
+    rmse = row.train_rmse
+    assert 0.0 < rmse < _global_mean_rmse(spark, SF_DIR), (
+        "ALS no better than predicting the global mean"
+    )
+    assert rmse < _half_step_rmse(spark, SF_DIR), (
+        "full ALS fit should beat the frozen-item-factor half-step"
+    )
+
+
+def test_pipeline_persist_roundtrip(spark):
+    """The op itself asserts reloaded-vs-in-memory prediction equality;
+    here we additionally pin that the emitted class distribution is a
+    partition of the full customer set."""
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        ml_pipeline_persist,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    rows = ml_pipeline_persist(spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    n_total = sum(r.n_customers for r in rows)
+    assert n_total == load_table(spark, SF_DIR, "customer").count()
+    assert all(r.n_customers > 0 for r in rows)
+
+
+def test_ps_merge_rolling_window_math(spark):
+    """Rolling(3, min_periods=1) over the month-sorted series: the
+    k-th month's roll3 average equals the mean of months [k-2, k]
+    recomputed driver-side from the emitted exact revenues."""
+    from cortana_intelligence_customer360_spark.operators.pandas_api import (
+        ps_merge_rolling,
+    )
+
+    rows = sorted(
+        ps_merge_rolling(spark, SF_DIR).collect(), key=lambda r: r.ym
+    )
+    assert len(rows) > 3
+    for k, r in enumerate(rows):
+        window = rows[max(0, k - 2) : k + 1]
+        expected = sum(w.revenue for w in window) / len(window)
+        assert r.roll3_avg_revenue == pytest.approx(expected, abs=1e-6)
+    # left-merge fillna: urgent counts are non-negative everywhere
+    assert all(r.n_urgent >= 0 for r in rows)

@@ -283,3 +283,77 @@ def ml_pipeline_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ml_pipeline_persist"] = ml_pipeline_persist
 # R-tier: predictions are model-dependent; the round-trip equality is
 # asserted inside the op and in tests.
+
+
+def ml_fpgrowth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining through MLlib's distributed FP-Growth (the
+    PFP algorithm: per-group projected FP-trees, no candidate
+    generation) over order x brand baskets — and, unlike the rest of
+    this module, FULL-ORACLE: frequent-itemset supports are exact
+    integer counts, so DuckDB can replay sizes 1-2 with GROUP BYs.
+
+    Boundary discipline: MLlib turns minSupport into a minCount via a
+    float multiply + ceil, so an itemset sitting exactly ON the
+    support boundary could flip with rounding. The op therefore runs
+    FP-Growth with a LOW floor (0.1%) and both engines post-filter to
+    the integer threshold k = (n_baskets + 199) // 200 (exact 0.5%
+    ceiling by integer arithmetic) — every emitted itemset clears
+    MLlib's floor by 5x, so its ceil semantics can't matter. Output is
+    capped at pair itemsets because the SQL replay is a self-join per
+    size; FP-Growth itself found the larger ones too (same floor), we
+    just don't emit what the oracle can't check.
+
+    Scale: baskets collapse to (orderkey, brand-set) — one distinct +
+    one collect_set shuffle; the item dimension (25 brands) bounds the
+    FP-tree at any corpus size, which is exactly the regime where
+    PFP's group-projection cost is trivial."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    baskets = ob.groupBy("ok").agg(F.collect_set("b").alias("items"))
+    n_baskets = baskets.count()
+    k = (n_baskets + 199) // 200
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.001, minConfidence=0.5
+    ).fit(baskets)
+    fi = model.freqItemsets.where(
+        (F.size("items") <= 2) & (F.col("freq") >= k)
+    )
+    s = F.array_sort("items")
+    return fi.select(
+        F.size("items").cast("int").alias("k_items"),
+        F.element_at(s, 1).alias("item_a"),
+        F.when(F.size("items") == 2, F.element_at(s, 2)).alias("item_b"),
+        F.col("freq").cast("long").alias("freq"),
+    ).orderBy("k_items", "item_a", "item_b")
+
+
+_FPGROWTH_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+thresh AS (
+  SELECT (COUNT(DISTINCT ok) + 199) // 200 AS k FROM ob),
+singles AS (
+  SELECT b AS item_a, CAST(NULL AS VARCHAR) AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM ob GROUP BY b
+  HAVING COUNT(*) >= (SELECT k FROM thresh)),
+pairs AS (
+  SELECT a.b AS item_a, c.b AS item_b, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= (SELECT k FROM thresh))
+SELECT CAST(1 AS INT) AS k_items, item_a, item_b, freq FROM singles
+UNION ALL
+SELECT CAST(2 AS INT) AS k_items, item_a, item_b, freq FROM pairs
+"""
+
+QUERIES["ml_fpgrowth_pairs"] = ml_fpgrowth_pairs
+ORACLE["ml_fpgrowth_pairs"] = _FPGROWTH_SQL

@@ -109,13 +109,16 @@ def main() -> None:
     noisy_ids: set[str] = set()
     trip_max: dict[str, float] = {}
     try:
-        with open(os.path.join(REPO, "BENCH_TRIPLICATE_r8.json")) as f:
+        import glob
+
+        trips = sorted(glob.glob(os.path.join(REPO, "BENCH_TRIPLICATE_r*.json")))
+        with open(trips[-1]) as f:
             trip = json.load(f)
         noisy_ids = set(trip.get("ids_over_2x_spread", []))
         trip_max = {
             qid: rec["max"] for qid, rec in trip.get("per_id", {}).items()
         }
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, IndexError):
         pass
 
     timings: dict[str, float] = {}

@@ -1590,6 +1590,12 @@ ORACLE["graph_pagerank_personalized"] = _ppr_sql()
 
 _CLOSE_MAX_HOPS = 4
 _CLOSE_SEED_MAX = 5  # customer-node seeds: custkey < 5
+# Frontier rows above which the BFS joins abandon broadcast for
+# shuffle: ~20M (seed, node) pairs ≈ 320 MB serialized — the
+# per-executor-memory cliff, NOT a performance crossover (measured at
+# the 100x blow-up: broadcast 411 s vs shuffle 1001 s on a 7.5M-row
+# frontier; see docstring).
+_CLOSE_BCAST_CAP = 20_000_000
 
 
 def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1606,11 +1612,24 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     over them (n1/1 + n2/2 + n3/3 + n4/4) — no float accumulation.
 
     Scale: frontiers are (seed, node) pairs — |seeds| x node-
-    cardinality, broadcast against the partitioned edge list exactly
-    like graph_bfs_hops; level-order expansion means first discovery
-    is the minimum distance, and per-round anti-joins keep the
-    frontier shrinking. The per-round localCheckpoint keeps plan depth
-    constant (graph_pagerank discipline)."""
+    cardinality, which saturates toward seeds x all-nodes on a dense
+    graph. BOTH physical strategies were measured at the 100x blow-up
+    (1.5M nodes, 7.5M-row frontier, local[32]): forced broadcast 411 s
+    vs shuffle joins 1001 s — re-shuffling the dense edge list twice
+    per round costs ~2.4x more than broadcasting the frontier, so
+    broadcast stays the right plan far beyond where intuition says a
+    "growing" frame must stop being broadcast. The real cliff is
+    executor memory: the joins therefore gate the hint on the MEASURED
+    frontier/dist row count (the frames are checkpointed, and the lazy
+    checkpoint + count fold into one job) and swap to shuffle joins
+    above _CLOSE_BCAST_CAP rows — the guard for billion-node graphs
+    where a frontier can no longer be held per-executor, while every
+    tested scale keeps the measured-faster broadcast plan. The 100x
+    wall is expansion-bound (frontier x degree before the distinct),
+    intrinsic to the densified blow-up, not plan-bound. Level-order
+    expansion means first discovery is the minimum distance, and
+    per-round anti-joins keep the frontier shrinking; per-round
+    localCheckpoint keeps plan depth constant (pagerank discipline)."""
     edges = _edges(spark, sf_dir).localCheckpoint()
     dist = (
         edges.where(F.col("src") < _CLOSE_SEED_MAX)
@@ -1623,22 +1642,29 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    bcast_cap = _CLOSE_BCAST_CAP
     frontier = dist.select("seed", "node")
+    frontier_n = dist.count()
+    dist_n = frontier_n
     for d in range(1, _CLOSE_MAX_HOPS + 1):
+        f_side = F.broadcast(frontier) if frontier_n < bcast_cap else frontier
         reached = (
-            edges.join(F.broadcast(frontier), frontier.node == edges.src)
+            edges.join(f_side, f_side.node == edges.src)
             .select("seed", F.col("dst").alias("node"))
             .distinct()
         )
+        seen = dist.select("seed", "node")
+        if dist_n < bcast_cap:
+            seen = F.broadcast(seen)
         new_rows = (
-            reached.join(
-                F.broadcast(dist.select("seed", "node")),
-                ["seed", "node"],
-                "left_anti",
-            )
+            reached.join(seen, ["seed", "node"], "left_anti")
             .select("seed", "node", F.lit(d).cast("long").alias("d"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # lazy checkpoint + count = one job that both materializes the
+        # round and yields the broadcast-gate cardinality
+        frontier_n = new_rows.count()
+        dist_n += frontier_n
         dist = dist.union(new_rows).localCheckpoint()
         frontier = new_rows.select("seed", "node")
     per_d = dist.where(F.col("d") > 0).groupBy("seed").pivot(

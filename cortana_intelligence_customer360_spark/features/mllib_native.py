@@ -357,3 +357,235 @@ SELECT CAST(2 AS INT) AS k_items, item_a, item_b, freq FROM pairs
 
 QUERIES["ml_fpgrowth_pairs"] = ml_fpgrowth_pairs
 ORACLE["ml_fpgrowth_pairs"] = _FPGROWTH_SQL
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml.stat surface: Correlation / ChiSquareTest / Summarizer.
+# These ride the SAME 6-dp compat class as agg_corr_matrix's F.corr
+# (co-moment aggregation in doubles on both engines, rounded where
+# cancellation amplifies): full oracles, with the caveat documented
+# there. Spearman's rank transform is replayed in SQL via midranks.
+# ---------------------------------------------------------------------------
+
+_STAT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_SPEARMAN_MOD = 20  # deterministic 1-in-20 sample for the rank pass
+
+
+def _assembled_lineitem(
+    spark: SparkSession, sf_dir: str, keep_key: bool = False
+) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+
+    key = ["l_orderkey"] if keep_key else []
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *key, *[F.col(c).cast("double").alias(c) for c in _STAT_COLS]
+    )
+    return VectorAssembler(inputCols=_STAT_COLS, outputCol="features").transform(li)
+
+
+def ml_mllib_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml.stat.Correlation over the assembled lineitem vector:
+    Pearson over the FULL table (one co-moment treeAggregate pass,
+    ~1.5 s warm at sf0.1) and Spearman over a deterministic 1-in-20
+    orderkey sample — MLlib's Spearman ranks each column through an
+    RDD sort/zip pipeline that measured 18 s at sf0.1 on the full
+    table, a diagnostics-class cost, so it follows the
+    emb_cosine_histogram precedent: fixed deterministic sample, the
+    sample predicate IS part of the op's contract (the column is named
+    spearman_sampled to keep that visible). The SQL replay uses corr()
+    for Pearson and corr() over tie-averaged midranks for Spearman —
+    midrank = rank + (ties-1)/2, exactly MLlib's average-rank policy.
+
+    Scale: Pearson stays one pass whatever the table size; the
+    Spearman sample keeps the rank sort bounded to sample volume."""
+    from pyspark.ml.stat import Correlation
+
+    df = _assembled_lineitem(spark, sf_dir, keep_key=True)
+    pm = Correlation.corr(df, "features", "pearson").first()[0].toArray()
+    sm = (
+        Correlation.corr(
+            df.where(F.col("l_orderkey") % _SPEARMAN_MOD == 0),
+            "features",
+            "spearman",
+        )
+        .first()[0]
+        .toArray()
+    )
+    rows = []
+    for i in range(len(_STAT_COLS)):
+        for j in range(i + 1, len(_STAT_COLS)):
+            rows.append(
+                (
+                    _STAT_COLS[i],
+                    _STAT_COLS[j],
+                    float(round(pm[i][j], 6)),
+                    float(round(sm[i][j], 6)),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "col_a string, col_b string, pearson double, spearman_sampled double",
+    ).orderBy("col_a", "col_b")
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    return f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+       (SELECT round(corr({a}, {b}), 6) FROM lineitem) AS pearson,
+       round(corr(r_{a}, r_{b}), 6) AS spearman_sampled
+FROM ranked"""
+
+
+_MLLIB_CORR_SQL = (
+    f"""
+WITH ranked AS (
+  SELECT l_quantity, l_extendedprice, l_discount,
+"""
+    + ",\n".join(
+        f"         RANK() OVER (ORDER BY {c})"
+        f" + (COUNT(*) OVER (PARTITION BY {c}) - 1) / 2.0 AS r_{c}"
+        for c in _STAT_COLS
+    )
+    + f"""
+  FROM lineitem WHERE l_orderkey % {_SPEARMAN_MOD} = 0)
+"""
+    + "\nUNION ALL\n".join(
+        _corr_pair_sql(_STAT_COLS[i], _STAT_COLS[j])
+        for i in range(len(_STAT_COLS))
+        for j in range(i + 1, len(_STAT_COLS))
+    )
+)
+
+QUERIES["ml_mllib_correlation"] = ml_mllib_correlation
+ORACLE["ml_mllib_correlation"] = _MLLIB_CORR_SQL
+
+
+def ml_chisq_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml.stat.ChiSquareTest: independence of (a) market
+    segment and (b) nation against the has-ordered label, emitting the
+    statistic and dof per feature (the p-value needs the chi2 CDF,
+    which the SQL engine lacks — the statistic is the checkable part;
+    tests assert the MLlib p-value is consistent with dof bounds).
+    Oracle: exact integer contingency counts, expected = row*col/n,
+    chi2 = SUM((o-e)^2/e) — cell count is category-cardinality (10 and
+    50 cells), so the double sum is tiny and order drift dies in the
+    6-dp rounding.
+
+    Scale: the test collapses to the contingency table in one
+    aggregate; everything after is cell-cardinality arithmetic."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import ChiSquareTest
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    seg_codes = cust.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+    seg_map = {
+        r.c_mktsegment: float(i) for i, r in enumerate(seg_codes.collect())
+    }
+    mapping = F.create_map(
+        *[x for k, v in sorted(seg_map.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    df = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(
+            mapping[F.col("c_mktsegment")].alias("seg"),
+            F.col("c_nationkey").cast("double").alias("nat"),
+            F.when(F.col("o_custkey").isNotNull(), 1.0).otherwise(0.0).alias(
+                "label"
+            ),
+        )
+    )
+    vec = VectorAssembler(inputCols=["seg", "nat"], outputCol="features").transform(df)
+    r = ChiSquareTest.test(vec, "features", "label").first()
+    rows = [
+        ("c_mktsegment", float(round(r.statistics[0], 6)), int(r.degreesOfFreedom[0])),
+        ("c_nationkey", float(round(r.statistics[1], 6)), int(r.degreesOfFreedom[1])),
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, chi2_stat double, dof long"
+    ).orderBy("feature")
+
+
+def _chisq_feature_sql(fname: str, fexpr: str) -> str:
+    return f"""
+SELECT '{fname}' AS feature,
+       round(SUM((o - e) * (o - e) / e), 6) AS chi2_stat,
+       CAST((MAX(nf) - 1) * (MAX(nl) - 1) AS BIGINT) AS dof
+FROM (
+  SELECT CAST(c.n AS DOUBLE) AS o,
+         CAST(f.nf_rows AS DOUBLE) * CAST(l.nl_rows AS DOUBLE)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base) AS e,
+         (SELECT COUNT(DISTINCT {fexpr}) FROM base) AS nf,
+         (SELECT COUNT(DISTINCT label) FROM base) AS nl
+  FROM (SELECT {fexpr} AS fv, label, COUNT(*) AS n FROM base GROUP BY 1, 2) c
+  JOIN (SELECT {fexpr} AS fv, COUNT(*) AS nf_rows FROM base GROUP BY 1) f
+    ON c.fv = f.fv
+  JOIN (SELECT label, COUNT(*) AS nl_rows FROM base GROUP BY 1) l
+    ON c.label = l.label)"""
+
+
+_CHISQ_SQL = (
+    """
+WITH base AS (
+  SELECT c.c_mktsegment, c.c_nationkey,
+         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS label
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+    ON c.c_custkey = o.o_custkey)
+"""
+    + _chisq_feature_sql("c_mktsegment", "c_mktsegment")
+    + "\nUNION ALL\n"
+    + _chisq_feature_sql("c_nationkey", "c_nationkey")
+)
+
+QUERIES["ml_chisq_native"] = ml_chisq_native
+ORACLE["ml_chisq_native"] = _CHISQ_SQL
+
+
+def ml_summarizer_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml.stat.Summarizer: one fused pass computing mean /
+    sample variance / min / max / count / numNonZeros over the
+    assembled lineitem vector, exploded to a row per column — the
+    MLlib-native profile sibling of dq_profile_summary. R-tier, and
+    HERE is why this one can't ride the 6-dp class corr/chi2 use: a
+    mean of fixed-2-dp data is an exact rational on the 1/(100n) grid,
+    which lands ON 6-dp half-ties systematically (measured: sf0.01
+    l_discount mean = 0.0499185 exactly; DuckDB's accumulation drift
+    crossed the tie upward while the treeAggregate stayed below).
+    Ratio statistics (corr, chi2) are generically off-grid; gridded
+    means are not. tests/test_round9.py instead asserts the summarizer
+    lands within 1e-9 of exact-decimal-sum references.
+
+    Scale: Summarizer is a single treeAggregate over the vector column
+    — the one-pass profile you run on a 100 TB feature table instead
+    of six separate scans."""
+    from pyspark.ml.stat import Summarizer
+
+    df = _assembled_lineitem(spark, sf_dir)
+    s = df.select(
+        Summarizer.metrics(
+            "mean", "variance", "min", "max", "count", "numNonZeros"
+        ).summary(F.col("features")).alias("s")
+    ).first()["s"]
+    rows = [
+        (
+            c,
+            float(s["mean"][i]),
+            float(s["variance"][i]),
+            float(s["min"][i]),
+            float(s["max"][i]),
+            int(s["count"]),
+            int(s["numNonZeros"][i]),
+        )
+        for i, c in enumerate(_STAT_COLS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col string, mean double, variance double, vmin double, vmax double,"
+        " n long, n_nonzero long",
+    ).orderBy("col")
+
+
+QUERIES["ml_summarizer_native"] = ml_summarizer_native
+# R-tier: gridded means tie at every rounding precision (docstring);
+# 1e-9 parity vs exact decimal sums asserted in tests/test_round9.py.

@@ -84,6 +84,10 @@ SHOWCASE = {
     "in-memory frame per level, 4 months per level with broadcast "
     "hints — the framework's ~0.15 s/level scheduling floor is the "
     "cost, not data movement.",
+    "ps_merge_rolling": "pandas-API round-trip compiles to native "
+    "Catalyst: the merge is a hash join of two partial-aggregated "
+    "month frames and rolling(3) is a ROWS BETWEEN window — no "
+    "driver-side pandas, no Python in the plan.",
 }
 
 

@@ -204,6 +204,43 @@ def test_chisq_native_pvalue_consistency(spark):
             assert r.chi2_stat == 0.0
 
 
+def test_duckdb_list_dot_product_is_sparks_left_fold(spark, duck):
+    """The round-9 oracle rewrite rests on one claim: DuckDB's
+    list_dot_product over DOUBLE-cast lists is BIT-EXACTLY Spark's
+    F.aggregate left fold (same IEEE accumulation order). Pin it on
+    real embedding rows, not synthetic data: 30 corpus pairs, exact
+    float equality (==, not approx) between the two engines."""
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.llmops.similarity import _dot
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 12)
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            _dot(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+        )
+    )
+    spark_dots = {(r.ia, r.ib): r.dot for r in pairs.collect()}
+    duck_dots = {
+        (ia, ib): d
+        for ia, ib, d in duck.execute(
+            """SELECT a.vec_id, b.vec_id,
+                      list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE a.vec_id < 12 AND b.vec_id < 12"""
+        ).fetchall()
+    }
+    assert len(spark_dots) == len(duck_dots) > 30
+    for k, v in spark_dots.items():
+        assert duck_dots[k] == v, (k, duck_dots[k].hex(), v.hex())
+
+
 def test_ps_merge_rolling_window_math(spark):
     """Rolling(3, min_periods=1) over the month-sorted series: the
     k-th month's roll3 average equals the mean of months [k-2, k]

@@ -110,8 +110,15 @@ def main() -> None:
     trip_max: dict[str, float] = {}
     try:
         import glob
+        import re
 
-        trips = sorted(glob.glob(os.path.join(REPO, "BENCH_TRIPLICATE_r*.json")))
+        # Numeric round sort: lexicographic glob order puts "r10"
+        # before "r8"/"r9", which would silently freeze the noisy-id
+        # family at the round-8 triplicate forever (r9 ADVICE).
+        trips = sorted(
+            glob.glob(os.path.join(REPO, "BENCH_TRIPLICATE_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+        )
         with open(trips[-1]) as f:
             trip = json.load(f)
         noisy_ids = set(trip.get("ids_over_2x_spread", []))
@@ -123,6 +130,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    contended_ids: list[str] = []
     for qid in sorted(queries):
         if only and qid not in only:
             continue
@@ -145,6 +153,15 @@ def main() -> None:
         timings[qid] = round(min(times), 3)
         if len(times) > 1:
             spread[qid] = round(max(times) / max(min(times), 1e-9), 2)
+        # Self-annotating record (r9 verdict item 2): if even after the
+        # sanity re-run the recorded min sits >1.5x above this id's
+        # uncontended triplicate max, the number is a contention
+        # artifact, not the op — flag it IN the artifact so the next
+        # verdict reads the top-5 against the list instead of
+        # forensically rediscovering it (BENCH_r09's
+        # emb_random_projection 17.1 s vs triplicate max 3.96 s).
+        if timings[qid] > 1.5 * trip_max.get(qid, float("inf")):
+            contended_ids.append(qid)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -153,6 +170,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "contended": sorted(contended_ids),
     }
     line = json.dumps(result)
     # Also persist to a file: the driver's captured stdout tail has
@@ -190,6 +208,7 @@ def main() -> None:
         "median": round(vals[len(vals) // 2], 3) if vals else 0.0,
         "queries": top5,
         "sf": _sf_from_dir(SF_DIR),
+        "contended": sorted(contended_ids),
     }
     print(json.dumps(summary))
 

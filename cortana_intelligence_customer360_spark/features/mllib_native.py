@@ -589,3 +589,223 @@ def ml_summarizer_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ml_summarizer_native"] = ml_summarizer_native
 # R-tier: gridded means tie at every rounding precision (docstring);
 # 1e-9 parity vs exact decimal sums asserted in tests/test_round9.py.
+
+
+# ---------------------------------------------------------------------------
+# Round-10 estimator tail (verdict-9 item 3): native GBT beside the
+# exact ml_adaboost_stumps, TrainValidationSplit beside ml_cv_rf_grid,
+# and native Poisson GLM beside the exact ml_poisson_irls. Same
+# contract as the r9 additions: R-tier (solver internals), seeded,
+# layout-pinned, each with a beats-or-matches-the-exact-baseline test
+# in tests/test_round10.py.
+# ---------------------------------------------------------------------------
+
+_GBT_ITERS = 5
+_GBT_DEPTH = 3
+
+
+def _returns_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ml_adaboost_stumps problem (features/inference.py:694) as an
+    MLlib frame: predict returned lineitems (l_returnflag = 'R') from
+    quantity / discount / tax. label in {0,1}; layout pinned on the
+    composite lineitem key so GBT's seeded subsampling reproduces."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias(
+                "label"
+            ),
+            F.col("l_quantity").cast("double").alias("q"),
+            F.col("l_discount").cast("double").alias("dc"),
+            F.col("l_tax").cast("double").alias("tx"),
+        )
+        .repartition(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+
+
+def ml_gbt_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-native gradient-boosted trees on the EXACT problem
+    ml_adaboost_stumps solves by hand (returned-lineitem prediction
+    from quantity/discount/tax): 5 logistic-loss boosting stages of
+    depth-3 regression trees vs the baseline's 3 rounds of depth-1
+    stumps from a fixed 18-candidate grid. Emits one row per boosting
+    stage (tree weight, node count, depth) plus the ensemble's 0/1
+    training error — tests/test_round10.py asserts it BEATS the
+    adaboost ensemble's final training error, the whole reason to pay
+    for deeper trees.
+
+    Scale: each stage is one data-parallel tree fit (histogram
+    aggregation per split level — maxBins=32 sufficient statistics,
+    not row sorts); stages are inherently sequential, so wall clock is
+    iterations x one-pass cost, the same law as the hand-rolled
+    booster. Scoring is map-only."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    df = _returns_frame(spark, sf_dir)
+    vec = VectorAssembler(
+        inputCols=["q", "dc", "tx"], outputCol="features"
+    ).transform(df)
+    model = GBTClassifier(
+        labelCol="label",
+        featuresCol="features",
+        maxIter=_GBT_ITERS,
+        maxDepth=_GBT_DEPTH,
+        seed=42,
+        stepSize=0.1,
+    ).fit(vec)
+    train_err = (
+        model.transform(vec)
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("prediction") != F.col("label"), 1).otherwise(0)
+                )
+                / bcount()
+            ).alias("e")
+        )
+        .first()["e"]
+    )
+    rows = [
+        (
+            t,
+            float(round(model.treeWeights[t], 6)),
+            int(model.trees[t].numNodes),
+            int(model.trees[t].depth),
+            float(round(train_err, 6)),
+        )
+        for t in range(len(model.trees))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage int, tree_weight double, n_nodes int, depth int,"
+        " ensemble_train_err double",
+    ).orderBy("stage")
+
+
+QUERIES["ml_gbt_native"] = ml_gbt_native
+# R-tier: tree structure is MLlib-internal (seeded histogram splits);
+# beats-the-exact-adaboost-baseline + determinism in tests/test_round10.py.
+
+
+def ml_tvs_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrainValidationSplit over the SAME pipeline x grid as
+    ml_cv_rf_grid — the single-split alternative that fits grid x 1
+    models instead of grid x folds, i.e. what you actually run first
+    at 100 TB where each fold pass is hours. Emits one row per grid
+    point with its held-out (25%) validation accuracy and the is_best
+    flag. Seeded split + layout-pinned input (module docstring) makes
+    the row values reproducible; tests assert the chosen point's
+    accuracy clears the majority-class baseline and that two fits
+    agree exactly.
+
+    Scale: trainRatio splits via seeded rand() — one pass; each grid
+    fit is data-parallel; parallelism=2 overlaps grid points."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    train = _training_frame(spark, sf_dir)
+    pipe = build_scoring_pipeline(seed=42)
+    rf = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, _CV_GRID_TREES)
+        .addGrid(rf.maxDepth, _CV_GRID_DEPTH)
+        .build()
+    )
+    tvs = TrainValidationSplit(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="accuracy"
+        ),
+        trainRatio=0.75,
+        seed=42,
+        parallelism=2,
+    )
+    model = tvs.fit(train)
+    best = max(range(len(grid)), key=lambda i: model.validationMetrics[i])
+    rows = [
+        (
+            int(pm[rf.numTrees]),
+            int(pm[rf.maxDepth]),
+            float(round(model.validationMetrics[i], 6)),
+            i == best,
+        )
+        for i, pm in enumerate(grid)
+    ]
+    return spark.createDataFrame(
+        rows, "num_trees int, max_depth int, val_accuracy double, is_best boolean"
+    ).orderBy("num_trees", "max_depth")
+
+
+QUERIES["ml_tvs_rf_grid"] = ml_tvs_rf_grid
+# R-tier: validation metrics are MLlib-internal (seeded split + tree RNG).
+
+
+_GLM_ITERS = 25
+
+
+def ml_glm_poisson_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GeneralizedLinearRegression (family=poisson, link=log)
+    on the EXACT feature frame ml_poisson_irls (features/value.py:1013)
+    solves by hand-rolled Newton/IRLS: order count ~ acctbal band.
+    Emits the fitted intercept/slope plus the model deviance and AIC
+    from the training summary. tests/test_round10.py asserts the
+    native coefficients MATCH the exact IRLS's converged (iteration-6)
+    values within 1e-3 — both solvers maximize the same likelihood, so
+    agreement is the correctness claim, and divergence would flag
+    either a feature drift or an MLlib behavior change.
+
+    Scale: MLlib's GLM IRLS is the same law as the hand-rolled op —
+    one treeAggregate (X'WX, X'Wz) per iteration over the feature
+    frame, a p x p driver-side solve (p=2 here); iteration count caps
+    the sequential depth. For p beyond ~4096 MLlib refuses IRLS and
+    you switch to LBFGS-based regression — documented boundary, not
+    hit here."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    from .value import _poisson_features
+
+    feats = (
+        _poisson_features(spark, sf_dir)
+        .select(
+            "custkey",
+            F.col("x").cast("double").alias("x"),
+            F.col("y").cast("double").alias("y"),
+        )
+        .repartition(8, "custkey")
+        .sortWithinPartitions("custkey")
+    )
+    vec = VectorAssembler(inputCols=["x"], outputCol="features").transform(feats)
+    model = GeneralizedLinearRegression(
+        family="poisson",
+        link="log",
+        labelCol="y",
+        featuresCol="features",
+        maxIter=_GLM_ITERS,
+        tol=1e-9,
+        regParam=0.0,
+    ).fit(vec)
+    s = model.summary
+    return spark.createDataFrame(
+        [
+            (
+                float(round(model.intercept, 6)),
+                float(round(model.coefficients[0], 6)),
+                float(round(s.deviance, 4)),
+                float(round(s.aic, 4)),
+                int(s.numIterations),
+            )
+        ],
+        "b0 double, b1 double, deviance double, aic double, n_iters int",
+    )
+
+
+QUERIES["ml_glm_poisson_native"] = ml_glm_poisson_native
+# R-tier: solver internals; 1e-3 parity vs the exact ml_poisson_irls
+# asserted in tests/test_round10.py.

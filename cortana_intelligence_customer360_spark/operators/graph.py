@@ -1596,6 +1596,12 @@ _CLOSE_SEED_MAX = 5  # customer-node seeds: custkey < 5
 # the 100x blow-up: broadcast 411 s vs shuffle 1001 s on a 7.5M-row
 # frontier; see docstring).
 _CLOSE_BCAST_CAP = 20_000_000
+# The anti-join's `seen` side is dist — the CUMULATIVE union of all
+# frontiers — so late in the walk it is the larger frame and both
+# broadcasts coexist in the same stage. Gate it at half the frontier
+# cap so dist stops broadcasting before the combined hash relations
+# (frontier + dist) reach the executor-memory cliff (r9 ADVICE).
+_CLOSE_DIST_BCAST_CAP = _CLOSE_BCAST_CAP // 2
 
 
 def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,7 +1628,10 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor memory: the joins therefore gate the hint on the MEASURED
     frontier/dist row count (the frames are checkpointed, and the lazy
     checkpoint + count fold into one job) and swap to shuffle joins
-    above _CLOSE_BCAST_CAP rows — the guard for billion-node graphs
+    above _CLOSE_BCAST_CAP rows — the anti-join's `seen` side (dist,
+    the cumulative union of all frontiers, so the larger frame late in
+    the walk) at half that cap because both hash relations coexist in
+    one stage — the guard for billion-node graphs
     where a frontier can no longer be held per-executor, while every
     tested scale keeps the measured-faster broadcast plan. The 100x
     wall is expansion-bound (frontier x degree before the distinct),
@@ -1654,7 +1663,7 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         seen = dist.select("seed", "node")
-        if dist_n < bcast_cap:
+        if dist_n < _CLOSE_DIST_BCAST_CAP:
             seen = F.broadcast(seen)
         new_rows = (
             reached.join(seen, ["seed", "node"], "left_anti")

@@ -1,0 +1,128 @@
+"""Round-10 additions: the MLlib-native estimator tail (GBT,
+TrainValidationSplit, native Poisson GLM), the Arrow-interchange op,
+the third pandas-API op, and the r9-ADVICE regression guards
+(scripting-conf laziness, bench triplicate round ordering).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_scripting_conf_restored_before_collect(spark):
+    """r9 ADVICE: the scripting ops restore spark.sql.scripting.enabled
+    in a finally on the assumption the BEGIN..END body executes eagerly
+    inside spark.sql(). If a Spark upgrade ever defers script execution
+    to first action, the flag would already be reset at collect time —
+    this asserts the returned frame still collects AFTER the restore,
+    so such a laziness change fails loudly here rather than silently in
+    the registry sweep."""
+    from cortana_intelligence_customer360_spark.operators.sqlsurface import (
+        sql_scripting_for,
+        sql_scripting_repeat,
+    )
+
+    for op in (sql_scripting_repeat, sql_scripting_for):
+        df = op(spark, SF_DIR)
+        # restore already happened inside the call
+        assert spark.conf.get("spark.sql.scripting.enabled") == "false"
+        assert len(df.collect()) >= 1
+
+
+def test_bench_triplicate_sort_is_numeric():
+    """r9 ADVICE: lexicographic glob order puts r10 before r8/r9; the
+    bench must pick the numerically newest triplicate artifact."""
+    import re
+
+    names = [
+        "BENCH_TRIPLICATE_r8.json",
+        "BENCH_TRIPLICATE_r9.json",
+        "BENCH_TRIPLICATE_r10.json",
+    ]
+    newest = sorted(
+        names, key=lambda p: int(re.search(r"_r(\d+)", p).group(1))
+    )[-1]
+    assert newest == "BENCH_TRIPLICATE_r10.json"
+
+
+def test_gbt_beats_adaboost_training_error(spark):
+    """The reason to pay for depth-3 boosted trees: the native GBT
+    ensemble must beat the exact 3-round stump booster's final 0/1
+    training error on the identical problem/frame."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_adaboost_stumps,
+    )
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        _GBT_ITERS,
+        ml_gbt_native,
+    )
+
+    gbt = ml_gbt_native(spark, SF_DIR).collect()
+    assert len(gbt) == _GBT_ITERS
+    assert all(r["depth"] <= 3 and r["n_nodes"] >= 3 for r in gbt)
+    ada_final = ml_adaboost_stumps(spark, SF_DIR).collect()[-1]["train_err"]
+    gbt_err = gbt[0]["ensemble_train_err"]
+    assert gbt_err < ada_final, (gbt_err, ada_final)
+    # seeded + layout-pinned => bit-identical refit
+    again = ml_gbt_native(spark, SF_DIR).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in gbt]
+
+
+def test_tvs_grid_is_deterministic_and_picks_argmax(spark):
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        _CV_GRID_DEPTH,
+        _CV_GRID_TREES,
+        ml_tvs_rf_grid,
+    )
+
+    rows = ml_tvs_rf_grid(spark, SF_DIR).collect()
+    assert len(rows) == len(_CV_GRID_TREES) * len(_CV_GRID_DEPTH)
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["val_accuracy"] == max(r["val_accuracy"] for r in rows)
+    assert all(0.0 <= r["val_accuracy"] <= 1.0 for r in rows)
+    again = ml_tvs_rf_grid(spark, SF_DIR).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_tvs_best_clears_majority_baseline_sf001(spark):
+    """Accuracy floor at sf0.01 — the sf0.001 validation split is ~4
+    labeled users, pure noise, so the floor is asserted where the
+    split has mass (matches the r9 CV test's baseline discipline)."""
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        _training_frame,
+        ml_tvs_rf_grid,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    labels = _training_frame(spark, sf01).groupBy("label_type").count().collect()
+    total = sum(r["count"] for r in labels)
+    majority = max(r["count"] for r in labels) / total
+    rows = ml_tvs_rf_grid(spark, sf01).collect()
+    best = max(r["val_accuracy"] for r in rows)
+    assert best > majority, (best, majority)
+
+
+def test_glm_poisson_matches_exact_irls(spark):
+    """Both solvers maximize the same Poisson likelihood on the same
+    frame; the native GLM must land on the hand-rolled Newton/IRLS's
+    converged coefficients."""
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        _GLM_ITERS,
+        ml_glm_poisson_native,
+    )
+    from cortana_intelligence_customer360_spark.features.value import (
+        ml_poisson_irls,
+    )
+
+    native = ml_glm_poisson_native(spark, SF_DIR).collect()[0]
+    exact = ml_poisson_irls(spark, SF_DIR).collect()[-1]
+    assert abs(native["b0"] - exact["b0"]) < 1e-3, (native, exact)
+    assert abs(native["b1"] - exact["b1"]) < 1e-3, (native, exact)
+    # converged, not iteration-capped
+    assert native["n_iters"] < _GLM_ITERS
+    assert native["deviance"] > 0 and native["aic"] > 0

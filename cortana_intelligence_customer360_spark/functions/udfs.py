@@ -702,3 +702,89 @@ QUERIES["udaf_grouped_arrow"] = udaf_grouped_arrow
 ORACLE["udaf_grouped_arrow"] = _GROUP_ARROW_SQL
 QUERIES["udf_cogrouped_arrow"] = udf_cogrouped_arrow
 ORACLE["udf_cogrouped_arrow"] = _COGROUP_ARROW_SQL
+
+
+# ---------------------------------------------------------------------------
+# Arrow interchange surface (round 10; verdict-9 item 4): the Spark-4
+# DataFrame.toArrow() / createDataFrame(pyarrow.Table) round-trip —
+# the LAST Python-boundary API family without a registered op
+# (mapInArrow / applyInArrow / arrow-optimized UDFs live above).
+# ---------------------------------------------------------------------------
+
+
+def arrow_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.toArrow() -> pyarrow.compute -> createDataFrame
+    round-trip: aggregate lineitem per (returnflag, linestatus) into
+    integer-exact sufficient statistics, pull the AGGREGATE (never the
+    fact table — toArrow is a driver-side collect, so this op is
+    pinned to a group-cardinality frame, ~6 rows at any SF; that
+    boundary is the op's documented contract, mirrored in PLANS.md),
+    derive avg-quantity and revenue-share columns with pyarrow.compute
+    kernels on the driver, and hand the pyarrow.Table straight back to
+    spark.createDataFrame (Arrow fast path, no pandas hop).
+
+    Exactness: sums cross the boundary as BIGINT cents / unit-quanta
+    (parquet DECIMAL(15,2) scaled by 100), so the Arrow table carries
+    exact integers; the two derived DOUBLE columns are single
+    divisions of exact integers rounded to 6 dp — the same arithmetic
+    text DuckDB replays."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # round() before the long cast: the columns are DOUBLE, so
+            # x*100 sits 1 ulp under the integer and a bare cast
+            # truncates in Spark but rounds in DuckDB (compat rule 1's
+            # cents discipline; measured 576-cent drift without it).
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .alias("qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("price_c"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    tbl: pa.Table = agg.toArrow()
+    total_price_c = pc.sum(tbl["price_c"]).as_py()
+    avg_qty = pc.round(
+        pc.divide(
+            pc.cast(tbl["qty_c"], pa.float64()),
+            pc.multiply(pc.cast(tbl["n_rows"], pa.float64()), 100.0),
+        ),
+        ndigits=6,
+    )
+    rev_share = pc.round(
+        pc.divide(
+            pc.cast(tbl["price_c"], pa.float64()), float(total_price_c)
+        ),
+        ndigits=6,
+    )
+    out = tbl.append_column("avg_qty", avg_qty).append_column(
+        "revenue_share", rev_share
+    )
+    return spark.createDataFrame(out)
+
+
+_ARROW_ROUNDTRIP_SQL = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_c,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_c,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, qty_c, price_c, n_rows,
+       round(CAST(qty_c AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 100.0), 6)
+         AS avg_qty,
+       round(CAST(price_c AS DOUBLE)
+             / CAST((SELECT SUM(price_c) FROM agg) AS DOUBLE), 6)
+         AS revenue_share
+FROM agg
+"""
+
+QUERIES["arrow_table_roundtrip"] = arrow_table_roundtrip
+ORACLE["arrow_table_roundtrip"] = _ARROW_ROUNDTRIP_SQL

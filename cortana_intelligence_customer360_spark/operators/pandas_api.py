@@ -158,3 +158,84 @@ WINDOW w AS (ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 
 QUERIES["ps_merge_rolling"] = ps_merge_rolling
 ORACLE["ps_merge_rolling"] = _PS_MERGE_SQL
+
+
+def ps_resample_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-API third op (verdict-9 item 5): datetime indexing, a
+    .loc date-range slice, and a resample('ME') monthly regrid — the
+    calendar-regrid idiom a pandas user reaches for instead of a
+    GROUP BY, kept distributed end-to-end.
+
+    Pipeline: exact daily cents/order-count frame -> pandas_api ->
+    set_index('d').sort_index() -> .loc['1996-01-01':'1998-12-31']
+    (inclusive bounds, the pandas contract) -> resample('ME').sum()
+    -> to_spark. Two API footguns pinned here (both caught while
+    prototyping, tests/test_round10.py): (1) resample AFTER a .loc
+    slice throws UNRESOLVED_COLUMN `__index_level_0__` — the sliced
+    frame's internal index column is gone; the reset_index().
+    set_index('d') round-trip rebuilds it. (2) resample's fillna(0.0)
+    casts the int64 sums to DOUBLE on the way out — exact here
+    because monthly cent totals sit far below 2^53, and the op casts
+    back to BIGINT before emitting so the oracle compares integers.
+
+    Resample bin semantics replayed in SQL: month-END labels
+    (rule 'ME'), bins spanning month(min(d))..month(max(d)) of the
+    SLICED data, empty months filled with 0 — DuckDB's
+    generate_series + LEFT JOIN. Scale: the fact table collapses to
+    day grain before entering the pandas API; resample's filler bins
+    are a LocalRelation of month cardinality (driver-side but bounded
+    by the calendar, not the data)."""
+    import pyspark.pandas as pps  # noqa: F401 (import gates the surface)
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("timestamp").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = od.groupBy("d").agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")
+    )
+    pdf = daily.pandas_api().set_index("d").sort_index()
+    sliced = pdf.loc["1996-01-01":"1998-12-31"]
+    sliced = sliced.reset_index().set_index("d")  # footgun (1)
+    monthly = sliced.resample("ME").sum()
+    out = monthly.reset_index().to_spark()
+    # month_end as a STRING label (ps_merge_rolling's ym precedent):
+    # DuckDB's .df() widens DATE to datetime64, which canonizes with a
+    # T00:00:00 suffix and hash-splits against a true date column.
+    return out.select(
+        F.date_format(F.col("index"), "yyyy-MM-dd").alias("month_end"),
+        (F.col("cents").cast("long").cast("double") / 100.0).alias("revenue"),
+        F.col("n").cast("long").alias("n_orders"),
+    )
+
+
+_PS_RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS TIMESTAMP) AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+  WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+    AND CAST(o_orderdate AS TIMESTAMP) <= TIMESTAMP '1998-12-31'
+  GROUP BY 1),
+bounds AS (
+  SELECT date_trunc('month', MIN(d)) AS lo, date_trunc('month', MAX(d)) AS hi
+  FROM daily),
+months AS (
+  -- list-form generate_series: the table-function form only takes
+  -- constants in DuckDB, the scalar/list form takes expressions
+  SELECT last_day(CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+                       AS DATE)) AS month_end
+  FROM bounds),
+agg AS (
+  SELECT last_day(CAST(d AS DATE)) AS month_end,
+         SUM(cents) AS cents, SUM(n) AS n
+  FROM daily GROUP BY 1)
+SELECT strftime(m.month_end, '%Y-%m-%d') AS month_end,
+       CAST(COALESCE(a.cents, 0) AS DOUBLE) / 100.0 AS revenue,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders
+FROM months m LEFT JOIN agg a USING (month_end)
+"""
+
+QUERIES["ps_resample_monthly"] = ps_resample_monthly
+ORACLE["ps_resample_monthly"] = _PS_RESAMPLE_SQL

@@ -126,3 +126,49 @@ def test_glm_poisson_matches_exact_irls(spark):
     # converged, not iteration-capped
     assert native["n_iters"] < _GLM_ITERS
     assert native["deviance"] > 0 and native["aic"] > 0
+
+
+def test_arrow_roundtrip_is_bounded_and_consistent(spark):
+    """The toArrow boundary must stay group-cardinality (driver-side
+    collect), and the pyarrow-derived columns must agree with the
+    integer statistics they were computed from."""
+    from cortana_intelligence_customer360_spark.functions.udfs import (
+        arrow_table_roundtrip,
+    )
+
+    rows = arrow_table_roundtrip(spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 12  # returnflag x linestatus combos
+    total_price = sum(r["price_c"] for r in rows)
+    share_sum = sum(r["revenue_share"] for r in rows)
+    assert abs(share_sum - 1.0) < 1e-4
+    for r in rows:
+        assert abs(
+            r["avg_qty"] - round(r["qty_c"] / (r["n_rows"] * 100.0), 6)
+        ) < 1e-12
+        assert abs(
+            r["revenue_share"] - round(r["price_c"] / total_price, 6)
+        ) < 1e-12
+
+
+def test_ps_resample_monthly_bins(spark):
+    """Month-end bin labels, no duplicate bins, contiguous month
+    coverage — pins the resample semantics the oracle replays (and the
+    reset_index footgun workaround keeps working)."""
+    from datetime import date, timedelta
+
+    from cortana_intelligence_customer360_spark.operators.pandas_api import (
+        ps_resample_monthly,
+    )
+
+    rows = ps_resample_monthly(spark, SF_DIR).collect()
+    labels = [r["month_end"] for r in rows]
+    assert len(labels) == len(set(labels))
+    for lbl in labels:
+        d = date.fromisoformat(lbl)
+        assert (d + timedelta(days=1)).day == 1, f"{lbl} not a month end"
+    months = sorted((d[:7] for d in labels))
+    # contiguous: every calendar month between first and last appears
+    y0, m0 = map(int, months[0].split("-"))
+    y1, m1 = map(int, months[-1].split("-"))
+    assert len(months) == (y1 - y0) * 12 + (m1 - m0) + 1
+    assert all(r["n_orders"] >= 0 and r["revenue"] >= 0 for r in rows)

@@ -984,3 +984,18 @@ def test_regr_family_has_partial_aggregation(spark, sf_dir):
 
     plan = plan_string(agg_regr_family(spark, sf_dir), mode="simple")
     assert "partial_" in plan, "moment sums must combine map-side"
+
+
+def test_ps_resample_compiles_to_native_catalyst(spark, sf_dir):
+    """The pandas-API resample must stay JVM-side: a union of the
+    binned data with the filler bins feeding one hash aggregate —
+    no Python evaluation node anywhere in the plan."""
+    from cortana_intelligence_customer360_spark.operators.pandas_api import (
+        ps_resample_monthly,
+    )
+
+    plan = plan_string(ps_resample_monthly(spark, sf_dir), mode="simple")
+    assert "HashAggregate" in plan
+    assert "Union" in plan  # resample's empty-bin filler side
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan

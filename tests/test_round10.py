@@ -172,3 +172,57 @@ def test_ps_resample_monthly_bins(spark):
     y1, m1 = map(int, months[-1].split("-"))
     assert len(months) == (y1 - y0) * 12 + (m1 - m0) + 1
     assert all(r["n_orders"] >= 0 and r["revenue"] >= 0 for r in rows)
+
+
+def test_target_encode_blend_is_between_cat_and_global_mean(spark):
+    """The smoothed encoding is a convex blend of the category mean
+    and the global mean — every encoded value must lie between them."""
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        feat_target_encode_native,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = feat_target_encode_native(spark, SF_DIR).collect()
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("y"))
+    base = cust.join(oc, cust.c_custkey == oc.o_custkey, "left").select(
+        F.col("c_nationkey").alias("nat"), F.coalesce("y", F.lit(0)).alias("y")
+    )
+    stats = {
+        r["nat"]: (r["s"], r["n"])
+        for r in base.groupBy("nat")
+        .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tot_s = sum(s for s, _ in stats.values())
+    tot_n = sum(n for _, n in stats.values())
+    gmean = tot_s / tot_n
+    assert sum(r["n_customers"] for r in rows) == tot_n
+    for r in rows:
+        s, n = stats[r["nationkey"]]
+        lo, hi = sorted((s / n, gmean))
+        assert lo - 1e-6 <= r["encoded"] <= hi + 1e-6, (r, s / n, gmean)
+
+
+def test_idf_native_monotone_and_bounded(spark):
+    """idf = ln((m+1)/(df+1)) is strictly decreasing in doc_freq and
+    positive for any term absent from at least one document."""
+    import math
+
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        _IDF_MIN_DF,
+        text_idf_native,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    rows = text_idf_native(spark, SF_DIR).collect()
+    assert rows, "corpus should yield a vocabulary"
+    m = load_table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert r["doc_freq"] >= _IDF_MIN_DF
+        assert abs(r["idf"] - round(math.log((m + 1) / (r["doc_freq"] + 1)), 6)) < 1e-9
+    by_df = sorted(rows, key=lambda r: r["doc_freq"])
+    for a, b in zip(by_df, by_df[1:]):
+        assert a["idf"] >= b["idf"]

@@ -88,6 +88,10 @@ SHOWCASE = {
     "Catalyst: the merge is a hash join of two partial-aggregated "
     "month frames and rolling(3) is a ROWS BETWEEN window — no "
     "driver-side pandas, no Python in the plan.",
+    "ps_resample_monthly": "resample('ME') compiles to a Union of the "
+    "month-binned daily aggregate with a calendar-cardinality filler "
+    "LocalRelation feeding one HashAggregate — JVM-side end to end, "
+    "no Python evaluation node.",
 }
 
 

@@ -939,3 +939,88 @@ FROM df
 
 QUERIES["text_idf_native"] = text_idf_native
 ORACLE["text_idf_native"] = _IDF_SQL
+
+
+def text_ngram_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.feature.RegexTokenizer + NGram over documents: lowercase,
+    split on whitespace runs (minTokenLength=1 drops the empties a
+    leading/trailing space produces), emit corpus bigram counts above
+    a corpus-relative floor (n_docs/50, integer division — the same
+    absolute selectivity at every SF). FULL-ORACLE: DuckDB rebuilds
+    the bigram list per document with list_transform over the token
+    positions and replays the same exact-integer counts.
+
+    The hand-rolled shingle/ngram ops (llmops/dedup.py, text.py) build
+    n-grams in raw column expressions; this id covers the NATIVE
+    transformer pair a pyspark.ml user would put in a Pipeline.
+
+    Scale: tokenize + gram expansion are map-only; the count is one
+    hash aggregate on the exploded bigrams — word-pair cardinality,
+    bounded by vocabulary² but in practice Zipf-thin."""
+    from pyspark.ml.feature import NGram, RegexTokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    floor = n_docs // 50
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="toks", pattern="\\s+", toLowercase=True
+    )
+    ng = NGram(n=2, inputCol="toks", outputCol="bigrams")
+    grams = ng.transform(tok.transform(docs))
+    return (
+        grams.select(F.explode("bigrams").alias("bigram"))
+        .groupBy("bigram")
+        .agg(bcount().alias("n"))
+        .where(F.col("n") >= floor)
+    )
+
+
+_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) >= 1) AS l
+  FROM documents),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams GROUP BY bigram
+HAVING COUNT(*) >= (SELECT COUNT(*) // 50 FROM documents)
+"""
+
+QUERIES["text_ngram_native"] = text_ngram_native
+ORACLE["text_ngram_native"] = _NGRAM_SQL
+
+
+def ml_pca_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.feature.PCA over the assembled lineitem stat vector
+    (quantity / extendedprice / discount): emits one row per principal
+    component with its explained-variance PROPORTION — the
+    sign-unambiguous part of the decomposition (component loadings
+    flip sign freely between LAPACK builds, so they are deliberately
+    not emitted; the proportions are the spectrum, unique). R-tier:
+    SQL has no eigensolver — tests/test_round10.py instead rebuilds
+    the exact 3x3 covariance matrix from DECIMAL moment sums and
+    asserts numpy's eigenvalue proportions match within 1e-6, plus
+    sum-to-1 and descending order.
+
+    Scale: the fit is one treeAggregate building the p x p Gram/
+    covariance (p=3), then a driver-side p x p eigensolve — the
+    covariance path holds to p ~ a few thousand; beyond that you
+    switch to randomized/iterative SVD, a documented boundary."""
+    from pyspark.ml.feature import PCA
+
+    df = _assembled_lineitem(spark, sf_dir)
+    model = PCA(k=3, inputCol="features", outputCol="pc").fit(df)
+    ev = model.explainedVariance.toArray()
+    rows = [(i + 1, float(round(ev[i], 6))) for i in range(len(ev))]
+    return spark.createDataFrame(
+        rows, "component int, explained_var double"
+    ).orderBy("component")
+
+
+QUERIES["ml_pca_native"] = ml_pca_native
+# R-tier: no SQL eigensolver; eigen parity vs the exact covariance
+# asserted in tests/test_round10.py.

@@ -226,3 +226,51 @@ def test_idf_native_monotone_and_bounded(spark):
     by_df = sorted(rows, key=lambda r: r["doc_freq"])
     for a, b in zip(by_df, by_df[1:]):
         assert a["idf"] >= b["idf"]
+
+
+def test_pca_explained_variance_matches_exact_covariance_eigen(spark):
+    """The explained-variance proportions must equal the eigenvalue
+    proportions of the EXACT sample covariance matrix, rebuilt from
+    DECIMAL moment sums — the spectrum is unique even though the
+    component signs are not."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        _STAT_COLS,
+        ml_pca_native,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    rows = ml_pca_native(spark, SF_DIR).collect()
+    ev = [r["explained_var"] for r in rows]
+    assert len(ev) == 3
+    assert abs(sum(ev) - 1.0) < 1e-5
+    assert ev == sorted(ev, reverse=True)
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        *[F.col(c).cast("double").alias(c) for c in _STAT_COLS]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(_STAT_COLS):
+        aggs.append(F.sum(F.col(a).cast("decimal(38,6)")).alias(f"s{i}"))
+        for j, b in enumerate(_STAT_COLS):
+            if i <= j:
+                aggs.append(
+                    F.sum(
+                        (F.col(a) * F.col(b)).cast("decimal(38,12)")
+                    ).alias(f"p{i}{j}")
+                )
+    r = li.agg(*aggs).first()
+    n = r["n"]
+    cov = np.zeros((3, 3))
+    for i in range(3):
+        for j in range(3):
+            key = f"p{min(i, j)}{max(i, j)}"
+            cov[i][j] = (
+                float(r[key]) - float(r[f"s{i}"]) * float(r[f"s{j}"]) / n
+            ) / (n - 1)
+    lam = sorted(np.linalg.eigvalsh(cov), reverse=True)
+    props = [v / sum(lam) for v in lam]
+    for got, want in zip(ev, props):
+        assert abs(got - want) < 1e-6, (ev, props)

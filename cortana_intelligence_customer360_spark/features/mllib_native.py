@@ -180,12 +180,25 @@ def ml_als_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ALS shuffles ratings into numUserBlocks x numItemBlocks
     block pairs (set explicitly: defaulting block counts to input
     partitions is how ALS plans go sideways at 100 TB); each iteration
-    is two block-local normal-equation sweeps. coldStartStrategy=drop
-    so the RMSE aggregate never sees NaN."""
+    is two block-local normal-equation sweeps. Block count is sized
+    from the MEASURED ratings volume — the r9 point fixed 4x4 and the
+    round-10 100x measurement showed that becoming the bottleneck
+    (16 block pairs cap the cluster at 16 concurrent solves: 380 s at
+    29M ratings vs 268 s at 8x8 vs 144 s at 16x16, same data, same
+    session class). The sizing rule doubles the grid while the mean
+    ratings-per-block-pair stays above ~450k (the measured crossover
+    where a finer grid still wins), floored at 4x4 so every graded SF
+    keeps the r9-recorded plan and seeds. The count is one cheap job
+    against the already-checkpointed frame. coldStartStrategy=drop so
+    the RMSE aggregate never sees NaN."""
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.recommendation import ALS
 
     ratings = ratings_frame(spark, sf_dir).localCheckpoint()
+    n_ratings = ratings.count()
+    blocks = 4
+    while blocks < 32 and n_ratings > blocks * blocks * 450_000:
+        blocks *= 2
     als = ALS(
         rank=_ALS_RANK,
         maxIter=_ALS_ITERS,
@@ -194,8 +207,8 @@ def ml_als_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         itemCol="brand_id",
         ratingCol="rating",
         seed=42,
-        numUserBlocks=4,
-        numItemBlocks=4,
+        numUserBlocks=blocks,
+        numItemBlocks=blocks,
         coldStartStrategy="drop",
         implicitPrefs=False,
     )
@@ -1024,3 +1037,57 @@ def ml_pca_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ml_pca_native"] = ml_pca_native
 # R-tier: no SQL eigensolver; eigen parity vs the exact covariance
 # asserted in tests/test_round10.py.
+
+
+def ml_kstest_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.stat.KolmogorovSmirnovTest — the fourth and last member of
+    the pyspark.ml.stat family (Correlation / ChiSquareTest /
+    Summarizer live above): one-sample KS of l_quantity against a
+    normal with the column's own EXACT moments (mean/std rebuilt from
+    DECIMAL sums so the reference distribution is reproducible, not a
+    float-accumulated fit). Emits the statistic and p-value, 6 dp.
+    R-tier: the normal CDF needs erf, which the SQL oracle lacks;
+    tests/test_round10.py replays the statistic with math.erf over the
+    sorted sample and asserts 1e-9 agreement, plus p-value bounds.
+
+    Scale: MLlib computes the KS distance with a sort + one pass of
+    per-partition ecdf offsets — the same distributed-sort law as
+    sort_multikey; the moments are one aggregate."""
+    import math
+
+    from pyspark.ml.stat import KolmogorovSmirnovTest
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x")
+    )
+    dec = "decimal(38,6)"
+    m = li.agg(
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("ss"),
+        bcount().alias("n"),
+    ).first()
+    n = int(m.n)
+    # round the reference moments BEFORE the test so the emitted row
+    # fully determines the null distribution (the replay test recomputes
+    # the KS distance from exactly these two values)
+    mean = round(float(m.s) / n, 6)
+    var = (float(m.ss) - float(m.s) * float(m.s) / n) / (n - 1)
+    std = round(math.sqrt(var), 6)
+    r = KolmogorovSmirnovTest.test(li, "x", "norm", mean, std).first()
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                mean,
+                std,
+                float(round(r.statistic, 6)),
+                float(round(r.pValue, 6)),
+            )
+        ],
+        "n long, mean double, std double, ks_stat double, p_value double",
+    )
+
+
+QUERIES["ml_kstest_native"] = ml_kstest_native
+# R-tier: normal CDF needs erf (absent in the SQL engine); math.erf
+# replay parity asserted in tests/test_round10.py.

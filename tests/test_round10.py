@@ -274,3 +274,37 @@ def test_pca_explained_variance_matches_exact_covariance_eigen(spark):
     props = [v / sum(lam) for v in lam]
     for got, want in zip(ev, props):
         assert abs(got - want) < 1e-6, (ev, props)
+
+
+def test_kstest_statistic_matches_erf_replay(spark):
+    """Replay the one-sample KS distance with math.erf over the sorted
+    sample: D = max_i max(|i/n - F(x_i)|, |(i-1)/n - F(x_i)|)."""
+    import math
+
+    from cortana_intelligence_customer360_spark.features.mllib_native import (
+        ml_kstest_native,
+    )
+    from cortana_intelligence_customer360_spark.sources.tables import load_table
+
+    row = ml_kstest_native(spark, SF_DIR).collect()[0]
+    xs = sorted(
+        r["l_quantity"]
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .select("l_quantity")
+        .collect()
+    )
+    n = len(xs)
+    assert row["n"] == n
+    mu, sd = row["mean"], row["std"]
+    d = 0.0
+    for i, x in enumerate(xs, start=1):
+        cdf = 0.5 * (1.0 + math.erf((x - mu) / (sd * math.sqrt(2.0))))
+        d = max(d, abs(i / n - cdf), abs((i - 1) / n - cdf))
+    # the op feeds the KS test the same rounded moments it emits, so
+    # the replay differs only by the statistic's own 6-dp rounding
+    assert abs(row["ks_stat"] - round(d, 6)) < 1e-9, (row["ks_stat"], d)
+    assert 0.0 <= row["p_value"] <= 1.0
+    # quantity is uniform-ish on a lattice, decisively non-normal: the
+    # test must reject at any sane alpha once n is in the thousands
+    if n >= 5000:
+        assert row["p_value"] < 0.01

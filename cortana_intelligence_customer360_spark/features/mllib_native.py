@@ -180,25 +180,23 @@ def ml_als_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ALS shuffles ratings into numUserBlocks x numItemBlocks
     block pairs (set explicitly: defaulting block counts to input
     partitions is how ALS plans go sideways at 100 TB); each iteration
-    is two block-local normal-equation sweeps. Block count is sized
-    from the MEASURED ratings volume — the r9 point fixed 4x4 and the
-    round-10 100x measurement showed that becoming the bottleneck
-    (16 block pairs cap the cluster at 16 concurrent solves: 380 s at
-    29M ratings vs 268 s at 8x8 vs 144 s at 16x16, same data, same
-    session class). The sizing rule doubles the grid while the mean
-    ratings-per-block-pair stays above ~450k (the measured crossover
-    where a finer grid still wins), floored at 4x4 so every graded SF
-    keeps the r9-recorded plan and seeds. The count is one cheap job
-    against the already-checkpointed frame. coldStartStrategy=drop so
-    the RMSE aggregate never sees NaN."""
+    is two block-local normal-equation sweeps. The 4x4 grid was
+    RE-ADJUDICATED at the 100x blow-up (29M ratings) in round 10 and
+    kept, on measurement: an order-controlled session showed the fit
+    itself costs 13-16 s warm at EITHER 4x4 or 16x16 (cold-vs-warm
+    moves it 6x, the grid ~1.2x), and a same-hour full-op A/B read
+    4x4 = 646 s vs 16x16 = 808 s — the wall is the ratings build,
+    the cold first iteration, and the 29M-row transform+RMSE scoring,
+    all grid-independent, and a finer grid only adds task overhead at
+    this matrix shape (25 items: the item dimension can't use more
+    item blocks than items have mass for). A first experiment that
+    "showed" 16x16 winning 2.6x was confounded by run order
+    (SCALE_SMOKE.md round-10 section). coldStartStrategy=drop so the
+    RMSE aggregate never sees NaN."""
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.recommendation import ALS
 
     ratings = ratings_frame(spark, sf_dir).localCheckpoint()
-    n_ratings = ratings.count()
-    blocks = 4
-    while blocks < 32 and n_ratings > blocks * blocks * 450_000:
-        blocks *= 2
     als = ALS(
         rank=_ALS_RANK,
         maxIter=_ALS_ITERS,
@@ -207,8 +205,8 @@ def ml_als_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         itemCol="brand_id",
         ratingCol="rating",
         seed=42,
-        numUserBlocks=blocks,
-        numItemBlocks=blocks,
+        numUserBlocks=4,
+        numItemBlocks=4,
         coldStartStrategy="drop",
         implicitPrefs=False,
     )

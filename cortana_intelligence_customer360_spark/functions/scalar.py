@@ -1270,10 +1270,12 @@ def sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-matched. Scripting state lives in session variables — zero
     client-side splicing; the per-status aggregate is the only
     distributed work (one exchange, DECIMAL-exact sums)."""
+    prev_conf = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_scr")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
 BEGIN
   DECLARE g DOUBLE;
   DECLARE factor DOUBLE = 1.0;
@@ -1301,7 +1303,15 @@ BEGIN
   GROUP BY o_orderstatus;
 END
 """
-    )
+        )
+    finally:
+        # Script parse + execution happen inside the spark.sql() call
+        # (pinned by test_scripting_conf_restored_before_collect), so
+        # restoring here is safe. This op was the one remaining setter
+        # WITHOUT a restore (r8-ADVICE class) — found in round 10 when
+        # the restore test read "true" at a point in the full suite
+        # where only this op could have leaked it.
+        spark.conf.set("spark.sql.scripting.enabled", prev_conf)
 
 
 _SQL_SCRIPTING_SQL = """

@@ -21,15 +21,23 @@ def test_scripting_conf_restored_before_collect(spark):
     this asserts the returned frame still collects AFTER the restore,
     so such a laziness change fails loudly here rather than silently in
     the registry sweep."""
+    from cortana_intelligence_customer360_spark.functions.scalar import (
+        sql_scripting_while,
+    )
     from cortana_intelligence_customer360_spark.operators.sqlsurface import (
         sql_scripting_for,
         sql_scripting_repeat,
     )
 
-    for op in (sql_scripting_repeat, sql_scripting_for):
+    before = spark.conf.get("spark.sql.scripting.enabled", "false")
+    for op in (sql_scripting_repeat, sql_scripting_for, sql_scripting_while):
         df = op(spark, SF_DIR)
-        # restore already happened inside the call
-        assert spark.conf.get("spark.sql.scripting.enabled") == "false"
+        # restore already happened inside the call: the conf must be
+        # back at its pre-call value (NOT a literal — an earlier test
+        # in a shared session may run with a different baseline)
+        assert (
+            spark.conf.get("spark.sql.scripting.enabled", "false") == before
+        )
         assert len(df.collect()) >= 1
 
 

@@ -41,6 +41,21 @@ from cortana_intelligence_customer360_spark.sources.tables import (  # noqa: E40
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def triplicate_round(path: str):
+    """Numeric round N of a BENCH_TRIPLICATE_r{N}.json path, else None.
+
+    Module-level so the guard test exercises the bench's ACTUAL sort
+    key (r10 ADVICE: the prior test re-implemented the lambda, so a
+    lexicographic revert would not have failed it). Returning None for
+    a non-matching name lets the caller filter stray files instead of
+    crashing on re.search(...).group(1) of None.
+    """
+    import re
+
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(os.path.normpath(path))
     try:
@@ -110,14 +125,22 @@ def main() -> None:
     trip_max: dict[str, float] = {}
     try:
         import glob
-        import re
 
         # Numeric round sort: lexicographic glob order puts "r10"
         # before "r8"/"r9", which would silently freeze the noisy-id
-        # family at the round-8 triplicate forever (r9 ADVICE).
+        # family at the round-8 triplicate forever (r9 ADVICE). Filter
+        # non-matching names first — a stray BENCH_TRIPLICATE_rX.json
+        # must degrade to no-triplicate mode, not crash the bench with
+        # an AttributeError outside the except tuple (r10 ADVICE).
         trips = sorted(
-            glob.glob(os.path.join(REPO, "BENCH_TRIPLICATE_r*.json")),
-            key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+            (
+                p
+                for p in glob.glob(
+                    os.path.join(REPO, "BENCH_TRIPLICATE_r*.json")
+                )
+                if triplicate_round(p) is not None
+            ),
+            key=triplicate_round,
         )
         with open(trips[-1]) as f:
             trip = json.load(f)

@@ -132,6 +132,12 @@ QUERIES["ml_cv_rf_grid"] = ml_cv_rf_grid
 _ALS_RANK = 2
 _ALS_ITERS = 5
 _ALS_REG = 0.1
+# Train-RMSE scoring samples the ratings matrix once it exceeds this
+# row count (verdict-10 item 2): sf0.01 (~29k) and the test scales
+# score the FULL matrix (unchanged semantics); sf0.1 (~290k) and the
+# 100x blow-up (29M) score a deterministic md5 10% sample.
+_ALS_SCORE_FULL_MAX = 100_000
+_ALS_SCORE_SAMPLE_PCT = 10
 
 
 def ratings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,8 +198,20 @@ def ml_als_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     item blocks than items have mass for). A first experiment that
     "showed" 16x16 winning 2.6x was confounded by run order
     (SCALE_SMOKE.md round-10 section). coldStartStrategy=drop so the
-    RMSE aggregate never sees NaN."""
-    from pyspark.ml.evaluation import RegressionEvaluator
+    RMSE aggregate never sees NaN.
+
+    Scoring (round 11, verdict-10 item 2): the round-10 adjudication
+    proved the 100x wall (379 s floor) is grid-independent — ratings
+    build + cold pass + the full 29M-row transform/RMSE. The one code
+    lever is the scoring term, so train RMSE is computed on a
+    DETERMINISTIC md5 sample of the ratings (same pure-function-of-key
+    discipline as operators/graph.py sample_hash_pct — reproducible
+    across engines, layouts, and retries, unlike rand()/TABLESAMPLE)
+    once the matrix exceeds _ALS_SCORE_FULL_MAX rows; below that the
+    full matrix is scored, so correctness-scale (sf0.001/sf0.01) runs
+    and the beats-both-baselines test semantics are byte-identical to
+    round 10. The emitted n_scored column makes the sample size part
+    of the record."""
     from pyspark.ml.recommendation import ALS
 
     ratings = ratings_frame(spark, sf_dir).localCheckpoint()
@@ -211,26 +229,53 @@ def ml_als_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         implicitPrefs=False,
     )
     model = als.fit(ratings)
-    pred = model.transform(ratings)
-    rmse = RegressionEvaluator(
-        metricName="rmse", labelCol="rating", predictionCol="prediction"
-    ).evaluate(pred)
     summary = ratings.agg(
         F.countDistinct("user").cast("long").alias("n_users"),
         F.countDistinct("brand_id").cast("long").alias("n_items"),
         bcount().alias("n_ratings"),
     ).first()
+    if int(summary.n_ratings) > _ALS_SCORE_FULL_MAX:
+        # md5-keyed 10% sample: pure function of (user, brand_id), so
+        # the scored subset is identical on any layout/retry; map-only
+        # filter on the checkpointed frame — prunes at scan speed.
+        bucket = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("user"), F.col("brand_id"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        to_score = ratings.where(bucket % 100 < _ALS_SCORE_SAMPLE_PCT)
+    else:
+        to_score = ratings
+    # One aggregate instead of RegressionEvaluator: same rmse math
+    # (coldStartStrategy=drop already removed NaN rows), plus the
+    # scored-row count in the same pass.
+    scored = (
+        model.transform(to_score)
+        .agg(
+            F.sqrt(
+                F.avg(F.pow(F.col("rating") - F.col("prediction"), 2))
+            ).alias("rmse"),
+            bcount().alias("n_scored"),
+        )
+        .first()
+    )
     return spark.createDataFrame(
         [
             (
                 int(summary.n_users),
                 int(summary.n_items),
                 int(summary.n_ratings),
+                int(scored.n_scored),
                 _ALS_RANK,
-                float(round(rmse, 6)),
+                float(round(scored.rmse, 6)),
             )
         ],
-        "n_users long, n_items long, n_ratings long, rank int, train_rmse double",
+        "n_users long, n_items long, n_ratings long, n_scored long,"
+        " rank int, train_rmse double",
     )
 
 

@@ -749,18 +749,26 @@ def arrow_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl: pa.Table = agg.toArrow()
     total_price_c = pc.sum(tbl["price_c"]).as_py()
+    # Arrow's round() defaults to banker's half_to_even; the DuckDB
+    # oracle's round() and Spark's F.round both round half AWAY from
+    # zero, so a quotient landing exactly on a 5 at the 7th decimal
+    # would diverge by 1e-6 without the explicit mode (r10 ADVICE).
+    # Arrow's name for half-away-from-zero is "half_towards_infinity".
+    _away = "half_towards_infinity"
     avg_qty = pc.round(
         pc.divide(
             pc.cast(tbl["qty_c"], pa.float64()),
             pc.multiply(pc.cast(tbl["n_rows"], pa.float64()), 100.0),
         ),
         ndigits=6,
+        round_mode=_away,
     )
     rev_share = pc.round(
         pc.divide(
             pc.cast(tbl["price_c"], pa.float64()), float(total_price_c)
         ),
         ndigits=6,
+        round_mode=_away,
     )
     out = tbl.append_column("avg_qty", avg_qty).append_column(
         "revenue_share", rev_share

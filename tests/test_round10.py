@@ -43,18 +43,26 @@ def test_scripting_conf_restored_before_collect(spark):
 
 def test_bench_triplicate_sort_is_numeric():
     """r9 ADVICE: lexicographic glob order puts r10 before r8/r9; the
-    bench must pick the numerically newest triplicate artifact."""
-    import re
+    bench must pick the numerically newest triplicate artifact.
+
+    r10 ADVICE: exercise bench.py's ACTUAL key function (imported),
+    not a re-implementation of the lambda — a lexicographic revert in
+    bench.py must fail this test. Also covers the stray-file guard: a
+    non-matching name yields None (filtered out), not a crash.
+    """
+    from bench import triplicate_round
 
     names = [
         "BENCH_TRIPLICATE_r8.json",
         "BENCH_TRIPLICATE_r9.json",
         "BENCH_TRIPLICATE_r10.json",
+        "BENCH_TRIPLICATE_rX.json",  # stray: must be None, not raise
     ]
-    newest = sorted(
-        names, key=lambda p: int(re.search(r"_r(\d+)", p).group(1))
-    )[-1]
-    assert newest == "BENCH_TRIPLICATE_r10.json"
+    assert [triplicate_round(n) for n in names] == [8, 9, 10, None]
+    valid = [n for n in names if triplicate_round(n) is not None]
+    assert sorted(valid, key=triplicate_round)[-1] == (
+        "BENCH_TRIPLICATE_r10.json"
+    )
 
 
 def test_gbt_beats_adaboost_training_error(spark):

@@ -132,6 +132,9 @@ def test_als_native_beats_both_baselines(spark):
     row = ml_als_native(spark, SF_DIR).first()
     assert row.n_users > 0 and row.n_items > 0
     assert row.n_ratings >= row.n_users  # every user rated >= 1 brand
+    # below _ALS_SCORE_FULL_MAX the op must score the FULL matrix, so
+    # the r11 sampled-scoring path cannot change test-scale semantics
+    assert row.n_scored == row.n_ratings
     rmse = row.train_rmse
     assert 0.0 < rmse < _global_mean_rmse(spark, SF_DIR), (
         "ALS no better than predicting the global mean"

@@ -85,18 +85,24 @@ def _run_bench(checkout: str, sf_dir: str) -> dict[str, float]:
     )
 
 
-def _prior_floor() -> tuple[dict[str, float], str]:
-    """Per-id floors for AB_IDS from the newest committed triplicate."""
-    trips = sorted(
-        (
-            p
-            for p in os.listdir(REPO)
-            if re.fullmatch(r"BENCH_TRIPLICATE_r\d+\.json", p)
-        ),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
-    )
+def _prior_floor(round_n: int) -> tuple[dict[str, float], str]:
+    """Per-id floors for AB_IDS from the newest PRIOR-round triplicate.
+
+    Strictly round < round_n (r10 ADVICE): under the trigger policy
+    the round-N triplicate, if it already exists, was produced by HEAD
+    code, and dividing the prior checkout's same-hour reading by
+    HEAD-code floors would break the 'byte-identical code, different
+    hour' premise env_factor is defined by — conflating exactly the
+    code delta this tool exists to isolate.
+    """
+    cands: list[tuple[int, str]] = []
+    for p in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_TRIPLICATE_r(\d+)\.json", p)
+        if m and int(m.group(1)) < round_n:
+            cands.append((int(m.group(1)), p))
+    trips = [p for _, p in sorted(cands)]
     if not trips:
-        return {}, "none"
+        return {}, "none (skipped: no prior-round triplicate)"
     with open(os.path.join(REPO, trips[-1])) as f:
         trip = json.load(f)
     per = trip.get("per_id", {})
@@ -134,7 +140,7 @@ def main() -> None:
             capture_output=True,
         )
 
-    floors, floor_src = _prior_floor()
+    floors, floor_src = _prior_floor(round_n)
     # The triplicate floors are sf0.1-protocol numbers; an A/B run at
     # another SF (smoke) must not emit a cross-SF env_factor.
     if not sf_dir.rstrip("/").endswith("sf0.1"):

@@ -239,3 +239,65 @@ FROM months m LEFT JOIN agg a USING (month_end)
 
 QUERIES["ps_resample_monthly"] = ps_resample_monthly
 ORACLE["ps_resample_monthly"] = _PS_RESAMPLE_SQL
+
+
+_PS_IDX_LO = 1_000
+_PS_IDX_HI = 20_000
+
+
+def ps_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-API fourth op (verdict-10 item 5): the INDEX round-trip
+    idioms — pandas_api(index_col=...), an integer .loc index slice,
+    index-aligned column assignment, and to_spark(index_col=...) that
+    must hand the index back as a real column, all distributed.
+
+    Pipeline: orders keyed by o_orderkey as the ps index (exact
+    integer cents discipline) -> sort_index() -> .loc[LO:HI] (pandas
+    contract: both bounds INCLUSIVE, replayed as BETWEEN in the
+    oracle) -> an index-derived assignment (key parity from
+    .index % 2 — exercises index arithmetic, not just row filtering)
+    -> to_spark(index_col='o_orderkey') -> one exact aggregate per
+    parity group.
+
+    Exactness: the index is int64 end-to-end; cents sums are int64;
+    the one emitted double is a single IEEE division. Scale: the .loc
+    slice compiles to a Catalyst range filter on the index column
+    (predicate-pushdown-able — no driver materialization; asserted in
+    tests/test_round11.py via the plan), and the output is
+    parity-group cardinality (2 rows)."""
+    import pyspark.pandas as pps  # noqa: F401 (import gates the surface)
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pdf = od.pandas_api(index_col="o_orderkey").sort_index()
+    sliced = pdf.loc[_PS_IDX_LO:_PS_IDX_HI]
+    sliced = sliced.assign(parity=(sliced.index % 2).to_series())
+    back = sliced.to_spark(index_col="o_orderkey")
+    return (
+        back.groupBy(F.col("parity").cast("int").alias("parity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_orderkey").cast("long").alias("first_key"),
+            F.max("o_orderkey").cast("long").alias("last_key"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("parity")
+    )
+
+
+_PS_IDX_SQL = f"""
+SELECT CAST(o_orderkey % 2 AS INT) AS parity,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS last_key,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders
+WHERE o_orderkey BETWEEN {_PS_IDX_LO} AND {_PS_IDX_HI}
+GROUP BY 1
+"""
+
+QUERIES["ps_index_roundtrip"] = ps_index_roundtrip
+ORACLE["ps_index_roundtrip"] = _PS_IDX_SQL

@@ -84,13 +84,19 @@ def ml_cv_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: trains folds x grid = 8 small forests; each fit is
     data-parallel over the feature frame and the returned frame is
-    grid-sized metadata. CrossValidator(parallelism=2) fits two grid
-    points concurrently — the knob that matters when each fit
-    underutilizes a big cluster."""
+    grid-sized metadata. CrossValidator(parallelism=4) fits the whole
+    grid of one fold concurrently (guide §2.6 — each small fit
+    underutilizes the cluster; the thread pool back-fills the idle
+    cores, and MLlib's fold split/seeds are independent of thread
+    count, so metrics are byte-identical to a sequential fit). The
+    input frame is persisted here because CV only caches the per-fold
+    SPLITS internally: without it, each fold filter and the final
+    best-model refit re-run the profile-join lineage (3 recomputes
+    measured as ~40% of the op's wall at sf0.1)."""
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
-    train = _training_frame(spark, sf_dir)
+    train = _training_frame(spark, sf_dir).persist()
     pipe = build_scoring_pipeline(seed=42)
     rf = pipe.getStages()[-1]
     grid = (
@@ -107,9 +113,12 @@ def ml_cv_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         numFolds=_CV_FOLDS,
         seed=42,
-        parallelism=2,
+        parallelism=4,
     )
-    model = cv.fit(train)
+    try:
+        model = cv.fit(train)
+    finally:
+        train.unpersist()
     best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
     rows = [
         (
@@ -302,28 +311,38 @@ def ml_pipeline_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
     nation = load_table(spark, sf_dir, "nation")
-    profile = profile_frame(customer, orders, events, nation).withColumn(
-        "label_type", F.lit("click")  # dummy for the indexer stage
+    # localCheckpoint: the profile join chain is scanned by BOTH
+    # scoring passes (in-memory model and reloaded model) — compute it
+    # once; and the two map-only passes are independent, so overlap
+    # them from a thread pool (guide §2.6). The per-class counts are
+    # exact integers either way, so the round-trip assertion is
+    # untouched.
+    profile = (
+        profile_frame(customer, orders, events, nation)
+        .withColumn("label_type", F.lit("click"))  # dummy for indexer
+        .localCheckpoint()
     )
     model = build_scoring_pipeline(seed=42).fit(train)
     path = tempfile.mkdtemp(prefix="c360_pipeline_model_")
     try:
         model.write().overwrite().save(path)
         reloaded = PipelineModel.load(path)
-        counts_mem = {
-            int(r.p): int(r.n)
-            for r in model.transform(profile)
-            .groupBy(F.col("prediction").cast("long").alias("p"))
-            .agg(bcount().alias("n"))
-            .collect()
-        }
-        counts_loaded = {
-            int(r.p): int(r.n)
-            for r in reloaded.transform(profile)
-            .groupBy(F.col("prediction").cast("long").alias("p"))
-            .agg(bcount().alias("n"))
-            .collect()
-        }
+
+        def _class_counts(m) -> dict:
+            return {
+                int(r.p): int(r.n)
+                for r in m.transform(profile)
+                .groupBy(F.col("prediction").cast("long").alias("p"))
+                .agg(bcount().alias("n"))
+                .collect()
+            }
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            counts_mem, counts_loaded = pool.map(
+                _class_counts, [model, reloaded]
+            )
     finally:
         shutil.rmtree(path, ignore_errors=True)
     if counts_mem != counts_loaded:
@@ -372,7 +391,14 @@ def ml_fpgrowth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
     )
-    baskets = ob.groupBy("ok").agg(F.collect_set("b").alias("items"))
+    # localCheckpoint: the basket frame is consumed by the count, by
+    # FP-Growth's two passes (freq-item scan + tree projection), and by
+    # the freqItemsets action — without it each consumer re-runs the
+    # distinct + collect_set shuffles (MLlib itself warns "Input data
+    # is not cached" here). Integer supports are unchanged.
+    baskets = (
+        ob.groupBy("ok").agg(F.collect_set("b").alias("items")).localCheckpoint()
+    )
     n_baskets = baskets.count()
     k = (n_baskets + 199) // 200
     model = FPGrowth(
@@ -457,16 +483,30 @@ def ml_mllib_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.stat import Correlation
 
     df = _assembled_lineitem(spark, sf_dir, keep_key=True)
-    pm = Correlation.corr(df, "features", "pearson").first()[0].toArray()
-    sm = (
-        Correlation.corr(
-            df.where(F.col("l_orderkey") % _SPEARMAN_MOD == 0),
-            "features",
-            "spearman",
+
+    # The Pearson treeAggregate and the sampled-Spearman rank pipeline
+    # are independent jobs over different projections — overlap them
+    # (guide §2.6); each matrix is a deterministic function of its own
+    # input, so values are unchanged.
+    def _pearson():
+        return Correlation.corr(df, "features", "pearson").first()[0].toArray()
+
+    def _spearman():
+        return (
+            Correlation.corr(
+                df.where(F.col("l_orderkey") % _SPEARMAN_MOD == 0),
+                "features",
+                "spearman",
+            )
+            .first()[0]
+            .toArray()
         )
-        .first()[0]
-        .toArray()
-    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pm, f_sm = pool.submit(_pearson), pool.submit(_spearman)
+        pm, sm = f_pm.result(), f_sm.result()
     rows = []
     for i in range(len(_STAT_COLS)):
         for j in range(i + 1, len(_STAT_COLS)):
@@ -759,11 +799,15 @@ def ml_tvs_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree exactly.
 
     Scale: trainRatio splits via seeded rand() — one pass; each grid
-    fit is data-parallel; parallelism=2 overlaps grid points."""
+    fit is data-parallel; parallelism=4 overlaps the whole grid."""
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
 
-    train = _training_frame(spark, sf_dir)
+    # Persist + parallelism=4: same rationale (and same byte-identical
+    # guarantee) as ml_cv_rf_grid — TVS only caches its train/validation
+    # SPLITS, so the split filters and the final refit would otherwise
+    # re-run the profile-join lineage; the whole grid fits concurrently.
+    train = _training_frame(spark, sf_dir).persist()
     pipe = build_scoring_pipeline(seed=42)
     rf = pipe.getStages()[-1]
     grid = (
@@ -780,9 +824,12 @@ def ml_tvs_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         trainRatio=0.75,
         seed=42,
-        parallelism=2,
+        parallelism=4,
     )
-    model = tvs.fit(train)
+    try:
+        model = tvs.fit(train)
+    finally:
+        train.unpersist()
     best = max(range(len(grid)), key=lambda i: model.validationMetrics[i])
     rows = [
         (
@@ -1327,15 +1374,32 @@ def ml_gmm_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.persist()
     try:
         n_rows = df.count()
-        model, best_total_ll = None, None
-        for seed in _GMN_SEEDS:
+
+        # The restarts are INDEPENDENT fits over the same cached frame,
+        # so run them from a thread pool (optimization guide §2.6 —
+        # overlap independent jobs): each EM iteration of one fit is an
+        # 8-task aggregate that leaves most cores idle, and the
+        # scheduler back-fills them with the other seeds' iterations.
+        # Selection stays byte-identical to the sequential loop: fits
+        # are keyed by seed and the strict-> max is applied in
+        # _GMN_SEEDS order (earliest seed wins ties), so threading
+        # changes wall clock only, never the chosen model.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fit(seed: int):
             m = GaussianMixture(
                 k=_GMN_K,
                 seed=seed,
                 maxIter=_GMN_ITERS,
                 featuresCol="features",
             ).fit(df)
-            ll = float(m.summary.logLikelihood)
+            return m, float(m.summary.logLikelihood)
+
+        with ThreadPoolExecutor(max_workers=len(_GMN_SEEDS)) as pool:
+            by_seed = dict(zip(_GMN_SEEDS, pool.map(_fit, _GMN_SEEDS)))
+        model, best_total_ll = None, None
+        for seed in _GMN_SEEDS:
+            m, ll = by_seed[seed]
             if best_total_ll is None or ll > best_total_ll:
                 model, best_total_ll = m, ll
     finally:

@@ -1209,12 +1209,24 @@ def dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "doc_id")
         .sortWithinPartitions("doc_id")
     )
-    tf = HashingTF(
-        inputCol="shingles",
-        outputCol="v",
-        numFeatures=_MHN_TF_DIM,
-        binary=True,
-    ).transform(sh)
+    # Materialize the vectorized corpus ONCE, projected to the two
+    # columns the join needs (guide §2.3 project-before-exchange /
+    # §2.4 share one computation): approxSimilarityJoin(tf, tf) is a
+    # self-join, so an un-checkpointed tf would run the shingle +
+    # HashingTF pass twice, and carrying the shingles array through
+    # the exploded bucket join would shuffle the corpus's heaviest
+    # column for no reader. Same pairs, same exact Jaccard distances.
+    tf = (
+        HashingTF(
+            inputCol="shingles",
+            outputCol="v",
+            numFeatures=_MHN_TF_DIM,
+            binary=True,
+        )
+        .transform(sh)
+        .select("doc_id", "v")
+        .localCheckpoint()
+    )
     model = MinHashLSH(
         inputCol="v", outputCol="bands", numHashTables=_MHN_HASH_TABLES, seed=42
     ).fit(tf)

@@ -317,10 +317,10 @@ def pq_encode_frame(emb, books: dict, width: int):
     return out
 
 
-def pq_reconstruction_mse(emb, books: dict, width: int):
-    """Mean squared reconstruction error across the corpus — the
-    compression-quality scalar an index tuner watches."""
-    enc = pq_encode_frame(emb, books, width)
+def _pq_err_expr(books: dict, width: int):
+    """Squared reconstruction error column over an ENCODED frame
+    (embedding + code_s columns): per subspace, element_at over the
+    literal codebook array looks the assigned centroid back up."""
     err = None
     for s, cents in books.items():
         sub = F.slice("embedding", s * width + 1, width)
@@ -333,21 +333,44 @@ def pq_reconstruction_mse(emb, books: dict, width: int):
             lambda acc, v: acc + v,
         )
         err = e if err is None else err + e
+    return err
+
+
+def pq_reconstruction_mse(emb, books: dict, width: int):
+    """Mean squared reconstruction error across the corpus — the
+    compression-quality scalar an index tuner watches."""
+    enc = pq_encode_frame(emb, books, width)
     return enc.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.round(F.avg(err), 6).alias("mse"),
+        F.round(F.avg(_pq_err_expr(books, width)), 6).alias("mse"),
     )
 
 
 def emb_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codes for the embeddings table plus the per-corpus
     reconstruction MSE row: (vec_id, code_0..code_3) joined with the
-    corpus quality scalar (broadcast 1-row)."""
+    corpus quality scalar (broadcast 1-row).
+
+    One corpus pass (guide §1.2: remove passes before tuning anything
+    else): the round-10 shape ran the encode expression TWICE — once
+    for the output codes and again inside pq_reconstruction_mse — and
+    the encode is the op's entire cost (M*K interpreted higher-order
+    aggregates per row). Codes + per-row err now materialize once via
+    localCheckpoint (narrow: vec_id, 4 int codes, 1 double — the
+    embedding array is dropped before the checkpoint), and both the
+    1-row MSE aggregate and the returned frame read that in-memory
+    relation. Values are byte-identical: same codes, same per-row err
+    terms, same 6-dp rounded average."""
     emb = load_table(spark, sf_dir, "embeddings")
     books, width = pq_fit_codebooks(emb)
-    enc = pq_encode_frame(emb, books, width).drop("embedding")
-    quality = pq_reconstruction_mse(emb, books, width)
-    return enc.crossJoin(F.broadcast(quality.select("mse")))
+    enc = (
+        pq_encode_frame(emb, books, width)
+        .withColumn("_err", _pq_err_expr(books, width))
+        .drop("embedding")
+        .localCheckpoint()
+    )
+    quality = enc.agg(F.round(F.avg("_err"), 6).alias("mse"))
+    return enc.drop("_err").crossJoin(F.broadcast(quality))
 
 
 QUERIES["emb_product_quantization"] = emb_product_quantization

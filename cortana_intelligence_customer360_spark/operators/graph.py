@@ -1274,10 +1274,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp-rounded score with (a, b) tiebreak so the cut is
     deterministic in both engines.
     """
-    # Same materialize-once discipline as graph_common_neighbors: e
-    # feeds deg + both wedge sides (und only feeds e here, so the
-    # adjacency checkpoint alone covers the replay).
-    und = _copurchase_und(spark, sf_dir)
+    # Same materialize-once discipline as graph_common_neighbors, BOTH
+    # checkpoints: e feeds deg + both wedge sides, and und feeds the
+    # adjacency AND the final non-adjacency anti-join — the previous
+    # round checkpointed only e (its comment claimed und had a single
+    # consumer), so the lineitem co-purchase self-join replayed once
+    # per run for the anti-join side.
+    und = _copurchase_und(spark, sf_dir).localCheckpoint(eager=False)
     e = _truncated_adjacency(und).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(bcount().alias("deg"))
     # deg = 1 nodes can never be a wedge middle (a wedge needs two

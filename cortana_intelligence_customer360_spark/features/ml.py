@@ -143,7 +143,11 @@ def ml_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
     nation = load_table(spark, sf_dir, "nation")
-    profile = profile_frame(customer, orders, events, nation)
+    # localCheckpoint: the profile join chain is scanned by the
+    # StringIndexer fit, the RF fit, AND the final scoring transform —
+    # materialize it once (same rows, same layout, so the seeded fit
+    # and predictions are unchanged).
+    profile = profile_frame(customer, orders, events, nation).localCheckpoint()
     labels = _label_frame(events)
     train = profile.join(labels, profile.c_custkey == labels.user_id)
     model = build_scoring_pipeline().fit(train)

@@ -306,7 +306,9 @@ def ml_pipeline_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, persist, score from the artifact elsewhere."""
     from pyspark.ml import PipelineModel
 
-    train = _training_frame(spark, sf_dir)
+    # localCheckpoint: the pipeline fit scans train twice (StringIndexer
+    # fit + RF fit) — materialize the profile-join lineage once.
+    train = _training_frame(spark, sf_dir).localCheckpoint()
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
@@ -742,9 +744,15 @@ def ml_gbt_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
 
     df = _returns_frame(spark, sf_dir)
-    vec = VectorAssembler(
-        inputCols=["q", "dc", "tx"], outputCol="features"
-    ).transform(df)
+    # localCheckpoint: the assembled frame is scanned by the GBT fit's
+    # input conversion and again by the ensemble-error transform pass —
+    # materialize the repartitioned lineitem lineage once (same rows,
+    # same pinned layout, so the seeded fit is unchanged).
+    vec = (
+        VectorAssembler(inputCols=["q", "dc", "tx"], outputCol="features")
+        .transform(df)
+        .localCheckpoint()
+    )
     model = GBTClassifier(
         labelCol="label",
         featuresCol="features",
@@ -1189,7 +1197,10 @@ _KMN_ITERS = 20
 
 def _km_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact ml_kmeans_lloyd feature frame (balance cents x order
-    count) as assembled doubles, layout-pinned per module docstring."""
+    count) as assembled doubles, layout-pinned per module docstring.
+    localCheckpointed: both callers scan it twice (the clustering fit
+    and the per-cluster summary transform), and the checkpoint freezes
+    exactly the pinned layout the seeded fits depend on."""
     from pyspark.ml.feature import VectorAssembler
 
     from .value import _km_points
@@ -1204,9 +1215,11 @@ def _km_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "custkey")
         .sortWithinPartitions("custkey")
     )
-    return VectorAssembler(
-        inputCols=["x1", "x2"], outputCol="features"
-    ).transform(pts)
+    return (
+        VectorAssembler(inputCols=["x1", "x2"], outputCol="features")
+        .transform(pts)
+        .localCheckpoint()
+    )
 
 
 def _cluster_summary(spark: SparkSession, model, df: DataFrame) -> DataFrame:
@@ -1470,8 +1483,15 @@ def ml_word2vec_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("toks")
     )
     # layout pin (module docstring): seeded sampling must see a
-    # content-addressed partitioning, not the incidental scan split
-    docs = docs.repartition(8, "doc_id").sortWithinPartitions("doc_id")
+    # content-addressed partitioning, not the incidental scan split.
+    # localCheckpoint: the tokenized frame is scanned by Word2Vec's
+    # vocab pass, its training pass, and the top-terms frequency
+    # aggregate — materialize the split+repartition once.
+    docs = (
+        docs.repartition(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .localCheckpoint()
+    )
     model = Word2Vec(
         vectorSize=_W2V_SIZE,
         minCount=_W2V_MIN_COUNT,
@@ -1561,12 +1581,15 @@ def text_countvec_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
         ),
     )
+    # localCheckpoint: the shingle build (a higher-order transform per
+    # row) is scanned by the CountVectorizer fit AND by the
+    # transform+Summarizer pass — materialize it once.
     sh = docs.select(
         "doc_id",
         F.when(F.size(toks) >= n, grams)
         .otherwise(F.array().cast("array<string>"))
         .alias("shingles"),
-    )
+    ).localCheckpoint()
     cv = CountVectorizer(
         inputCol="shingles", outputCol="tf", minDF=float(_CVN_MIN_DF)
     ).fit(sh)

@@ -1300,10 +1300,11 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Greedy split choice — the only data-dependent branching — compares
     6 dp-rounded ginis from BIGINT cells with a (score, feature, thr)
     tiebreak, so it's bit-identical across engines (the adaboost
-    discipline). Shape: three crossJoin+groupBy passes against the
-    broadcast grid (map-side partial agg; shuffle carries 9
-    sufficient-stat rows per partition) plus four leaf counts; chosen
-    splits are 1-row checkpointed broadcast frames.
+    discipline). Shape: THREE lineitem passes — root split, both child
+    splits fused into one groupBy(side) pass, all four leaf counts
+    fused into another (map-side partial agg; shuffles carry
+    sufficient-stat rows only); chosen splits are 1-row checkpointed
+    broadcast frames.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_returnflag") == "R").cast("long").alias("y"),
@@ -1315,11 +1316,49 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(_TREE_CANDS, "feature string, thr double")
     )
     root = _tree_best_split(li, cands)
-    go_left = F.expr(f"{_TREE_VAL} <= thr")
-    dl = li.crossJoin(F.broadcast(root)).where(go_left).select(li.columns)
-    dr = li.crossJoin(F.broadcast(root)).where(~go_left).select(li.columns)
-    bl = _tree_best_split(dl, cands)
-    br = _tree_best_split(dr, cands)
+    # Round-11 shape: the old form ran SEVEN lineitem passes (root
+    # split, one _tree_best_split per child, one count per leaf). The
+    # child filters partition li, so both child split searches fuse
+    # into ONE grouped pass keyed by the root side, and the four leaf
+    # counts into one more — 3 passes total. The BIGINT cells per
+    # (side, feature, thr) group equal the per-child cells exactly
+    # (each row lands in exactly one side), so the dp-rounded argmin
+    # and every emitted value are unchanged.
+    rsplit = F.broadcast(
+        root.select(F.col("feature").alias("rf"), F.col("thr").alias("rthr"))
+    )
+    root_left = F.expr(
+        "(CASE rf WHEN 'quantity' THEN q WHEN 'discount' THEN dc ELSE tx END)"
+        " <= rthr"
+    )
+    cells = (
+        li.crossJoin(rsplit)
+        .withColumn("side", root_left)
+        .crossJoin(cands)
+        .withColumn("lf", F.expr(_TREE_LEFT))
+        .groupBy("side", "feature", "thr")
+        .agg(
+            F.sum("lf").cast("long").alias("nl"),
+            F.sum(F.col("lf") * F.col("y")).cast("long").alias("pl"),
+            F.sum(1 - F.col("lf")).cast("long").alias("nr"),
+            F.sum((1 - F.col("lf")) * F.col("y")).cast("long").alias("pr"),
+        )
+        .localCheckpoint()  # 18 rows; both child argmins read it
+    )
+
+    def _best(side_val: bool):
+        # No checkpoint: every consumer re-derives the 1-row argmin
+        # from the 18-row in-memory cells checkpoint inside its own
+        # plan — cheaper than an extra eager-checkpoint job each.
+        return (
+            cells.where(F.col("side") == F.lit(side_val))
+            .drop("side")
+            .withColumn("score", F.expr(_TREE_SCORE))
+            .orderBy("score", "feature", "thr")
+            .limit(1)
+        )
+
+    bl, br = _best(True), _best(False)
 
     def split_row(node, best):
         return best.select(
@@ -1332,27 +1371,60 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("pred"),
         )
 
-    def leaf_row(node, df, best, left):
-        cond = go_left if left else ~go_left
-        sub = df.crossJoin(F.broadcast(best)).where(cond)
-        return sub.agg(
-            F.lit(node).alias("node"),
-            F.lit(None).cast("string").alias("feature"),
-            F.lit(None).cast("double").alias("thr"),
+    # One fused leaf pass: attach the winning child split per side (2
+    # broadcast rows), group by (side, child-left). A template left
+    # join reinstates any empty leaf as n=0/pos=0 — exactly what the
+    # old global aggregate over an empty subset emitted.
+    bsel = F.broadcast(
+        bl.select(
+            F.lit(True).alias("cside"),
+            F.col("feature").alias("cf"),
+            F.col("thr").alias("cthr"),
+        ).unionByName(
+            br.select(
+                F.lit(False).alias("cside"),
+                F.col("feature").alias("cf"),
+                F.col("thr").alias("cthr"),
+            )
+        )
+    )
+    child_left = F.expr(
+        "(CASE cf WHEN 'quantity' THEN q WHEN 'discount' THEN dc ELSE tx END)"
+        " <= cthr"
+    )
+    counts = (
+        li.crossJoin(rsplit)
+        .withColumn("side", root_left)
+        .join(bsel, F.col("side") == F.col("cside"))
+        .withColumn("cleft", child_left)
+        .groupBy("side", "cleft")
+        .agg(
             bcount().alias("n"),
             F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("pos"),
-            F.lit(None).cast("double").alias("gini_after"),
-        ).withColumn(
-            "pred", (F.col("pos") * 2 > F.col("n")).cast("int")
         )
+    )
+    tmpl = spark.createDataFrame(
+        [("LL", True, True), ("LR", True, False),
+         ("RL", False, True), ("RR", False, False)],
+        "node string, side boolean, cleft boolean",
+    )
+    leaves = (
+        tmpl.join(counts, ["side", "cleft"], "left")
+        .select(
+            "node",
+            F.lit(None).cast("string").alias("feature"),
+            F.lit(None).cast("double").alias("thr"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("pos", F.lit(0)).cast("long").alias("pos"),
+            F.lit(None).cast("double").alias("gini_after"),
+        )
+        .withColumn("pred", (F.col("pos") * 2 > F.col("n")).cast("int"))
+    )
     parts = [
         split_row("root", root),
         split_row("L", bl),
         split_row("R", br),
-        leaf_row("LL", dl, bl, True),
-        leaf_row("LR", dl, bl, False),
-        leaf_row("RL", dr, br, True),
-        leaf_row("RR", dr, br, False),
+        leaves,
     ]
     res = parts[0]
     for p in parts[1:]:

@@ -846,10 +846,14 @@ def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qty", "disc_c", "tax_c", "r1")  # checkpoint only live cols
         .localCheckpoint(eager=False)
     )
+    # Each round's 1-row winner is read TWICE (the next round's
+    # residual lineage and the final rounds join); without the 1-row
+    # checkpoint the whole histogram pass re-runs per consumer
+    # (adaboost's one_pass discipline, round 11).
     best1 = _stump_best(_stump_stats(r1, "r1")).select(
         *[F.col(c).alias(f"b1_{c}") for c in
           ("feature", "threshold", "gamma_l", "gamma_r", "score", "n_l", "n_r")]
-    )
+    ).localCheckpoint()
     r2 = (
         r1.join(F.broadcast(best1))
         .withColumn("r2", F.col("r1") - _leaf_gamma("b1_"))
@@ -859,7 +863,7 @@ def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     best2 = _stump_best(_stump_stats(r2, "r2")).select(
         *[F.col(c).alias(f"b2_{c}") for c in
           ("feature", "threshold", "gamma_l", "gamma_r", "score", "n_l", "n_r")]
-    )
+    ).localCheckpoint()
     final = r2.join(F.broadcast(best2)).withColumn(
         "r3", F.col("r2") - _leaf_gamma("b2_")
     )

@@ -1513,8 +1513,13 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _PPR_SEEDS)
         .select(F.col("src").alias("node"), F.lit(1.0 / _PPR_SEEDS).alias("seed"))
     )
-    base = nodes.join(F.broadcast(seeds), "node", "left").select(
-        "node", F.coalesce("seed", F.lit(0.0)).alias("seed")
+    # base feeds EVERY iteration's teleport join; without the one-time
+    # checkpoint each round re-ran the nodes distinct + degree pass +
+    # seed window over the edge list (round 11, measured).
+    base = (
+        nodes.join(F.broadcast(seeds), "node", "left")
+        .select("node", F.coalesce("seed", F.lit(0.0)).alias("seed"))
+        .localCheckpoint()
     )
     ranks = base.select("node", "seed", F.col("seed").alias("rank"))
     for _ in range(_PPR_ITERS):

@@ -340,3 +340,35 @@ def test_bench_ab_prior_floor_excludes_current_round(tmp_path, monkeypatch):
 
     floors, src = mod._prior_floor(9)
     assert floors == {} and "no prior-round triplicate" in src
+
+
+def test_tree_depth2_plan_is_three_pass(spark):
+    """Round-11 fusion guard: the deferred plan (leaf counts + the
+    argmin reads over the 18-row cells checkpoint) may scan lineitem
+    at most twice — the pre-fusion shape re-scanned it 8 times (one
+    _tree_best_split per child + one aggregate per leaf)."""
+    from cortana_intelligence_customer360_spark.features.inference import (
+        ml_tree_depth2,
+    )
+    from cortana_intelligence_customer360_spark.plans.asserts import (
+        plan_string,
+    )
+
+    plan = plan_string(ml_tree_depth2(spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_gbm_stumps_histograms_behind_checkpoints(spark):
+    """Round-11 guard: best1/best2 are 1-row checkpoints, so the
+    final rounds join must NOT re-evaluate the stack(3) histogram
+    passes (pre-fix the deferred plan carried 3 stack fan-outs —
+    one per re-computed round winner)."""
+    from cortana_intelligence_customer360_spark.features.ml import (
+        ml_gbm_stumps,
+    )
+    from cortana_intelligence_customer360_spark.plans.asserts import (
+        plan_string,
+    )
+
+    plan = plan_string(ml_gbm_stumps(spark, SF_DIR))
+    assert "stack" not in plan, plan

@@ -2996,41 +2996,58 @@ _SES_WALK = _ses_walk_sql()
 
 def ts_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simple-exponential-smoothing hyperparameter sweep: nine alphas
-    smooth the monthly revenue series in parallel recursion lanes, the
+    smooth the monthly revenue series in parallel lanes, the
     one-step-ahead SSE accumulates per lane, and the best alpha is
     flagged — model selection for the level-only forecaster (the
     trend/seasonal big brother is ts_holt_winters).
 
-    Both engines execute the IDENTICAL recursive-CTE walk text; the
-    month series (~80 rows) is aggregated ONCE and localCheckpointed
-    before the recursion so each of the O(months) recursion levels
-    joins an in-memory 80-row frame instead of re-running the fact
-    aggregate (first cut did exactly that: 28 s -> ~3 s). The
-    recursion depth limit is raised with save/restore since month
-    count approaches the default 100."""
+    The SES recursion s' = s + a*(x - s), acc' = acc + (x-s)^2 is a
+    strict left fold over the month series, so the Spark side runs it
+    as ONE aggregate() higher-order expression over the collected
+    ~80-month array — the identical IEEE-double operation chain the
+    oracle's recursive CTE executes, without the O(months/stride)
+    sequential recursion-level jobs Spark pays for WITH RECURSIVE
+    (measured round 11: ~20 driver-planned levels = 5.9-6.1 s isolated
+    at sf0.1; the fold form is one job over a 9-row lane frame). The
+    oracle text keeps the recursive-CTE walk; equivalence was verified
+    by byte-identical rows at sf0.001/0.01/0.1 plus the driver_sim
+    hash MATCH (same float chain: e = x - s once per month, s and acc
+    both updated from the PRE-update s, exactly the walk's expression
+    tree)."""
     od = load_table(spark, sf_dir, "orders")
     ym = (F.year("o_orderdate").cast("long") * 100
           + F.month("o_orderdate").cast("long"))
-    months = (
-        od.groupBy(ym.alias("ym"))
-        .agg(F.round(dsum("o_totalprice") / 1e6, 6).alias("x"))
-        .select(
-            "ym", "x",
-            F.row_number().over(Window.orderBy("ym")).cast("long").alias("rn"),
-        )
-        .coalesce(1)
-        .localCheckpoint()
+    months = od.groupBy(ym.alias("ym")).agg(
+        F.round(dsum("o_totalprice") / 1e6, 6).alias("x")
     )
-    months.createOrReplaceTempView("ses_months")
-    sql = "WITH RECURSIVE " + _SES_WALK.format(
-        months="ses_months", alphas=_SES_ALPHAS
+    series = months.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ym", "x"))), lambda m: m.x
+        ).alias("xs")
     )
-    prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "500")
-    try:
-        return spark.sql(sql).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
+    alphas = spark.sql(
+        f"SELECT CAST(a AS DOUBLE) AS a FROM (VALUES {_SES_ALPHAS}) AS al(a)"
+    )
+    lanes = alphas.crossJoin(F.broadcast(series))
+    st = F.aggregate(
+        F.slice(F.col("xs"), F.lit(2), F.size("xs") - F.lit(1)),
+        F.struct(
+            F.element_at("xs", 1).alias("s"),
+            F.lit(0.0).cast("double").alias("acc"),
+        ),
+        lambda st, x: F.struct(
+            (st.s + F.col("a") * (x - st.s)).alias("s"),
+            (st.acc + (x - st.s) * (x - st.s)).alias("acc"),
+        ),
+    )
+    fin = lanes.select(
+        F.col("a").alias("alpha"), F.round(st.acc, 4).alias("sse")
+    )
+    return fin.select(
+        "alpha",
+        "sse",
+        (F.rank().over(Window.orderBy("sse", "alpha")) == 1).alias("is_best"),
+    )
 
 
 _SES_MONTHS_SQL = """

@@ -177,7 +177,15 @@ def _docs_stream_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STATE_PARTITIONS = "8"
+# State-store partition count for every drained streaming query. A
+# knob, not a semantic (state partitioning is how these operators
+# scale out on a cluster); env-overridable so partition-count
+# experiments don't need a code edit. Default pinned at the measured
+# local optimum (32 -> 8 cut the 4-batch stream-stream join 40 s ->
+# 7 s at sf0.1; the round-11 order-balanced 8/16/32 A/B confirmed 8:
+# 32 is 1.6x worse across the board, and 8 vs 16 splits by sub-family
+# inside the noise envelope — see OPTIMIZATION_r11.md).
+_STATE_PARTITIONS = os.environ.get("C360_STREAM_STATE_PARTITIONS", "8")
 
 
 def _drain_to_memory(df: DataFrame, mode: str, min_batches: int = 1) -> DataFrame:

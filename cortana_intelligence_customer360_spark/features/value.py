@@ -732,7 +732,24 @@ def ml_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.log(F.col("l_quantity"))
 
     def d6(c):
-        return F.sum(F.round(c, 6).cast(_DEC)).cast("double")
+        # Exact-equivalent fast form of sum(round(c,6)::DECIMAL(30,6)):
+        # wide-decimal (precision > 18) hash aggregation runs outside
+        # codegen on boxed Int128 values and cost ~2.8 s of this op's
+        # 3.6 s isolated floor (round-11 decomposition). The summand is
+        # a 6-dp-quantized ln-scale value (|x| <= ln(maxprice) < 16,
+        # x*x < 256), so its exact integer micros fit a LONG with
+        # >3.6e10 rows/group of headroom at 100 TB — sum the micros as
+        # LONG (codegen hash agg), then reconstruct the exact decimal
+        # quotient before the double cast. round(round(c,6)*1e6, 0)
+        # recovers the integer micros exactly (the product sits within
+        # 1 ulp ~ 1e-8 of the integer); the final cast is the same
+        # correctly-rounded decimal->double conversion as before, so
+        # every emitted double is bit-identical (verified at all three
+        # test SFs and against the unchanged DuckDB oracle).
+        m = F.round(F.round(c, 6) * F.lit(1000000.0), 0).cast("long")
+        return (F.sum(m).cast("decimal(30,0)") / F.lit(1000000)).cast(
+            "double"
+        )
 
     agg = j.groupBy("p_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -96,9 +96,11 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
     load_table(spark, SF_DIR, "events").groupBy("event_type").count().count()
-    # ANN index build is the amortized offline step (ivf_build_index is
-    # a no-op when the mtime-keyed cache already holds this corpus);
-    # timed ann_ivf_build / sim_ivf_ann then measure steady state.
+    # ANN index warm build: the PROBE ops (sim_ivf_ann,
+    # ann_ivf_recall_profile, ann_ivf_upsert) measure steady state
+    # against a pre-built index; ann_ivf_build itself now rebuilds with
+    # force=True inside its timed region (r12, verdict-11 item 5), so
+    # its entry is a real build cost, not a directory stat.
     from cortana_intelligence_customer360_spark.llmops.similarity import (
         ivf_build_index,
     )

@@ -298,12 +298,22 @@ def _load_ivf_index(spark: SparkSession, sf_dir: str, k: int = 16):
 
 
 def ann_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The amortized index-build step, registered as its own operator:
-    (re)uses the persisted IVF index and reports corpus-level facts the
-    oracle can recompute (vector count, dimensionality, list count).
-    Cell populations are model output and are exercised by the R-tier
-    recall tests, not this oracle."""
-    indexed, centroids = _load_ivf_index(spark, sf_dir)
+    """The index-BUILD step, registered as its own operator: builds the
+    persisted IVF index (force=True — the sample-fit coarse quantizer,
+    the one cell shuffle, and the partitioned write all run INSIDE the
+    timed op; verdict-11 item 5: the old early-return against the
+    warm-pass cache made this id time a directory stat, a bench signal
+    that could never show a build regression) and reports corpus-level
+    facts the oracle can recompute (vector count, dimensionality, list
+    count). The probe ops (sim_ivf_ann, ann_ivf_recall_profile) keep
+    reading the cache-or-build path, so their amortized-index contract
+    is unchanged — the seeded KMeans makes the rebuilt index
+    bit-identical to the warm-pass one. Cell populations are model
+    output and are exercised by the R-tier recall tests, not this
+    oracle."""
+    idx = ivf_build_index(spark, sf_dir, force=True)
+    indexed = spark.read.parquet(os.path.join(idx, "indexed"))
+    centroids = spark.read.parquet(os.path.join(idx, "centroids"))
     counts = indexed.agg(
         bcount().alias("n_vectors"),
         F.min(F.size("embedding")).cast("int").alias("dim"),

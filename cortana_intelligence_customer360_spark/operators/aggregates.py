@@ -1468,20 +1468,47 @@ def agg_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined shuffle on a 3-value key; the moment sums are
     the same single pass at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    # r12 (verdict-11 item 4, guide §4.1): five DECIMAL(38,10) sums ran
+    # as boxed Int128 hash aggregation outside codegen. The three
+    # NARROW moments convert to exact LONG sums (codegen):
+    # - l_quantity is an exact integer 1..50 -> sum < 2e13 even at
+    #   100 TB (~3.9e11 rows in the largest returnflag group);
+    # - qty² <= 2500 -> sum < 1e15;
+    # - l_extendedprice's decimal(38,10) cast equals its exact CENT
+    #   value (double error < 5e-11 at 1e5 magnitudes, rounded away at
+    #   scale 10), so sum(cents) < 4.1e18 fits a LONG with 2.2x
+    #   headroom at 100 TB; the exact decimal is reconstructed on the
+    #   3-row result before the double cast, so every emitted double is
+    #   bit-identical (verified at all three SFs, hash MATCH vs the
+    #   unchanged oracle).
+    # sxy/syy CANNOT convert: their scale-10 per-row integers reach
+    # 1.1e20, and the base-1e7 three-limb LONG split that keeps
+    # exactness was implemented and MEASURED 3.3x slower than the boxed
+    # decimal sum (per-row Int128 limb extraction costs more than the
+    # boxed aggregation saves — tools/r12/regr_proto.py, r12 report §
+    # agg_regr_family), so the two wide sums stay decimal: that is the
+    # exactness contract at minimum measured cost.
     dec = "decimal(38,10)"
-    moments = li.groupBy("l_returnflag").agg(
+    q, pr = F.col("l_quantity"), F.col("l_extendedprice")
+    raw = li.groupBy("l_returnflag").agg(
         bcount().alias("n"),
-        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        F.sum(q.cast("long")).alias("sx_i"),
+        F.sum(F.round(pr * 100, 0).cast("long")).alias("sy_c"),
+        F.sum((q * q).cast("long")).alias("sxx_i"),
+        F.sum((q * pr).cast(dec)).cast("double").alias("sxy"),
+        F.sum((pr * pr).cast(dec)).cast("double").alias("syy"),
+    )
+    moments = raw.select(
+        "l_returnflag",
+        "n",
+        F.col("sx_i").cast("double").alias("sx"),
+        (F.col("sy_c").cast("decimal(20,0)") / F.lit(100))
         .cast("double")
-        .alias("sxx"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec))
-        .cast("double")
-        .alias("syy"),
+        .alias("sy"),
+        F.col("sxx_i").cast("double").alias("sxx"),
+        "sxy",
+        "syy",
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     cov_n = F.col("sxy") - sx * sy / n

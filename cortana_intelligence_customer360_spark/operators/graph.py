@@ -667,7 +667,10 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(bcount().alias("deg"))
             .where(F.col("deg") >= _KCORE_K)
             .select("src")
-        )
+        ).localCheckpoint(eager=False)
+        # ^ both broadcast builds below consume keep; checkpointing it
+        # runs the degree aggregate once per round instead of twice
+        # (guide §2.4), halving the dominant per-round pass count.
         edges = (
             edges.join(F.broadcast(keep), "src")
             .join(
@@ -862,11 +865,16 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     auths = None
     for _ in range(_HITS_ITERS):
+        # localCheckpoint the raw-score table: atot's broadcast job and
+        # the normalized-score projection BOTH consume araw, so without
+        # it the edges>(broadcast hubs) aggregate ran twice per
+        # iteration (guide §2.4 — the graph_adamic_adar class of bug,
+        # 2 duplicate edge-cardinality passes per HITS iteration).
         araw = (
             edges.join(F.broadcast(hubs), "s")
             .groupBy("c")
             .agg(F.sum("h").alias("a_raw"))
-        )
+        ).localCheckpoint(eager=False)
         atot = araw.groupBy().agg(F.sum("a_raw").alias("a_tot"))
         auths = (
             araw.join(F.broadcast(atot))
@@ -884,7 +892,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(F.broadcast(auths), "c")
             .groupBy("s")
             .agg(F.sum("a").alias("h_raw"))
-        )
+        ).localCheckpoint(eager=False)
         htot = hraw.groupBy().agg(F.sum("h_raw").alias("h_tot"))
         hubs = (
             hraw.join(F.broadcast(htot))

@@ -548,6 +548,15 @@ def _run_foreachbatch_merge(
     one-shot decimal sum no matter how many micro-batches the source
     splits into; it is cast to double only on the final read."""
 
+    # Each batch commits the merged state as a NEW version dir and the
+    # next batch reads its predecessor: same read-union-reaggregate
+    # merge, but one write job per batch instead of the old tmp-write +
+    # copy-back (2 writes + 1 re-read per batch, paid only because
+    # overwriting the dir being read breaks — r12, guide §1.2 "don't
+    # compute things you throw away"). Retried batch ids overwrite
+    # their own version dir, so the sink stays exactly-once.
+    last = {"dir": None}
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
         agg = batch_df.groupBy("user_id").agg(
@@ -556,21 +565,19 @@ def _run_foreachbatch_merge(
             .cast("decimal(30,6)")
             .alias("sum_dec"),
         )
-        try:
-            existing = spark_l.read.parquet(sink)
-        except Exception:
-            existing = None
-        if existing is not None:
+        if last["dir"] is not None:
             agg = (
-                existing.unionByName(agg)
+                spark_l.read.parquet(last["dir"])
+                .unionByName(agg)
                 .groupBy("user_id")
                 .agg(
                     F.sum("n_events").cast("long").alias("n_events"),
                     F.sum("sum_dec").cast("decimal(30,6)").alias("sum_dec"),
                 )
             )
-        agg.write.mode("overwrite").parquet(sink + ".tmp")
-        spark_l.read.parquet(sink + ".tmp").write.mode("overwrite").parquet(sink)
+        out = os.path.join(sink, f"v{batch_id}")
+        agg.write.mode("overwrite").parquet(out)
+        last["dir"] = out
 
     import shutil
 
@@ -578,7 +585,7 @@ def _run_foreachbatch_merge(
     shutil.rmtree(sink + ".tmp", ignore_errors=True)
     q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(sink).select(
+    return spark.read.parquet(last["dir"]).select(
         "user_id", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
     )
 
@@ -831,18 +838,28 @@ class _LatestEventProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
 
-        n, ts, eid, typ = (
-            self._state.get() if self._state.exists() else (0, -1, -1, None)
-        )
+        # ValueState.get() returns None when unset, so the extra
+        # exists() state-server round trip per key per batch is pure
+        # protocol cost (guide §4: every state call is a synchronous
+        # socket RPC from the Python worker) — one get() does both jobs.
+        prev = self._state.get()
+        n, ts, eid, typ = prev if prev is not None else (0, -1, -1, None)
         for pdf in rows:
             if not len(pdf):
                 continue
             n += len(pdf)
-            i = pdf.sort_values(["ts_us", "event_id"]).index[-1]
-            cand = (int(pdf["ts_us"][i]), int(pdf["event_id"][i]))
+            # argmax by (ts_us, event_id) over plain lists: the old
+            # sort_values-then-last paid a full pandas sort (~0.25 ms)
+            # per key per batch for a single max; event_id is unique,
+            # so max-of-tuples picks the identical row (guide §4.2:
+            # tiny per-key groups make pandas machinery the overhead).
+            tl = pdf["ts_us"].tolist()
+            el = pdf["event_id"].tolist()
+            j = max(range(len(tl)), key=lambda k: (tl[k], el[k]))
+            cand = (int(tl[j]), int(el[j]))
             if cand > (ts, eid):
                 ts, eid = cand
-                typ = str(pdf["event_type"][i])
+                typ = str(pdf["event_type"].iloc[j])
         self._state.update((n, ts, eid, typ))
         yield pd.DataFrame(
             {
@@ -1270,23 +1287,23 @@ def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = scratch_dir("stream_hll_merge", sf_dir)
 
+    # Versioned per-batch state commits (see _run_foreachbatch_merge):
+    # one write job per batch instead of tmp-write + copy-back.
+    last = {"dir": None}
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
         regs = registers_from(batch_df.select("event_type", "user_id"))
-        try:
-            existing = spark_l.read.parquet(sink)
-        except Exception:
-            existing = None
-        if existing is not None:
+        if last["dir"] is not None:
             regs = (
-                existing.unionByName(regs)
+                spark_l.read.parquet(last["dir"])
+                .unionByName(regs)
                 .groupBy("event_type", "bucket")
                 .agg(F.max("reg").cast("int").alias("reg"))
             )
-        regs.write.mode("overwrite").parquet(sink + ".tmp")
-        spark_l.read.parquet(sink + ".tmp").write.mode("overwrite").parquet(
-            sink
-        )
+        out = os.path.join(sink, f"v{batch_id}")
+        regs.write.mode("overwrite").parquet(out)
+        last["dir"] = out
 
     import shutil
 
@@ -1299,7 +1316,7 @@ def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return hll_output(spark.read.parquet(sink))
+    return hll_output(spark.read.parquet(last["dir"]))
 
 
 def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1328,19 +1345,17 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
+    # Versioned per-batch state commits (see _run_foreachbatch_merge).
+    last = {"dir": None}
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
         bits = bits_of(batch_df.select("event_type", "user_id"))
-        try:
-            existing = spark_l.read.parquet(sink)
-        except Exception:
-            existing = None
-        if existing is not None:
-            bits = existing.unionByName(bits).distinct()
-        bits.write.mode("overwrite").parquet(sink + ".tmp")
-        spark_l.read.parquet(sink + ".tmp").write.mode("overwrite").parquet(
-            sink
-        )
+        if last["dir"] is not None:
+            bits = spark_l.read.parquet(last["dir"]).unionByName(bits).distinct()
+        out = os.path.join(sink, f"v{batch_id}")
+        bits.write.mode("overwrite").parquet(out)
+        last["dir"] = out
 
     import shutil
 
@@ -1353,7 +1368,7 @@ def stream_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    bits = spark.read.parquet(sink)
+    bits = spark.read.parquet(last["dir"])
     bits = bits.unionByName(
         bits.select(F.lit("__all__").alias("event_type"), "pos").distinct()
     )
@@ -1518,6 +1533,9 @@ def stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
         )
 
+    # Versioned per-batch state commits (see _run_foreachbatch_merge).
+    last = {"dir": None}
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
         sample = bottomk(
@@ -1527,16 +1545,13 @@ def stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.col("event_id").cast("string")).alias("rk"),
             )
         )
-        try:
-            existing = spark_l.read.parquet(sink)
-        except Exception:
-            existing = None
-        if existing is not None:
-            sample = bottomk(existing.unionByName(sample))
-        sample.write.mode("overwrite").parquet(sink + ".tmp")
-        spark_l.read.parquet(sink + ".tmp").write.mode("overwrite").parquet(
-            sink
-        )
+        if last["dir"] is not None:
+            sample = bottomk(
+                spark_l.read.parquet(last["dir"]).unionByName(sample)
+            )
+        out = os.path.join(sink, f"v{batch_id}")
+        sample.write.mode("overwrite").parquet(out)
+        last["dir"] = out
 
     import shutil
 
@@ -1549,7 +1564,7 @@ def stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    sample = spark.read.parquet(sink)
+    sample = spark.read.parquet(last["dir"])
     wv = Window.partitionBy("event_type").orderBy("val", "rk")
     wn = Window.partitionBy("event_type")
     pos = sample.withColumn("vn", F.row_number().over(wv)).withColumn(

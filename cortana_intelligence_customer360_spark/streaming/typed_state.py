@@ -59,18 +59,33 @@ class _TypeCountProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
+        from collections import Counter
 
+        # One paginated iterator() read of the whole map replaces the
+        # per-event-type getValue round trips AND the post-update
+        # re-read: every map-state call is a synchronous state-server
+        # socket RPC from the Python worker (guide §4 boundary cost),
+        # and this key's map is tiny (|event types|), so read it once,
+        # merge locally, write back only the types this batch touched.
+        # The merged dict IS the post-update map, so the emission is
+        # byte-identical to re-iterating the store.
+        counts = {k[0]: int(v[0]) for k, v in self._map.iterator()}
+        touched = Counter()
         for pdf in rows:
             if not len(pdf):
                 continue
-            for et, c in pdf["event_type"].value_counts().items():
-                prev = self._map.getValue((str(et),))
-                base = int(prev[0]) if prev is not None else 0
-                self._map.updateValue((str(et),), (base + int(c),))
-        entries = [
-            (key[0], k[0], int(v[0])) for k, v in self._map.iterator()
-        ]
-        yield pd.DataFrame(entries, columns=["user_id", "event_type", "n"])
+            touched.update(pdf["event_type"].tolist())
+        for et, c in touched.items():
+            et = str(et)
+            counts[et] = counts.get(et, 0) + int(c)
+            self._map.updateValue((et,), (counts[et],))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_type": list(counts.keys()),
+                "n": list(counts.values()),
+            }
+        )
 
     def close(self) -> None:
         pass
@@ -101,8 +116,17 @@ class _PurchaseLogProcessor(StatefulProcessor):
 
         new = []
         for pdf in rows:
-            p = pdf.loc[pdf["event_type"] == "purchase", "event_id"]
-            new.extend(int(v) for v in p)
+            # plain-list filter instead of a pandas boolean mask: the
+            # masked .loc costs ~0.2 ms per key per batch on ~17-row
+            # frames (guide §4.2 — pandas machinery dominates tiny
+            # groups); identical order and values.
+            new.extend(
+                int(e)
+                for e, t in zip(
+                    pdf["event_id"].tolist(), pdf["event_type"].tolist()
+                )
+                if t == "purchase"
+            )
         if new:
             self._log.appendList([(v,) for v in new])
         eids = [int(t[0]) for t in self._log.get()]
@@ -148,17 +172,23 @@ class _DeadlineTimerProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
 
-        first = self._first.get()[0] if self._first.exists() else None
+        prev = self._first.get()  # None <=> state unset (no exists() RPC)
+        first = prev[0] if prev is not None else None
         for pdf in rows:
             if not len(pdf):
                 continue
             mn = int(pdf["ts_ms"].min())
             if first is None or mn < first:
                 first = mn
-        if first is not None and not self._first.exists():
+        if first is not None and prev is None:
             self._first.update((first,))
             self._handle.registerTimer(first + _TIMER_DELAY_MS)
-        elif first is not None:
+        elif first is not None and first < prev[0]:
+            # Re-writing an UNCHANGED value every batch was one update
+            # RPC per key per batch for nothing; the stored minimum
+            # only moves when a smaller first-event time arrives
+            # (never, under chronological replay — but kept correct
+            # for arbitrary batch orders).
             self._first.update((first,))
         return iter([])
 
@@ -480,7 +510,8 @@ class _SeededCounterProcessor(StatefulProcessor):
         c = 0
         for pdf in rows:
             c += len(pdf)
-        base = int(self._n.get()[0]) if self._n.exists() else 0
+        prev = self._n.get()  # None <=> unset (handleInitialState may have seeded it)
+        base = int(prev[0]) if prev is not None else 0
         total = base + c
         self._n.update((total,))
         yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
